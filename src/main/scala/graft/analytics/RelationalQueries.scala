@@ -1,0 +1,689 @@
+package graft.analytics
+
+import graft.{Parity, QueryDef}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.8) re-expressed as
+  * declarative DataFrame plans over the canonical test tables.
+  *
+  * Design notes for scale (local[32] here, 1000-executor posture):
+  *  - every aggregation is a plain `groupBy(...).agg(...)` → Catalyst emits
+  *    partial (map-side) + final hash aggregates; no driver-side loops;
+  *  - joins against small dimensions (`part`, `customer` at dim-scale) are
+  *    explicitly `broadcast(...)` so the 100 TB fact side never shuffles;
+  *  - filters/projections sit directly on the scan so parquet pushdown and
+  *    column pruning apply;
+  *  - windows partition by high-cardinality keys (custkey/user_id), so state
+  *    per partition stays bounded.
+  */
+object RelationalQueries {
+  import Parity._
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def prt(s: SparkSession, d: String) = Tables.load(s, d, "part")
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** T4/T5/W5 — ad-hoc select + filter + deterministic limit.
+    * Reference: `utils-dev/s3_parquet_query.py:135-158` (filter/project/limit).
+    */
+  val t4FilterProject = QueryDef(
+    "t4_filter_project",
+    "column filters + projection + ordered limit (query-tool surface)",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+            ORDER BY l_orderkey, l_linenumber LIMIT 100"""))
+
+  /** T6/A6 — op-code decode map with passthrough default + group summary.
+    * Reference: `utils-dev/s3_parquet_query.py:190-210`.
+    */
+  val t6DecodeMap = QueryDef(
+    "t6_decode_map",
+    "code→label decode (when/otherwise chain) + per-code count and date range",
+    (s, d) =>
+      ev(s, d)
+        .withColumn(
+          "operation",
+          when(col("event_type") === "purchase", "PURCHASE")
+            .when(col("event_type") === "click", "CLICK")
+            .when(col("event_type") === "view", "VIEW")
+            .when(col("event_type") === "signup", "SIGNUP")
+            .otherwise(concat(lit("OTHER:"), col("event_type"))))
+        .groupBy("operation")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(to_date(col("ts"))).as("first_date"),
+          max(to_date(col("ts"))).as("last_date"))
+        .orderBy("operation"),
+    Some("""SELECT CASE WHEN event_type='purchase' THEN 'PURCHASE'
+                        WHEN event_type='click' THEN 'CLICK'
+                        WHEN event_type='view' THEN 'VIEW'
+                        WHEN event_type='signup' THEN 'SIGNUP'
+                        ELSE 'OTHER:' || event_type END AS operation,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(CAST(ts AS DATE)) AS first_date,
+                   max(CAST(ts AS DATE)) AS last_date
+            FROM events GROUP BY 1 ORDER BY operation"""))
+
+  /** T9/T10/T11 — derived strings, regex validation flags, completeness flags.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:404-410`.
+    */
+  val t9DerivedFlags = QueryDef(
+    "t9_derived_flags",
+    "string derivation + regex-validity + completeness flags, aggregated",
+    (s, d) =>
+      cust(s, d)
+        .withColumn("is_valid_name", col("c_name").rlike("^Customer#[0-9]+$"))
+        .withColumn(
+          "is_complete_profile",
+          col("c_name").isNotNull && col("c_mktsegment").isNotNull &&
+            col("c_acctbal").isNotNull)
+        .withColumn("display_name",
+          concat_ws(" ", col("c_mktsegment"), col("c_name")))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(when(col("is_valid_name"), 1L).otherwise(0L)).as("n_valid_names"),
+          sum(when(col("is_complete_profile"), 1L).otherwise(0L)).as("n_complete"),
+          max(col("display_name")).as("max_display_name"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_names,
+                   CAST(sum(CASE WHEN c_name IS NOT NULL AND c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
+                   max(c_mktsegment || ' ' || c_name) AS max_display_name
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** T12 — CASE bucketization (price tiers).
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:413,433,455`.
+    */
+  val t12Bucketize = QueryDef(
+    "t12_bucketize",
+    "CASE bucketization into price tiers + per-tier rollup",
+    (s, d) =>
+      prt(s, d)
+        .withColumn(
+          "price_tier",
+          when(col("p_retailprice") < 930, "budget")
+            .when(col("p_retailprice") < 970, "mid-range")
+            .otherwise("premium"))
+        .groupBy("price_tier")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          moneySum(col("p_retailprice")).as("sum_price"),
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"))
+        .orderBy("price_tier"),
+    Some("""SELECT CASE WHEN p_retailprice < 930 THEN 'budget'
+                        WHEN p_retailprice < 970 THEN 'mid-range'
+                        ELSE 'premium' END AS price_tier,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+                   min(p_retailprice) AS min_price,
+                   max(p_retailprice) AS max_price
+            FROM part GROUP BY 1 ORDER BY price_tier"""))
+
+  /** T13 — date arithmetic → activity buckets.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:414,606-607`
+    * (`is_active` 90-day / `is_at_risk` 180-day windows).
+    */
+  val t13DateArith = QueryDef(
+    "t13_date_arith",
+    "datediff vs reference date → active/at-risk/dormant buckets",
+    (s, d) =>
+      ord(s, d)
+        .withColumn("days_since",
+          datediff(lit("2001-09-01").cast("date"), to_date(col("o_orderdate"))))
+        .withColumn(
+          "activity",
+          when(col("days_since") <= 90, "active")
+            .when(col("days_since") <= 180, "at_risk")
+            .otherwise("dormant"))
+        .groupBy("activity")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          min(col("days_since")).as("min_days"),
+          max(col("days_since")).as("max_days"))
+        .orderBy("activity"),
+    Some("""SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') <= 90 THEN 'active'
+                        WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') <= 180 THEN 'at_risk'
+                        ELSE 'dormant' END AS activity,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(min(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01')) AS INTEGER) AS min_days,
+                   CAST(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01')) AS INTEGER) AS max_days
+            FROM orders GROUP BY 1 ORDER BY activity"""))
+
+  /** T14 — arithmetic derivations (line totals / discount / tax), exact
+    * decimal math. Reference: `.kiro/specs/batch-analytics-layer/design.md:474,483-485`.
+    */
+  val t14LineDerivations = QueryDef(
+    "t14_line_derivations",
+    "line_total / discount_amount / charged derivations, per linestatus",
+    (s, d) => {
+      val l = li(s, d)
+      val price = dec2(col("l_extendedprice"))
+      val disc = col("l_discount").cast(DecimalType(4, 2))
+      val tax = col("l_tax").cast(DecimalType(4, 2))
+      l.select(
+          col("l_linestatus"),
+          (price * (lit(1).cast(DecimalType(4, 2)) - disc)).as("disc_price"),
+          (price * (lit(1).cast(DecimalType(4, 2)) - disc) *
+            (lit(1).cast(DecimalType(4, 2)) + tax)).as("charged"),
+          (price * disc).as("discount_amount"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(col("disc_price")).cast("double").as("sum_disc_price"),
+          sum(col("charged")).cast("double").as("sum_charged"),
+          sum(col("discount_amount")).cast("double").as("sum_discount"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charged,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_discount
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** J1/A1-ish — 3-way left join fact assembly per segment.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:158-163`.
+    * Scale note: at 100 TB customer⨝orders⨝lineitem shuffles on the join
+    * keys; AQE + sort-merge handle it. countDistinct columns are the join
+    * keys themselves so no extra expand blow-up.
+    */
+  val j1ThreeWay = QueryDef(
+    "j1_customer_orders_items",
+    "customer ⟕ orders ⟕ lineitem, per-segment rollup",
+    (s, d) => {
+      val c = cust(s, d)
+      val o = ord(s, d)
+      val l = li(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .join(l, o("o_orderkey") === l("l_orderkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(col("l_orderkey")).as("n_lineitems"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+                   CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(count(l_orderkey) AS BIGINT) AS n_lineitems,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                          LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** J2/T14 — fact ⨝ small dimension, explicitly broadcast.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:478-485`.
+    */
+  val j2Enrich = QueryDef(
+    "j2_items_parts_enrich",
+    "lineitem ⨝ broadcast(part): brand revenue & margin proxy",
+    (s, d) => {
+      val l = li(s, d)
+      val p = prt(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"),
+          sum(dec2(col("l_extendedprice")) -
+            dec2(col("l_quantity")) * dec2(col("p_retailprice")))
+            .cast("double").as("price_delta"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS price_delta
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** J3/A3/W7 — new-vs-returning revenue split per day.
+    * Reference: dbt `daily_customers` CTE
+    * `.kiro/specs/batch-analytics-layer/design.md:674-687`.
+    * First-order-date is a window min over o_custkey (no self-join).
+    */
+  val j3NewVsReturning = QueryDef(
+    "j3_new_vs_returning",
+    "per-day split of revenue into new vs returning customers (window min)",
+    (s, d) => {
+      val o = ord(s, d).withColumn("order_date", to_date(col("o_orderdate")))
+      val w = Window.partitionBy(col("o_custkey"))
+      o.withColumn("first_date", min(col("order_date")).over(w))
+        .withColumn("is_new", col("order_date") === col("first_date"))
+        .groupBy(col("order_date"))
+        .agg(
+          sum(when(col("is_new"), dec2(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(12, 2))))
+            .cast("double").as("new_revenue"),
+          sum(when(!col("is_new"), dec2(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(12, 2))))
+            .cast("double").as("returning_revenue"),
+          countDistinct(when(col("is_new"), col("o_custkey"))).as("new_customers"),
+          countDistinct(when(!col("is_new"), col("o_custkey"))).as("returning_customers"))
+        .orderBy("order_date")
+    },
+    Some("""WITH o AS (
+              SELECT CAST(o_orderdate AS DATE) AS order_date, o_custkey, o_totalprice,
+                     min(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey) AS first_date
+              FROM orders)
+            SELECT order_date,
+                   CAST(sum(CASE WHEN order_date = first_date THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS new_revenue,
+                   CAST(sum(CASE WHEN order_date <> first_date THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS returning_revenue,
+                   CAST(count(DISTINCT CASE WHEN order_date = first_date THEN o_custkey END) AS BIGINT) AS new_customers,
+                   CAST(count(DISTINCT CASE WHEN order_date <> first_date THEN o_custkey END) AS BIGINT) AS returning_customers
+            FROM o GROUP BY order_date ORDER BY order_date"""))
+
+  /** J4/A2/A4/A5 — the reference's flagship mart: daily business metrics.
+    * daily_orders ⟕ daily_items on date + COALESCE + guarded ratios.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:658-730`.
+    */
+  val j4DailyBusinessMetrics = QueryDef(
+    "j4_daily_business_metrics",
+    "daily mart assembly: conditional counts, left join on date, ratio KPIs",
+    (s, d) => {
+      val o = ord(s, d).withColumn("date", to_date(col("o_orderdate")))
+      val l = li(s, d).withColumn("date", to_date(col("l_shipdate")))
+      val dailyOrders = o.groupBy("date").agg(
+        count(lit(1)).as("total_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("fulfilled_orders"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("pending_orders"),
+        moneySum(col("o_totalprice")).as("total_revenue"),
+        countDistinct(col("o_custkey")).as("unique_customers"))
+      val dailyItems = l.groupBy("date").agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("total_quantity"),
+        countDistinct(col("l_partkey")).as("unique_parts"))
+      dailyOrders
+        .join(dailyItems, Seq("date"), "left")
+        .select(
+          col("date"),
+          col("total_orders"),
+          col("fulfilled_orders"),
+          col("pending_orders"),
+          col("total_revenue"),
+          col("unique_customers"),
+          coalesce(col("total_quantity"), lit(0.0)).as("total_quantity"),
+          coalesce(col("unique_parts"), lit(0L)).as("unique_parts"),
+          when(col("total_orders") > 0,
+            col("fulfilled_orders").cast("double") / col("total_orders"))
+            .otherwise(0.0).as("completion_rate"))
+        .orderBy("date")
+    },
+    Some("""WITH daily_orders AS (
+              SELECT CAST(o_orderdate AS DATE) AS date,
+                     CAST(count(*) AS BIGINT) AS total_orders,
+                     CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_orders,
+                     CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS unique_customers
+              FROM orders GROUP BY 1),
+            daily_items AS (
+              SELECT CAST(l_shipdate AS DATE) AS date,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_quantity,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS unique_parts
+              FROM lineitem GROUP BY 1)
+            SELECT o.date, o.total_orders, o.fulfilled_orders, o.pending_orders,
+                   o.total_revenue, o.unique_customers,
+                   COALESCE(i.total_quantity, 0.0) AS total_quantity,
+                   COALESCE(i.unique_parts, 0) AS unique_parts,
+                   CASE WHEN o.total_orders > 0 THEN CAST(o.fulfilled_orders AS DOUBLE) / o.total_orders ELSE 0.0 END AS completion_rate
+            FROM daily_orders o LEFT JOIN daily_items i ON o.date = i.date
+            ORDER BY o.date"""))
+
+  /** A1 — customer metrics group-agg (count/sum/avg/min/max/countDistinct).
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:164-177`.
+    */
+  val a1CustomerMetrics = QueryDef(
+    "a1_customer_metrics",
+    "per-customer order metrics: count, sum, avg, min/max dates, distinct",
+    (s, d) => {
+      val c = cust(s, d)
+      val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_spent"),
+          moneyAvg(col("o_totalprice")).as("avg_order_value"),
+          min(to_date(col("o_orderdate"))).as("first_order"),
+          max(to_date(col("o_orderdate"))).as("last_order"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(o_totalprice) AS avg_order_value,
+                   min(CAST(o_orderdate AS DATE)) AS first_order,
+                   max(CAST(o_orderdate AS DATE)) AS last_order,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** A2/A3 — daily KPIs with conditional counts.
+    * Reference: dbt `daily_orders` `.kiro/specs/batch-analytics-layer/design.md:658-672`.
+    */
+  val a2DailyOrderKpis = QueryDef(
+    "a2_daily_order_kpis",
+    "per-day conditional counts by status + revenue + distinct customers",
+    (s, d) =>
+      ord(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_fulfilled"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"),
+          moneySum(col("o_totalprice")).as("revenue"),
+          moneyAvg(col("o_totalprice")).as("avg_order_value"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("date"),
+    Some("""SELECT CAST(o_orderdate AS DATE) AS date,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+                   CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(o_totalprice) AS avg_order_value,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM orders GROUP BY 1 ORDER BY date"""))
+
+  /** A6/T16 — CDC-style operation summary with epoch-ms timestamps.
+    * Reference: `utils-dev/s3_parquet_query.py:183-210`.
+    */
+  val a6OpSummary = QueryDef(
+    "a6_op_summary",
+    "per-type event count + first/last timestamps (epoch millis)",
+    (s, d) =>
+      ev(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          unix_millis(min(col("ts"))).as("first_ts_ms"),
+          unix_millis(max(col("ts"))).as("last_ts_ms"),
+          moneySum(col("value")).as("sum_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   epoch_ms(min(ts)) AS first_ts_ms,
+                   epoch_ms(max(ts)) AS last_ts_ms,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** A13 — exact percentiles (p50/p95/p99), linear interpolation.
+    * Reference: `data-generator.py:184-199` (statistics.quantiles).
+    */
+  val a13Percentiles = QueryDef(
+    "a13_percentiles",
+    "exact interpolated percentiles of extendedprice per returnflag",
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** W1/W2 — rank within category + top-20% flag.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:570-572`.
+    * Revenue is an exact decimal, so tie-handling is engine-independent.
+    */
+  val w1RankInCategory = QueryDef(
+    "w1_rank_in_category",
+    "revenue rank within p_type + percent_rank top-20% flag, top-5 only",
+    (s, d) => {
+      val l = li(s, d)
+      val p = prt(s, d)
+      val rev = l
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type"), col("p_partkey"))
+        .agg(moneySum(col("l_extendedprice")).as("revenue"))
+      val w = Window.partitionBy(col("p_type"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+      rev
+        .withColumn("revenue_rank", rank().over(w))
+        .withColumn("is_top_performer", percent_rank().over(w) <= 0.2)
+        .filter(col("revenue_rank") <= 5)
+        .select("p_type", "p_partkey", "revenue", "revenue_rank", "is_top_performer")
+        .orderBy("p_type", "revenue_rank", "p_partkey")
+    },
+    Some("""WITH rev AS (
+              SELECT p_type, p_partkey,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_type, p_partkey),
+            ranked AS (
+              SELECT p_type, p_partkey, revenue,
+                     rank() OVER (PARTITION BY p_type ORDER BY revenue DESC, p_partkey) AS revenue_rank,
+                     percent_rank() OVER (PARTITION BY p_type ORDER BY revenue DESC, p_partkey) <= 0.2 AS is_top_performer
+              FROM rev)
+            SELECT * FROM ranked WHERE revenue_rank <= 5
+            ORDER BY p_type, revenue_rank, p_partkey"""))
+
+  /** W3 — inter-order gaps via lag window, then per-customer average.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:547,600`.
+    */
+  val w3OrderGaps = QueryDef(
+    "w3_order_gaps",
+    "avg days between consecutive orders per customer (lag window)",
+    (s, d) => {
+      val o = ord(s, d).withColumn("order_date", to_date(col("o_orderdate")))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("order_date"), col("o_orderkey"))
+      o.withColumn("prev_date", lag(col("order_date"), 1).over(w))
+        .withColumn("gap_days", datediff(col("order_date"), col("prev_date")))
+        .filter(col("gap_days").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          (sum(col("gap_days")).cast("double") / count(lit(1)))
+            .as("avg_gap_days"),
+          max(col("gap_days")).as("max_gap_days"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH g AS (
+              SELECT o_custkey,
+                     date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+              FROM orders)
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_days) AS DOUBLE) / count(*) AS avg_gap_days,
+                   CAST(max(gap_days) AS INTEGER) AS max_gap_days
+            FROM g WHERE gap_days IS NOT NULL
+            GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** W4 — latest-record-per-key compaction (the CDC current-state operator).
+    * Reference: `utils-dev/read_s3_parquet.py:51` (max-lsn row = current row).
+    */
+  val w4LatestByKey = QueryDef(
+    "w4_latest_by_key",
+    "row_number over (key order by ts desc) = 1 — latest event per user",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  /** W6 — mode per key (favorite event type), deterministic tiebreak.
+    * Reference: `favorite_category` `.kiro/specs/batch-analytics-layer/design.md:601`.
+    */
+  val w6FavoriteCategory = QueryDef(
+    "w6_favorite_category",
+    "most-frequent event_type per user (count desc, name asc tiebreak)",
+    (s, d) => {
+      val counts = ev(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("favorite_type"), col("n"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_type AS favorite_type, n FROM (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id"""))
+
+  /** U1/Q1 — business-rule violation scan, 4-way UNION ALL.
+    * Reference: dbt macro `.kiro/specs/batch-analytics-layer/design.md:824-850`.
+    */
+  val u1RuleViolations = QueryDef(
+    "u1_rule_violations",
+    "4 rule scans union-all'ed into one violation report",
+    (s, d) => {
+      val o = ord(s, d)
+      val l = li(s, d)
+      val p = prt(s, d)
+      val r1 = o.filter(col("o_totalprice") < 0)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders.total_negative").as("rule"), col("violations"))
+      val r2 = l.filter(col("l_quantity") <= 0 || col("l_quantity") > 49)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem.quantity_range").as("rule"), col("violations"))
+      val r3 = p.filter(col("p_retailprice") < 0)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("part.price_negative").as("rule"), col("violations"))
+      val r4 = l.filter(col("l_discount") > 0.08)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem.discount_cap").as("rule"), col("violations"))
+      r1.unionByName(r2).unionByName(r3).unionByName(r4).orderBy("rule")
+    },
+    Some("""SELECT 'orders.total_negative' AS rule, CAST(count(*) AS BIGINT) AS violations FROM orders WHERE o_totalprice < 0
+            UNION ALL SELECT 'lineitem.quantity_range', CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 49
+            UNION ALL SELECT 'part.price_negative', CAST(count(*) AS BIGINT) FROM part WHERE p_retailprice < 0
+            UNION ALL SELECT 'lineitem.discount_cap', CAST(count(*) AS BIGINT) FROM lineitem WHERE l_discount > 0.08
+            ORDER BY rule"""))
+
+  /** Q2 — uniqueness / duplicate-key audit.
+    * Reference: dbt singular test `.kiro/specs/batch-analytics-layer/design.md:734-742`.
+    */
+  val q2Uniqueness = QueryDef(
+    "q2_uniqueness",
+    "duplicate (user_id, event_type) groups — dbt-style uniqueness test",
+    (s, d) =>
+      ev(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+            ORDER BY user_id, event_type"""))
+
+  /** Q4 — referential-integrity orphan scan via left-anti joins.
+    * Reference: `batch…/requirements.md:110-111`.
+    */
+  val q4ReferentialIntegrity = QueryDef(
+    "q4_referential_integrity",
+    "left-anti orphan counts child→parent for 3 FK edges",
+    (s, d) => {
+      val o = ord(s, d)
+      val l = li(s, d)
+      val c = cust(s, d)
+      val p = prt(s, d)
+      def orphanCount(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("orphans")).select(lit(name).as("fk_edge"), col("orphans"))
+      val e1 = orphanCount("lineitem->orders",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti"))
+      val e2 = orphanCount("orders->customer",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+      val e3 = orphanCount("lineitem->part",
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left_anti"))
+      e1.unionByName(e2).unionByName(e3).orderBy("fk_edge")
+    },
+    Some("""SELECT 'lineitem->orders' AS fk_edge, CAST(count(*) AS BIGINT) AS orphans FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+            UNION ALL SELECT 'orders->customer', CAST(count(*) AS BIGINT) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+            UNION ALL SELECT 'lineitem->part', CAST(count(*) AS BIGINT) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+            ORDER BY fk_edge"""))
+
+  /** J6/Q5 — speed-vs-batch reconciliation with 5% tolerance verdict.
+    * Reference: `.kiro/specs/batch-analytics-layer/design.md:761-808`.
+    * Two independent monthly revenue paths (orders vs lineitem) are unpivoted
+    * and full-outer joined, then compared.
+    */
+  val j6Reconciliation = QueryDef(
+    "j6_reconciliation",
+    "full-outer join of two metric paths + pct-difference tolerance verdict",
+    (s, d) => {
+      val o = ord(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(moneySum(col("o_totalprice")).as("batch_value"))
+      val l = li(s, d)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(moneySum(col("l_extendedprice")).as("speed_value"))
+      o.join(l, Seq("month"), "full_outer")
+        .select(
+          col("month"),
+          coalesce(col("batch_value"), lit(0.0)).as("batch_value"),
+          coalesce(col("speed_value"), lit(0.0)).as("speed_value"))
+        .withColumn("abs_diff", abs(col("batch_value") - col("speed_value")))
+        .withColumn(
+          "within_tolerance",
+          when(col("batch_value") =!= 0.0,
+            col("abs_diff") / col("batch_value") <= 0.05).otherwise(false))
+        .orderBy("month")
+    },
+    Some("""WITH b AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS batch_value
+              FROM orders GROUP BY 1),
+            sp AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS speed_value
+              FROM lineitem GROUP BY 1)
+            SELECT COALESCE(b.month, sp.month) AS month,
+                   COALESCE(batch_value, 0.0) AS batch_value,
+                   COALESCE(speed_value, 0.0) AS speed_value,
+                   abs(COALESCE(batch_value, 0.0) - COALESCE(speed_value, 0.0)) AS abs_diff,
+                   CASE WHEN COALESCE(batch_value, 0.0) <> 0.0
+                        THEN abs(COALESCE(batch_value, 0.0) - COALESCE(speed_value, 0.0)) / COALESCE(batch_value, 0.0) <= 0.05
+                        ELSE false END AS within_tolerance
+            FROM b FULL OUTER JOIN sp ON b.month = sp.month
+            ORDER BY month"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    t4FilterProject, t6DecodeMap, t9DerivedFlags, t12Bucketize, t13DateArith,
+    t14LineDerivations, j1ThreeWay, j2Enrich, j3NewVsReturning,
+    j4DailyBusinessMetrics, a1CustomerMetrics, a2DailyOrderKpis, a6OpSummary,
+    a13Percentiles, w1RankInCategory, w3OrderGaps, w4LatestByKey,
+    w6FavoriteCategory, u1RuleViolations, q2Uniqueness,
+    q4ReferentialIntegrity, j6Reconciliation)
+}
