@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    analytics.RelationalQueries.defs
+    analytics.RelationalQueries.defs ++
+      dedup.DedupQueries.defs ++
+      similarity.SimilarityQueries.defs ++
+      text.TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mart: daily business metrics

@@ -1,0 +1,270 @@
+package graft.dedup
+
+import graft.QueryDef
+import graft.functions.CrossHash
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Every algorithm here is expressed as a declarative DataFrame plan over
+  * engine-portable md5 hashing ([[CrossHash]]) so the DuckDB oracle can
+  * replay it bit-for-bit. Scale posture (100 TB):
+  *  - no all-pairs comparisons: candidate generation is always a *blocked*
+  *    equi-join (LSH band buckets, SimHash bands, shingle inverted index,
+  *    sign buckets) that Catalyst executes as a shuffle hash/sort-merge join
+  *    on the block key;
+  *  - signatures are fixed-width per document (16 minhashes / 4 simhash
+  *    bands), so signature state is O(docs), never O(docs²);
+  *  - hot shingles (stopword n-grams) skew the inverted index — AQE skew
+  *    join handles moderate skew; a production corpus would also drop
+  *    top-frequency shingles (df cap), which is a one-line filter on the
+  *    shingle index.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private val K = 16 // minhash signature width
+  private val BANDS = 4 // LSH bands (4 rows per band)
+
+  /** Distinct 3-token shingles per doc (set semantics for Jaccard). */
+  private def shingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(expr("sequence(1, size(toks) - 2)")).as("i"),
+        col("toks"))
+      .select(
+        col("doc_id"),
+        expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
+      .distinct()
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))""".stripMargin
+
+  /** X1 — exact + normalized-text dedup audit per source.
+    * Exact dedup is the hash-groupBy pattern: identical bytes → identical
+    * md5 → one group; at scale this is a single shuffle on the 128-bit
+    * fingerprint (no text comparison ever crosses the wire).
+    */
+  val x1DedupExact = QueryDef(
+    "x1_dedup_exact",
+    "exact + normalized-text duplicate counts per source (hash-groupBy dedup)",
+    (s, d) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+      docs(s, d)
+        .select(col("source"), md5(col("text")).as("fp"),
+          md5(trim(norm)).as("nfp"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dupes"),
+          (count(lit(1)) - countDistinct(col("nfp"))).as("n_norm_dupes"))
+        .orderBy("source")
+    },
+    Some("""SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dupes,
+                   CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS n_norm_dupes
+            FROM documents GROUP BY source ORDER BY source"""))
+
+  /** X2 — MinHash + LSH near-duplicate candidate pairs.
+    * shingle → 16 salted 60-bit min-hashes → 4 bands of 4 → band-bucket
+    * equi-join → candidate pairs + estimated Jaccard (matching minhash
+    * fraction). The only shuffles are the signature groupBy (keyed by
+    * doc_id) and the band join (keyed by band signature).
+    */
+  val x2MinHashLsh = QueryDef(
+    "x2_dedup_minhash_lsh",
+    "MinHash(16)+LSH(4x4) candidate pairs with estimated Jaccard",
+    (s, d) => {
+      val sh = shingles(docs(s, d))
+      val hashed = sh.select(
+        col("doc_id") +:
+          (0 until K).map(k =>
+            CrossHash.md5u60Salted(col("shingle"), k).as(s"h$k")): _*)
+      val sig = hashed
+        .groupBy("doc_id")
+        .agg(min(col("h0")).as("m0"),
+          (1 until K).map(k => min(col(s"h$k")).as(s"m$k")): _*)
+      val bandCols = (0 until BANDS).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(":",
+            (0 until 4).map(j => col(s"m${4 * b + j}").cast("string")): _*))
+            .as("sig"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val matches = (0 until K)
+        .map(k => when(col(s"x.m$k") === col(s"y.m$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (matches.cast("double") / K).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val mins = (0 until K).map(k =>
+        s"min(CAST(md5_number_lower(shingle || '#$k') >> 4 AS BIGINT)) AS m$k")
+        .mkString(",\n         ")
+      val bandSigs = (0 until BANDS).map { b =>
+        val parts = (0 until 4).map(j => s"CAST(m${4 * b + j} AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM mh"
+      }.mkString("\n       UNION ALL ")
+      val matchSum = (0 until K)
+        .map(k => s"(CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesSql,
+         |mh AS (SELECT doc_id,
+         |         $mins
+         |       FROM sh GROUP BY doc_id),
+         |bands AS ($bandSigs),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($matchSum AS DOUBLE) / $K AS est_jaccard
+         |FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
+  /** X3 — SimHash near-dup pairs. 60-bit token-set simhash kept as 4×15-bit
+    * bands; band-equality blocking, then exact Hamming distance ≤ 2.
+    * The bit-majority fold is a groupBy(doc, bit) sum — two shuffles total
+    * regardless of corpus size.
+    */
+  val x3SimHash = QueryDef(
+    "x3_dedup_simhash",
+    "SimHash(60-bit, 4-band blocking) pairs with Hamming distance <= 2",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val bits = toks
+        .select(col("doc_id"), CrossHash.md5u60(col("tok")).as("h"))
+        .select(col("doc_id"), explode(expr("sequence(0, 59)")).as("b"), col("h"))
+        .select(col("doc_id"), col("b"),
+          (expr("CAST((h >> b) & 1 AS INT)") * 2 - 1).as("v"))
+        .groupBy("doc_id", "b")
+        .agg(sum(col("v")).as("sv"))
+        .select(col("doc_id"), col("b"),
+          when(col("sv") > 0, 1).otherwise(0).as("bit"))
+      val sim = bits
+        .groupBy("doc_id")
+        .agg((0 until 4).map(j =>
+          sum(when(col("b") >= j * 15 && col("b") < (j + 1) * 15,
+            expr(s"CAST(bit AS BIGINT) << (b - ${j * 15})")).otherwise(0L))
+            .as(s"s$j")).head,
+          (1 until 4).map(j =>
+            sum(when(col("b") >= j * 15 && col("b") < (j + 1) * 15,
+              expr(s"CAST(bit AS BIGINT) << (b - ${j * 15})")).otherwise(0L))
+              .as(s"s$j")): _*)
+      val bandCols = (0 until 4).map(j =>
+        struct(lit(j).as("band"), col(s"s$j").as("bv")))
+      val bands = sim
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val hamming = (0 until 4)
+        .map(j => expr(s"bit_count(x.s$j ^ y.s$j)"))
+        .reduce(_ + _)
+      cand
+        .join(sim.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sim.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val bandVals = (0 until 4).map(j =>
+        s"""CAST(sum(CASE WHEN b >= ${j * 15} AND b < ${(j + 1) * 15}
+           |  THEN CAST(bit AS BIGINT) << (b - ${j * 15}) ELSE 0 END) AS BIGINT) AS s$j"""
+          .stripMargin.replaceAll("\n", " "))
+        .mkString(",\n         ")
+      val bandSel = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band, s$j AS bv FROM sim").mkString("\n       UNION ALL ")
+      val ham = (0 until 4).map(j => s"bit_count(xor(x.s$j, y.s$j))").mkString(" + ")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |              FROM documents),
+         |bits AS (SELECT doc_id, b,
+         |           CASE WHEN sum(CAST((h >> b) & 1 AS INT) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+         |         FROM (SELECT doc_id, CAST(md5_number_lower(tok) >> 4 AS BIGINT) AS h FROM toks),
+         |              UNNEST(generate_series(0, 59)) AS u(b)
+         |         GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |         $bandVals
+         |        FROM bits GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
+         |FROM cand JOIN sim x ON doc_a = x.doc_id JOIN sim y ON doc_b = y.doc_id
+         |WHERE $ham <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
+  /** X4 — exact n-gram Jaccard via shingle inverted index.
+    * Candidate pairs are generated by self-joining the (shingle → doc)
+    * index, so only pairs that share ≥1 shingle are ever scored — the
+    * classic set-similarity join. Jaccard = |A∩B| / (|A|+|B|−|A∩B|).
+    */
+  val x4NgramJaccard = QueryDef(
+    "x4_dedup_ngram_jaccard",
+    "exact 3-gram Jaccard >= 0.5 pairs via shingle inverted-index join",
+    (s, d) => {
+      val sh = shingles(docs(s, d))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $shinglesSql,
+            |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+            |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |          GROUP BY 1, 2)
+            |SELECT doc_a, doc_b,
+            |       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+            |           JOIN sizes sb ON doc_b = sb.doc_id
+            |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x1DedupExact, x2MinHashLsh, x3SimHash, x4NgramJaccard)
+}

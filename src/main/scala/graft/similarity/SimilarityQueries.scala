@@ -1,0 +1,196 @@
+package graft.similarity
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an embedding column (`Array[Float]`, 64-dim).
+  *
+  * Cosine similarity is computed with an *exact fixed-point* dot product:
+  * each float is quantized to 1e-8 units in a long ([[qfix]]) and products
+  * are summed as exact integer math. The sum is therefore independent of
+  * partitioning/accumulation order — the same number on 1 core or 1000
+  * executors, and reproducible in the DuckDB oracle. Only the final
+  * dot/(‖a‖·‖b‖) step is floating point (the 1e-16 unit scale cancels),
+  * and it is a fixed op sequence on identical inputs.
+  *
+  * Scale posture:
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once — a map-side broadcast join + per-query top-k window, no
+  *    corpus shuffle except the final k·|Q| rows;
+  *  - the LSH variant blocks on an 8-bit hyperplane-sign bucket (signs of
+  *    the first 8 dims = axis-aligned random projections for unit-ish
+  *    embeddings), turning the self-join into a 256-way bucketed equi-join;
+  *  - an IVF layout at 100 TB would add a coarse k-means assignment as the
+  *    bucket key — same join shape, learned buckets.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  private val DIM = 64
+
+  /** Quantize a float to exact 1e-8 units carried in a long via
+    * `floor(double * 1e8)` — both the float→double widening and the
+    * multiply-by-a-power-of-ten are bit-identical IEEE ops in every engine
+    * (decimal casts are NOT: DuckDB truncates where Spark rounds), and all
+    * subsequent arithmetic is exact integer math — order-independent and
+    * whole-stage-codegen-friendly.
+    */
+  private def qfix(x: Column): Column =
+    floor(x.cast("double") * lit(1e8)).cast("long")
+
+  /** Exact dot product in 1e-16 units (64 products of |q|<2e8 fit a long). */
+  private def dotFix(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => qfix(x) * qfix(y)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** DuckDB replica of [[dotFix]] on `x.embedding` / `y.embedding`. */
+  private def dotSql(x: String, y: String): String =
+    s"""(SELECT CAST(SUM(CAST(floor(CAST($x.embedding[i] AS DOUBLE) * 100000000.0) AS BIGINT) *
+       |                 CAST(floor(CAST($y.embedding[i] AS DOUBLE) * 100000000.0) AS BIGINT)) AS BIGINT)
+       |    FROM UNNEST(generate_series(1, $DIM)) AS u(i))""".stripMargin
+
+  /** dotSql for query-vs-corpus column names used by X6/X7 oracles. */
+  private val qdotSql: String = {
+    val s = dotSql("q", "v")
+    s.replace("q.embedding", "q.q_emb")
+  }
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Per-vector self-dot (squared norm), computed once and joined — at
+    * corpus scale this is one narrow pass, not recomputed per pair.
+    */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", dotFix(col("embedding"), col("embedding")))
+
+  private val normSql =
+    s"""normed AS (SELECT vec_id, label, embedding,
+       |  ${dotSql("embeddings", "embeddings").replace("embeddings.embedding", "embedding")} AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  /** 8-bit sign bucket over the first 8 dimensions (hyperplane LSH). */
+  private def signBucket(e: Column): Column =
+    concat((1 to 8).map(i =>
+      when(element_at(e, i) >= 0f, "1").otherwise("0")): _*)
+
+  private val signBucketSql =
+    (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  /** X5 — embedding-cosine near-duplicate pairs, LSH-sign-bucketed. */
+  val x5EmbeddingNearDup = QueryDef(
+    "x5_dedup_embedding",
+    "cosine >= 0.3 near-dup pairs within 8-bit sign buckets + label agreement",
+    (s, d) => {
+      val v = withNorm(emb(s, d))
+        .withColumn("bucket", signBucket(col("embedding")))
+      val pairs = v.as("a")
+        .join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine(dotFix(col("a.embedding"), col("b.embedding")),
+            col("a.nrm"), col("b.nrm")).as("cos_sim"),
+          (col("a.label") === col("b.label")).as("same_label"))
+      pairs.filter(col("cos_sim") >= 0.3).orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH $normSql,
+            |v AS (SELECT *, $signBucketSql AS bucket FROM normed)
+            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            |       CAST(${dotSql("a", "b")} AS DOUBLE) /
+            |         (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_sim,
+            |       a.label = b.label AS same_label
+            |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |WHERE CAST(${dotSql("a", "b")} AS DOUBLE) /
+            |        (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3
+            |ORDER BY vec_a, vec_b""".stripMargin))
+
+  /** X6 — brute-force cosine top-k (the exact baseline).
+    * Query set (vec_id < 8) is broadcast; corpus is scanned once; row_number
+    * keeps k=5 per query. On a cluster the corpus side never shuffles until
+    * the tiny top-k rows.
+    */
+  val x6AnnTopK = QueryDef(
+    "x6_ann_topk",
+    "brute-force cosine top-5 per query vector (broadcast query set)",
+    (s, d) => {
+      val v = withNorm(emb(s, d))
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dotFix(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""WITH $normSql,
+            |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+            |      FROM normed WHERE vec_id < 8),
+            |scored AS (
+            |  SELECT q.q_id, v.vec_id,
+            |         CAST(${qdotSql} AS DOUBLE) /
+            |           (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos_sim
+            |  FROM normed v, q WHERE v.vec_id <> q.q_id),
+            |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+            |           FROM scored)
+            |SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+            |ORDER BY q_id, rk""".stripMargin))
+
+  /** X7 — LSH-bucketed approximate top-k: only vectors in the query's sign
+    * bucket are scored. The scale path: candidate set per query shrinks by
+    * ~2^bits, and the join is a bucketed equi-join instead of a broadcast
+    * cross product.
+    */
+  val x7AnnLshBucketed = QueryDef(
+    "x7_ann_lsh_bucketed",
+    "approximate top-3 per query within its 8-bit sign bucket",
+    (s, d) => {
+      val v = withNorm(emb(s, d))
+        .withColumn("bucket", signBucket(col("embedding")))
+      val q = v.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      val scored = v.join(q,
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(dotFix(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""WITH $normSql,
+            |v AS (SELECT *, $signBucketSql AS bucket FROM normed),
+            |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+            |      FROM v WHERE vec_id < 50),
+            |scored AS (
+            |  SELECT q.q_id, v.vec_id,
+            |         CAST(${qdotSql} AS DOUBLE) /
+            |           (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos_sim
+            |  FROM v JOIN q ON v.bucket = q.q_bucket AND v.vec_id <> q.q_id),
+            |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+            |           FROM scored)
+            |SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 3
+            |ORDER BY q_id, rk""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed)
+}

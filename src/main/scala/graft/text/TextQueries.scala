@@ -1,0 +1,182 @@
+package graft.text
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All per-document work is pure column expressions (codegen'd, no UDFs),
+  * so each operator is one scan + one aggregation — embarrassingly parallel
+  * at 100 TB. Ratio aggregates go through exact decimals (see
+  * [[graft.Parity]] rationale) so results don't depend on partial-agg
+  * ordering.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  // Marker vocabularies for the n-gram/stopword language heuristic. On a
+  // real corpus these are per-language frequency dictionaries; the mechanism
+  // (token-set hit counts + deterministic argmax) is what the operator
+  // defines.
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "customer", "join", "row"),
+    "en" -> Seq("the", "a", "of", "order", "window"),
+    "es" -> Seq("slow", "agg", "merge", "vector"),
+    "fr" -> Seq("scan", "data", "query", "batch"),
+    "zh" -> Seq("join", "small", "column", "value"))
+
+  /** T20 — language identification (token-profile heuristic) vs the
+    * labeled `lang` column: confusion-matrix counts.
+    */
+  val t20LangId = QueryDef(
+    "t20_langid",
+    "heuristic language-ID vs labeled lang — confusion matrix counts",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val scores = profiles.map { case (l, ws) =>
+        size(filter(toks, t => t.isInCollection(ws))).as(s"s_$l")
+      }
+      val langs = profiles.map(_._1)
+      // deterministic argmax: first lang (alphabetical) wins ties
+      val predicted = langs.zipWithIndex.init.foldRight(
+        lit(langs.last): Column) { case ((l, i), elsePart) =>
+        val rest = langs.drop(i + 1)
+        when(rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _), l)
+          .otherwise(elsePart)
+      }
+      docs(s, d)
+        .select(col("lang") +: scores: _*)
+        .withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+    Some {
+      val scoreExprs = profiles.map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS s_$l"
+      }.mkString(",\n       ")
+      val langs = profiles.map(_._1)
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT lang,
+         |       $scoreExprs
+         |     FROM documents)
+         |SELECT lang,
+         |       CASE $caseChain ELSE '${langs.last}' END AS predicted,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    })
+
+  /** T21 — document quality scoring: lexical-diversity / stopword-ratio /
+    * length components folded into one score, bucketed. Per-doc scores are
+    * snapped to DECIMAL(10,6) before aggregation so the bucket sums are
+    * exact (see Parity).
+    */
+  val t21Quality = QueryDef(
+    "t21_quality",
+    "quality score (diversity + stopword + length) bucketed low/medium/high",
+    (s, d) => {
+      val stop = Seq("the", "a", "of", "and")
+      val toks = split(col("text"), " ")
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("double").as("n_toks"),
+          size(array_distinct(toks)).cast("double").as("n_distinct"),
+          size(filter(toks, t => t.isInCollection(stop))).cast("double").as("n_stop"),
+          length(regexp_replace(col("text"), " ", "")).cast("double").as("n_letters"))
+        .select(col("doc_id"),
+          (col("n_distinct") / col("n_toks") * 0.4 +
+            (lit(1.0) - col("n_stop") / col("n_toks")) * 0.3 +
+            least(col("n_letters") / col("n_toks") / 10.0, lit(1.0)) * 0.3)
+            .cast(DecimalType(10, 6)).as("score"))
+        .select(col("doc_id"), col("score"),
+          when(col("score") >= 0.55, "high")
+            .when(col("score") >= 0.45, "medium")
+            .otherwise("low").as("bucket"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("score")).cast("double").as("sum_score"),
+          min(col("score")).cast("double").as("min_score"),
+          max(col("score")).cast("double").as("max_score"))
+        .orderBy("bucket")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+                     CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS n_stop,
+                     CAST(len(replace(text, ' ', '')) AS DOUBLE) AS n_letters
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     CAST(n_distinct / n_toks * 0.4 + (1.0 - n_stop / n_toks) * 0.3 +
+                          least(n_letters / n_toks / 10.0, 1.0) * 0.3 AS DECIMAL(10,6)) AS score
+              FROM f)
+            SELECT CASE WHEN score >= 0.55 THEN 'high'
+                        WHEN score >= 0.45 THEN 'medium'
+                        ELSE 'low' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(score) AS DOUBLE) AS sum_score,
+                   CAST(min(score) AS DOUBLE) AS min_score,
+                   CAST(max(score) AS DOUBLE) AS max_score
+            FROM scored GROUP BY 1 ORDER BY bucket"""))
+
+  /** T22 — token counting: whitespace tokens vs BPE-ish regex tokens
+    * (letter runs / digit runs / single symbols) per source.
+    */
+  val t22TokenCount = QueryDef(
+    "t22_token_count",
+    "whitespace vs regex (BPE-ish) token counts per source",
+    (s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("ws_toks"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .cast("long").as("re_toks"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_toks")).as("sum_ws_toks"),
+          sum(col("re_toks")).as("sum_re_toks"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source"),
+    Some("""SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_toks,
+                   CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_re_toks,
+                   CAST(sum(len(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source ORDER BY source"""))
+
+  /** T23 — document fingerprinting: md5 over whitespace-normalized
+    * lowercase text (the content-defined identity used by X1 dedup),
+    * emitted per-doc for a bounded id range.
+    */
+  val t23Fingerprint = QueryDef(
+    "t23_fingerprint",
+    "normalized-text md5 fingerprint per document (doc_id < 100)",
+    (s, d) =>
+      docs(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+            .as("fingerprint"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+                   CAST(len(text) AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount, t23Fingerprint)
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CrossHash must equal DuckDB's md5_number_lower family bit-for-bit —
+  * locked here against constants computed independently (python hashlib:
+  * int.from_bytes(md5(b'abc').digest()[8:16], 'little')).
+  */
+class CrossHashSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq("abc").toDF("s").select(c.cast("string")).head().getString(0)
+  }
+
+  test("md5u64 equals DuckDB md5_number_lower('abc')") {
+    assert(one(CrossHash.md5u64(col("s"))) === "8250560606382298838")
+  }
+
+  test("md5u60 equals md5_number_lower >> 4") {
+    assert(one(CrossHash.md5u60(col("s"))) === (8250560606382298838L >> 4).toString)
+  }
+
+  test("md5u60Salted varies by seed and stays in 60-bit range") {
+    import spark.implicits._
+    val vals = (0 until 8).map(k =>
+      Seq("abc").toDF("s").select(CrossHash.md5u60Salted(col("s"), k))
+        .head().getLong(0))
+    assert(vals.distinct.size === 8)
+    assert(vals.forall(v => v >= 0 && v < (1L << 60)))
+  }
+}
