@@ -11,6 +11,9 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     analytics.RelationalQueries.defs ++
+      analytics.EventQueries.defs ++
+      analytics.CustomerQueries.defs ++
+      cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++
       text.TextQueries.defs

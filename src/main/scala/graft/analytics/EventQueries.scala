@@ -1,0 +1,165 @@
+package graft.analytics
+
+import graft.{Parity, QueryDef}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: the speed layer's materialized views (A7-A9)
+  * re-expressed as batch aggregations over the events table, plus the JSON
+  * and epoch-ms transforms (T3/T8). The streaming module reuses these exact
+  * aggregation shapes under a watermark (`graft.streaming`); keeping them
+  * here too gives them a DuckDB value-level oracle, which a streaming sink
+  * can't have.
+  *
+  * Scale notes: every query is scan → (optional broadcast dim join) →
+  * single hash aggregation; `user_tier` comes from a broadcast of the
+  * customer dimension (reference J5: stream-side dimension lookup —
+  * `.kiro/specs/realtime-analytics-speed-layer/design.md:390-429`).
+  */
+object EventQueries {
+  import Parity._
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "events")
+  private def cust(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "customer")
+
+  private val tierExpr =
+    when(col("c_custkey") % 4 === 0, "bronze")
+      .when(col("c_custkey") % 4 === 1, "silver")
+      .when(col("c_custkey") % 4 === 2, "gold")
+      .otherwise("platinum")
+
+  private val tierSql =
+    """CASE WHEN c_custkey % 4 = 0 THEN 'bronze'
+      |     WHEN c_custkey % 4 = 1 THEN 'silver'
+      |     WHEN c_custkey % 4 = 2 THEN 'gold'
+      |     ELSE 'platinum' END""".stripMargin
+
+  /** A7 — conversion-funnel pre-aggregate: per (date, tier) conditional
+    * counts per funnel stage + exact distinct users. Reference:
+    * `.kiro/specs/realtime-analytics-speed-layer/design.md:256-272`.
+    * The enrich join is an explicit broadcast — the event stream (100 TB
+    * side) never shuffles for the dimension.
+    */
+  val a7Funnel = QueryDef(
+    "a7_funnel",
+    "per-(date,tier) funnel-stage conditional counts + distinct users",
+    (s, d) => {
+      val tiers = cust(s, d).select(col("c_custkey"), tierExpr.as("user_tier"))
+      ev(s, d)
+        .join(broadcast(tiers), col("user_id") === col("c_custkey"), "left")
+        .withColumn("user_tier", coalesce(col("user_tier"), lit("unknown")))
+        .groupBy(to_date(col("ts")).as("date"), col("user_tier"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signups"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("date", "user_tier")
+    },
+    Some(s"""WITH t AS (SELECT c_custkey, $tierSql AS user_tier FROM customer)
+            |SELECT CAST(e.ts AS DATE) AS date,
+            |       COALESCE(t.user_tier, 'unknown') AS user_tier,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+            |       CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+            |       CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+            |       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            |FROM events e LEFT JOIN t ON e.user_id = t.c_custkey
+            |GROUP BY 1, 2 ORDER BY date, user_tier""".stripMargin))
+
+  /** A8/T8 — user-tier performance with JSON field extraction: conditional
+    * average of `props.$.k` over purchases. Reference:
+    * `.kiro/specs/realtime-analytics-speed-layer/design.md:275-287` (T8 at
+    * `:285`, `JSONExtractFloat(properties,'amount')`).
+    */
+  val a8TierValue = QueryDef(
+    "a8_tier_value",
+    "per-tier event totals + avg JSON-extracted purchase amount",
+    (s, d) => {
+      val tiers = cust(s, d).select(col("c_custkey"), tierExpr.as("user_tier"))
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      ev(s, d)
+        .join(broadcast(tiers), col("user_id") === col("c_custkey"), "left")
+        .withColumn("user_tier", coalesce(col("user_tier"), lit("unknown")))
+        .groupBy("user_tier")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(when(col("event_type") === "purchase", k).otherwise(0L)).as("sum_purchase_k"),
+          (sum(when(col("event_type") === "purchase", k).otherwise(0L)).cast("double") /
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)))
+            .as("avg_purchase_k"))
+        .orderBy("user_tier")
+    },
+    Some(s"""WITH t AS (SELECT c_custkey, $tierSql AS user_tier FROM customer)
+            |SELECT COALESCE(t.user_tier, 'unknown') AS user_tier,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            |       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+            |       CAST(sum(CASE WHEN event_type='purchase' THEN CAST(json_extract_string(props,'$$.k') AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_purchase_k,
+            |       CAST(sum(CASE WHEN event_type='purchase' THEN CAST(json_extract_string(props,'$$.k') AS BIGINT) ELSE 0 END) AS DOUBLE) /
+            |         sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS avg_purchase_k
+            |FROM events e LEFT JOIN t ON e.user_id = t.c_custkey
+            |GROUP BY 1 ORDER BY user_tier""".stripMargin))
+
+  /** A9 — product-performance pre-aggregate: per (date, product bucket from
+    * JSON k) with NULL-product filter. Reference:
+    * `.kiro/specs/realtime-analytics-speed-layer/design.md:290-303`.
+    */
+  val a9ProductPerf = QueryDef(
+    "a9_product_perf",
+    "per-(date, product-bucket) view/click/purchase counts, null-filtered",
+    (s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      ev(s, d)
+        .withColumn("product_bucket", k % 10)
+        .filter(col("product_bucket").isNotNull)
+        .groupBy(to_date(col("ts")).as("date"), col("product_bucket"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_viewers"))
+        .orderBy("date", "product_bucket")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS date,
+                   CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS product_bucket,
+                   CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_viewers
+            FROM events
+            WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 IS NOT NULL
+            GROUP BY 1, 2 ORDER BY date, product_bucket"""))
+
+  /** T3/T16 — epoch-ms → timestamp conversion chain: raw nanos → millis →
+    * TimestampType → hourly rollup. Reference: TimestampConverter SMTs
+    * `users-s3-sink-connector.json:31-47`; `s3_parquet_query.py:179`.
+    */
+  val t3EpochMs = QueryDef(
+    "t3_epoch_ms",
+    "epoch-nanos → millis → timestamp cast + hourly rollup",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("ts_ms", expr("ts_ns DIV 1000000"))
+        .withColumn("ts2", timestamp_millis(col("ts_ms")))
+        .groupBy(date_trunc("hour", col("ts2")).as("hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("first_ms"),
+          max(col("ts_ms")).as("last_ms"))
+        .orderBy("hour"),
+    Some("""SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms,
+                   CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+            FROM events GROUP BY 1 ORDER BY hour"""))
+
+  val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf, t3EpochMs)
+}

@@ -1,0 +1,137 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC ingestion pipeline: synthetic Debezium-shaped change events →
+  * unwrap/flatten → time-partitioned bronze Parquet → partition-pruned
+  * reads → latest-by-LSN compaction into a current-state view.
+  *
+  * Mirrors the reference's implemented ingestion path (SURVEY §2.1 S1-S5,
+  * §2.2 T1-T3, §2.5 W4):
+  *  - the envelope reproduces Debezium's post-`ExtractNewRecordState` shape
+  *    with `add.fields=op,ts_ms,source.ts_ms,source.lsn` and delete
+  *    *rewrite* (full row + `__deleted` flag) — reference
+  *    `connectors/users-debezium-connector.json:26-32`;
+  *  - money fields arrive as STRINGS (`decimal.handling.mode=string`,
+  *    `users-debezium-connector.json:38`) and timestamps as epoch millis
+  *    (TimestampConverter SMTs, `users-s3-sink-connector.json:31-47`);
+  *    unwrap casts both;
+  *  - the bronze sink is Hive-style time-partitioned Parquet
+  *    (`users-s3-sink-connector.json:8-22`), written with
+  *    `partitionBy(year, month, day, hour)` so reads prune on partition
+  *    columns (Catalyst static partition pruning replaces the reference's
+  *    hand-rolled S3 listing, `utils-dev/s3_parquet_query.py:62-88`);
+  *  - compaction is the W4 operator: `row_number() over (partition by pk
+  *    order by lsn desc) = 1`, deletes dropped from current state, retained
+  *    in history (`utils-dev/read_s3_parquet.py:51`).
+  *
+  * Scale: generation/unwrap/compaction are all expressed on DataFrames —
+  * the only shuffle in the whole path is the compaction window, keyed by
+  * primary key (high cardinality → even distribution). In production the
+  * same code runs with `format("kafka")` + `writeStream` (wiring is config,
+  * not code — SURVEY §7.4).
+  */
+object Cdc {
+
+  /** Post-SMT flat envelope for the `users` table. */
+  val usersEnvelopeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("email", StringType),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("account_balance", StringType), // decimal-as-string
+    StructField("created_at", LongType), // epoch ms
+    StructField("updated_at", LongType), // epoch ms
+    StructField("__op", StringType),
+    StructField("__ts_ms", LongType),
+    StructField("__source_ts_ms", LongType),
+    StructField("__source_lsn", LongType),
+    StructField("__deleted", StringType))) // "true"/"false" (Debezium rewrite)
+
+  /** Deterministic distributed generator of a users change stream.
+    *
+    * Per user id: one insert; an update for `id % 3 == 0` (bumps balance
+    * and `updated_at`); a delete rewrite for `id % 11 == 0`. LSNs are
+    * strictly increasing per key (insert < update < delete), mirroring WAL
+    * order. Pure `spark.range` + column exprs — generation itself is
+    * cluster-parallel, no driver-side loops (reference's generator is a
+    * 10-thread Python pool; ours scales with executors).
+    */
+  def generateUsersCdc(spark: SparkSession, nUsers: Long,
+      baseTsMs: Long = 980000000000L): DataFrame = {
+    val ids = spark.range(0, nUsers).toDF("id")
+    def row(op: String, lsnOff: Int, tsOff: Int, balanceBump: Column,
+        deleted: String)(df: DataFrame): DataFrame =
+      df.select(
+        col("id"),
+        concat(lit("user"), col("id"), lit("@example.com")).as("email"),
+        concat(lit("First"), col("id")).as("first_name"),
+        concat(lit("Last"), col("id") % 100).as("last_name"),
+        // decimal-as-string money, deterministic per id
+        ((col("id") % 9000 + 100).cast(DecimalType(12, 2)) / 7 + balanceBump)
+          .cast(DecimalType(12, 2)).cast("string").as("account_balance"),
+        (lit(baseTsMs) + col("id") * 1000).as("created_at"),
+        (lit(baseTsMs) + col("id") * 1000 + tsOff * 1000).as("updated_at"),
+        lit(op).as("__op"),
+        (lit(baseTsMs) + col("id") * 1000 + tsOff * 1000 + 250).as("__ts_ms"),
+        (lit(baseTsMs) + col("id") * 1000 + tsOff * 1000).as("__source_ts_ms"),
+        (col("id") * 100 + lsnOff).as("__source_lsn"),
+        lit(deleted).as("__deleted"))
+    val inserts = row("c", 0, 0, lit(0), "false")(ids)
+    val updates = row("u", 50, 60, lit(25), "false")(
+      ids.filter(col("id") % 3 === 0))
+    val deletes = row("d", 70, 90, lit(0), "true")(
+      ids.filter(col("id") % 11 === 0))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** T1-T3: typed view of the envelope — string money → DECIMAL(12,2),
+    * epoch-ms → TimestampType; keeps CDC metadata columns; T2 drops the
+    * `__deleted` rewrite flag (the `__op='d'` code is authoritative).
+    */
+  def unwrap(envelope: DataFrame): DataFrame =
+    envelope
+      .withColumn("account_balance",
+        col("account_balance").cast(DecimalType(12, 2)))
+      .withColumn("created_at", timestamp_millis(col("created_at")))
+      .withColumn("updated_at", timestamp_millis(col("updated_at")))
+      .drop("__deleted")
+
+  /** S4: bronze sink — Hive-style time partitions derived from the source
+    * commit timestamp, exactly the reference's partition scheme.
+    */
+  def writeBronze(df: DataFrame, path: String): Unit =
+    df.withColumn("__src_ts", timestamp_millis(col("__source_ts_ms")))
+      .withColumn("year", year(col("__src_ts")))
+      .withColumn("month", month(col("__src_ts")))
+      .withColumn("day", dayofmonth(col("__src_ts")))
+      .withColumn("hour", hour(col("__src_ts")))
+      .drop("__src_ts")
+      .write.mode("overwrite")
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(path)
+
+  /** S5: partition-pruned read — predicates on year/month/day/hour prune
+    * directories at planning time (no hand-rolled listing).
+    */
+  def readBronze(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** W4: latest-record-per-key compaction by LSN (generic). */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Current state = latest version per key, deletes dropped. */
+  def currentState(history: DataFrame, keyCols: Seq[String] = Seq("id"),
+      orderCol: String = "__source_lsn"): DataFrame =
+    latestByKey(history, keyCols, orderCol).filter(col("__op") =!= "d")
+}

@@ -1,0 +1,80 @@
+package graft.cdc
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-gated CDC semantics: a deterministic change stream synthesized
+  * from the orders table (insert for every order, update for fulfilled
+  * orders, delete for every 97th key), unwrapped and compacted to current
+  * state. This puts the T1/T2/W4 chain — including decimal-as-string money
+  * and delete semantics — under the DuckDB value-level gate; the streaming
+  * file-sink path is covered by ScalaTest (`CdcPipelineSpec`).
+  */
+object CdcQueries {
+
+  /** CDC1 — envelope synthesis → unwrap (string→decimal) → latest-by-LSN
+    * compaction → per-status current-state rollup.
+    */
+  val cdc1UnwrapCompact = QueryDef(
+    "cdc1_unwrap_compact",
+    "synthetic CDC stream -> unwrap -> latest-by-LSN compaction -> rollup",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      // decimal-as-string envelope money (Debezium decimal.handling.mode)
+      val price = col("o_totalprice").cast(DecimalType(12, 2)).cast("string")
+      val ins = o.select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        price.as("total_price"), lit("c").as("__op"),
+        (col("o_orderkey") * 10).as("__source_lsn"))
+      val upd = o.filter(col("o_orderstatus") === "F").select(
+        col("o_orderkey").as("id"), lit("S").as("status"),
+        // additive bump: exact decimal math, no scale-2 rounding ties
+        // (a multiplicative bump hits half-cent ties where engines differ
+        // in rounding mode)
+        (col("o_totalprice").cast(DecimalType(12, 2)) + lit(1.05).cast(DecimalType(3, 2)))
+          .cast("string").as("total_price"),
+        lit("u").as("__op"), (col("o_orderkey") * 10 + 1).as("__source_lsn"))
+      val del = o.filter(col("o_orderkey") % 97 === 0).select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        price.as("total_price"), lit("d").as("__op"),
+        (col("o_orderkey") * 10 + 2).as("__source_lsn"))
+      val history = ins.unionByName(upd).unionByName(del)
+        .withColumn("total_price", col("total_price").cast(DecimalType(12, 2)))
+      Cdc.currentState(history)
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("total_price")).cast("double").as("sum_price"),
+          max(col("__source_lsn")).as("max_lsn"))
+        .orderBy("status")
+    },
+    Some("""WITH hist AS (
+              SELECT o_orderkey AS id, o_orderstatus AS status,
+                     CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)) AS total_price,
+                     'c' AS op, o_orderkey * 10 AS lsn
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, 'S',
+                     CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(1.05 AS DECIMAL(3,2)) AS VARCHAR) AS DECIMAL(12,2)),
+                     'u', o_orderkey * 10 + 1
+              FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)),
+                     'd', o_orderkey * 10 + 2
+              FROM orders WHERE o_orderkey % 97 = 0),
+            latest AS (
+              SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+              FROM hist)
+            SELECT status,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(total_price) AS DOUBLE) AS sum_price,
+                   CAST(max(lsn) AS BIGINT) AS max_lsn
+            FROM latest WHERE rn = 1 AND op <> 'd'
+            GROUP BY status ORDER BY status"""))
+
+  val defs: Seq[QueryDef] = Seq(cdc1UnwrapCompact)
+}

@@ -1,0 +1,75 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end CDC pipeline: generate → unwrap → partitioned bronze sink →
+  * pruned read → compaction, with the reference's own invariants.
+  */
+class CdcPipelineSpec extends SparkSpec {
+
+  private val nUsers = 1000L
+  private lazy val envelope = Cdc.generateUsersCdc(spark, nUsers)
+  private lazy val typed = Cdc.unwrap(envelope)
+
+  test("generator emits insert+update+delete mix with increasing LSN per key") {
+    val n = envelope.count()
+    val expected = nUsers + (nUsers + 2) / 3 + (nUsers + 10) / 11
+    assert(n === expected)
+    // per-key LSN strictly increasing in op order c < u < d
+    val bad = envelope.groupBy("id")
+      .agg(countDistinct("__source_lsn").as("d"), count(lit(1)).as("n"))
+      .filter(col("d") =!= col("n")).count()
+    assert(bad === 0)
+  }
+
+  test("unwrap casts decimal-as-string and epoch-ms without precision loss") {
+    val r = typed.filter(col("id") === 3 && col("__op") === "u").head()
+    assert(r.getAs[java.math.BigDecimal]("account_balance").scale === 2)
+    // balance bump of +25 applied on update vs insert
+    val ins = typed.filter(col("id") === 3 && col("__op") === "c").head()
+    val diff = r.getAs[java.math.BigDecimal]("account_balance")
+      .subtract(ins.getAs[java.math.BigDecimal]("account_balance"))
+    assert(diff.doubleValue === 25.0)
+    assert(r.getAs[java.sql.Timestamp]("updated_at").getTime ===
+      r.getAs[java.sql.Timestamp]("created_at").getTime + 60000)
+  }
+
+  test("bronze sink writes Hive-style time partitions; read prunes them") {
+    val dir = Files.createTempDirectory("graft-bronze").toString
+    Cdc.writeBronze(typed, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.exists(_.startsWith("year=")), s"no year= dirs in $parts")
+    val back = Cdc.readBronze(spark, dir)
+    assert(back.count() === envelope.count())
+    // partition-pruned plan: filter on partition cols shows in the scan
+    val pruned = back.filter(col("year") === 2001 && col("hour") === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"),
+      s"partition filters not pushed:\n$plan")
+    // round-trip values survive partitioning (spot: one known row)
+    val r = back.filter(col("id") === 42 && col("__op") === "c").head()
+    assert(r.getAs[String]("email") === "user42@example.com")
+  }
+
+  test("compaction: current state drops deleted keys, keeps latest version") {
+    val cur = Cdc.currentState(typed)
+    // every id%11==0 key is deleted; others present exactly once
+    assert(cur.filter(col("id") % 11 === 0).count() === 0)
+    val expectedLive = nUsers - (nUsers + 10) / 11
+    assert(cur.count() === expectedLive)
+    assert(cur.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    // updated keys surface the update image
+    assert(cur.filter(col("id") === 3).head().getAs[String]("__op") === "u")
+    // history retains deletes (audit view)
+    assert(typed.filter(col("__op") === "d").count() === (nUsers + 10) / 11)
+  }
+
+  test("reference invariant: row with max id == row with max LSN (read_s3_parquet.py:51)") {
+    val inserts = typed.filter(col("__op") === "c")
+    val maxId = inserts.orderBy(col("id").desc).head().getLong(0)
+    val maxLsn = inserts.orderBy(col("__source_lsn").desc).head().getLong(0)
+    assert(maxId === maxLsn)
+  }
+}
