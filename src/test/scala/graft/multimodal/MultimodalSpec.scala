@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 300)
+
+  test("synthetic media: typed binary payloads with metadata struct") {
+    val df = media.toDF()
+    assert(df.count() === 300)
+    val r = media.filter(_.media_id == 0).head()
+    assert(r.meta.media_type === "image" && r.payload.length === 32)
+    val types = media.map(_.meta.media_type)(org.apache.spark.sql.Encoders.STRING)
+      .distinct().collect().sorted
+    assert(types.toSeq === Seq("audio", "image", "video"))
+  }
+
+  test("feature extraction: fixed-width features, deterministic, partition-parallel") {
+    val f = Multimodal.extractFeatures(media).cache()
+    assert(f.count() === 300)
+    assert(f.filter(_.ok).count() === 300)
+    val v = f.filter(_.media_id == 5).head().feature
+    assert(v.length === Multimodal.StubCodec.FEATURE_DIM)
+    // deterministic across runs and partitionings
+    val v2 = Multimodal.extractFeatures(media.repartition(13))
+      .filter(_.media_id == 5).head().feature
+    assert(v.toSeq === v2.toSeq)
+  }
+
+  test("corrupt rows are flagged, not thrown") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.MediaRow(1, Array.empty[Byte],
+        Multimodal.MediaMeta("image", "jpeg", Some(8), Some(8), None, 0)),
+      Multimodal.MediaRow(2, Array[Byte](1, 2, 3), null)).toDS()
+    val out = Multimodal.extractFeatures(bad).collect().sortBy(_.media_id)
+    assert(out.forall(!_.ok))
+    assert(out(0).error === "empty payload")
+    assert(out(1).error === "missing metadata")
+  }
+
+  test("resize plan computes scale factors and keeps only visual media") {
+    val plan = Multimodal.resizePlan(media.toDF(), 32, 32).cache()
+    val kinds = plan.select("meta.media_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(kinds.toSeq === Seq("image", "video"))
+    val r = plan.filter(col("media_id") === 3).head() // image, w=19,h=19
+    assert(math.abs(r.getAs[Double]("scale_x") - 19.0 / 32) < 1e-9)
+  }
+
+  test("frame sampling explodes a deterministic grid per video") {
+    val frames = Multimodal.frameSamplePlan(media.toDF(), 10000)
+    val perVideo = frames.groupBy("media_id").count()
+    val r = perVideo.filter(col("media_id") === 2).head() // duration 2%60000+1000
+    assert(r.getLong(1) === (2 % 60000 + 1000) / 10000 + 1)
+    assert(frames.filter(col("frame_ts_ms") % 10000 =!= 0).count() === 0)
+  }
+}
