@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FixedPointDot
+
+/** Engine extension point: custom Catalyst expressions registered through
+  * `SparkSessionExtensions` so they are first-class SQL functions —
+  * usable from `spark.sql(...)`, `expr(...)`, and `call_function`, and
+  * visible to Catalyst for codegen like any built-in.
+  *
+  * Install via `SparkSession.builder.withExtensions(GraftExtensions.inject)`
+  * (GraftSession does this) or
+  * `spark.sql.extensions=graft.GraftExtensions` in config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FixedPointDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot requires exactly 2 arguments")
+        FixedPointDot(args.head, args(1))
+      }))
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}

@@ -22,6 +22,7 @@ object GraftSession {
       .builder()
       .master(master)
       .appName(appName)
+      .withExtensions(GraftExtensions.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

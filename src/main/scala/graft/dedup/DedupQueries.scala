@@ -31,6 +31,7 @@ object DedupQueries {
 
   private val K = 16 // minhash signature width
   private val BANDS = 4 // LSH bands (4 rows per band)
+  private val MOD_P = 1073741789L // largest prime < 2^30
 
   /** Distinct 3-token shingles per doc (set semantics for Jaccard). */
   private def shingles(df: DataFrame): DataFrame =
@@ -81,9 +82,17 @@ object DedupQueries {
             FROM documents GROUP BY source ORDER BY source"""))
 
   /** X2 — MinHash + LSH near-duplicate candidate pairs.
-    * shingle → 16 salted 60-bit min-hashes → 4 bands of 4 → band-bucket
-    * equi-join → candidate pairs + estimated Jaccard (matching minhash
-    * fraction). The only shuffles are the signature groupBy (keyed by
+    * shingle → 16 min-hashes → 4 bands of 4 → band-bucket equi-join →
+    * candidate pairs + estimated Jaccard (matching minhash fraction).
+    *
+    * The permutation family is the standard 2-hash affine construction
+    * (Broder): `m_k = (h1 + k·h2) mod p` with h1/h2 carved from ONE md5
+    * per shingle — 8× less hashing than k independent salted digests, and
+    * every value stays far inside a signed long (h1,h2 < 2^30, k ≤ 15).
+    * The signature table is persisted: it is O(docs) — 16 longs per doc —
+    * and feeds three consumers (bands, and both sides of the similarity
+    * join), so at 100 TB recomputing it three times would triple the
+    * corpus scans. The only shuffles are the signature groupBy (keyed by
     * doc_id) and the band join (keyed by band signature).
     */
   val x2MinHashLsh = QueryDef(
@@ -91,14 +100,16 @@ object DedupQueries {
     "MinHash(16)+LSH(4x4) candidate pairs with estimated Jaccard",
     (s, d) => {
       val sh = shingles(docs(s, d))
-      val hashed = sh.select(
-        col("doc_id") +:
-          (0 until K).map(k =>
-            CrossHash.md5u60Salted(col("shingle"), k).as(s"h$k")): _*)
+      val u60 = CrossHash.md5u60(col("shingle"))
+      val hashed = sh.select(col("doc_id"),
+        shiftright(u60, 30).as("h1"),
+        u60.bitwiseAND(lit((1L << 30) - 1)).as("h2"))
       val sig = hashed
         .groupBy("doc_id")
-        .agg(min(col("h0")).as("m0"),
-          (1 until K).map(k => min(col(s"h$k")).as(s"m$k")): _*)
+        .agg(min((col("h1") + col("h2") * 0) % MOD_P).as("m0"),
+          (1 until K).map(k =>
+            min((col("h1") + col("h2") * k) % MOD_P).as(s"m$k")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandCols = (0 until BANDS).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws(":",
@@ -126,7 +137,7 @@ object DedupQueries {
     },
     Some {
       val mins = (0 until K).map(k =>
-        s"min(CAST(md5_number_lower(shingle || '#$k') >> 4 AS BIGINT)) AS m$k")
+        s"min((h1 + $k * h2) % $MOD_P) AS m$k")
         .mkString(",\n         ")
       val bandSigs = (0 until BANDS).map { b =>
         val parts = (0 until 4).map(j => s"CAST(m${4 * b + j} AS VARCHAR)")
@@ -137,9 +148,13 @@ object DedupQueries {
         .map(k => s"(CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH $shinglesSql,
+         |hashed AS (SELECT doc_id,
+         |             CAST((md5_number_lower(shingle) >> 4) >> 30 AS BIGINT) AS h1,
+         |             CAST((md5_number_lower(shingle) >> 4) & ${(1L << 30) - 1} AS BIGINT) AS h2
+         |           FROM sh),
          |mh AS (SELECT doc_id,
          |         $mins
-         |       FROM sh GROUP BY doc_id),
+         |       FROM hashed GROUP BY doc_id),
          |bands AS ($bandSigs),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b
@@ -151,8 +166,11 @@ object DedupQueries {
 
   /** X3 — SimHash near-dup pairs. 60-bit token-set simhash kept as 4×15-bit
     * bands; band-equality blocking, then exact Hamming distance ≤ 2.
-    * The bit-majority fold is a groupBy(doc, bit) sum — two shuffles total
-    * regardless of corpus size.
+    *
+    * The bit-majority fold is ONE hash aggregation with 60 sum expressions
+    * (`sum(((h>>b)&1)*2-1)` per bit) — no 60× row explosion, so the only
+    * shuffle carries one 60-counter record per doc regardless of corpus
+    * size (Catalyst computes all 60 partials map-side in a single pass).
     */
   val x3SimHash = QueryDef(
     "x3_dedup_simhash",
@@ -160,25 +178,22 @@ object DedupQueries {
     (s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val bits = toks
+      val bitSums = toks
         .select(col("doc_id"), CrossHash.md5u60(col("tok")).as("h"))
-        .select(col("doc_id"), explode(expr("sequence(0, 59)")).as("b"), col("h"))
-        .select(col("doc_id"), col("b"),
-          (expr("CAST((h >> b) & 1 AS INT)") * 2 - 1).as("v"))
-        .groupBy("doc_id", "b")
-        .agg(sum(col("v")).as("sv"))
-        .select(col("doc_id"), col("b"),
-          when(col("sv") > 0, 1).otherwise(0).as("bit"))
-      val sim = bits
         .groupBy("doc_id")
-        .agg((0 until 4).map(j =>
-          sum(when(col("b") >= j * 15 && col("b") < (j + 1) * 15,
-            expr(s"CAST(bit AS BIGINT) << (b - ${j * 15})")).otherwise(0L))
-            .as(s"s$j")).head,
-          (1 until 4).map(j =>
-            sum(when(col("b") >= j * 15 && col("b") < (j + 1) * 15,
-              expr(s"CAST(bit AS BIGINT) << (b - ${j * 15})")).otherwise(0L))
-              .as(s"s$j")): _*)
+        .agg(
+          sum(expr("CAST((h >> 0) & 1 AS INT) * 2 - 1")).as("sv0"),
+          (1 until 60).map(b =>
+            sum(expr(s"CAST((h >> $b) & 1 AS INT) * 2 - 1")).as(s"sv$b")): _*)
+      val sim = bitSums.select(
+        col("doc_id") +:
+          (0 until 4).map { j =>
+            (0 until 15).map(i =>
+              when(col(s"sv${j * 15 + i}") > 0, lit(1L << i)).otherwise(0L))
+              .reduce(_ + _).as(s"s$j")
+          }: _*)
+        // three consumers (bands + both hamming sides): one corpus pass
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandCols = (0 until 4).map(j =>
         struct(lit(j).as("band"), col(s"s$j").as("bv")))
       val bands = sim
@@ -238,7 +253,9 @@ object DedupQueries {
     "x4_dedup_ngram_jaccard",
     "exact 3-gram Jaccard >= 0.5 pairs via shingle inverted-index join",
     (s, d) => {
+      // three consumers (both join sides + sizes): persist the index
       val sh = shingles(docs(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.as("a")
         .join(sh.as("b"),
