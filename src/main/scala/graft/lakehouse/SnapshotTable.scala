@@ -1,0 +1,196 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Versioned lakehouse table over plain Parquet — the engine's S7-S9
+  * surface (Iceberg runtime jars are not available in this environment;
+  * SURVEY §7.1 item 9's documented fallback).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/v<version>/...parquet     // files added by that commit
+  *   <root>/_snapshots/v<version>.json     // manifest: dirs + lineage
+  *   <root>/_snapshots/HEAD                // current version number
+  * }}}
+  *
+  * Semantics (mirroring the Iceberg operations the reference exercises,
+  * `task5-iceberg-setup-job.yaml:395-507`):
+  *  - `append` commits only the new files; the manifest chains to the
+  *    parent's file set (no rewrite of existing data);
+  *  - `overwrite`/`update`/`delete` are copy-on-write: a new full file set
+  *    is committed, old versions stay readable;
+  *  - reads resolve a manifest → exact file list, so time travel
+  *    (`VERSION AS OF`) is "read an older manifest";
+  *  - commits are atomic via write-temp + atomic-move of the manifest,
+  *    then HEAD bump (readers see either the old or the new manifest);
+  *  - `history`/`filesMetadata` are the `.history` / `.files` metadata
+  *    tables; `expireSnapshots` keeps the last N manifests and removes
+  *    unreferenced data dirs.
+  *
+  * Scale: the manifest holds *directories* (one per commit), not
+  * individual file paths, so manifest size is O(commits); data files are
+  * only ever written once and never rewritten on append — the same I/O
+  * profile that makes the pattern work at 100 TB.
+  */
+final class SnapshotTable private (val spark: SparkSession, val root: String) {
+
+  import SnapshotTable._
+
+  private def snapDir = Paths.get(root, "_snapshots")
+  private def headPath = snapDir.resolve("HEAD")
+
+  def currentVersion: Int =
+    if (Files.exists(headPath)) Files.readString(headPath).trim.toInt else 0
+
+  private def manifest(v: Int): Manifest =
+    Manifest.parse(Files.readString(snapDir.resolve(f"v$v%05d.json")))
+
+  /** Current-state DataFrame. */
+  def read(): DataFrame = readVersion(currentVersion)
+
+  /** Time travel: the table exactly as of `version`. */
+  def readVersion(version: Int): DataFrame = {
+    val m = manifest(version)
+    if (m.dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true").parquet(m.dirs: _*)
+  }
+
+  def append(df: DataFrame): Int = {
+    val v = currentVersion + 1
+    val dir = dataDir(v)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    commit(v, Manifest(v, "append",
+      manifest(currentVersion).dirs :+ dir, System.currentTimeMillis()))
+    v
+  }
+
+  def overwrite(df: DataFrame): Int = {
+    val v = currentVersion + 1
+    val dir = dataDir(v)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    commit(v, Manifest(v, "overwrite", Seq(dir), System.currentTimeMillis()))
+    v
+  }
+
+  /** Copy-on-write UPDATE ... SET ... WHERE cond. */
+  def update(cond: Column, set: Map[String, Column]): Int = {
+    val cur = read()
+    val updated = set.foldLeft(cur) { case (df, (c, v)) =>
+      df.withColumn(c, when(cond, v).otherwise(col(c)))
+    }
+    overwriteAs(updated, "update")
+  }
+
+  /** Copy-on-write DELETE WHERE cond. */
+  def delete(cond: Column): Int =
+    overwriteAs(read().filter(!cond || cond.isNull), "delete")
+
+  private def overwriteAs(df: DataFrame, op: String): Int = {
+    val v = currentVersion + 1
+    val dir = dataDir(v)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    commit(v, Manifest(v, op, Seq(dir), System.currentTimeMillis()))
+    v
+  }
+
+  /** `.history` metadata table. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    (1 to currentVersion).map { v =>
+      val m = manifest(v)
+      (m.version, m.operation, m.dirs.length, new java.sql.Timestamp(m.tsMs))
+    }.toDF("version", "operation", "n_dirs", "committed_at")
+  }
+
+  /** `.files` metadata table for the current snapshot. */
+  def filesMetadata(): DataFrame = {
+    import spark.implicits._
+    manifest(currentVersion).dirs.flatMap { d =>
+      val p = Paths.get(d)
+      if (!Files.exists(p)) Nil
+      else Files.list(p).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => (d, f.getFileName.toString, Files.size(f))).toSeq
+    }.toDF("dir", "file", "size_bytes")
+  }
+
+  /** Keep the last `keep` snapshots; delete older manifests and any data
+    * dir no surviving manifest references.
+    */
+  def expireSnapshots(keep: Int): Unit = {
+    val cur = currentVersion
+    val dropped = 1 to (cur - keep)
+    if (dropped.isEmpty) return
+    val live = ((cur - keep + 1) to cur).flatMap(v => manifest(v).dirs).toSet
+    val doomed = dropped.flatMap(v => manifest(v).dirs).filterNot(live)
+    dropped.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%05d.json")))
+    doomed.foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
+  private def dataDir(v: Int): String =
+    Paths.get(root, "data", f"v$v%05d").toString
+
+  private def commit(v: Int, m: Manifest): Unit = {
+    Files.createDirectories(snapDir)
+    val tmp = snapDir.resolve(f".v$v%05d.json.tmp")
+    Files.writeString(tmp, m.toJson)
+    Files.move(tmp, snapDir.resolve(f"v$v%05d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val tmpHead = snapDir.resolve(".HEAD.tmp")
+    Files.writeString(tmpHead, v.toString)
+    Files.move(tmpHead, headPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object SnapshotTable {
+
+  /** Manifest of one committed snapshot. */
+  final case class Manifest(version: Int, operation: String,
+      dirs: Seq[String], tsMs: Long) {
+    def toJson: String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"""{"version":$version,"operation":${q(operation)},""" +
+        s""""ts_ms":$tsMs,"dirs":[${dirs.map(q).mkString(",")}]}"""
+    }
+  }
+
+  object Manifest {
+    // version 0 = empty table
+    val empty: Manifest = Manifest(0, "create", Nil, 0L)
+
+    /** Minimal parser for our own manifest JSON (flat, known keys). */
+    def parse(json: String): Manifest = {
+      def longOf(key: String): Long =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+      val op = s""""operation":"((?:[^"\\\\]|\\\\.)*)"""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("?")
+      val dirs = s""""dirs":\\[(.*?)\\]""".r.findFirstMatchIn(json)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")))
+        .getOrElse(Nil)
+      Manifest(longOf("version").toInt, op, dirs, longOf("ts_ms"))
+    }
+  }
+
+  /** Create (or open) a snapshot table at `root`. */
+  def create(spark: SparkSession, root: String): SnapshotTable = {
+    val t = new SnapshotTable(spark, root)
+    val snapDir = Paths.get(root, "_snapshots")
+    if (!Files.exists(snapDir.resolve("HEAD"))) {
+      Files.createDirectories(snapDir)
+      Files.writeString(snapDir.resolve("v00000.json"), Manifest.empty.toJson)
+      Files.writeString(snapDir.resolve("HEAD"), "0")
+    }
+    t
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audit: the 100 TB posture is only real if the physical
+  * plans show it. These tests pin the properties the operator docs claim —
+  * filter pushdown, column pruning, broadcast dimension joins, and the
+  * absence of cartesian products — so a refactor that silently degrades a
+  * plan fails CI, not the cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("t4: filters push down to the parquet scan; columns pruned") {
+    val plan = planOf("t4_filter_project")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("l_returnflag") && plan.contains("l_quantity"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    // only the queried columns reach the scan
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("dimension joins broadcast the small side (j2, a7, x6)") {
+    for (q <- Seq("j2_items_parts_enrich", "a7_funnel", "x6_ann_topk")) {
+      val plan = planOf(q)
+      assert(plan.contains("Broadcast"), s"$q does not broadcast:\n$plan")
+    }
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q contains a cartesian product:\n$plan")
+    }
+  }
+
+  test("w4 compaction shuffles exactly once (keyed window)") {
+    val plan = planOf("w4_latest_by_key")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // one hash-partition exchange for the window; orderBy adds a range
+    // exchange on the tiny filtered output only
+    assert(exchanges <= 2, s"unexpected shuffles:\n$plan")
+  }
+
+  test("whole-stage codegen covers the aggregation pipelines") {
+    // AQE finalizes the plan only on execution; codegen stages then show
+    // as starred operators (*(n) HashAggregate...) in the final plan.
+    val df = SparkEntry.queries("a2_daily_order_kpis")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(300))
+    assert(plan.contains("*("), s"no WholeStageCodegen stages:\n${plan.take(800)}")
+  }
+
+  test("partition pruning on time-partitioned bronze (cdc sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.cdc.Cdc.writeBronze(
+      graft.cdc.Cdc.unwrap(graft.cdc.Cdc.generateUsersCdc(spark, 500)), dir)
+    val pruned = spark.read.parquet(dir).filter(col("hour") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(hour"),
+      s"no partition filters:\n$plan")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.lakehouse
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** S7-S9 semantics on the parquet snapshot layer: append/overwrite/DML,
+  * time travel, metadata tables, snapshot expiry, schema evolution.
+  * Mirrors the reference's Iceberg self-test
+  * (`task5-iceberg-setup-job.yaml:395-507`).
+  */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def freshTable() = SnapshotTable.create(spark,
+    Files.createTempDirectory("graft-snap").toString)
+
+  import org.apache.spark.sql.DataFrame
+  private def df(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "status", "amount")
+  }
+
+  test("append chains file sets; reads see accumulated rows") {
+    val t = freshTable()
+    t.append(df((1L, "new", 10.0)))
+    t.append(df((2L, "new", 20.0), (3L, "paid", 30.0)))
+    assert(t.read().count() === 3)
+    assert(t.currentVersion === 2)
+    // append did not rewrite v1's files: both data dirs referenced
+    assert(t.filesMetadata().select("dir").distinct().count() === 2)
+  }
+
+  test("time travel: every historical version stays readable") {
+    val t = freshTable()
+    t.append(df((1L, "new", 10.0)))
+    t.overwrite(df((1L, "gone", 99.0)))
+    assert(t.readVersion(0).count() === 0)
+    assert(t.readVersion(1).head().getString(1) === "new")
+    assert(t.read().head().getString(1) === "gone")
+  }
+
+  test("copy-on-write UPDATE and DELETE (reference ACID test shape)") {
+    val t = freshTable()
+    t.append(df((1L, "new", 10.0), (2L, "new", 20.0), (3L, "paid", 30.0)))
+    t.update(col("status") === "new", Map("amount" -> (col("amount") * 2)))
+    val afterUpdate = t.read().orderBy("id").collect()
+    assert(afterUpdate.map(_.getDouble(2)).toSeq === Seq(20.0, 40.0, 30.0))
+    t.delete(col("status") === "paid")
+    assert(t.read().count() === 2)
+    // old snapshot still has the pre-update values (time travel)
+    assert(t.readVersion(1).orderBy("id").collect().map(_.getDouble(2)).toSeq
+      === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("history and files metadata tables") {
+    val t = freshTable()
+    t.append(df((1L, "a", 1.0)))
+    t.overwrite(df((2L, "b", 2.0)))
+    t.delete(col("status") === "zzz")
+    val h = t.history().orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq === Seq("append", "overwrite", "delete"))
+    assert(t.filesMetadata().count() > 0)
+  }
+
+  test("expireSnapshots keeps recent manifests, removes orphaned data") {
+    val t = freshTable()
+    t.append(df((1L, "a", 1.0)))
+    t.overwrite(df((2L, "b", 2.0)))
+    t.overwrite(df((3L, "c", 3.0)))
+    t.expireSnapshots(keep = 1)
+    assert(t.read().head().getLong(0) === 3)
+    intercept[Exception](t.readVersion(1).collect())
+    // v1's data dir physically removed
+    val dataDirs = new java.io.File(s"${t.root}/data").listFiles().map(_.getName)
+    assert(!dataDirs.contains("v00001"))
+    assert(dataDirs.contains("v00003"))
+  }
+
+  test("schema evolution: new nullable column, old snapshots still readable") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(df((1L, "a", 1.0)))
+    t.append(Seq((2L, "b", 2.0, "extra")).toDF("id", "status", "amount", "note"))
+    val cur = t.read()
+    assert(cur.columns.toSet === Set("id", "status", "amount", "note"))
+    val byId = cur.orderBy("id").collect()
+    assert(byId(0).isNullAt(3)) // old row: evolved column null
+    assert(byId(1).getString(3) === "extra")
+    // pre-evolution snapshot keeps the narrow schema
+    assert(t.readVersion(1).columns.toSet === Set("id", "status", "amount"))
+  }
+
+  test("atomic commit: HEAD and manifest agree after every operation") {
+    val t = freshTable()
+    (1 to 5).foreach(i => t.append(df((i.toLong, "s", i.toDouble))))
+    assert(t.currentVersion === 5)
+    assert(t.read().count() === 5)
+    assert(t.history().count() === 5)
+  }
+}
