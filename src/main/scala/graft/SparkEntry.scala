@@ -13,6 +13,7 @@ object SparkEntry {
     analytics.RelationalQueries.defs ++
       analytics.EventQueries.defs ++
       analytics.CustomerQueries.defs ++
+      analytics.SketchQueries.defs ++
       cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++

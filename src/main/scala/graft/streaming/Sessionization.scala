@@ -126,16 +126,18 @@ object Sessionization {
   def sessionize(events: Dataset[Event],
       timeoutMs: Long = 30L * 60 * 1000,
       eventTime: Boolean = true,
-      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+      watermark: Option[String] = Some("10 minutes"),
+      outputMode: OutputMode = OutputMode.Update): Dataset[SessionOut] = {
     val s = events.sparkSession
     import s.implicits._
     val (src, mode) =
       if (eventTime)
-        (events.withWatermark("ts", watermark), GroupStateTimeout.EventTimeTimeout)
+        (watermark.fold(events)(w => events.withWatermark("ts", w)),
+          GroupStateTimeout.EventTimeTimeout)
       else (events, GroupStateTimeout.ProcessingTimeTimeout)
     src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, mode)(
+      .flatMapGroupsWithState(outputMode, mode)(
         updateSessionState(timeoutMs, eventTime))
   }
 }

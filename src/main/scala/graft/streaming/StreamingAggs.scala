@@ -20,9 +20,8 @@ object StreamingAggs {
     * conditional stage counts + approximate distinct users (the spec's
     * `uniq`), watermark for late data (ST4).
     */
-  def funnel(events: Dataset[Event], watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+  def funnel(events: Dataset[Event], watermark: Option[String] = Some("1 hour")): DataFrame =
+    watermark.fold(events.toDF)(w => events.withWatermark("ts", w).toDF)
       .groupBy(window(col("ts"), "1 hour"), col("user_tier"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -35,9 +34,8 @@ object StreamingAggs {
         approx_count_distinct(col("session_id")).as("approx_sessions"))
 
   /** A8 — tier performance MV with conditional JSON-extracted average. */
-  def tierPerformance(events: Dataset[Event], watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+  def tierPerformance(events: Dataset[Event], watermark: Option[String] = Some("1 hour")): DataFrame =
+    watermark.fold(events.toDF)(w => events.withWatermark("ts", w).toDF)
       .groupBy(window(col("ts"), "1 hour"), col("user_tier"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -48,9 +46,8 @@ object StreamingAggs {
           .as("avg_purchase_amount"))
 
   /** A9 — product performance MV (null products filtered). */
-  def productPerformance(events: Dataset[Event], watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+  def productPerformance(events: Dataset[Event], watermark: Option[String] = Some("1 hour")): DataFrame =
+    watermark.fold(events.toDF)(w => events.withWatermark("ts", w).toDF)
       .withColumn("product_id",
         get_json_object(col("properties"), "$.product_id"))
       .filter(col("product_id").isNotNull)

@@ -26,8 +26,14 @@ class QueryInventorySpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle (full DuckDB coverage)") {
-    val missing = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
+  // Sketch outputs are engine-specific binaries — explicitly exempt from
+  // the DuckDB value gate (driver records a rows-level check instead);
+  // SketchSemanticsSpec verifies their accuracy and merge laws.
+  private val noOracleAllowed = Set("x8_hll_mergeable")
+
+  test("every query has an oracle unless explicitly exempted") {
+    val missing = SparkEntry.allDefs
+      .filter(q => q.oracle.isEmpty && !noOracleAllowed(q.name)).map(_.name)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 

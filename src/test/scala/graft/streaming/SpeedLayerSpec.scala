@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end speed layer on the canonical events table: file stream →
+  * dedup → sessionization + funnel MV with real triggers and checkpoints,
+  * including exactly-once restart semantics.
+  */
+class SpeedLayerSpec extends SparkSpec {
+
+  test("speed layer runs end-to-end and restart reprocesses nothing") {
+    val base = Files.createTempDirectory("graft-speed").toString
+    // the file source requires a directory; stage the table file into one
+    val inDir = Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val cfg = SpeedLayer.Config(
+      eventsPath = inDir.toString,
+      outDir = s"$base/out",
+      checkpointDir = s"$base/chk")
+
+    val queries = SpeedLayer.run(spark, cfg)
+    try queries.foreach(_.awaitTermination(120000))
+    finally queries.foreach(_.stop())
+
+    val sessions = spark.read.parquet(s"$base/out/sessions")
+    assert(sessions.count() > 0)
+    // every emitted partial carries accumulated counters
+    assert(sessions.filter(col("event_count") <= 0).count() === 0)
+    // funnel partials exist and merge-on-read produces per-hour-tier rows
+    val funnel = StreamingAggs.mergeOnRead(spark, s"$base/out/funnel",
+      Seq("window", "user_tier"),
+      Seq("n_events", "n_page_views", "n_purchases"),
+      Seq("approx_users"))
+    assert(funnel.count() > 0)
+    val totalEvents = funnel.agg(sum("n_events")).head().getLong(0)
+    val srcCount = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(totalEvents === srcCount, "funnel must account for every event")
+    // checkpoints written
+    assert(new java.io.File(s"$base/chk/sessions").exists())
+    assert(new java.io.File(s"$base/chk/funnel").exists())
+
+    // restart with same checkpoints: AvailableNow finds no new files
+    val before = sessions.count()
+    val queries2 = SpeedLayer.run(spark, cfg)
+    try queries2.foreach(_.awaitTermination(60000))
+    finally queries2.foreach(_.stop())
+    assert(spark.read.parquet(s"$base/out/sessions").count() === before,
+      "restart must not duplicate output (exactly-once)")
+  }
+
+  test("session totals reconcile with source purchases") {
+    val base = Files.createTempDirectory("graft-speed2").toString
+    val inDir = Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val cfg = SpeedLayer.Config(inDir.toString, s"$base/out", s"$base/chk")
+    val qs = SpeedLayer.run(spark, cfg)
+    try qs.foreach(_.awaitTermination(120000))
+    finally qs.foreach(_.stop())
+    val sessions = spark.read.parquet(s"$base/out/sessions")
+    // final per-user purchase counts (latest partial per user) == source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_count").desc)
+    val latest = sessions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val sessionPurchases = latest.agg(sum("purchases")).head().getLong(0)
+    val srcPurchases = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(sessionPurchases === srcPurchases)
+  }
+}
