@@ -40,7 +40,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"sf":"$sfDir"}""")
+
+    // CDC ingest throughput, comparable to the reference's headline
+    // events/sec numbers (BASELINE.md): generate -> unwrap -> partitioned
+    // bronze parquet, end to end.
+    val ingestEvents = 2000000L
+    val ingestDir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val t0 = System.nanoTime()
+    val env = cdc.Cdc.unwrap(cdc.Cdc.generateUsersCdc(spark, ingestEvents))
+    cdc.Cdc.writeBronze(env, ingestDir)
+    val nWritten = spark.read.parquet(ingestDir).count()
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    val eps = nWritten / ingestSec
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
+      s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
