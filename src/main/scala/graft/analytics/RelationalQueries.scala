@@ -435,13 +435,18 @@ object RelationalQueries {
     "a13_percentiles",
     "exact interpolated percentiles of extendedprice per returnflag",
     (s, d) =>
+      // one percentile buffer per group (array form), not three: the
+      // per-group value map is the aggregation state — 3 scalar calls
+      // would triple it
       li(s, d)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+          expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ps"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("ps").getItem(0), 4).as("p50"),
+          round(col("ps").getItem(1), 4).as("p95"),
+          round(col("ps").getItem(2), 4).as("p99"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n,

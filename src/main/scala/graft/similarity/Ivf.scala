@@ -1,0 +1,113 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path next to the LSH variant (X7): vectors are assigned to the
+  * nearest of k centroids; a query probes only the `nprobe` closest
+  * centroid lists, cutting the scored candidate set by ~k/nprobe.
+  *
+  * Everything is deterministic and partition-parallel:
+  *  - centroids are exact fixed-point per-dimension means (`graft_dot`'s
+  *    1e-8 quantization, summed as longs → same centroid on any cluster
+  *    layout);
+  *  - Lloyd refinement iterations are plain DataFrame rounds: broadcast
+  *    centroids → argmin assignment → regroup (k is small, the corpus
+  *    never shuffles except the final groupBy on centroid id);
+  *  - ties break on centroid id.
+  *
+  * At 100 TB the index build is one pass per Lloyd round and the inverted
+  * lists are just the corpus repartitioned by centroid id — the probe-side
+  * join is a bucketed equi-join on `cid`.
+  */
+object Ivf {
+
+  private val DIM = 64
+
+  /** Quantized element i of an embedding, as an exact long. */
+  private def q(e: Column, i: Int): Column =
+    floor(element_at(e, i).cast("double") * lit(1e8)).cast("long")
+
+  /** Per-dimension exact means of each group → centroid arrays (double,
+    * in original units).
+    */
+  def centroids(vectors: DataFrame, assignCol: String): DataFrame = {
+    val sums = (1 to DIM).map(i => sum(q(col("embedding"), i)).as(s"s$i"))
+    vectors
+      .groupBy(col(assignCol).as("cid"))
+      .agg(sums.head, sums.tail: _*)
+      .join(
+        vectors.groupBy(col(assignCol).as("cid")).count(),
+        Seq("cid"))
+      .select(col("cid") +:
+        (1 to DIM).map(i =>
+          (col(s"s$i").cast("double") / col("count") / 1e8).as(s"c$i")): _*)
+  }
+
+  /** Squared L2 distance between a vector column and a centroid row's
+    * per-dim columns (both sides in original units, fixed op order).
+    */
+  private def distSq(e: Column): Column =
+    (1 to DIM).map { i =>
+      val d = element_at(e, i).cast("double") - col(s"c$i")
+      d * d
+    }.reduce(_ + _)
+
+  /** Assign each vector to its nearest centroid (broadcast argmin). */
+  def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(cents))
+      .withColumn("dist", distSq(col("embedding")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(vectors.columns.map(col) :+ col("cid"): _*)
+  }
+
+  /** Build the index: seed assignment → `iterations` Lloyd rounds →
+    * (vectors + cid, centroids).
+    */
+  def buildIndex(vectors: DataFrame, seedAssign: Column,
+      iterations: Int): (DataFrame, DataFrame) = {
+    var assigned = vectors.withColumn("cid", seedAssign)
+    var cents = centroids(assigned, "cid")
+    (1 to iterations).foreach { _ =>
+      assigned = assign(vectors, cents)
+      cents = centroids(assigned, "cid")
+    }
+    (assigned.persist(), cents)
+  }
+
+  /** Probe: per query, rank centroids, take `nprobe` lists, score only
+    * those lists with exact fixed-point cosine, keep top `k`.
+    */
+  def topK(index: DataFrame, cents: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val spark = index.sparkSession
+    val qc = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cid"))
+    val probes = qc.crossJoin(broadcast(cents))
+      .withColumn("dist", distSq(col("q_emb")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    val dot = call_function("graft_dot", col("q_emb"), col("embedding"))
+    val nq = call_function("graft_dot", col("q_emb"), col("q_emb"))
+    val nv = call_function("graft_dot", col("embedding"), col("embedding"))
+    val scored = probes.join(index, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot.cast("double") /
+          (sqrt(nq.cast("double")) * sqrt(nv.cast("double")))).as("cos_sim"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+  }
+}

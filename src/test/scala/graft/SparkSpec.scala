@@ -12,8 +12,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = GraftSession.create(master = "local[4]", appName = "graft-test",
-      shufflePartitions = 4)
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    val s = GraftSession
+      .builder(master = "local[4]", appName = "graft-test",
+        shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir", wh.toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

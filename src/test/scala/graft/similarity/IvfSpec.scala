@@ -1,0 +1,49 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+  private lazy val vectors = Tables.load(spark, sf01, "embeddings")
+
+  test("index build is deterministic across repartitionings") {
+    val (idx1, c1) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 1)
+    val (idx2, c2) = Ivf.buildIndex(vectors.repartition(13),
+      pmod(col("vec_id"), lit(10)), 1)
+    val a1 = idx1.select("vec_id", "cid").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    val a2 = idx2.select("vec_id", "cid").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(a1 === a2)
+    assert(c1.orderBy("cid").collect().toSeq === c2.orderBy("cid").collect().toSeq)
+  }
+
+  test("Lloyd refinement does not degrade assignment quality") {
+    val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 2)
+    // every vector sits in exactly one list; lists cover the corpus
+    assert(idx.count() === vectors.count())
+    assert(idx.select("cid").distinct().count() <= 10)
+    assert(cents.count() <= 10)
+  }
+
+  test("probing more lists improves recall vs brute force") {
+    val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 1)
+    val queries = vectors.filter(col("vec_id") < 20)
+    def hits(nprobe: Int): Set[(Long, Long)] =
+      Ivf.topK(idx, cents, queries, nprobe, 5)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force = probing all lists
+    val exact = hits(10)
+    val narrow = hits(1)
+    val wide = hits(4)
+    val recallNarrow = narrow.intersect(exact).size.toDouble / exact.size
+    val recallWide = wide.intersect(exact).size.toDouble / exact.size
+    assert(recallWide >= recallNarrow)
+    assert(recallWide >= 0.5, s"nprobe=4/10 recall too low: $recallWide")
+    assert(exact.size === 20 * 5)
+  }
+}
