@@ -33,4 +33,13 @@ object GraftExtensions {
 
   def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)
+
+  /** Late registration on an already-built session (e.g. a caller-supplied
+    * SparkSession that was not created through GraftSession). Idempotent.
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

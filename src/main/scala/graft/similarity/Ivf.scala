@@ -86,7 +86,7 @@ object Ivf {
     */
   def topK(index: DataFrame, cents: DataFrame, queries: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val spark = index.sparkSession
+    graft.GraftExtensions.ensure(index.sparkSession)
     val qc = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     val probeW = Window.partitionBy(col("q_id"))

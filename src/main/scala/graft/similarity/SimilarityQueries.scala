@@ -29,7 +29,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SimilarityQueries {
 
-  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+  private def emb(s: SparkSession, d: String) = {
+    graft.GraftExtensions.ensure(s) // graft_dot for caller-built sessions
+    Tables.load(s, d, "embeddings")
+  }
 
   private val DIM = 64
 
