@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FixedPointDot
+import graft.functions.{FixedPointDot, Md5U60}
 
 /** Engine extension point: custom Catalyst expressions registered through
   * `SparkSessionExtensions` so they are first-class SQL functions —
@@ -29,6 +29,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot requires exactly 2 arguments")
         FixedPointDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_md5u60"),
+      new ExpressionInfo(classOf[Md5U60].getName, "graft_md5u60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5u60 requires exactly 1 argument")
+        Md5U60(args.head)
       }))
 
   def inject(ext: SparkSessionExtensions): Unit =

@@ -27,7 +27,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object DedupQueries {
 
-  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def docs(s: SparkSession, d: String) = {
+    graft.GraftExtensions.ensure(s) // graft_md5u60 for caller-built sessions
+    Tables.load(s, d, "documents")
+  }
+
+  /** Hot-path 60-bit hash: the codegen [[graft.functions.Md5U60]] kernel
+    * (numerically identical to `CrossHash.md5u60`, ~one digest call per
+    * row instead of hex substrings + conv).
+    */
+  private def md5u60(c: Column): Column = call_function("graft_md5u60", c)
 
   private val K = 16 // minhash signature width
   private val BANDS = 4 // LSH bands (4 rows per band)
@@ -100,7 +109,7 @@ object DedupQueries {
     "MinHash(16)+LSH(4x4) candidate pairs with estimated Jaccard",
     (s, d) => {
       val sh = shingles(docs(s, d))
-      val u60 = CrossHash.md5u60(col("shingle"))
+      val u60 = md5u60(col("shingle"))
       val hashed = sh.select(col("doc_id"),
         shiftright(u60, 30).as("h1"),
         u60.bitwiseAND(lit((1L << 30) - 1)).as("h2"))
@@ -179,7 +188,7 @@ object DedupQueries {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       val bitSums = toks
-        .select(col("doc_id"), CrossHash.md5u60(col("tok")).as("h"))
+        .select(col("doc_id"), md5u60(col("tok")).as("h"))
         .groupBy("doc_id")
         .agg(
           sum(expr("CAST((h >> 0) & 1 AS INT) * 2 - 1")).as("sv0"),

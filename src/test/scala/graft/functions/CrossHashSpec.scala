@@ -22,6 +22,18 @@ class CrossHashSpec extends SparkSpec {
     assert(one(CrossHash.md5u60(col("s"))) === (8250560606382298838L >> 4).toString)
   }
 
+  test("codegen graft_md5u60 kernel equals the declarative CrossHash.md5u60") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val diff = words.select(
+      CrossHash.md5u60(col("w")).as("decl"),
+      call_function("graft_md5u60", col("w")).as("native"))
+      .filter(col("decl") =!= col("native")).count()
+    assert(diff === 0)
+  }
+
   test("md5u60Salted varies by seed and stays in 60-bit range") {
     import spark.implicits._
     val vals = (0 until 8).map(k =>
