@@ -161,5 +161,47 @@ object EventQueries {
                    CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
             FROM events GROUP BY 1 ORDER BY hour"""))
 
-  val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf, t3EpochMs)
+  /** A11 — partition-stats query (`task6-ecommerce-tables-job.yaml:616`). */
+  val a11PartitionStats = QueryDef(
+    "a11_partition_stats",
+    "per-(date,hour) record counts, the lakehouse partition health query",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(to_date(col("ts")).as("date"), hour(col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("date", "hour"),
+    Some("""SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY date, hour"""))
+
+  /** U2 — literal-rows UNION ALL (the reference's warehouse compute test,
+    * `task4-snowflake-test-job.yaml`).
+    */
+  val u2LiteralUnion = QueryDef(
+    "u2_literal_union",
+    "inline literal rows union-all'ed and aggregated (compute smoke)",
+    (s, d) => {
+      import s.implicits._
+      val a = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5))
+        .toDF("id", "name", "weight")
+      val b = Seq((3L, "gamma", 3.5), (4L, "delta", 4.5), (5L, "alpha", 0.5))
+        .toDF("id", "name", "weight")
+      a.unionByName(b)
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("weight").cast("decimal(10,2)")).cast("double").as("total_weight"))
+        .orderBy("name")
+    },
+    Some("""WITH u AS (
+              SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5),
+                                    (3, 'gamma', 3.5), (4, 'delta', 4.5),
+                                    (5, 'alpha', 0.5)) AS t(id, name, weight))
+            SELECT name, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(weight AS DECIMAL(10,2))) AS DOUBLE) AS total_weight
+            FROM u GROUP BY name ORDER BY name"""))
+
+  val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
+    t3EpochMs, a11PartitionStats, u2LiteralUnion)
 }

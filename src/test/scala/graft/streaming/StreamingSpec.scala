@@ -177,6 +177,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A8 tier-performance MV extracts purchase amounts from JSON in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingAggs.tierPerformance(mem.toDS())
+      .writeStream.format("memory").queryName("tier_out")
+      .outputMode("update").start()
+    try {
+      val h = 3600L * 1000
+      mem.addData(
+        ev("t1", 1, "purchase", h * 5 + 1000, tier = "gold",
+          props = """{"amount": 10.0}"""),
+        ev("t2", 2, "purchase", h * 5 + 2000, tier = "gold",
+          props = """{"amount": 30.0}"""),
+        ev("t3", 3, "page_view", h * 5 + 3000, tier = "silver"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_tier, n_events, n_purchases, avg_purchase_amount FROM tier_out")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+      assert(rows("gold") === ((2L, 2L, Some(20.0))))
+      assert(rows("silver") === ((1L, 0L, None))) // no purchases → null avg
+    } finally q.stop()
+  }
+
+  test("A9 product-performance MV filters null products in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingAggs.productPerformance(mem.toDS())
+      .writeStream.format("memory").queryName("prod_out")
+      .outputMode("update").start()
+    try {
+      val h = 3600L * 1000
+      mem.addData(
+        ev("p1", 1, "product_view", h * 7 + 1000, props = """{"product_id": "P1"}"""),
+        ev("p2", 2, "purchase", h * 7 + 2000, props = """{"product_id": "P1"}"""),
+        ev("p3", 3, "page_view", h * 7 + 3000)) // no product → filtered
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT product_id, n_views, n_purchases FROM prod_out").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getString(0) === "P1")
+      assert((rows.head.getLong(1), rows.head.getLong(2)) === ((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("ST6 mergeable sink: partial appends merge-on-read to exact totals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
