@@ -77,8 +77,9 @@ object TextQueries {
 
   /** T21 — document quality scoring: lexical-diversity / stopword-ratio /
     * length components folded into one score, bucketed. Per-doc scores are
-    * snapped to DECIMAL(10,6) before aggregation so the bucket sums are
-    * exact (see Parity).
+    * snapped to 1e-6 fixed point (floor) before aggregation so the bucket
+    * sums are exact integer math (see Parity; floor is the only
+    * engine-portable snap — see SimilarityQueries.qfix).
     */
   val t21Quality = QueryDef(
     "t21_quality",
@@ -92,21 +93,24 @@ object TextQueries {
           size(array_distinct(toks)).cast("double").as("n_distinct"),
           size(filter(toks, t => t.isInCollection(stop))).cast("double").as("n_stop"),
           length(regexp_replace(col("text"), " ", "")).cast("double").as("n_letters"))
+        // snap to 1e-6 fixed point with floor (portable: decimal casts
+        // round HALF_UP in Spark but not in DuckDB, and dyadic-rational
+        // scores DO land exactly on midpoints at corpus scale)
         .select(col("doc_id"),
-          (col("n_distinct") / col("n_toks") * 0.4 +
+          floor((col("n_distinct") / col("n_toks") * 0.4 +
             (lit(1.0) - col("n_stop") / col("n_toks")) * 0.3 +
             least(col("n_letters") / col("n_toks") / 10.0, lit(1.0)) * 0.3)
-            .cast(DecimalType(10, 6)).as("score"))
-        .select(col("doc_id"), col("score"),
-          when(col("score") >= 0.55, "high")
-            .when(col("score") >= 0.45, "medium")
+            * lit(1e6)).cast("long").as("score6"))
+        .select(col("doc_id"), col("score6"),
+          when(col("score6") >= 550000L, "high")
+            .when(col("score6") >= 450000L, "medium")
             .otherwise("low").as("bucket"))
         .groupBy("bucket")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(col("score")).cast("double").as("sum_score"),
-          min(col("score")).cast("double").as("min_score"),
-          max(col("score")).cast("double").as("max_score"))
+          (sum(col("score6")).cast("double") / 1e6).as("sum_score"),
+          (min(col("score6")).cast("double") / 1e6).as("min_score"),
+          (max(col("score6")).cast("double") / 1e6).as("max_score"))
         .orderBy("bucket")
     },
     Some("""WITH f AS (
@@ -118,16 +122,16 @@ object TextQueries {
               FROM documents),
             scored AS (
               SELECT doc_id,
-                     CAST(n_distinct / n_toks * 0.4 + (1.0 - n_stop / n_toks) * 0.3 +
-                          least(n_letters / n_toks / 10.0, 1.0) * 0.3 AS DECIMAL(10,6)) AS score
+                     CAST(floor((n_distinct / n_toks * 0.4 + (1.0 - n_stop / n_toks) * 0.3 +
+                          least(n_letters / n_toks / 10.0, 1.0) * 0.3) * 1000000.0) AS BIGINT) AS score6
               FROM f)
-            SELECT CASE WHEN score >= 0.55 THEN 'high'
-                        WHEN score >= 0.45 THEN 'medium'
+            SELECT CASE WHEN score6 >= 550000 THEN 'high'
+                        WHEN score6 >= 450000 THEN 'medium'
                         ELSE 'low' END AS bucket,
                    CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(score) AS DOUBLE) AS sum_score,
-                   CAST(min(score) AS DOUBLE) AS min_score,
-                   CAST(max(score) AS DOUBLE) AS max_score
+                   CAST(sum(score6) AS DOUBLE) / 1000000.0 AS sum_score,
+                   CAST(min(score6) AS DOUBLE) / 1000000.0 AS min_score,
+                   CAST(max(score6) AS DOUBLE) / 1000000.0 AS max_score
             FROM scored GROUP BY 1 ORDER BY bucket"""))
 
   /** T22 — token counting: whitespace tokens vs BPE-ish regex tokens
