@@ -27,19 +27,22 @@ object Bench {
     // best-of-2 per query: the first execution of each distinct plan shape
     // pays JIT/codegen compilation; the second measures the plan itself.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failure must not masquerade as a fast timing in the JSON
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     // CDC ingest throughput, comparable to the reference's headline
     // events/sec numbers (BASELINE.md): generate -> unwrap -> partitioned

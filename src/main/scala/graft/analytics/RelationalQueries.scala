@@ -662,8 +662,10 @@ object RelationalQueries {
         .withColumn("abs_diff", abs(col("batch_value") - col("speed_value")))
         .withColumn(
           "within_tolerance",
+          // abs() in the denominator: a negative batch value would make
+          // every divergence pass the signed comparison
           when(col("batch_value") =!= 0.0,
-            col("abs_diff") / col("batch_value") <= 0.05).otherwise(false))
+            col("abs_diff") / abs(col("batch_value")) <= 0.05).otherwise(false))
         .orderBy("month")
     },
     Some("""WITH b AS (
@@ -679,7 +681,7 @@ object RelationalQueries {
                    COALESCE(speed_value, 0.0) AS speed_value,
                    abs(COALESCE(batch_value, 0.0) - COALESCE(speed_value, 0.0)) AS abs_diff,
                    CASE WHEN COALESCE(batch_value, 0.0) <> 0.0
-                        THEN abs(COALESCE(batch_value, 0.0) - COALESCE(speed_value, 0.0)) / COALESCE(batch_value, 0.0) <= 0.05
+                        THEN abs(COALESCE(batch_value, 0.0) - COALESCE(speed_value, 0.0)) / abs(COALESCE(batch_value, 0.0)) <= 0.05
                         ELSE false END AS within_tolerance
             FROM b FULL OUTER JOIN sp ON b.month = sp.month
             ORDER BY month"""))

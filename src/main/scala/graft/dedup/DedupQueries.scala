@@ -113,12 +113,13 @@ object DedupQueries {
       val hashed = sh.select(col("doc_id"),
         shiftright(u60, 30).as("h1"),
         u60.bitwiseAND(lit((1L << 30) - 1)).as("h2"))
-      val sig = hashed
-        .groupBy("doc_id")
-        .agg(min((col("h1") + col("h2") * 0) % MOD_P).as("m0"),
-          (1 until K).map(k =>
-            min((col("h1") + col("h2") * k) % MOD_P).as(s"m$k")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = graft.PlanCache.persisted(s, s"x2_sig/$d") {
+        hashed
+          .groupBy("doc_id")
+          .agg(min((col("h1") + col("h2") * 0) % MOD_P).as("m0"),
+            (1 until K).map(k =>
+              min((col("h1") + col("h2") * k) % MOD_P).as(s"m$k")): _*)
+      }
       val bandCols = (0 until BANDS).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws(":",
@@ -194,15 +195,16 @@ object DedupQueries {
           sum(expr("CAST((h >> 0) & 1 AS INT) * 2 - 1")).as("sv0"),
           (1 until 60).map(b =>
             sum(expr(s"CAST((h >> $b) & 1 AS INT) * 2 - 1")).as(s"sv$b")): _*)
-      val sim = bitSums.select(
-        col("doc_id") +:
-          (0 until 4).map { j =>
-            (0 until 15).map(i =>
-              when(col(s"sv${j * 15 + i}") > 0, lit(1L << i)).otherwise(0L))
-              .reduce(_ + _).as(s"s$j")
-          }: _*)
-        // three consumers (bands + both hamming sides): one corpus pass
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // three consumers (bands + both hamming sides): one corpus pass
+      val sim = graft.PlanCache.persisted(s, s"x3_sim/$d") {
+        bitSums.select(
+          col("doc_id") +:
+            (0 until 4).map { j =>
+              (0 until 15).map(i =>
+                when(col(s"sv${j * 15 + i}") > 0, lit(1L << i)).otherwise(0L))
+                .reduce(_ + _).as(s"s$j")
+            }: _*)
+      }
       val bandCols = (0 until 4).map(j =>
         struct(lit(j).as("band"), col(s"s$j").as("bv")))
       val bands = sim
@@ -262,9 +264,10 @@ object DedupQueries {
     "x4_dedup_ngram_jaccard",
     "exact 3-gram Jaccard >= 0.5 pairs via shingle inverted-index join",
     (s, d) => {
-      // three consumers (both join sides + sizes): persist the index
-      val sh = shingles(docs(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // three consumers (both join sides + sizes): persist the index once
+      val sh = graft.PlanCache.persisted(s, s"x4_shingles/$d") {
+        shingles(docs(s, d))
+      }
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.as("a")
         .join(sh.as("b"),

@@ -96,13 +96,15 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     v
   }
 
-  /** `.history` metadata table. */
+  /** `.history` metadata table (expired snapshots drop out). */
   def history(): DataFrame = {
     import spark.implicits._
-    (1 to currentVersion).map { v =>
-      val m = manifest(v)
-      (m.version, m.operation, m.dirs.length, new java.sql.Timestamp(m.tsMs))
-    }.toDF("version", "operation", "n_dirs", "committed_at")
+    (1 to currentVersion)
+      .filter(v => Files.exists(snapDir.resolve(f"v$v%05d.json")))
+      .map { v =>
+        val m = manifest(v)
+        (m.version, m.operation, m.dirs.length, new java.sql.Timestamp(m.tsMs))
+      }.toDF("version", "operation", "n_dirs", "committed_at")
   }
 
   /** `.files` metadata table for the current snapshot. */
@@ -111,9 +113,11 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     manifest(currentVersion).dirs.flatMap { d =>
       val p = Paths.get(d)
       if (!Files.exists(p)) Nil
-      else Files.list(p).iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .map(f => (d, f.getFileName.toString, Files.size(f))).toSeq
+      else scala.util.Using.resource(Files.list(p)) { stream =>
+        stream.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => (d, f.getFileName.toString, Files.size(f))).toSeq
+      }
     }.toDF("dir", "file", "size_bytes")
   }
 
@@ -130,7 +134,9 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     doomed.foreach { d =>
       val p = Paths.get(d)
       if (Files.exists(p)) {
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        scala.util.Using.resource(Files.walk(p)) { stream =>
+          stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
       }
     }
   }

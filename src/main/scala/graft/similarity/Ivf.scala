@@ -72,13 +72,16 @@ object Ivf {
     */
   def buildIndex(vectors: DataFrame, seedAssign: Column,
       iterations: Int): (DataFrame, DataFrame) = {
-    var assigned = vectors.withColumn("cid", seedAssign)
-    var cents = centroids(assigned, "cid")
+    // localCheckpoint between rounds: centroids() consumes each
+    // assignment plan twice, so without truncation the lineage (and
+    // recomputation) doubles per Lloyd round
+    var assigned = vectors.withColumn("cid", seedAssign).localCheckpoint(true)
+    var cents = centroids(assigned, "cid").localCheckpoint(true)
     (1 to iterations).foreach { _ =>
-      assigned = assign(vectors, cents)
-      cents = centroids(assigned, "cid")
+      assigned = assign(vectors, cents).localCheckpoint(true)
+      cents = centroids(assigned, "cid").localCheckpoint(true)
     }
-    (assigned.persist(), cents)
+    (assigned, cents)
   }
 
   /** Probe: per query, rank centroids, take `nprobe` lists, score only

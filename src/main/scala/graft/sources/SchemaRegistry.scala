@@ -36,6 +36,9 @@ object SchemaRegistry {
             !safeWidenings((of.dataType, nf.dataType)) =>
           Some(Incompatibility(nf.name,
             s"type change ${of.dataType.simpleString} -> ${nf.dataType.simpleString} is not a safe widening"))
+        case Some(of) if of.nullable && !nf.nullable =>
+          Some(Incompatibility(nf.name,
+            "nullable -> required tightening cannot read old null values"))
         case _ => None
       }
     }

@@ -75,7 +75,14 @@ object Events {
         col("validation_errors"),
         current_timestamp().as("dlq_ts"))
 
-  /** ST5 — duplicate-event elimination within the watermark. */
+  /** ST5 — duplicate-event elimination within the watermark.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): with
+    * keys that exclude the event-time column, plain dedup state is NEVER
+    * evicted by the watermark — unbounded state growth on a long-running
+    * stream. The within-watermark variant expires each key once the
+    * watermark passes its event time.
+    */
   def deduped(events: Dataset[Event], watermark: String = "10 minutes"): Dataset[Event] =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

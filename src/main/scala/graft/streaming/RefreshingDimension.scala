@@ -40,14 +40,17 @@ final class RefreshingDimension(
     }
   }
 
-  /** Broadcast-join enrichment with default on miss. */
+  /** Broadcast-join enrichment with default on miss. The dim key is
+    * renamed before the join: `drop(dimKey)` on a shared name would drop
+    * BOTH sides' columns (Dataset.drop matches by name, not reference).
+    */
   def enrich(batch: DataFrame, batchKey: String, dimKey: String,
       valueCol: String, default: String): DataFrame = {
     val dim = current(batch.sparkSession)
-      .select(col(dimKey), col(valueCol))
+      .select(col(dimKey).as("__dim_key"), col(valueCol))
     batch
-      .join(broadcast(dim), batch(batchKey) === dim(dimKey), "left")
-      .drop(dimKey)
+      .join(broadcast(dim), batch(batchKey) === dim("__dim_key"), "left")
+      .drop("__dim_key")
       .withColumn(valueCol, coalesce(col(valueCol), lit(default)))
   }
 }

@@ -49,10 +49,17 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
     val existing = spark.read.parquet(target)
     val maxDate = existing.agg(max(col(dateCol))).head().get(0)
-    val threshold =
-      if (reprocessDays > 0) date_sub(lit(maxDate), reprocessDays)
-      else lit(maxDate)
-    val fresh = df.filter(col(dateCol) > threshold)
+    // an empty mart has max(date) = null; a null threshold would filter
+    // out EVERY row forever — fall back to key-dedup only
+    val dated =
+      if (maxDate == null) df
+      else {
+        val threshold =
+          if (reprocessDays > 0) date_sub(lit(maxDate), reprocessDays)
+          else lit(maxDate)
+        df.filter(col(dateCol) > threshold)
+      }
+    val fresh = dated
       .join(existing.select(keyCols.map(col): _*), keyCols, "left_anti")
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(target)

@@ -74,6 +74,10 @@ class SnapshotTableSpec extends SparkSpec {
     val dataDirs = new java.io.File(s"${t.root}/data").listFiles().map(_.getName)
     assert(!dataDirs.contains("v00001"))
     assert(dataDirs.contains("v00003"))
+    // metadata tables keep working after expiry (only live versions)
+    val h = t.history().collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(3))
+    assert(t.filesMetadata().count() > 0)
   }
 
   test("schema evolution: new nullable column, old snapshots still readable") {

@@ -35,6 +35,15 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(!isBackwardCompatible(v1, narrowed))
   }
 
+  test("nullable -> required tightening of an existing field is rejected") {
+    val tightened = StructType(v1.fields.map {
+      case f if f.name == "email" => f.copy(nullable = false)
+      case f => f
+    })
+    val inc = backwardIncompatibilities(v1, tightened)
+    assert(inc.map(_.field) === Seq("email"))
+  }
+
   test("removing a field is allowed (new reader ignores old column)") {
     val v2 = StructType(v1.fields.filterNot(_.name == "email"))
     assert(isBackwardCompatible(v1, v2))

@@ -41,4 +41,16 @@ class RefreshingDimensionSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"dimension join must broadcast:\n$plan")
   }
+
+  test("enrich keeps the batch key when batch and dim share the key name") {
+    import spark.implicits._
+    val dim = new RefreshingDimension(
+      load = _ => Seq((1L, "gold")).toDF("user_id", "user_tier"),
+      ttlMs = Long.MaxValue)
+    val batch = Seq((1L, "e1"), (2L, "e2")).toDF("user_id", "event")
+    val out = dim.enrich(batch, "user_id", "user_id", "user_tier", "unknown")
+    assert(out.columns.count(_ == "user_id") === 1)
+    val byUser = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byUser === Map(1L -> "gold", 2L -> "unknown"))
+  }
 }

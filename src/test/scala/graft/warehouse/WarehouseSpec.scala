@@ -51,6 +51,18 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("marts", "m").count() === 3)
   }
 
+  test("empty first materialization does not poison future increments") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-wh4").toString)
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val empty = Seq.empty[(java.sql.Date, Long)].toDF("order_date", "total")
+    assert(wh.appendIncremental("m", empty, "order_date", Seq("order_date")) === 0)
+    // mart exists but is empty; data arriving later must still append
+    val v2 = Seq((day("2001-01-01"), 10L)).toDF("order_date", "total")
+    assert(wh.appendIncremental("m", v2, "order_date", Seq("order_date")) === 1)
+    assert(wh.read("marts", "m").count() === 1)
+  }
+
   test("staging flags: validity, completeness, bucketization") {
     val stg = BatchAnalytics.stageOrders(
       graft.sources.Tables.load(spark, sfDir, "orders"))
