@@ -121,6 +121,15 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     }.toDF("dir", "file", "size_bytes")
   }
 
+  /** Small-file compaction (Iceberg `rewrite_data_files` equivalent):
+    * rewrite the current snapshot into `targetFiles` files as a new
+    * commit. Append-heavy tables accumulate one dir per commit with small
+    * files; compaction collapses them while every older snapshot stays
+    * readable. At scale `targetFiles` comes from table size / 128 MB.
+    */
+  def compact(targetFiles: Int): Int =
+    overwriteAs(read().coalesce(targetFiles), "compact")
+
   /** Keep the last `keep` snapshots; delete older manifests and any data
     * dir no surviving manifest references.
     */

@@ -94,6 +94,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readVersion(1).columns.toSet === Set("id", "status", "amount"))
   }
 
+  test("compact collapses many small appends into few files, history intact") {
+    val t = freshTable()
+    (1 to 6).foreach(i => t.append(df((i.toLong, "s", i.toDouble))))
+    val before = t.filesMetadata().count()
+    t.compact(targetFiles = 1)
+    assert(t.read().count() === 6)
+    assert(t.filesMetadata().count() < before)
+    assert(t.filesMetadata().select("dir").distinct().count() === 1)
+    // pre-compaction snapshots still readable
+    assert(t.readVersion(3).count() === 3)
+    assert(t.history().orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .head().getString(1) === "compact")
+  }
+
   test("atomic commit: HEAD and manifest agree after every operation") {
     val t = freshTable()
     (1 to 5).foreach(i => t.append(df((i.toLong, "s", i.toDouble))))
