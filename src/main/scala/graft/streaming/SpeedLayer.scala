@@ -20,7 +20,8 @@ object SpeedLayer {
       outDir: String, // session + funnel sinks live under here
       checkpointDir: String, // ST3: one checkpoint per query
       trigger: Trigger = Trigger.AvailableNow(), // ST2; prod: ProcessingTime("2 seconds")
-      maxFilesPerTrigger: Option[Int] = None) // ST2 backpressure analogue
+      maxFilesPerTrigger: Option[Int] = None, // ST2 backpressure analogue
+      sessionTimeoutMs: Long = 30L * 60 * 1000) // ST1 inactivity window
 
   /** Adapter from the canonical `events` table shape to the speed-layer
     * [[Event]] model (testdata event types → the spec's 9-type enum;
@@ -58,6 +59,7 @@ object SpeedLayer {
     val events = Events.deduped(eventStream(spark, cfg))
 
     val sessions = Sessionization.sessionize(events,
+        timeoutMs = cfg.sessionTimeoutMs,
         watermark = None,
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append)
       .writeStream

@@ -71,4 +71,43 @@ class SpeedLayerSpec extends SparkSpec {
       .filter(col("event_type") === "purchase").count()
     assert(sessionPurchases === srcPurchases)
   }
+
+  test("session state survives restart: new files continue existing sessions") {
+    val base = Files.createTempDirectory("graft-speed3").toString
+    val inDir = Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+    // split on EVENT TIME (not id): batch2 rows older than the recovered
+    // watermark would be legitimately dropped as late and fail the count
+    val tsMedian = src.select("ts").orderBy("ts")
+      .collect()(src.count().toInt / 2).getLong(0)
+    src.filter(col("ts") < tsMedian).write.parquet(s"$inDir/batch1")
+    // huge inactivity window: every user keeps ONE session, so continuity
+    // across the restart is assertable for the whole population
+    val timeoutMs = 365L * 24 * 3600 * 1000
+    val cfg = SpeedLayer.Config(s"$inDir/*", s"$base/out", s"$base/chk",
+      sessionTimeoutMs = timeoutMs)
+    val q1 = SpeedLayer.run(spark, cfg)
+    try q1.foreach(_.awaitTermination(120000)) finally q1.foreach(_.stop())
+    // second half arrives while the query is down
+    src.filter(col("ts") >= tsMedian).write.parquet(s"$inDir/batch2")
+    val q2 = SpeedLayer.run(spark, cfg)
+    try q2.foreach(_.awaitTermination(120000)) finally q2.foreach(_.stop())
+    val sessions = spark.read.parquet(s"$base/out/sessions")
+    // with a timeout longer than the data span, every user must end with
+    // ONE session whose final event_count equals their source events —
+    // i.e. run 2 folded new events into the state recovered from run 1
+    val perUserSrc = src.groupBy("user_id")
+      .agg(count(lit(1)).as("src_events"))
+    val perUserMax = sessions.groupBy("user_id")
+      .agg(max("event_count").as("session_events"))
+    val mismatched = perUserMax.join(perUserSrc, "user_id")
+      .filter(col("session_events") =!= col("src_events")).count()
+    assert(mismatched === 0,
+      "restarted stream must fold new events into recovered session state")
+    // funnel partials across both runs still account for every event
+    val funnelTotal = StreamingAggs.mergeOnRead(spark, s"$base/out/funnel",
+      Seq("window", "user_tier"), Seq("n_events"), Nil)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(funnelTotal === src.count())
+  }
 }
