@@ -134,4 +134,33 @@ object Cdc {
   def currentState(history: DataFrame, keyCols: Seq[String] = Seq("id"),
       orderCol: String = "__source_lsn"): DataFrame =
     latestByKey(history, keyCols, orderCol).filter(col("__op") =!= "d")
+
+  /** §2.9 trigger replay: the reference's stock state machine — decrement
+    * per movement, restock to `resetTo` whenever the level falls below
+    * `resetBelow` (`task4-postgresql-statefulset.yaml:148-186`). A reset
+    * depends on every prior row, so this is a per-key ORDERED FOLD (typed
+    * groups), not a window: keys process in parallel, rows within a key
+    * sequentially — exactly the trigger's semantics, horizontally scaled.
+    */
+  def replayStock(movements: DataFrame, keyCol: String, ordCol: String,
+      qtyCol: String, initial: Long = 150, resetBelow: Long = 25,
+      resetTo: Long = 150): DataFrame = {
+    val spark = movements.sparkSession
+    import spark.implicits._
+    movements
+      .select(col(keyCol).cast("long"), col(ordCol).cast("long"),
+        col(qtyCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        var level = initial
+        rows.toSeq.sortBy(_._2).map { case (_, ord, qty) =>
+          level -= qty
+          val reset = level < resetBelow
+          if (reset) level = resetTo
+          (key, ord, qty, level, reset)
+        }
+      }
+      .toDF(keyCol, ordCol, qtyCol, "stock_level", "was_restocked")
+  }
 }

@@ -76,5 +76,40 @@ object CdcQueries {
             FROM latest WHERE rn = 1 AND op <> 'd'
             GROUP BY status ORDER BY status"""))
 
-  val defs: Seq[QueryDef] = Seq(cdc1UnwrapCompact)
+  /** CDC2 — stock-level reconstruction via windowed running sum: replay
+    * the order_items change stream (lineitem as movements, LSN-ordered by
+    * orderkey/linenumber) and compute each part's cumulative consumption
+    * and remaining stock. Reference trigger semantics:
+    * `task4-postgresql-statefulset.yaml:148-186` (decrement on insert);
+    * the reset-to-150 rule is a stateful scan covered by
+    * [[Cdc.replayStock]] + spec (not expressible as a plain window).
+    */
+  val cdc2RunningStock = QueryDef(
+    "cdc2_running_stock",
+    "cumulative consumption + remaining stock per part (running-sum window)",
+    (s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      l.filter(col("l_partkey") <= 200)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          sum(col("l_quantity").cast("decimal(12,2)")).over(w)
+            .cast("double").as("consumed"))
+        .withColumn("stock_level", lit(1000.0) - col("consumed"))
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER
+                     (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS consumed,
+                   1000.0 - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER
+                     (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS stock_level
+            FROM lineitem WHERE l_partkey <= 200
+            ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+
+  val defs: Seq[QueryDef] = Seq(cdc1UnwrapCompact, cdc2RunningStock)
 }

@@ -66,6 +66,27 @@ class CdcPipelineSpec extends SparkSpec {
     assert(typed.filter(col("__op") === "d").count() === (nUsers + 10) / 11)
   }
 
+  test("trigger replay: stock decrements and resets below threshold (section 2.9)") {
+    import spark.implicits._
+    // one part, movements of 40 each: 150 -> 110 -> 70 -> 30 -> -10<25 reset 150 -> 110 ...
+    val moves = (1 to 6).map(i => (7L, i.toLong, 40L))
+      .toDF("part_id", "seq", "qty")
+    val out = Cdc.replayStock(moves, "part_id", "seq", "qty",
+      initial = 150, resetBelow = 25, resetTo = 150)
+      .orderBy("seq").collect()
+    assert(out.map(_.getLong(3)).toSeq === Seq(110L, 70L, 30L, 150L, 110L, 70L))
+    assert(out.map(_.getBoolean(4)).toSeq ===
+      Seq(false, false, false, true, false, false))
+    // keys fold independently (parallel across parts)
+    val multi = Seq((1L, 1L, 100L), (2L, 1L, 10L), (1L, 2L, 100L))
+      .toDF("part_id", "seq", "qty")
+    val byKey = Cdc.replayStock(multi, "part_id", "seq", "qty")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(byKey((1L, 1L)) === 50L)
+    assert(byKey((1L, 2L)) === 150L) // 50-100=-50 < 25 -> reset
+    assert(byKey((2L, 1L)) === 140L)
+  }
+
   test("reference invariant: row with max id == row with max LSN (read_s3_parquet.py:51)") {
     val inserts = typed.filter(col("__op") === "c")
     val maxId = inserts.orderBy(col("id").desc).head().getLong(0)
