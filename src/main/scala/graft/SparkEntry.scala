@@ -14,6 +14,7 @@ object SparkEntry {
       analytics.EventQueries.defs ++
       analytics.CustomerQueries.defs ++
       analytics.SketchQueries.defs ++
+      analytics.ExtendedSqlQueries.defs ++
       cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++
