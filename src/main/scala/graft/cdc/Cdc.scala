@@ -147,14 +147,29 @@ object Cdc {
       resetTo: Long = 150): DataFrame = {
     val spark = movements.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
+    // silent long-casts would truncate fractional quantities and null
+    // string keys — demand integral columns up front
+    Seq(keyCol, ordCol, qtyCol).foreach { c =>
+      val t = movements.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"replayStock column '$c' must be integral, got ${t.simpleString}")
+    }
+    // spillable secondary sort: repartition by key + sortWithinPartitions
+    // puts each key's rows contiguously in order, so the fold streams
+    // through the partition with O(1) state — no per-key in-memory
+    // materialization (a hot key with millions of movements must not OOM)
     movements
       .select(col(keyCol).cast("long"), col(ordCol).cast("long"),
         col(qtyCol).cast("long"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(ordCol))
       .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (key, rows) =>
+      .mapPartitions { rows =>
+        var curKey = Long.MinValue
         var level = initial
-        rows.toSeq.sortBy(_._2).map { case (_, ord, qty) =>
+        rows.map { case (key, ord, qty) =>
+          if (key != curKey) { curKey = key; level = initial }
           level -= qty
           val reset = level < resetBelow
           if (reset) level = resetTo

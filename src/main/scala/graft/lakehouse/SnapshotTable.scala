@@ -127,8 +127,13 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     * files; compaction collapses them while every older snapshot stays
     * readable. At scale `targetFiles` comes from table size / 128 MB.
     */
-  def compact(targetFiles: Int): Int =
-    overwriteAs(read().coalesce(targetFiles), "compact")
+  def compact(targetFiles: Int): Int = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    // empty table: nothing to rewrite (and parquet refuses a zero-column
+    // schema) — no-op maintenance
+    if (manifest(currentVersion).dirs.isEmpty) currentVersion
+    else overwriteAs(read().coalesce(targetFiles), "compact")
+  }
 
   /** Keep the last `keep` snapshots; delete older manifests and any data
     * dir no surviving manifest references.

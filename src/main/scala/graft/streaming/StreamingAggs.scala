@@ -72,16 +72,22 @@ object StreamingAggs {
         .write.mode("append").parquet(path)
     } catch { case e: Throwable => onFailure(batches, e) }
 
-  /** Merge-on-read view over the partial-sum table: the SummingMergeTree
-    * SELECT-time merge. Summable columns are summed; `approx_*` partials
-    * are *maxed* (upper-bound semantics — exact merge would carry the HLL
-    * sketch itself, the documented trade-off of the reference's `uniq`).
+  /** Merge-on-read view over the partial table: LATEST partial per group
+    * wins. Spark update-mode aggregation re-emits the *cumulative* group
+    * value each trigger (not a delta), so summing appended partials would
+    * double-count every group that spans two triggers — the SELECT-time
+    * merge must instead keep each group's newest snapshot (ClickHouse's
+    * ReplacingMergeTree, not SummingMergeTree, is the exact analogue).
+    * `__batch_id` (stamped by [[appendPartials]]) orders the partials.
     */
   def mergeOnRead(spark: SparkSession, path: String,
-      keyCols: Seq[String], sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val df = spark.read.parquet(path)
-    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
-      maxCols.map(c => max(col(c)).as(c))
-    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__batch_id").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__batch_id")
   }
 }

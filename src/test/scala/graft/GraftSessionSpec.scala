@@ -20,15 +20,16 @@ class GraftSessionSpec extends SparkSpec {
       (8250560606382298838L >> 4))
   }
 
-  test("declared schemas read every canonical table without cast errors") {
-    graft.sources.Tables.all.keys.foreach { t =>
-      val df = graft.sources.Tables.load(spark, sfDir, t)
-      assert(df.count() > 0, s"$t is empty")
-      // analysis-time schema equals the declared one (events adds ts)
-      val declared = graft.sources.Tables.all(t).fieldNames.toSet
-      val loaded = df.columns.toSet
-      assert(declared.subsetOf(loaded ++ Set("ts")),
-        s"$t: declared $declared vs loaded $loaded")
+  test("declared schemas match the physical parquet footers") {
+    graft.sources.Tables.all.foreach { case (t, declared) =>
+      // footer schema WITHOUT imposing ours — real drift detection
+      // (an imposed schema silently null-fills missing columns)
+      val physical = spark.read.parquet(s"$sfDir/$t.parquet").schema
+        .fieldNames.toSet
+      val missing = declared.fieldNames.toSet -- physical
+      assert(missing.isEmpty, s"$t: declared columns absent on disk: $missing")
+      assert(graft.sources.Tables.load(spark, sfDir, t).count() > 0,
+        s"$t is empty")
     }
   }
 }

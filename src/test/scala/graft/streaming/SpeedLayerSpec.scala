@@ -31,9 +31,7 @@ class SpeedLayerSpec extends SparkSpec {
     assert(sessions.filter(col("event_count") <= 0).count() === 0)
     // funnel partials exist and merge-on-read produces per-hour-tier rows
     val funnel = StreamingAggs.mergeOnRead(spark, s"$base/out/funnel",
-      Seq("window", "user_tier"),
-      Seq("n_events", "n_page_views", "n_purchases"),
-      Seq("approx_users"))
+      Seq("window", "user_tier"))
     assert(funnel.count() > 0)
     val totalEvents = funnel.agg(sum("n_events")).head().getLong(0)
     val srcCount = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -106,7 +104,7 @@ class SpeedLayerSpec extends SparkSpec {
       "restarted stream must fold new events into recovered session state")
     // funnel partials across both runs still account for every event
     val funnelTotal = StreamingAggs.mergeOnRead(spark, s"$base/out/funnel",
-      Seq("window", "user_tier"), Seq("n_events"), Nil)
+      Seq("window", "user_tier"))
       .agg(sum("n_events")).head().getLong(0)
     assert(funnelTotal === src.count())
   }

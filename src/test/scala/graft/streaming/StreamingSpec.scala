@@ -224,17 +224,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("ST6 mergeable sink: partial appends merge-on-read to exact totals") {
+  test("ST6 mergeable sink: latest cumulative partial wins on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    // update-mode partials are CUMULATIVE snapshots per group, not deltas
     val b1 = Seq(("gold", 3L, 10L), ("silver", 1L, 5L))
       .toDF("user_tier", "n_events", "approx_users")
-    val b2 = Seq(("gold", 2L, 12L)).toDF("user_tier", "n_events", "approx_users")
+    val b2 = Seq(("gold", 5L, 12L)).toDF("user_tier", "n_events", "approx_users")
     StreamingAggs.appendPartials(b1, 0, dir)
     StreamingAggs.appendPartials(b2, 1, dir)
-    val merged = StreamingAggs.mergeOnRead(spark, dir,
-      Seq("user_tier"), Seq("n_events"), Seq("approx_users"))
+    val merged = StreamingAggs.mergeOnRead(spark, dir, Seq("user_tier"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // gold updated in batch 1: its newer snapshot replaces the older one
     assert(merged === Map("gold" -> ((5L, 12L)), "silver" -> ((1L, 5L))))
   }
 
