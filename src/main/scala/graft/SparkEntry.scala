@@ -15,6 +15,7 @@ object SparkEntry {
       analytics.CustomerQueries.defs ++
       analytics.SketchQueries.defs ++
       analytics.ExtendedSqlQueries.defs ++
+      analytics.AsOfQueries.defs ++
       cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def day(s: String) = java.sql.Date.valueOf(s)
+
+  test("as-of semantics: latest prior row, exact-time match, null before first") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, day("2001-01-01"), 10.0),
+      (1L, day("2001-01-05"), 20.0),
+      (2L, day("2001-01-03"), 99.0)).toDF("q_key", "q_date", "price")
+    val trades = Seq(
+      (1L, day("2000-12-31"), "t0"), // before any quote → null
+      (1L, day("2001-01-01"), "t1"), // exact-time quote matches
+      (1L, day("2001-01-04"), "t2"), // latest prior = Jan 1
+      (1L, day("2001-01-09"), "t3"), // latest prior = Jan 5
+      (3L, day("2001-01-09"), "t4")) // key with no quotes → null
+      .toDF("t_key", "t_date", "trade_id")
+    val out = AsOfJoin.asOf(trades, quotes, "t_key", "q_key",
+      "t_date", "q_date", Seq("price"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out === Map(
+      "t0" -> None, "t1" -> Some(10.0), "t2" -> Some(10.0),
+      "t3" -> Some(20.0), "t4" -> None))
+  }
+
+  test("one shuffle: the plan exchanges only on the join key") {
+    import spark.implicits._
+    val r = Seq((1L, day("2001-01-01"), 1.0)).toDF("k", "d", "v")
+    val l = Seq((1L, day("2001-01-02"), "x")).toDF("k2", "d2", "name")
+    val out = AsOfJoin.asOf(l, r, "k2", "k", "d2", "d", Seq("v"))
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, "as-of join must shuffle exactly once")
+  }
+}
