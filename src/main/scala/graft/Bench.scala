@@ -59,6 +59,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
       s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
       s""""queries":$qs,"sf":"$sfDir"}""")
+    PlanCache.clear(spark)
     spark.stop()
   }
 }

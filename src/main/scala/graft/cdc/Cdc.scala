@@ -155,13 +155,19 @@ object Cdc {
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
         s"replayStock column '$c' must be integral, got ${t.simpleString}")
     }
+    // a NULL key/ord/qty would otherwise surface as an opaque NPE deep in
+    // the tuple deserializer — raise a descriptive error inline (no extra
+    // validation pass over the data)
+    def nonNull(c: String): Column =
+      when(col(c).isNull, raise_error(lit(
+        s"replayStock: NULL in required column '$c' — filter or impute upstream")))
+        .otherwise(col(c)).cast("long").as(c)
     // spillable secondary sort: repartition by key + sortWithinPartitions
     // puts each key's rows contiguously in order, so the fold streams
     // through the partition with O(1) state — no per-key in-memory
     // materialization (a hot key with millions of movements must not OOM)
     movements
-      .select(col(keyCol).cast("long"), col(ordCol).cast("long"),
-        col(qtyCol).cast("long"))
+      .select(nonNull(keyCol), nonNull(ordCol), nonNull(qtyCol))
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(ordCol))
       .as[(Long, Long, Long)]

@@ -41,6 +41,13 @@ case class FixedPointDot(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  // A NULL element anywhere in the scanned prefix nulls the whole result —
+  // identical to the declarative aggregate(zip_with(...)) form, where a
+  // null product propagates through the sum. (Parquet float arrays are
+  // schema-nullable even when no element is ever null, so rejecting
+  // containsNull=true at analysis time would break every real read.)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -48,6 +55,7 @@ case class FixedPointDot(left: Expression, right: Expression)
     var sum = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val qa = math.floor(x.getFloat(i).toDouble * 1e8).toLong
       val qb = math.floor(y.getFloat(i).toDouble * 1e8).toLong
       sum += qa * qb
@@ -66,6 +74,7 @@ case class FixedPointDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long ${ev.value}_acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $qa = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 1.0E8);
          |  long $qb = (long) java.lang.Math.floor(((double) $b.getFloat($i)) * 1.0E8);
          |  ${ev.value}_acc += $qa * $qb;

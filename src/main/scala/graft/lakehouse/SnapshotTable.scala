@@ -140,9 +140,14 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     */
   def expireSnapshots(keep: Int): Unit = {
     val cur = currentVersion
-    val dropped = 1 to (cur - keep)
+    // A previous expiry already deleted older manifests (and possibly some
+    // now-"kept" ones, if it ran with a smaller keep) — only versions whose
+    // manifest still exists participate, same guard history() uses.
+    def existing(vs: Range): Seq[Int] =
+      vs.filter(v => Files.exists(snapDir.resolve(f"v$v%05d.json")))
+    val dropped = existing(1 to (cur - keep))
     if (dropped.isEmpty) return
-    val live = ((cur - keep + 1) to cur).flatMap(v => manifest(v).dirs).toSet
+    val live = existing((cur - keep + 1) to cur).flatMap(v => manifest(v).dirs).toSet
     val doomed = dropped.flatMap(v => manifest(v).dirs).filterNot(live)
     dropped.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%05d.json")))
     doomed.foreach { d =>

@@ -32,23 +32,31 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
+    // All payload columns travel in ONE struct: the carried value is the
+    // whole latest right row, so a NULL payload field stays NULL (it is
+    // inside a non-null struct, invisible to ignoreNulls) and every
+    // payload column comes from the same right row — true as-of
+    // semantics, matching DuckDB's native ASOF JOIN.
+    val payloadType = StructType(payloadCols.map(c => right.schema(c)))
     val rightTagged = right.select(
       (col(rightKey).as("__k") +: col(rightTime).as("__t") +:
-        lit(0).as("__tag") +: payloadCols.map(col)) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        lit(0).as("__tag") +:
+        struct(payloadCols.map(col): _*).as("__p") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val leftTagged = left.select(
       (col(leftKey).as("__k") +: col(leftTime).as("__t") +:
         lit(1).as("__tag") +:
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++
-        leftCols.map(col): _*)
+        lit(null).cast(payloadType).as("__p") +:
+        leftCols.map(col)): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payloadCols.foldLeft(rightTagged.unionByName(leftTagged)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = rightTagged.unionByName(leftTagged)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(col): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

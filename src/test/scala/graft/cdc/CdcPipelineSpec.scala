@@ -87,6 +87,18 @@ class CdcPipelineSpec extends SparkSpec {
     assert(byKey((2L, 1L)) === 140L)
   }
 
+  test("trigger replay: NULL in a required column raises a descriptive error") {
+    import spark.implicits._
+    val withNull = Seq((Some(1L), Some(1L), Some(10L)), (Some(2L), Some(1L), None))
+      .toDF("part_id", "seq", "qty")
+    val e = intercept[Exception] {
+      Cdc.replayStock(withNull, "part_id", "seq", "qty").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("replayStock: NULL in required column 'qty'")))
+  }
+
   test("reference invariant: row with max id == row with max LSN (read_s3_parquet.py:51)") {
     val inserts = typed.filter(col("__op") === "c")
     val maxId = inserts.orderBy(col("id").desc).head().getLong(0)

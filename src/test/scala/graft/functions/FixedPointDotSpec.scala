@@ -40,6 +40,23 @@ class FixedPointDotSpec extends SparkSpec {
     assert(rows.getLong(1) === 30000000000000000L) // min-length: 1e8 * 3e8
   }
 
+  test("NULL array element nulls the result (matches declarative form)") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                 array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .head()
+    assert(r.isNullAt(0), "a NULL element must null the dot product")
+    // interpreted path agrees
+    val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[java.lang.Float](1.0f, null))
+    val b = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[java.lang.Float](2.0f, 4.0f))
+    val t = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = true)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create _
+    assert(FixedPointDot(lit(a, t), lit(b, t)).eval(null) === null)
+  }
+
   test("interpreted eval matches codegen result") {
     // force interpreted path by evaluating the expression directly
     val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(

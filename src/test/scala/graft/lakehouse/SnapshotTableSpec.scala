@@ -80,6 +80,19 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.filesMetadata().count() > 0)
   }
 
+  test("expireSnapshots is safe to call repeatedly, including a larger keep") {
+    val t = freshTable()
+    (1 to 5).foreach(i => t.overwrite(df((i.toLong, "s", i.toDouble))))
+    t.expireSnapshots(keep = 1) // drops v1..v4
+    // second call must not choke on already-deleted manifests...
+    t.expireSnapshots(keep = 1)
+    // ...nor a later call with a LARGER keep window reaching into them
+    t.overwrite(df((6L, "t", 6.0)))
+    t.expireSnapshots(keep = 4)
+    assert(t.read().head().getLong(0) === 6)
+    assert(t.history().collect().map(_.getInt(0)).toSeq === Seq(5, 6))
+  }
+
   test("schema evolution: new nullable column, old snapshots still readable") {
     import spark.implicits._
     val t = freshTable()

@@ -28,6 +28,24 @@ class AsOfJoinSpec extends SparkSpec {
       "t3" -> Some(20.0), "t4" -> None))
   }
 
+  test("null payload values survive; all payload columns come from one row") {
+    import spark.implicits._
+    // right rows: older row has (price=5.0, size=100); the matching newer
+    // row has a genuinely NULL price. True as-of semantics return the
+    // newer row's NULL, never backfill from the older row — and both
+    // payload columns must come from the same (newer) row.
+    val quotes = Seq(
+      (1L, day("2001-01-01"), Some(5.0), Some(100L)),
+      (1L, day("2001-01-05"), None, Some(7L)))
+      .toDF("q_key", "q_date", "price", "size")
+    val trades = Seq((1L, day("2001-01-09"), "t1"))
+      .toDF("t_key", "t_date", "trade_id")
+    val r = AsOfJoin.asOf(trades, quotes, "t_key", "q_key",
+      "t_date", "q_date", Seq("price", "size")).head()
+    assert(r.isNullAt(3), "NULL payload must not be backfilled from an older row")
+    assert(r.getLong(4) === 7L, "payload columns must come from the same right row")
+  }
+
   test("one shuffle: the plan exchanges only on the join key") {
     import spark.implicits._
     val r = Seq((1L, day("2001-01-01"), 1.0)).toDF("k", "d", "v")
