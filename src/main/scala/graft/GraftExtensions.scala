@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FixedPointDot, Md5U60}
+import graft.functions.{FixedPointDot, Md5U60, SortableDoubleBits}
 
 /** Engine extension point: custom Catalyst expressions registered through
   * `SparkSessionExtensions` so they are first-class SQL functions —
@@ -35,6 +35,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_md5u60 requires exactly 1 argument")
         Md5U60(args.head)
+      }),
+    (FunctionIdentifier("graft_sortable_bits"),
+      new ExpressionInfo(classOf[SortableDoubleBits].getName, "graft_sortable_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_sortable_bits requires exactly 1 argument")
+        SortableDoubleBits(args.head)
       }))
 
   def inject(ext: SparkSessionExtensions): Unit =

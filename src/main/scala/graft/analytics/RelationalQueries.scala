@@ -198,9 +198,13 @@ object RelationalQueries {
 
   /** J1/A1-ish — 3-way left join fact assembly per segment.
     * Reference: `.kiro/specs/batch-analytics-layer/design.md:158-163`.
-    * Scale note: at 100 TB customer⨝orders⨝lineitem shuffles on the join
-    * keys; AQE + sort-merge handle it. countDistinct columns are the join
-    * keys themselves so no extra expand blow-up.
+    * Scale note: each fact table is pre-aggregated to its parent's key
+    * BEFORE joining — lineitem collapses to one row per order, orders to
+    * one row per customer — so the joins carry no fact multiplicity and
+    * the segment rollup needs no distinct aggregates at all (c_custkey is
+    * unique in customer, o_orderkey in orders). The naive 3-way-join-then-
+    * dual-countDistinct plan Expands the widest join ×3 before its
+    * shuffle; this one never materializes a row wider than its parent key.
     */
   val j1ThreeWay = QueryDef(
     "j1_customer_orders_items",
@@ -209,14 +213,22 @@ object RelationalQueries {
       val c = cust(s, d)
       val o = ord(s, d)
       val l = li(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left")
-        .join(l, o("o_orderkey") === l("l_orderkey"), "left")
+      val perOrder = l.groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("li_cnt"),
+        sum(dec2(col("l_extendedprice"))).as("li_rev"))
+      val perCust = o
+        .join(perOrder, o("o_orderkey") === perOrder("l_orderkey"), "left")
+        .groupBy(col("o_custkey")).agg(
+          count(col("o_orderkey")).as("ord_cnt"),
+          sum(col("li_cnt")).as("li_cnt"),
+          sum(col("li_rev")).as("li_rev"))
+      c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
         .groupBy(col("c_mktsegment"))
         .agg(
-          countDistinct(col("c_custkey")).as("n_customers"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          count(col("l_orderkey")).as("n_lineitems"),
-          moneySum(col("l_extendedprice")).as("revenue"))
+          count(lit(1)).as("n_customers"),
+          sum(coalesce(col("ord_cnt"), lit(0L))).as("n_orders"),
+          sum(coalesce(col("li_cnt"), lit(0L))).as("n_lineitems"),
+          sum(col("li_rev")).cast("double").as("revenue"))
         .orderBy("c_mktsegment")
     },
     Some("""SELECT c_mktsegment,
@@ -430,29 +442,69 @@ object RelationalQueries {
 
   /** A13 — exact percentiles (p50/p95/p99), linear interpolation.
     * Reference: `data-generator.py:184-199` (statistics.quantiles).
+    *
+    * Computed the 100 TB way: [[graft.operators.Percentiles.exact]] —
+    * binned two-pass distributed selection (min/max/count scan → 4096-bin
+    * histogram locating each target rank's bin → rank only the rows in
+    * those bins). Spark's builtin `percentile` instead buffers a
+    * value→count map per group in aggregation state: with 3 return flags,
+    * three executors each hold billions of entries at 100× scale.
     */
   val a13Percentiles = QueryDef(
     "a13_percentiles",
-    "exact interpolated percentiles of extendedprice per returnflag",
+    "exact interpolated percentiles via binned two-pass selection",
     (s, d) =>
-      // one percentile buffer per group (array form), not three: the
-      // per-group value map is the aggregation state — 3 scalar calls
-      // would triple it
-      li(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ps"))
+      graft.operators.Percentiles
+        .exact(li(s, d), "l_returnflag", "l_extendedprice",
+          Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99"),
+          cacheKey = Some(s"a13/$d"))
         .select(col("l_returnflag"), col("n"),
-          round(col("ps").getItem(0), 4).as("p50"),
-          round(col("ps").getItem(1), 4).as("p95"),
-          round(col("ps").getItem(2), 4).as("p99"))
+          round(col("p50"), 4).as("p50"),
+          round(col("p95"), 4).as("p95"),
+          round(col("p99"), 4).as("p99"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
                    round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A13b — the sketch-based percentile path for when even the distinct-
+    * value histogram is too wide (high-cardinality measures at 100 TB):
+    * `percentile_approx` (Greenwald-Khanna, mergeable partial state,
+    * accuracy 10000 ⇒ rank error ≤ n/10000). Oracle interface mirrors
+    * x8's: the approximation itself is engine-specific, so DuckDB checks
+    * the exact-derivable columns plus a tolerance verdict — each approx
+    * percentile must land within 1% of the exact value (computed here
+    * from the same histogram as A13, broadcast-joined at 3 rows).
+    */
+  val a13bPercentilesApprox = QueryDef(
+    "a13b_percentiles_approx",
+    "mergeable approx percentiles within 1% of exact (tolerance verdict)",
+    (s, d) => {
+      val approx = li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile_approx(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+            .as("ap"))
+      val exact = a13Percentiles.run(s, d)
+        .select(col("l_returnflag").as("x_flag"),
+          col("p50"), col("p95"), col("p99"))
+      def ok(i: Int, exactCol: String): Column =
+        (abs(col("ap").getItem(i) - col(exactCol)) <=
+          abs(col(exactCol)) * lit(0.01)).cast("long").as(s"${exactCol}_ok")
+      approx.join(broadcast(exact), col("l_returnflag") === col("x_flag"))
+        .select(col("l_returnflag"), col("n"),
+          ok(0, "p50"), ok(1, "p95"), ok(2, "p99"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(1 AS BIGINT) AS p50_ok,
+                   CAST(1 AS BIGINT) AS p95_ok,
+                   CAST(1 AS BIGINT) AS p99_ok
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** W1/W2 — rank within category + top-20% flag.
@@ -690,7 +742,7 @@ object RelationalQueries {
     t4FilterProject, t6DecodeMap, t9DerivedFlags, t12Bucketize, t13DateArith,
     t14LineDerivations, j1ThreeWay, j2Enrich, j3NewVsReturning,
     j4DailyBusinessMetrics, a1CustomerMetrics, a2DailyOrderKpis, a6OpSummary,
-    a13Percentiles, w1RankInCategory, w3OrderGaps, w4LatestByKey,
+    a13Percentiles, a13bPercentilesApprox, w1RankInCategory, w3OrderGaps, w4LatestByKey,
     w6FavoriteCategory, u1RuleViolations, q2Uniqueness,
     q4ReferentialIntegrity, j6Reconciliation)
 }

@@ -20,12 +20,50 @@ import org.apache.spark.sql.types.DecimalType
   *    on the block key;
   *  - signatures are fixed-width per document (16 minhashes / 4 simhash
   *    bands), so signature state is O(docs), never O(docs²);
-  *  - hot shingles (stopword n-grams) skew the inverted index — AQE skew
-  *    join handles moderate skew; a production corpus would also drop
-  *    top-frequency shingles (df cap), which is a one-line filter on the
-  *    shingle index.
+  *  - hot blocking keys (stopword shingles, degenerate band signatures)
+  *    would otherwise make a quadratic bucket: every candidate join here
+  *    applies a DOC-FREQUENCY CAP first — bucket keys matched by more
+  *    than `BAND_DF_CAP`/`SHINGLE_DF_CAP` docs are dropped from candidate
+  *    generation (a >cap bucket is a boilerplate/templated cluster, the
+  *    job of exact dedup, not near-dup search). The hot-key set is found
+  *    with a map-side-combinable groupBy (≤ n/cap keys by construction)
+  *    and removed with a broadcast anti-join — no window sort over the
+  *    full index. Caps sit far above every real bucket in the test corpus
+  *    (measured max band df 174, shingle df 25 at sf≤0.1... band df 1534
+  *    at sf0.1 is the one degenerate hot band the cap exists to kill), so
+  *    recall on normal corpora is untouched; `DedupSkewSpec` pins both
+  *    properties. The DuckDB oracles apply the identical cap.
   */
 object DedupQueries {
+
+  /** Bucket keys matched by more docs than this are dropped from LSH/band
+    * candidate generation (x2/x3).
+    */
+  val BAND_DF_CAP = 256
+
+  /** Shingles appearing in more docs than this are dropped from the x4
+    * inverted-index join (and excluded from intersection counts only —
+    * set sizes keep every shingle).
+    */
+  val SHINGLE_DF_CAP = 128
+
+  /** Drop rows whose `keys` bucket exceeds `cap` docs: tiny hot-key set
+    * via partial-aggregated count, removed with a broadcast anti-join.
+    */
+  private def dfCap(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
+
+  private def dfCapSql(rel: String, keys: Seq[String], cap: Int): String = {
+    val grp = keys.mkString(", ")
+    val eq = keys.map(k => s"h.$k = r.$k").mkString(" AND ")
+    s"""(SELECT r.* FROM $rel r WHERE NOT EXISTS (
+       |   SELECT 1 FROM (SELECT $grp FROM $rel GROUP BY $grp
+       |                  HAVING count(*) > $cap) h WHERE $eq))""".stripMargin
+  }
 
   private def docs(s: SparkSession, d: String) = {
     graft.GraftExtensions.ensure(s) // graft_md5u60 for caller-built sessions
@@ -104,47 +142,50 @@ object DedupQueries {
     * corpus scans. The only shuffles are the signature groupBy (keyed by
     * doc_id) and the band join (keyed by band signature).
     */
+  def minHashLshPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val sh = shingles(docs(s, d))
+    val u60 = md5u60(col("shingle"))
+    val hashed = sh.select(col("doc_id"),
+      shiftright(u60, 30).as("h1"),
+      u60.bitwiseAND(lit((1L << 30) - 1)).as("h2"))
+    val sig = graft.PlanCache.persisted(s, s"x2_sig/$d") {
+      hashed
+        .groupBy("doc_id")
+        .agg(min((col("h1") + col("h2") * 0) % MOD_P).as("m0"),
+          (1 until K).map(k =>
+            min((col("h1") + col("h2") * k) % MOD_P).as(s"m$k")): _*)
+    }
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(":",
+          (0 until 4).map(j => col(s"m${4 * b + j}").cast("string")): _*))
+          .as("sig"))
+    }
+    val bands = dfCap(
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig")),
+      Seq("band", "sig"), cap)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until K)
+      .map(k => when(col(s"x.m$k") === col(s"y.m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / K).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val x2MinHashLsh = QueryDef(
     "x2_dedup_minhash_lsh",
     "MinHash(16)+LSH(4x4) candidate pairs with estimated Jaccard",
-    (s, d) => {
-      val sh = shingles(docs(s, d))
-      val u60 = md5u60(col("shingle"))
-      val hashed = sh.select(col("doc_id"),
-        shiftright(u60, 30).as("h1"),
-        u60.bitwiseAND(lit((1L << 30) - 1)).as("h2"))
-      val sig = graft.PlanCache.persisted(s, s"x2_sig/$d") {
-        hashed
-          .groupBy("doc_id")
-          .agg(min((col("h1") + col("h2") * 0) % MOD_P).as("m0"),
-            (1 until K).map(k =>
-              min((col("h1") + col("h2") * k) % MOD_P).as(s"m$k")): _*)
-      }
-      val bandCols = (0 until BANDS).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(":",
-            (0 until 4).map(j => col(s"m${4 * b + j}").cast("string")): _*))
-            .as("sig"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val matches = (0 until K)
-        .map(k => when(col(s"x.m$k") === col(s"y.m$k"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (matches.cast("double") / K).as("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => minHashLshPairs(s, d, BAND_DF_CAP),
     Some {
       val mins = (0 until K).map(k =>
         s"min((h1 + $k * h2) % $MOD_P) AS m$k")
@@ -166,8 +207,9 @@ object DedupQueries {
          |         $mins
          |       FROM hashed GROUP BY doc_id),
          |bands AS ($bandSigs),
+         |capped AS ${dfCapSql("bands", Seq("band", "sig"), BAND_DF_CAP)},
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
+         |         FROM capped a JOIN capped b
          |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST($matchSum AS DOUBLE) / $K AS est_jaccard
          |FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id
@@ -182,50 +224,53 @@ object DedupQueries {
     * shuffle carries one 60-counter record per doc regardless of corpus
     * size (Catalyst computes all 60 partials map-side in a single pass).
     */
+  def simHashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val bitSums = toks
+      .select(col("doc_id"), md5u60(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CAST((h >> 0) & 1 AS INT) * 2 - 1")).as("sv0"),
+        (1 until 60).map(b =>
+          sum(expr(s"CAST((h >> $b) & 1 AS INT) * 2 - 1")).as(s"sv$b")): _*)
+    // three consumers (bands + both hamming sides): one corpus pass
+    val sim = graft.PlanCache.persisted(s, s"x3_sim/$d") {
+      bitSums.select(
+        col("doc_id") +:
+          (0 until 4).map { j =>
+            (0 until 15).map(i =>
+              when(col(s"sv${j * 15 + i}") > 0, lit(1L << i)).otherwise(0L))
+              .reduce(_ + _).as(s"s$j")
+          }: _*)
+    }
+    val bandCols = (0 until 4).map(j =>
+      struct(lit(j).as("band"), col(s"s$j").as("bv")))
+    val bands = dfCap(
+      sim.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bv").as("bv")),
+      Seq("band", "bv"), cap)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hamming = (0 until 4)
+      .map(j => expr(s"bit_count(x.s$j ^ y.s$j)"))
+      .reduce(_ + _)
+    cand
+      .join(sim.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sim.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val x3SimHash = QueryDef(
     "x3_dedup_simhash",
     "SimHash(60-bit, 4-band blocking) pairs with Hamming distance <= 2",
-    (s, d) => {
-      val toks = docs(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val bitSums = toks
-        .select(col("doc_id"), md5u60(col("tok")).as("h"))
-        .groupBy("doc_id")
-        .agg(
-          sum(expr("CAST((h >> 0) & 1 AS INT) * 2 - 1")).as("sv0"),
-          (1 until 60).map(b =>
-            sum(expr(s"CAST((h >> $b) & 1 AS INT) * 2 - 1")).as(s"sv$b")): _*)
-      // three consumers (bands + both hamming sides): one corpus pass
-      val sim = graft.PlanCache.persisted(s, s"x3_sim/$d") {
-        bitSums.select(
-          col("doc_id") +:
-            (0 until 4).map { j =>
-              (0 until 15).map(i =>
-                when(col(s"sv${j * 15 + i}") > 0, lit(1L << i)).otherwise(0L))
-                .reduce(_ + _).as(s"s$j")
-            }: _*)
-      }
-      val bandCols = (0 until 4).map(j =>
-        struct(lit(j).as("band"), col(s"s$j").as("bv")))
-      val bands = sim
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val hamming = (0 until 4)
-        .map(j => expr(s"bit_count(x.s$j ^ y.s$j)"))
-        .reduce(_ + _)
-      cand
-        .join(sim.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sim.as("y"), col("doc_b") === col("y.doc_id"))
-        .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
-        .filter(col("hamming") <= 2)
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => simHashPairs(s, d, BAND_DF_CAP),
     Some {
       val bandVals = (0 until 4).map(j =>
         s"""CAST(sum(CASE WHEN b >= ${j * 15} AND b < ${(j + 1) * 15}
@@ -246,8 +291,9 @@ object DedupQueries {
          |         $bandVals
          |        FROM bits GROUP BY doc_id),
          |bands AS ($bandSel),
+         |capped AS ${dfCapSql("bands", Seq("band", "bv"), BAND_DF_CAP)},
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
+         |         FROM capped a JOIN capped b
          |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
          |FROM cand JOIN sim x ON doc_a = x.doc_id JOIN sim y ON doc_b = y.doc_id
@@ -260,33 +306,40 @@ object DedupQueries {
     * index, so only pairs that share ≥1 shingle are ever scored — the
     * classic set-similarity join. Jaccard = |A∩B| / (|A|+|B|−|A∩B|).
     */
+  def ngramJaccardPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    // three consumers (both join sides + sizes): persist the index once
+    val sh = graft.PlanCache.persisted(s, s"x4_shingles/$d") {
+      shingles(docs(s, d))
+    }
+    // sizes keep every shingle; only candidate generation / intersection
+    // counting drops >cap shingles — a dropped shingle can therefore only
+    // LOWER a pair's Jaccard, never fabricate similarity
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val capped = dfCap(sh, Seq("shingle"), cap)
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val x4NgramJaccard = QueryDef(
     "x4_dedup_ngram_jaccard",
     "exact 3-gram Jaccard >= 0.5 pairs via shingle inverted-index join",
-    (s, d) => {
-      // three consumers (both join sides + sizes): persist the index once
-      val sh = graft.PlanCache.persisted(s, s"x4_shingles/$d") {
-        shingles(docs(s, d))
-      }
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => ngramJaccardPairs(s, d, SHINGLE_DF_CAP),
     Some(s"""WITH $shinglesSql,
             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+            |capped AS ${dfCapSql("sh", Seq("shingle"), SHINGLE_DF_CAP)},
             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
-            |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             |          GROUP BY 1, 2)
             |SELECT doc_a, doc_b,
             |       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard

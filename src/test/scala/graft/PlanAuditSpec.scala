@@ -38,6 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("j1 pre-aggregated rollup plans no Expand (no dual-distinct blowup)") {
+    val plan = planOf("j1_customer_orders_items")
+    assert(!plan.contains("Expand"),
+      s"j1 re-grew a distinct-aggregate Expand:\n$plan")
+  }
+
   test("w4 compaction shuffles exactly once (keyed window)") {
     val plan = planOf("w4_latest_by_key")
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))

@@ -26,10 +26,10 @@ class QueryInventorySpec extends SparkSpec {
     }
   }
 
-  // Sketch outputs are engine-specific binaries — explicitly exempt from
-  // the DuckDB value gate (driver records a rows-level check instead);
-  // SketchSemanticsSpec verifies their accuracy and merge laws.
-  private val noOracleAllowed = Set("x8_hll_mergeable")
+  // Every query now carries an oracle (x8 gained its exact-count +
+  // tolerance-verdict interface in round 2); keep the escape hatch for
+  // future genuinely non-SQL-expressible ops.
+  private val noOracleAllowed = Set.empty[String]
 
   test("every query has an oracle unless explicitly exempted") {
     val missing = SparkEntry.allDefs

@@ -1,0 +1,37 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** A13's histogram percentiles vs Spark's buffering builtin, and the
+  * approx path's error bound — the correctness half of the "no per-group
+  * value buffer at 100 TB" redesign.
+  */
+class PercentileSpec extends SparkSpec {
+
+  test("histogram percentiles match Spark's builtin exact percentile") {
+    val viaHistogram = RelationalQueries.a13Percentiles.run(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val viaBuiltin = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ps"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("ps").getItem(0), 4), round(col("ps").getItem(1), 4),
+        round(col("ps").getItem(2), 4))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(viaHistogram === viaBuiltin)
+  }
+
+  test("percentile_approx lands within 1% of exact on every group") {
+    val verdicts = RelationalQueries.a13bPercentilesApprox.run(spark, sfDir)
+      .collect()
+    assert(verdicts.length === 3)
+    verdicts.foreach { r =>
+      assert(Seq(2, 3, 4).forall(i => r.getLong(i) === 1L),
+        s"approx percentile out of 1% tolerance for ${r.getString(0)}: $r")
+    }
+  }
+}
