@@ -50,6 +50,48 @@ object Cdc {
     StructField("__source_lsn", LongType),
     StructField("__deleted", StringType))) // "true"/"false" (Debezium rewrite)
 
+  private val cdcMeta = Seq(
+    StructField("__op", StringType),
+    StructField("__ts_ms", LongType),
+    StructField("__source_ts_ms", LongType),
+    StructField("__source_lsn", LongType),
+    StructField("__deleted", StringType))
+
+  /** Envelopes for the reference's other CDC'd tables (same post-SMT
+    * shape; money as decimal-string, timestamps as epoch ms —
+    * `task4-postgresql-statefulset.yaml` table DDL).
+    */
+  val productsEnvelopeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("price", StringType), // decimal-as-string
+    StructField("stock_quantity", IntegerType),
+    StructField("created_at", LongType),
+    StructField("updated_at", LongType)) ++ cdcMeta)
+
+  val ordersEnvelopeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("user_id", LongType),
+    StructField("status", StringType),
+    StructField("total_amount", StringType), // decimal-as-string
+    StructField("created_at", LongType),
+    StructField("updated_at", LongType)) ++ cdcMeta)
+
+  val orderItemsEnvelopeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("order_id", LongType),
+    StructField("product_id", LongType),
+    StructField("quantity", IntegerType),
+    StructField("unit_price", StringType), // decimal-as-string
+    StructField("created_at", LongType)) ++ cdcMeta)
+
+  /** The four CDC'd envelope subjects, as a registry would hold them. */
+  val envelopeSchemas: Map[String, StructType] = Map(
+    "users-value" -> usersEnvelopeSchema,
+    "products-value" -> productsEnvelopeSchema,
+    "orders-value" -> ordersEnvelopeSchema,
+    "order_items-value" -> orderItemsEnvelopeSchema)
+
   /** Deterministic distributed generator of a users change stream.
     *
     * Per user id: one insert; an update for `id % 3 == 0` (bumps balance

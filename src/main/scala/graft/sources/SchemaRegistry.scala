@@ -50,8 +50,15 @@ object SchemaRegistry {
   /** In-memory registry: register versions, enforcing compatibility with
     * the latest prior version (the registry's BACKWARD mode).
     */
-  final class Registry {
+  // Serializable: decode tasks capture the registry (or a snapshot of
+  // it) in their schema-resolution closure, exactly like a registry
+  // client's local schema cache shipping with the consumer.
+  final class Registry extends Serializable {
     private var versions = Map.empty[String, Vector[StructType]]
+    // Confluent-style GLOBAL schema ids (the 4-byte id in the wire
+    // framing, see [[AvroBinary.frame]]): one incrementing sequence
+    // across subjects.
+    private var ids = Vector.empty[(String, StructType)]
 
     def latest(subject: String): Option[(Int, StructType)] =
       versions.get(subject).map(v => (v.length, v.last))
@@ -63,14 +70,32 @@ object SchemaRegistry {
           if (bad.nonEmpty) Left(bad)
           else {
             versions = versions.updated(subject, versions(subject) :+ schema)
+            ids = ids :+ (subject -> schema)
             Right(versions(subject).length)
           }
         case None =>
           versions = versions.updated(subject, Vector(schema))
+          ids = ids :+ (subject -> schema)
           Right(1)
       }
 
     def schemaAt(subject: String, version: Int): Option[StructType] =
       versions.get(subject).flatMap(_.lift(version - 1))
+
+    /** Global id of a (subject, version) — what a producer embeds in the
+      * wire framing.
+      */
+    def globalId(subject: String, version: Int): Option[Int] =
+      schemaAt(subject, version).flatMap { s =>
+        ids.zipWithIndex.collectFirst {
+          case ((sub, sc), i) if sub == subject && (sc eq s) => i + 1
+        }
+      }
+
+    /** Writer-schema lookup by global id — what a consumer calls from
+      * [[AvroBinary.decode]].
+      */
+    def schemaById(id: Int): Option[StructType] =
+      ids.lift(id - 1).map(_._2)
   }
 }
