@@ -142,18 +142,35 @@ object Cdc {
       .drop("__deleted")
 
   /** S4: bronze sink — Hive-style time partitions derived from the source
-    * commit timestamp, exactly the reference's partition scheme.
+    * commit timestamp, exactly the reference's partition scheme. The
+    * shared spec lake partitions to the hour; the per-table sinks go to
+    * sub-hour grain (`users-s3-sink-connector.json:10-21`,
+    * `partition.duration.ms=1000` with a minute-level path format), so
+    * `grain` selects how deep the directory tree goes. Deeper grains
+    * trade smaller prunable units for more files — at 100 TB, hour is
+    * the default; minute is for short-retention hot paths.
     */
-  def writeBronze(df: DataFrame, path: String): Unit =
+  def writeBronze(df: DataFrame, path: String,
+      grain: String = "hour"): Unit = {
+    val partitionCols = grain match {
+      case "hour" => Seq("year", "month", "day", "hour")
+      case "minute" => Seq("year", "month", "day", "hour", "minute")
+      case other => throw new IllegalArgumentException(
+        s"unsupported bronze grain '$other' (hour|minute)")
+    }
     df.withColumn("__src_ts", timestamp_millis(col("__source_ts_ms")))
       .withColumn("year", year(col("__src_ts")))
       .withColumn("month", month(col("__src_ts")))
       .withColumn("day", dayofmonth(col("__src_ts")))
       .withColumn("hour", hour(col("__src_ts")))
+      .withColumn("minute", minute(col("__src_ts")))
       .drop("__src_ts")
+      .drop((Seq("year", "month", "day", "hour", "minute")
+        diff partitionCols): _*)
       .write.mode("overwrite")
-      .partitionBy("year", "month", "day", "hour")
+      .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** S5: partition-pruned read — predicates on year/month/day/hour prune
     * directories at planning time (no hand-rolled listing).

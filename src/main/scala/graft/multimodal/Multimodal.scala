@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus the decode / feature-extract
   * / resize / frame-sample operator plumbing.
   *
-  * The actual codecs (JPEG/PNG/opus/h264) are NOT in this environment, so
-  * the decode kernel is a clearly-marked deterministic stub
-  * ([[StubCodec]]); everything Spark-owned is real and tested — schema,
-  * batch iteration shape, partition-parallel execution, null/corrupt-row
-  * routing. Swapping in a real codec changes one function, not the plan.
+  * IMAGE decoding is REAL: `javax.imageio.ImageIO` ships with the JDK, so
+  * PNG/JPEG payloads decode to actual pixels ([[ImageCodec]]) and the
+  * extracted features are true pixel statistics. Audio/video codecs
+  * (opus/h264) are not in this environment, so those kernels remain a
+  * clearly-marked deterministic stub ([[StubCodec]]); everything
+  * Spark-owned is real and tested — schema, batch iteration shape,
+  * partition-parallel execution, null/corrupt-row routing. Swapping in a
+  * real A/V codec changes one function, not the plan.
   *
   * Scale posture: media work is per-row CPU-bound, so the operators use
   * `mapPartitions` over an iterator (the JVM analogue of `mapInPandas`
@@ -44,39 +47,107 @@ object Multimodal {
   final case class DecodedFeatures(media_id: Long, ok: Boolean,
       error: String, feature: Array[Float])
 
-  /** Deterministic synthetic media table (payload = seeded pseudo-bytes),
-    * generated distributed via spark.range.
+  /** Deterministic synthetic media table, generated distributed via
+    * spark.range. Image rows carry REAL PNG bytes (encoded per-row with
+    * ImageIO from a seeded pixel pattern); audio/video rows carry seeded
+    * pseudo-bytes for the stubbed codecs.
     */
   def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n).map { id =>
-      val size = (id % 96 + 32).toInt
-      val payload = Array.tabulate[Byte](size)(i => ((id * 31 + i * 7) % 251).toByte)
-      val mt = (id % 3) match {
-        case 0 => MediaMeta("image", "jpeg", Some((id % 64 + 16).toInt),
-          Some((id % 48 + 16).toInt), None, size.toLong)
-        case 1 => MediaMeta("audio", "wav", None, None, Some(id % 5000 + 100), size.toLong)
-        case _ => MediaMeta("video", "mp4", Some(64), Some(48),
-          Some(id % 60000 + 1000), size.toLong)
+      (id % 3) match {
+        case 0 =>
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+              val b = ((id * 11 + x * 11 + y * 2) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val payload = bos.toByteArray
+          MediaRow(id, payload,
+            MediaMeta("image", "png", Some(w), Some(h), None, payload.length.toLong))
+        case 1 =>
+          val size = (id % 96 + 32).toInt
+          val payload = Array.tabulate[Byte](size)(i => ((id * 31 + i * 7) % 251).toByte)
+          MediaRow(id, payload,
+            MediaMeta("audio", "wav", None, None, Some(id % 5000 + 100), size.toLong))
+        case _ =>
+          val size = (id % 96 + 32).toInt
+          val payload = Array.tabulate[Byte](size)(i => ((id * 31 + i * 7) % 251).toByte)
+          MediaRow(id, payload,
+            MediaMeta("video", "mp4", Some(64), Some(48),
+              Some(id % 60000 + 1000), size.toLong))
       }
-      MediaRow(id, payload, mt)
     }
   }
 
-  /** STUB CODEC — deterministic fake standing in for image/audio decoding
-    * (real libs unavailable in this container). Produces an 8-dim feature
-    * from payload bytes; a real implementation would decode pixels/samples
-    * here. The contract (bytes + meta in → fixed-width float features out,
-    * corrupt rows flagged not thrown) is the real one.
+  val FEATURE_DIM = 8
+
+  /** REAL image codec: JDK ImageIO pixel decode. Features are true pixel
+    * statistics: [width, height, mean R, mean G, mean B (0..1),
+    * mean/min/max luminance (0..1)].
+    */
+  object ImageCodec {
+    def decodeFeatures(payload: Array[Byte]): Either[String, Array[Float]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) Left("undecodable image")
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr, sg, sb, slum = 0.0
+          var lumMin = 1.0
+          var lumMax = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = ((rgb >> 16) & 0xff) / 255.0
+              val g = ((rgb >> 8) & 0xff) / 255.0
+              val b = (rgb & 0xff) / 255.0
+              val lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+              sr += r; sg += g; sb += b; slum += lum
+              if (lum < lumMin) lumMin = lum
+              if (lum > lumMax) lumMax = lum
+              x += 1
+            }
+            y += 1
+          }
+          val np = (w * h).toDouble
+          Right(Array(w.toFloat, h.toFloat, (sr / np).toFloat, (sg / np).toFloat,
+            (sb / np).toFloat, (slum / np).toFloat, lumMin.toFloat, lumMax.toFloat))
+        }
+      } catch {
+        case e: Exception => Left(s"image decode failed: ${e.getMessage}")
+      }
+  }
+
+  /** STUB CODEC — deterministic fake standing in for AUDIO/VIDEO decoding
+    * only (no opus/h264 libs in this container; images decode for real via
+    * [[ImageCodec]]). Produces an 8-dim feature from payload bytes; a real
+    * implementation would decode samples/frames here. The contract (bytes
+    * + meta in → fixed-width float features out, corrupt rows flagged not
+    * thrown) is the real one.
     */
   object StubCodec {
-    val FEATURE_DIM = 8
+    val FEATURE_DIM: Int = Multimodal.FEATURE_DIM
 
-    def decodeFeatures(payload: Array[Byte], meta: MediaMeta): Either[String, Array[Float]] =
-      if (payload == null || payload.isEmpty) Left("empty payload")
-      else if (meta == null || meta.media_type == null) Left("missing metadata")
-      else Right {
-        // ??? real codec goes here — stub: banded byte statistics
+    def decodeFeatures(payload: Array[Byte]): Either[String, Array[Float]] =
+      Right {
+        // a real sample/frame decoder goes here — stub: banded byte stats
         val f = new Array[Float](FEATURE_DIM)
         var i = 0
         while (i < payload.length) {
@@ -87,6 +158,15 @@ object Multimodal {
         f.map(_ / n)
       }
   }
+
+  /** Decode dispatch: validation, then the per-modality kernel. */
+  def decodeFeatures(payload: Array[Byte], meta: MediaMeta): Either[String, Array[Float]] =
+    if (payload == null || payload.isEmpty) Left("empty payload")
+    else if (meta == null || meta.media_type == null) Left("missing metadata")
+    else meta.media_type match {
+      case "image" => ImageCodec.decodeFeatures(payload)
+      case _ => StubCodec.decodeFeatures(payload)
+    }
 
   /** Feature extraction over media rows: one codec "session" per partition,
     * rows streamed through it (mapInPandas batch shape on the JVM).
@@ -99,7 +179,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition codec init would happen here (expensive in real life)
       rows.map { r =>
-        StubCodec.decodeFeatures(r.payload, r.meta) match {
+        decodeFeatures(r.payload, r.meta) match {
           case Right(f) => DecodedFeatures(r.media_id, ok = true, null, f)
           case Left(err) => DecodedFeatures(r.media_id, ok = false, err, Array.empty)
         }

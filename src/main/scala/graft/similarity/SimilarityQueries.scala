@@ -197,5 +197,84 @@ object SimilarityQueries {
             |SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 3
             |ORDER BY q_id, rk""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed)
+  /** X9 — IVF approximate top-k, DuckDB-oracle-gated end to end: seed
+    * assignment (`vec_id % 16`) → exact fixed-point centroid means → one
+    * Lloyd reassignment round → probe the `nprobe=2` nearest centroid
+    * lists → exact-cosine top-3. Every stage is deterministic (quantized
+    * long sums, fixed-order double folds, id tie-breaks), so the oracle
+    * replays the whole index build + probe and the row hashes match.
+    * `IvfSpec` keeps the recall-vs-brute-force check and deeper Lloyd
+    * rounds.
+    */
+  // The IVF index is BUILT ONCE per (session, dir) and probed repeatedly —
+  // the ANN serving pattern (and the same amortization the persisted LSH
+  // signature tables use). buildIndex localCheckpoints its frames, so the
+  // memo hands back materialized lists + centroids.
+  private val ivfMemo =
+    new java.util.WeakHashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]()
+
+  private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfMemo.synchronized {
+      val m = Option(ivfMemo.get(s)).getOrElse(Map.empty)
+      m.get(d) match {
+        case Some(hit) => hit
+        case None =>
+          val built = Ivf.buildIndex(emb(s, d), col("vec_id") % 16, iterations = 1)
+          ivfMemo.put(s, m.updated(d, built))
+          built
+      }
+    }
+
+  val x9AnnIvf = QueryDef(
+    "x9_ann_ivf",
+    "IVF(k=16, 1 Lloyd round, nprobe=2) cosine top-3 per query",
+    (s, d) => {
+      val (index, cents) = ivfIndex(s, d)
+      val q = emb(s, d).filter(col("vec_id") < 8)
+      Ivf.topK(index, cents, q, nprobe = 2, k = 3)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    },
+    Some {
+      // exact replicas of Ivf's fixed-point stages
+      def centSql(src: String): String = {
+        val sums = (1 to DIM).map(i =>
+          s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0 AS c$i")
+          .mkString(", ")
+        s"SELECT cid, $sums FROM $src GROUP BY cid"
+      }
+      def distSql(e: String): String =
+        (1 to DIM).map(i =>
+          s"(CAST($e[$i] AS DOUBLE) - c.c$i) * (CAST($e[$i] AS DOUBLE) - c.c$i)")
+          .mkString(" + ")
+      s"""WITH a0 AS (SELECT vec_id, embedding, vec_id % 16 AS cid FROM embeddings),
+         |c0 AS (${centSql("a0")}),
+         |d1 AS (SELECT v.vec_id, v.embedding, c.cid,
+         |         ${distSql("v.embedding")} AS dist
+         |       FROM embeddings v CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, embedding, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |c1 AS (${centSql("a1")}),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |p AS (SELECT q_id, q_emb, cid FROM
+         |        (SELECT q.q_id, q.q_emb, c.cid,
+         |                ${distSql("q.q_emb")} AS dist,
+         |                row_number() OVER (PARTITION BY q.q_id ORDER BY ${distSql("q.q_emb")}, c.cid) AS rn
+         |         FROM q CROSS JOIN c1 c)
+         |      WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, v.vec_id,
+         |         CAST(${dotSql("p", "v").replace("p.embedding", "p.q_emb")} AS DOUBLE) /
+         |           (sqrt(CAST(${dotSql("p", "p").replace("p.embedding", "p.q_emb")} AS DOUBLE)) *
+         |            sqrt(CAST(${dotSql("v", "v")} AS DOUBLE))) AS cos_sim
+         |  FROM p JOIN a1 v ON p.cid = v.cid AND v.vec_id <> p.q_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |           FROM scored)
+         |SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf)
 }

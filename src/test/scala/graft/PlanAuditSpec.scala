@@ -71,4 +71,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(hour"),
       s"no partition filters:\n$plan")
   }
+
+  test("minute-grain bronze prunes to a single minute's files (S4 sub-hour)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-min").toString
+    val envelope = graft.cdc.Cdc.unwrap(graft.cdc.Cdc.generateUsersCdc(spark, 500))
+    graft.cdc.Cdc.writeBronze(envelope, dir, grain = "minute")
+    // minute directories exist under hour directories
+    val minuteDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var sawMinute = false
+    minuteDirs.forEachRemaining(p =>
+      if (p.getFileName.toString.startsWith("minute=")) sawMinute = true)
+    assert(sawMinute, "no minute= partition directories written")
+    // prune to one (hour, minute) actually present in the generated data
+    val target = spark.read.parquet(dir)
+      .select("hour", "minute").distinct().orderBy("hour", "minute").head()
+    val pruned = spark.read.parquet(dir)
+      .filter(col("hour") === target.getInt(0) && col("minute") === target.getInt(1))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("minute"),
+      s"minute not in partition filters:\n$plan")
+    // the pruned scan returns only that minute's rows; the table has more
+    val all = spark.read.parquet(dir).count()
+    assert(pruned.count() > 0 && pruned.count() < all)
+  }
 }

@@ -11,10 +11,39 @@ class MultimodalSpec extends SparkSpec {
     val df = media.toDF()
     assert(df.count() === 300)
     val r = media.filter(_.media_id == 0).head()
-    assert(r.meta.media_type === "image" && r.payload.length === 32)
+    assert(r.meta.media_type === "image")
+    // image payloads are REAL PNGs (8-byte signature)
+    assert(r.payload.take(8).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     val types = media.map(_.meta.media_type)(org.apache.spark.sql.Encoders.STRING)
       .distinct().collect().sorted
     assert(types.toSeq === Seq("audio", "image", "video"))
+  }
+
+  test("image decode is real: pixel dims and stats match the encoded PNG") {
+    val images = media.filter(_.meta.media_type == "image")
+    val metaById = images.collect().map(r => r.media_id -> r.meta).toMap
+    val decoded = Multimodal.extractFeatures(images).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.ok))
+    decoded.foreach { d =>
+      val m = metaById(d.media_id)
+      assert(d.feature(0) === m.width.get.toFloat,
+        s"decoded width mismatch for ${d.media_id}")
+      assert(d.feature(1) === m.height.get.toFloat,
+        s"decoded height mismatch for ${d.media_id}")
+      // channel means and luminance are true pixel statistics in [0,1]
+      assert(d.feature.drop(2).forall(f => f >= 0f && f <= 1f))
+      assert(d.feature(6) <= d.feature(5) && d.feature(5) <= d.feature(7),
+        "lumMin <= lumMean <= lumMax must hold")
+    }
+  }
+
+  test("corrupt image bytes are flagged, not thrown") {
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(9, Array[Byte](1, 2, 3, 4),
+      Multimodal.MediaMeta("image", "png", Some(8), Some(8), None, 4))).toDS()
+    val out = Multimodal.extractFeatures(bad).head()
+    assert(!out.ok && out.error.contains("undecodable image"))
   }
 
   test("feature extraction: fixed-width features, deterministic, partition-parallel") {
