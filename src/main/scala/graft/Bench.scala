@@ -68,13 +68,18 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concNames.size)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    // best-of-2 rounds, same methodology as the sequential loop
+    // best-of-2 rounds, same methodology as the sequential loop; a query
+    // failure records -1.0 (like the sequential loop) instead of
+    // aborting the whole benchmark
     def concurrentRound(): Map[String, Double] = {
       val futures = concNames.map { n =>
         scala.concurrent.Future {
           val t0 = System.nanoTime()
-          force(SparkEntry.queries(n)(spark, sfDir))
-          n -> (System.nanoTime() - t0) / 1e9
+          try { force(SparkEntry.queries(n)(spark, sfDir)); n -> (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] concurrent $n failed: ${e.getMessage}")
+            n -> -1.0
+          }
         }
       }
       scala.concurrent.Await.result(
@@ -82,11 +87,16 @@ object Bench {
         scala.concurrent.duration.Duration(10, "min")).toMap
     }
     val conc = Seq(concurrentRound(), concurrentRound())
-      .flatten.groupMapReduce(_._1)(_._2)(math.min)
+      .flatten.groupMapReduce(_._1)(_._2) { (a, b) =>
+        if (a < 0) b else if (b < 0) a else math.min(a, b)
+      }
     pool.shutdown()
     val seq = results.toMap
-    val worstSlowdown = concNames
-      .map(n => conc(n) / math.max(1e-9, seq(n))).max
+    // only pairs where both runs succeeded contribute to the slowdown
+    val slowdowns = concNames.collect {
+      case n if conc(n) > 0 && seq.getOrElse(n, -1.0) > 0 => conc(n) / seq(n)
+    }
+    val worstSlowdown = if (slowdowns.nonEmpty) slowdowns.max else -1.0
     val cq = concNames.map(n => "\"" + n + "\":" + conc(n))
       .mkString("{", ",", "}")
 

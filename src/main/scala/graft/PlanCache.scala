@@ -1,46 +1,77 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped persisted-plan memo.
   *
   * Operators that persist an intermediate (minhash signatures, simhash
-  * tables, shingle indexes) would otherwise create a NEW cached copy on
-  * every invocation — Verify/Bench run each query repeatedly in one
-  * session, and the block manager would accumulate identical cached
-  * tables until session end. The memo keys on the session OBJECT via a
-  * weak reference (not an identity hash, which could collide after GC and
-  * hand a new session a DataFrame bound to a dead one): entries become
-  * collectable with their session, and `clear` evicts a session's entries
-  * eagerly (called from Verify/Bench teardown).
+  * tables, shingle indexes, percentile projections) would otherwise
+  * create a NEW cached copy on every invocation — Verify/Bench run each
+  * query repeatedly in one session, and the block manager would
+  * accumulate identical cached tables until session end.
+  *
+  * Lifetime: cached DataFrames strongly reference their SparkSession, so
+  * weak-reference tricks cannot make entries collectable — eviction is
+  * explicit and hooked instead. `clear(spark)` drops a session's entries
+  * eagerly (Verify/Bench teardown call it), and a SparkListener
+  * registered at first insertion clears everything for the session's
+  * context at application end, so even callers that never call `clear`
+  * (test suites, notebooks) cannot leak entries past the app.
   */
 object PlanCache {
 
-  // weak keys: a stopped, dereferenced session's entries vanish with it
   private val sessions =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
 
-  private def tableFor(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
-    sessions.synchronized {
-      var t = sessions.get(spark)
-      if (t == null) { t = new ConcurrentHashMap[String, DataFrame](); sessions.put(spark, t) }
-      t
+  /** Extra per-session cleanup hooks (e.g. the IVF index memo) run by
+    * `clear` and the application-end listener.
+    */
+  private val cleanupHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[SparkSession => Unit]()
+
+  def registerCleanupHook(hook: SparkSession => Unit): Unit =
+    cleanupHooks.add(hook)
+
+  private def tableFor(spark: SparkSession): ConcurrentHashMap[String, DataFrame] = {
+    var created = false
+    val t = sessions.computeIfAbsent(spark, _ => {
+      created = true
+      new ConcurrentHashMap[String, DataFrame]()
+    })
+    if (created) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          clear(spark)
+      })
     }
+    t
+  }
 
   def persisted(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     tableFor(spark).computeIfAbsent(key, _ =>
       build.persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Unpersist and drop every entry belonging to `spark`. Safe to call on
-    * a stopped session (unpersist becomes a no-op).
+  /** Ensure `spark` is covered by the application-end cleanup listener
+    * even if it never stores a PlanCache entry (callers with their own
+    * memos registered via [[registerCleanupHook]]).
+    */
+  def track(spark: SparkSession): Unit = { tableFor(spark); () }
+
+  /** Unpersist and drop every entry belonging to `spark`, and run the
+    * registered cleanup hooks. Safe to call on a stopped session
+    * (unpersist becomes a no-op).
     */
   def clear(spark: SparkSession): Unit = {
-    val t = sessions.synchronized(sessions.remove(spark))
+    val t = sessions.remove(spark)
     if (t != null) t.values().forEach { df =>
       try df.unpersist(blocking = false)
       catch { case _: Exception => () }
+    }
+    cleanupHooks.forEach { hook =>
+      try hook(spark) catch { case _: Exception => () }
     }
   }
 }

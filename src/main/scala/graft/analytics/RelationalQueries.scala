@@ -464,7 +464,7 @@ object RelationalQueries {
           round(col("p99"), 4).as("p99"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
-                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(l_extendedprice) AS BIGINT) AS n,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
                    round(quantile_cont(l_extendedprice, 0.99), 4) AS p99

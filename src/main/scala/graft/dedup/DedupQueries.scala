@@ -47,14 +47,18 @@ object DedupQueries {
     */
   val SHINGLE_DF_CAP = 128
 
-  /** Drop rows whose `keys` bucket exceeds `cap` docs: tiny hot-key set
-    * via partial-aggregated count, removed with a broadcast anti-join.
+  /** Drop rows whose `keys` bucket exceeds `cap` docs: the hot-key set
+    * comes from a partial-aggregated count and is removed with an
+    * anti-join. No broadcast hint — the set is bounded by n/cap, which
+    * is usually tiny but GROWS with corpus size (a fully templated
+    * corpus can exceed any driver's memory); AQE broadcasts it at
+    * runtime when it is actually small and shuffles otherwise.
     */
   private def dfCap(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
       .select(keys.map(col): _*)
-    df.join(broadcast(hot), keys, "left_anti")
+    df.join(hot, keys, "left_anti")
   }
 
   private def dfCapSql(rel: String, keys: Seq[String], cap: Int): String = {

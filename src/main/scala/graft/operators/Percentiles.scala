@@ -45,6 +45,12 @@ object Percentiles {
   /** (group, n, <name per percentile>) — unrounded doubles. Runs its two
     * pass jobs eagerly (the result is a small literal DataFrame).
     *
+    * NULL semantics: NULL values are ignored (like SQL quantile
+    * aggregates), so `n` is the NON-NULL value count per group — callers
+    * comparing against SQL should use `count(<value>)`, not `count(*)` —
+    * and a group whose values are all NULL is omitted. NULL group keys
+    * are supported and emitted like SQL GROUP BY.
+    *
     * @param binBits   histogram bucket = top `binBits` bits of the
     *                  sortable double transform (16 ⇒ ≤65,536 buckets:
     *                  sign + exponent + 4 mantissa bits)
@@ -127,8 +133,11 @@ object Percentiles {
     val subsetSize = hotBins.map { case (g, b) =>
       histogram(g).collectFirst { case (`b`, c) => c }.get
     }.sum
+    // null-safe group equality: SQL GROUP BY emits a NULL group, and a
+    // plain === against lit(null) would silently drop it from the
+    // refinement subset (then crash the k-th-value lookup)
     val hotPred = hotBins.map { case (g, b) =>
-      col("g") === lit(g) && col("bin") === lit(b)
+      (col("g") <=> lit(g)) && col("bin") === lit(b)
     }.reduce(_ || _)
     val subset = base.withColumn("bin", binE).filter(hotPred)
 
@@ -144,7 +153,7 @@ object Percentiles {
         }.toMap
       } else {
         val wantPred = located.map { case (g, _, b, k) =>
-          col("g") === lit(g) && col("bin") === lit(b) && col("r") === lit(k)
+          (col("g") <=> lit(g)) && col("bin") === lit(b) && col("r") === lit(k)
         }.distinct.reduce(_ || _)
         subset
           .withColumn("r", row_number().over(

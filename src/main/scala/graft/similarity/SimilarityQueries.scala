@@ -209,9 +209,13 @@ object SimilarityQueries {
   // The IVF index is BUILT ONCE per (session, dir) and probed repeatedly —
   // the ANN serving pattern (and the same amortization the persisted LSH
   // signature tables use). buildIndex localCheckpoints its frames, so the
-  // memo hands back materialized lists + centroids.
+  // memo hands back materialized lists + centroids. Evicted together with
+  // the session's PlanCache entries (clear() or application end) — the
+  // DataFrames reference the session, so only explicit eviction frees it.
   private val ivfMemo =
-    new java.util.WeakHashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]()
+    new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]()
+
+  graft.PlanCache.registerCleanupHook(s => ivfMemo.synchronized(ivfMemo.remove(s)))
 
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfMemo.synchronized {
@@ -219,6 +223,7 @@ object SimilarityQueries {
       m.get(d) match {
         case Some(hit) => hit
         case None =>
+          graft.PlanCache.track(s) // app-end listener covers this memo too
           val built = Ivf.buildIndex(emb(s, d), col("vec_id") % 16, iterations = 1)
           ivfMemo.put(s, m.updated(d, built))
           built

@@ -111,7 +111,12 @@ object AvroBinary {
       ByteBuffer.wrap(readNBytes(in, 8)).order(ByteOrder.LITTLE_ENDIAN).getDouble
     case FloatType =>
       ByteBuffer.wrap(readNBytes(in, 4)).order(ByteOrder.LITTLE_ENDIAN).getFloat
-    case BooleanType => in.read() == 1
+    case BooleanType => in.read() match {
+      case 1 => true
+      case 0 => false
+      case -1 => throw new EOFException("truncated Avro boolean")
+      case b => throw new IllegalArgumentException(s"invalid Avro boolean byte $b")
+    }
     case other =>
       throw new IllegalArgumentException(
         s"AvroBinary does not support ${other.simpleString} (envelope subset only)")

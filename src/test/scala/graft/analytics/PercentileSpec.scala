@@ -25,6 +25,25 @@ class PercentileSpec extends SparkSpec {
     assert(viaHistogram === viaBuiltin)
   }
 
+  test("NULL group keys and NULL values follow SQL semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)), (Some("a"), None),
+      (None, Some(10.0)), (None, Some(20.0)),
+      (Some("allnull"), None))
+      .toDF("g", "v")
+    val out = graft.operators.Percentiles
+      .exact(df, "g", "v", Seq(0.5 -> "p50"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // NULL values ignored: n counts non-null only; NULL group emitted;
+    // all-NULL group omitted (documented contract)
+    assert(out(Some("a")) === ((2L, 2.0)))
+    assert(out(None) === ((2L, 15.0)))
+    assert(!out.contains(Some("allnull")))
+  }
+
   test("percentile_approx lands within 1% of exact on every group") {
     val verdicts = RelationalQueries.a13bPercentilesApprox.run(spark, sfDir)
       .collect()
