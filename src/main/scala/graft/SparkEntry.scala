@@ -19,7 +19,8 @@ object SparkEntry {
       cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
       similarity.SimilarityQueries.defs ++
-      text.TextQueries.defs
+      text.TextQueries.defs ++
+      text.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mart: daily business metrics
