@@ -100,5 +100,62 @@ object CurationQueries {
            |            JOIN sizes sb ON source_b = sb.source
            |ORDER BY source_a, source_b""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x10SplitStratified, x11Contamination)
+  /** X12 — sequence packing audit: documents pack into fixed token-budget
+    * bins by cumulative token count in deterministic (source, doc_id)
+    * order — the sample-packing step before LLM pretraining, expressed as
+    * a running-sum window per source (parallel across sources; one
+    * spillable sort per source, never a global order). Reported per
+    * source: bins used, docs and tokens per bin on average, and mean bin
+    * utilization vs the budget.
+    */
+  val x12SequencePacking = QueryDef(
+    "x12_sequence_packing",
+    "cumulative-token packing into 2048-token bins, utilization per source",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048L
+      // whitespace tokens as the packing unit (t22's proven-parity counter)
+      val toks = docs(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = toks
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        // bin of the doc's LAST token — contiguous packing, a doc may
+        // straddle a boundary (its tail spills into the next bin), which
+        // is the cheap deterministic trade vs bin-exact first-fit
+        .withColumn("bin", ((col("cum") - 1) / budget).cast("long"))
+      val perBin = binned.groupBy("source", "bin")
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("toks"))
+      perBin.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_bins"),
+          sum(col("docs")).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          (sum(col("toks")).cast("double") / (count(lit(1)) * budget))
+            .as("mean_fill"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |binned AS (
+           |  SELECT source, n_tokens,
+           |         CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |                ROWS UNBOUNDED PRECEDING) - 1) // 2048 AS BIGINT) AS bin
+           |  FROM toks),
+           |per_bin AS (
+           |  SELECT source, bin, CAST(count(*) AS BIGINT) AS docs,
+           |         CAST(sum(n_tokens) AS BIGINT) AS toks
+           |  FROM binned GROUP BY source, bin)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_bins,
+           |       CAST(sum(docs) AS BIGINT) AS n_docs,
+           |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+           |       CAST(sum(toks) AS DOUBLE) / (count(*) * 2048) AS mean_fill
+           |FROM per_bin GROUP BY source ORDER BY source""".stripMargin))
+
+  val defs: Seq[QueryDef] =
+    Seq(x10SplitStratified, x11Contamination, x12SequencePacking)
 }
