@@ -31,7 +31,7 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
@@ -76,7 +76,7 @@ object Bench {
         scala.concurrent.Future {
           val t0 = System.nanoTime()
           try { force(SparkEntry.queries(n)(spark, sfDir)); n -> (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] concurrent $n failed: ${e.getMessage}")
             n -> -1.0
           }

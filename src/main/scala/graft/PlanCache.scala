@@ -23,8 +23,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object PlanCache {
 
+  // All map mutation happens under this lock: a persisted() racing a
+  // concurrent clear() must not build into an orphaned table (the
+  // stranded copy would be unreachable by any later clear). Builds under
+  // the lock are cheap — `persist` only marks the plan, no job runs.
   private val sessions =
-    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]()
+    new java.util.HashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+  // one application-end listener per SparkContext, registered once —
+  // re-registering per session (or per clear/reuse cycle) would pile
+  // listeners onto the shared LiveListenerBus forever
+  private val hookedContexts =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
 
   /** Extra per-session cleanup hooks (e.g. the IVF index memo) run by
     * `clear` and the application-end listener.
@@ -35,37 +45,41 @@ object PlanCache {
   def registerCleanupHook(hook: SparkSession => Unit): Unit =
     cleanupHooks.add(hook)
 
-  private def tableFor(spark: SparkSession): ConcurrentHashMap[String, DataFrame] = {
-    var created = false
-    val t = sessions.computeIfAbsent(spark, _ => {
-      created = true
-      new ConcurrentHashMap[String, DataFrame]()
-    })
-    if (created) {
-      spark.sparkContext.addSparkListener(new SparkListener {
+  private def ensureContextHook(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hookedContexts.add(sc)) {
+      sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
-          clear(spark)
+          clearAll()
       })
     }
-    t
   }
 
   def persisted(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    tableFor(spark).computeIfAbsent(key, _ =>
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    sessions.synchronized {
+      ensureContextHook(spark)
+      val t = sessions.computeIfAbsent(spark, _ => new java.util.HashMap())
+      var df = t.get(key)
+      if (df == null) {
+        df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        t.put(key, df)
+      }
+      df
+    }
 
   /** Ensure `spark` is covered by the application-end cleanup listener
     * even if it never stores a PlanCache entry (callers with their own
     * memos registered via [[registerCleanupHook]]).
     */
-  def track(spark: SparkSession): Unit = { tableFor(spark); () }
+  def track(spark: SparkSession): Unit =
+    sessions.synchronized(ensureContextHook(spark))
 
   /** Unpersist and drop every entry belonging to `spark`, and run the
     * registered cleanup hooks. Safe to call on a stopped session
     * (unpersist becomes a no-op).
     */
   def clear(spark: SparkSession): Unit = {
-    val t = sessions.remove(spark)
+    val t = sessions.synchronized(sessions.remove(spark))
     if (t != null) t.values().forEach { df =>
       try df.unpersist(blocking = false)
       catch { case _: Exception => () }
@@ -73,5 +87,12 @@ object PlanCache {
     cleanupHooks.forEach { hook =>
       try hook(spark) catch { case _: Exception => () }
     }
+  }
+
+  private def clearAll(): Unit = {
+    val all = sessions.synchronized {
+      val keys = new java.util.ArrayList(sessions.keySet()); keys
+    }
+    all.forEach(clear(_))
   }
 }

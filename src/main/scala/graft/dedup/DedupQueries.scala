@@ -84,24 +84,33 @@ object DedupQueries {
   private val BANDS = 4 // LSH bands (4 rows per band)
   private val MOD_P = 1073741789L // largest prime < 2^30
 
-  /** Distinct 3-token shingles per doc (set semantics for Jaccard). */
-  private def shingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** Distinct 3-token shingles per `keyCol` (set semantics for Jaccard).
+    * The tokenization contract lives HERE only — x2/x3/x4 key by doc_id,
+    * the contamination screen (x11) keys by source; both Spark and the
+    * DuckDB oracle CTE derive from these two definitions.
+    */
+  private[graft] def shingleSet(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(
-        col("doc_id"),
+        col(keyCol),
         explode(expr("sequence(1, size(toks) - 2)")).as("i"),
         col("toks"))
       .select(
-        col("doc_id"),
+        col(keyCol),
         expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
       .distinct()
 
-  private val shinglesSql =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |          WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))""".stripMargin
+  private def shingles(df: DataFrame): DataFrame = shingleSet(df, "doc_id")
+
+  /** DuckDB CTEs `toks`/`sh` replicating [[shingleSet]] over `documents`. */
+  private[graft] def shingleSetSql(keyCol: String): String =
+    s"""toks AS (SELECT $keyCol, string_split(text, ' ') AS t FROM documents
+       |          WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT $keyCol, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))""".stripMargin
+
+  private val shinglesSql = shingleSetSql("doc_id")
 
   /** X1 — exact + normalized-text dedup audit per source.
     * Exact dedup is the hash-groupBy pattern: identical bytes → identical

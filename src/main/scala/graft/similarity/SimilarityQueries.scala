@@ -215,7 +215,18 @@ object SimilarityQueries {
   private val ivfMemo =
     new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]()
 
-  graft.PlanCache.registerCleanupHook(s => ivfMemo.synchronized(ivfMemo.remove(s)))
+  // eager eviction: unpersist the checkpointed RDBs behind each memoized
+  // frame (for a localCheckpointed Dataset, queryExecution.toRdd IS the
+  // persisted RDD) before dropping the references
+  graft.PlanCache.registerCleanupHook { s =>
+    val dropped = ivfMemo.synchronized(Option(ivfMemo.remove(s)))
+    dropped.foreach(_.values.foreach { case (index, cents) =>
+      Seq(index, cents).foreach { df =>
+        try df.queryExecution.toRdd.unpersist(blocking = false)
+        catch { case _: Exception => () }
+      }
+    })
+  }
 
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfMemo.synchronized {

@@ -63,14 +63,9 @@ object CurationQueries {
     "x11_contamination",
     "shared-shingle overlap coefficient per source pair",
     (s, d) => {
-      val srcSh = docs(s, d)
-        .select(col("source"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 3)
-        .select(col("source"),
-          explode(expr("sequence(1, size(toks) - 2)")).as("i"), col("toks"))
-        .select(col("source"),
-          expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
-        .distinct()
+      // same tokenization contract as the dedup operators (single source
+      // of truth in DedupQueries), keyed by source instead of doc_id
+      val srcSh = graft.dedup.DedupQueries.shingleSet(docs(s, d), "source")
       val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("sz"))
       val shared = srcSh.as("a")
         .join(srcSh.as("b"),
@@ -85,10 +80,7 @@ object CurationQueries {
             least(col("sa.sz"), col("sb.sz"))).as("overlap"))
         .orderBy("source_a", "source_b")
     },
-    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
-           |              WHERE len(string_split(text, ' ')) >= 3),
-           |sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+    Some(s"""WITH ${graft.dedup.DedupQueries.shingleSetSql("source")},
            |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY source),
            |shared AS (SELECT a.source AS source_a, b.source AS source_b,
            |                  CAST(count(*) AS BIGINT) AS n_shared
@@ -123,8 +115,10 @@ object CurationQueries {
         .withColumn("cum", sum(col("n_tokens")).over(w))
         // bin of the doc's LAST token — contiguous packing, a doc may
         // straddle a boundary (its tail spills into the next bin), which
-        // is the cheap deterministic trade vs bin-exact first-fit
-        .withColumn("bin", ((col("cum") - 1) / budget).cast("long"))
+        // is the cheap deterministic trade vs bin-exact first-fit.
+        // `div` is exact integer division: Spark's `/` on longs goes
+        // through a double, which mis-bins past 2^53 cumulative tokens
+        .withColumn("bin", expr(s"(cum - 1) div ${budget}L"))
       val perBin = binned.groupBy("source", "bin")
         .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("toks"))
       perBin.groupBy("source")
