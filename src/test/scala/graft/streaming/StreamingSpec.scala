@@ -150,6 +150,40 @@ class StreamingSpec extends SparkSpec {
     assert(timedOut.isRemoved)
   }
 
+  test("ST1 processing-time timeout completes a session in a real streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 979000000000L
+    val mem = MemoryStream[Event]
+    // 1s wall-clock inactivity timeout. NOTE: processAllAvailable can
+    // NEVER be used with ProcessingTimeTimeout — armed timeouts make the
+    // engine always schedule another batch, so it would block forever
+    // (the round-1 gap this test closes). The default trigger runs
+    // batches continuously; the sink is POLLED instead.
+    val q = Sessionization.sessionize(mem.toDS(), timeoutMs = 1000,
+        eventTime = false, watermark = None)
+      .writeStream.format("memory").queryName("sess_pt_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev("pt1", 11, "page_view", base + 1000),
+        ev("pt2", 11, "purchase", base + 2000, props = """{"amount": 4}"""))
+      def completed() = spark.sql(
+        """SELECT user_id, event_count, total_spent_cents, is_complete
+          |FROM sess_pt_out WHERE user_id = 11 AND is_complete""".stripMargin)
+        .collect()
+      // wall clock passes the 1s inactivity timeout; a subsequent batch
+      // (continuous trigger) fires it — poll up to 30s
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var done = completed()
+      while (done.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        done = completed()
+      }
+      assert(done.length === 1, "completed session never surfaced")
+      assert((done.head.getLong(1), done.head.getLong(2)) === ((2L, 400L)))
+    } finally q.stop()
+  }
+
   test("ST7/A7 funnel MV aggregates hourly windows in a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
