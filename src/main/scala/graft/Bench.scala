@@ -65,7 +65,9 @@ object Bench {
     val concNames = Seq("t4_filter_project", "a6_op_summary", "a8_tier_value",
       "q2_uniqueness", "w4_latest_by_key", "t6_decode_map",
       "u1_rule_violations", "t12_bucketize")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(concNames.size)
+    // one pool serves both sections: the 8-way rounds submit 8 futures at
+    // a time; the sustained wave fills all 48 threads
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(48)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     // best-of-2 rounds, same methodology as the sequential loop; a query
@@ -90,7 +92,27 @@ object Bench {
       .flatten.groupMapReduce(_._1)(_._2) { (a, b) =>
         if (a < 0) b else if (b < 0) a else math.min(a, b)
       }
+
+    // sustained wave: 48 query executions in flight at once (6 copies of
+    // each of the 8), matching the reference's 50-concurrent-dashboards
+    // target; reports the latency distribution under full contention
+    val waveFutures = (0 until 6).flatMap(_ => concNames).map { n =>
+      scala.concurrent.Future {
+        val t0 = System.nanoTime()
+        try { force(SparkEntry.queries(n)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] wave $n failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+    }
+    val waveTimes = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(waveFutures),
+      scala.concurrent.duration.Duration(10, "min")).filter(_ >= 0).sorted
     pool.shutdown()
+    def pct(p: Double): Double =
+      if (waveTimes.isEmpty) -1.0
+      else waveTimes(math.min(waveTimes.size - 1, (p * (waveTimes.size - 1)).round.toInt))
     val seq = results.toMap
     // only pairs where both runs succeeded contribute to the slowdown
     val slowdowns = concNames.collect {
@@ -104,7 +126,10 @@ object Bench {
       s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
       s""""queries":$qs,""" +
       s""""concurrent":{"parallelism":${concNames.size},"queries":$cq,""" +
-      s""""worst_slowdown_vs_sequential":$worstSlowdown},"sf":"$sfDir"}""")
+      s""""worst_slowdown_vs_sequential":$worstSlowdown,""" +
+      s""""wave":{"in_flight":48,"completed":${waveTimes.size},""" +
+      s""""p50_sec":${pct(0.5)},"p95_sec":${pct(0.95)},"max_sec":${pct(1.0)}}},""" +
+      s""""sf":"$sfDir"}""")
     PlanCache.clear(spark)
     spark.stop()
   }
