@@ -25,6 +25,40 @@ class PercentileSpec extends SparkSpec {
     assert(viaHistogram === viaBuiltin)
   }
 
+  test("random datasets: histogram selection matches builtin percentile exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 6).foreach { c =>
+      val nGroups = rnd.nextInt(4) + 1
+      val n = rnd.nextInt(500) + 1
+      // mix of magnitudes, negatives, and deliberate ties
+      val data = (0 until n).map { _ =>
+        val g = s"g${rnd.nextInt(nGroups)}"
+        val v = rnd.nextInt(4) match {
+          case 0 => rnd.nextDouble() * 1e6
+          case 1 => -rnd.nextDouble() * 100
+          case 2 => rnd.nextInt(10).toDouble // ties
+          case _ => rnd.nextGaussian() * 1e-3
+        }
+        (g, v)
+      }
+      val df = data.toDF("g", "v")
+      val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
+      val ours = graft.operators.Percentiles.exact(df, "g", "v", ps)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), ps.indices.map(i => math.round(r.getDouble(2 + i) * 1e6))))
+        .toMap
+      val builtin = df.groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(v, array(0.25, 0.5, 0.9))").as("q"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), ps.indices.map(i =>
+            math.round(r.getSeq[Double](2)(i) * 1e6))))
+        .toMap
+      assert(ours === builtin, s"case $c diverged (nGroups=$nGroups n=$n)")
+    }
+  }
+
   test("NULL group keys and NULL values follow SQL semantics") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
