@@ -483,25 +483,29 @@ object RelationalQueries {
     "a13b_percentiles_approx",
     "mergeable approx percentiles within 1% of exact (tolerance verdict)",
     (s, d) => {
-      val approx = li(s, d)
-        .groupBy("l_returnflag")
+      // both the approx aggregation and the exact reference run over the
+      // ONE cached, repartitioned projection A13 persists — no second
+      // scan of the fact table
+      val base = graft.operators.Percentiles
+        .cachedProjection(li(s, d), "l_returnflag", "l_extendedprice", s"a13/$d")
+      val approx = base
+        .groupBy("g")
         .agg(
           count(lit(1)).as("n"),
-          expr("percentile_approx(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
-            .as("ap"))
+          expr("percentile_approx(v, array(0.5, 0.95, 0.99), 10000)").as("ap"))
       val exact = a13Percentiles.run(s, d)
         .select(col("l_returnflag").as("x_flag"),
           col("p50"), col("p95"), col("p99"))
       def ok(i: Int, exactCol: String): Column =
         (abs(col("ap").getItem(i) - col(exactCol)) <=
           abs(col(exactCol)) * lit(0.01)).cast("long").as(s"${exactCol}_ok")
-      approx.join(broadcast(exact), col("l_returnflag") === col("x_flag"))
-        .select(col("l_returnflag"), col("n"),
+      approx.join(broadcast(exact), col("g") === col("x_flag"))
+        .select(col("g").as("l_returnflag"), col("n"),
           ok(0, "p50"), ok(1, "p95"), ok(2, "p99"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,
-                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(l_extendedprice) AS BIGINT) AS n,
                    CAST(1 AS BIGINT) AS p50_ok,
                    CAST(1 AS BIGINT) AS p95_ok,
                    CAST(1 AS BIGINT) AS p99_ok

@@ -42,6 +42,22 @@ import org.apache.spark.sql.types._
   */
 object Percentiles {
 
+  private def projection(df: DataFrame, group: String, value: String): DataFrame =
+    df.select(col(group).as("g"), col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+
+  /** The persisted `(g, v)` projection behind `exact(cacheKey = ...)` —
+    * public so sibling computations over the same measure (e.g. the
+    * mergeable approx-percentile path) reuse the one cached,
+    * parallelism-repartitioned copy instead of re-scanning the fact
+    * table.
+    */
+  def cachedProjection(df: DataFrame, group: String, value: String,
+      cacheKey: String): DataFrame =
+    graft.PlanCache.persisted(df.sparkSession, s"percentiles/$cacheKey")(
+      projection(df, group, value)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism))
+
   /** (group, n, <name per percentile>) — unrounded doubles. Runs its two
     * pass jobs eagerly (the result is a small literal DataFrame).
     *
@@ -64,12 +80,9 @@ object Percentiles {
     val spark = df.sparkSession
     graft.GraftExtensions.ensure(spark)
     val groupField = df.schema(group)
-    val project = df.select(col(group).as("g"), col(value).cast("double").as("v"))
-      .filter(col("v").isNotNull)
     val base = cacheKey match {
-      case Some(k) => graft.PlanCache.persisted(spark, s"percentiles/$k")(
-        project.repartition(spark.sparkContext.defaultParallelism))
-      case None => project
+      case Some(k) => cachedProjection(df, group, value, k)
+      case None => projection(df, group, value)
     }
     val binE = shiftrightunsigned(
       call_function("graft_sortable_bits", col("v")), 64 - binBits)
