@@ -95,24 +95,81 @@ object Bench {
 
     // sustained wave: 48 query executions in flight at once (6 copies of
     // each of the 8), matching the reference's 50-concurrent-dashboards
-    // target; reports the latency distribution under full contention
-    val waveFutures = (0 until 6).flatMap(_ => concNames).map { n =>
-      scala.concurrent.Future {
-        val t0 = System.nanoTime()
-        try { force(SparkEntry.queries(n)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] wave $n failed: ${e.getMessage}")
-          -1.0
-        }
+    // target; reports the latency distribution under full contention.
+    // Each execution is split into queue time (submit -> its first Spark
+    // task launching, i.e. waiting for cores behind other jobs) and exec
+    // time (the rest) via a job-group-tagged listener, so scheduler
+    // queueing and actual plan execution are distinguishable in the JSON.
+    val groupFirstTask = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    val waveListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
+        if (g != null && g.startsWith("wave-"))
+          js.stageInfos.foreach(si => stageToGroup.put(si.stageId, g))
+      }
+      override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        val g = stageToGroup.get(ts.stageId)
+        if (g != null) groupFirstTask.putIfAbsent(g, System.nanoTime())
       }
     }
-    val waveTimes = scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(waveFutures),
-      scala.concurrent.duration.Duration(10, "min")).filter(_ >= 0).sorted
+    spark.sparkContext.addSparkListener(waveListener)
+    def runWave(queries: Seq[() => org.apache.spark.sql.DataFrame],
+        tag: String): Seq[(Double, Double)] = {
+      val futures = queries.zipWithIndex.map { case (mk, i) =>
+        scala.concurrent.Future {
+          val group = s"wave-$tag-$i"
+          spark.sparkContext.setJobGroup(group, tag, interruptOnCancel = false)
+          val t0 = System.nanoTime()
+          try {
+            force(mk())
+            val total = (System.nanoTime() - t0) / 1e9
+            val queue = Option(groupFirstTask.get(group))
+              .map(ft => math.max(0.0, (ft - t0) / 1e9)).getOrElse(0.0)
+            (total, queue)
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] wave $tag-$i failed: ${e.getMessage}")
+            (-1.0, -1.0)
+          } finally spark.sparkContext.clearJobGroup()
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(10, "min")).filter(_._1 >= 0)
+    }
+    def pctOf(xs: Seq[Double])(p: Double): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
+    }
+    def waveJson(res: Seq[(Double, Double)]): String = {
+      val totals = res.map(_._1)
+      val queues = res.map(_._2)
+      val execs = res.map(r => r._1 - r._2)
+      val t = pctOf(totals) _; val q = pctOf(queues) _; val e = pctOf(execs) _
+      s"""{"in_flight":48,"completed":${res.size},""" +
+        s""""p50_sec":${t(0.5)},"p95_sec":${t(0.95)},"max_sec":${t(1.0)},""" +
+        s""""queue_p50_sec":${q(0.5)},"queue_p95_sec":${q(0.95)},""" +
+        s""""exec_p50_sec":${e(0.5)},"exec_p95_sec":${e(0.95)}}"""
+    }
+    val wave = runWave(
+      (0 until 6).flatMap(_ => concNames).map(n =>
+        () => SparkEntry.queries(n)(spark, sfDir)), "fact")
+
+    // MV-served wave: the same 48-in-flight contention, but the queries are
+    // dashboard rollups over pinned merge-on-read MV tables (the reference's
+    // ClickHouse-MV serving pattern) instead of fact scans. mv_build_sec is
+    // the one-off cost of appending + merging + pinning the MVs.
+    val mvBase = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    val tMv = System.nanoTime()
+    val mvs = streaming.MvServing.materialize(spark, sfDir, mvBase)
+    val mvBuildSec = (System.nanoTime() - tMv) / 1e9
+    val dash = streaming.MvServing.dashboards(mvs)
+    val mvWave = runWave(
+      (0 until 6).flatMap(_ => dash.indices).map(i => dash(i)._2), "mv")
+    streaming.MvServing.release(mvs)
     pool.shutdown()
-    def pct(p: Double): Double =
-      if (waveTimes.isEmpty) -1.0
-      else waveTimes(math.min(waveTimes.size - 1, (p * (waveTimes.size - 1)).round.toInt))
     val seq = results.toMap
     // only pairs where both runs succeeded contribute to the slowdown
     val slowdowns = concNames.collect {
@@ -122,14 +179,25 @@ object Bench {
     val cq = concNames.map(n => "\"" + n + "\":" + conc(n))
       .mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
       s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
       s""""queries":$qs,""" +
       s""""concurrent":{"parallelism":${concNames.size},"queries":$cq,""" +
       s""""worst_slowdown_vs_sequential":$worstSlowdown,""" +
-      s""""wave":{"in_flight":48,"completed":${waveTimes.size},""" +
-      s""""p50_sec":${pct(0.5)},"p95_sec":${pct(0.95)},"max_sec":${pct(1.0)}}},""" +
-      s""""sf":"$sfDir"}""")
+      s""""wave":${waveJson(wave)},""" +
+      s""""mv_build_sec":$mvBuildSec,""" +
+      s""""wave_mv_served":${waveJson(mvWave)}},""" +
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // the stdout line is very long and log captures have truncated it
+    // before (BENCH_r02/r03 arrived unparseable) — a file copy makes the
+    // record robust; SPARK_GRAFT_BENCH_OUT overrides the default path
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     PlanCache.clear(spark)
     spark.stop()
   }

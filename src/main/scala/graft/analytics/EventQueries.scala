@@ -24,7 +24,7 @@ object EventQueries {
   private def cust(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "customer")
 
-  private val tierExpr =
+  private[graft] val tierExpr =
     when(col("c_custkey") % 4 === 0, "bronze")
       .when(col("c_custkey") % 4 === 1, "silver")
       .when(col("c_custkey") % 4 === 2, "gold")

@@ -74,6 +74,16 @@ object DedupQueries {
     Tables.load(s, d, "documents")
   }
 
+  /** Documents spread across the cluster before a shingle/token explode.
+    * The test corpus parquet is a single row group — Spark scans it as ONE
+    * task, so without this the expensive explode in every signature/index
+    * BUILD runs serially (measured: x4 index build 9.5 s → ~3 s). Only the
+    * cached builders use it: for scan→agg queries like x1 an extra shuffle
+    * would be pure loss.
+    */
+  private def docsWide(s: SparkSession, d: String) =
+    docs(s, d).repartition(col("doc_id"))
+
   /** Hot-path 60-bit hash: the codegen [[graft.functions.Md5U60]] kernel
     * (numerically identical to `CrossHash.md5u60`, ~one digest call per
     * row instead of hex substrings + conv).
@@ -156,7 +166,7 @@ object DedupQueries {
     * doc_id) and the band join (keyed by band signature).
     */
   def minHashLshPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val sh = shingles(docs(s, d))
+    val sh = shingles(docsWide(s, d))
     val u60 = md5u60(col("shingle"))
     val hashed = sh.select(col("doc_id"),
       shiftright(u60, 30).as("h1"),
@@ -238,7 +248,7 @@ object DedupQueries {
     * size (Catalyst computes all 60 partials map-side in a single pass).
     */
   def simHashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val toks = docs(s, d)
+    val toks = docsWide(s, d)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
     val bitSums = toks
       .select(col("doc_id"), md5u60(col("tok")).as("h"))
@@ -318,28 +328,44 @@ object DedupQueries {
     * Candidate pairs are generated by self-joining the (shingle → doc)
     * index, so only pairs that share ≥1 shingle are ever scored — the
     * classic set-similarity join. Jaccard = |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * The index is ONE cached table `(doc_id, shingle, sz)`: `sz` is the
+    * doc's FULL distinct-shingle count (the Jaccard denominator, computed
+    * before capping), rows are df-capped (candidate generation and
+    * intersection only — a dropped shingle can only LOWER similarity,
+    * never fabricate it). Carrying `sz` on every index row lets the
+    * self-join emit it through the pair groupBy as a grouping column, so
+    * the runtime plan is join → agg → filter → sort with NO separate
+    * sizes aggregation and NO per-side sizes joins: intersection counting
+    * (the "verify" step of a set-similarity join) is fused into candidate
+    * generation — each pair is scored by the same hash aggregate that
+    * discovers it.
+    *
+    * A PPJoin-style prefix filter (index only each doc's df-rarest
+    * capN−⌈sz/2⌉+1 shingles, verify survivors against full sets) was
+    * implemented and MEASURED WORSE here, like the length filter before
+    * it (NOTES.md): at sf0.1 it cut the index 572k→134k rows but still
+    * emitted 409k candidate pairs, and re-deriving their intersections
+    * outside the join (pair × doc-shingles expansion) cost 4.1 s where
+    * the fused groupBy scores pairs for free. Prefix filtering pays off
+    * only when verification is array-local (a native PPJoin) or τ is
+    * high; at τ=0.5 the prefix is half the doc and prunes little.
     */
   def ngramJaccardPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
-    // three consumers (both join sides + sizes): persist the index once
-    val sh = graft.PlanCache.persisted(s, s"x4_shingles/$d") {
-      shingles(docs(s, d))
+    val idx = graft.PlanCache.persisted(s, s"x4_idx/$d/$cap") {
+      val sized = shingles(docsWide(s, d)).withColumn("sz",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      dfCap(sized, Seq("shingle"), cap)
     }
-    // sizes keep every shingle; only candidate generation / intersection
-    // counting drops >cap shingles — a dropped shingle can therefore only
-    // LOWER a pair's Jaccard, never fabricate similarity
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val capped = dfCap(sh, Seq("shingle"), cap)
-    val inter = capped.as("a")
-      .join(capped.as("b"),
+    idx.as("a")
+      .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+          (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
