@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decoding is REAL: `javax.imageio.ImageIO` ships with the JDK, so
   * PNG/JPEG payloads decode to actual pixels ([[ImageCodec]]) and the
-  * extracted features are true pixel statistics. Audio/video codecs
-  * (opus/h264) are not in this environment, so those kernels remain a
-  * clearly-marked deterministic stub ([[StubCodec]]); everything
-  * Spark-owned is real and tested — schema, batch iteration shape,
-  * partition-parallel execution, null/corrupt-row routing. Swapping in a
-  * real A/V codec changes one function, not the plan.
+  * extracted features are true pixel statistics. AUDIO decoding is REAL
+  * for WAV: [[WavCodec]] parses the RIFF/fmt/data chunk layout and PCM16
+  * samples with plain `ByteBuffer` arithmetic (no codec libs needed) and
+  * emits true sample statistics. VIDEO codecs (h264 etc.) are not in this
+  * environment, so that kernel remains a clearly-marked deterministic stub
+  * ([[StubCodec]]); everything Spark-owned is real and tested — schema,
+  * batch iteration shape, partition-parallel execution, null/corrupt-row
+  * routing. Swapping in a real video codec changes one function, not the
+  * plan.
   *
   * Scale posture: media work is per-row CPU-bound, so the operators use
   * `mapPartitions` over an iterator (the JVM analogue of `mapInPandas`
@@ -79,10 +82,19 @@ object Multimodal {
           MediaRow(id, payload,
             MediaMeta("image", "png", Some(w), Some(h), None, payload.length.toLong))
         case 1 =>
-          val size = (id % 96 + 32).toInt
-          val payload = Array.tabulate[Byte](size)(i => ((id * 31 + i * 7) % 251).toByte)
+          // real PCM16 WAV: a seeded sine tone, 8 kHz mono
+          val durMs = id % 1000 + 50
+          val sr = 8000
+          val frames = (durMs * sr / 1000).toInt
+          val amp = 0.1 + (id % 9) * 0.1
+          val freq = 200.0 + (id % 200)
+          val samples = Array.tabulate[Short](frames) { i =>
+            math.round(amp * 32767.0 *
+              math.sin(2.0 * math.Pi * freq * i / sr)).toShort
+          }
+          val payload = WavCodec.encodePcm16(samples, sr)
           MediaRow(id, payload,
-            MediaMeta("audio", "wav", None, None, Some(id % 5000 + 100), size.toLong))
+            MediaMeta("audio", "wav", None, None, Some(durMs), payload.length.toLong))
         case _ =>
           val size = (id % 96 + 32).toInt
           val payload = Array.tabulate[Byte](size)(i => ((id * 31 + i * 7) % 251).toByte)
@@ -135,12 +147,129 @@ object Multimodal {
       }
   }
 
-  /** STUB CODEC — deterministic fake standing in for AUDIO/VIDEO decoding
-    * only (no opus/h264 libs in this container; images decode for real via
-    * [[ImageCodec]]). Produces an 8-dim feature from payload bytes; a real
-    * implementation would decode samples/frames here. The contract (bytes
-    * + meta in → fixed-width float features out, corrupt rows flagged not
-    * thrown) is the real one.
+  /** REAL audio codec for WAV: RIFF/fmt/data chunk walk + PCM16 sample
+    * statistics, pure JDK (`ByteBuffer`, little-endian). Features:
+    * [sample rate Hz, channels, frames, duration ms, peak |s| (0..1),
+    * RMS (0..1), zero-crossing rate (0..1), mean (DC offset, −1..1)].
+    */
+  object WavCodec {
+
+    /** Encode mono/interleaved PCM16 samples as a canonical 44-byte-header
+      * WAV file (the generator and tests use this; round-trips through
+      * [[decodeFeatures]]).
+      */
+    def encodePcm16(samples: Array[Short], sampleRate: Int,
+        channels: Int = 1): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(channels.toShort)
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2) // byte rate
+      bb.putShort((channels * 2).toShort) // block align
+      bb.putShort(16) // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    private def ascii(bb: java.nio.ByteBuffer): String = {
+      val b = new Array[Byte](4)
+      bb.get(b)
+      new String(b, "US-ASCII")
+    }
+
+    def decodeFeatures(payload: Array[Byte]): Either[String, Array[Float]] =
+      try {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        if (payload.length < 44) Left("truncated wav")
+        else if (ascii(bb) != "RIFF") Left("not a RIFF payload")
+        else {
+          bb.getInt // riff size (unreliable in the wild; chunk walk below)
+          if (ascii(bb) != "WAVE") Left("not a WAVE payload")
+          else {
+            var sampleRate = -1
+            var channels = -1
+            var bits = -1
+            var fmtCode = -1
+            var dataOff = -1
+            var dataLen = -1
+            while (bb.remaining() >= 8 && dataOff < 0) {
+              val id = ascii(bb)
+              val size = bb.getInt
+              if (size < 0 || size > bb.remaining()) {
+                bb.position(bb.limit()) // malformed size: stop the walk
+              } else id match {
+                case "fmt " =>
+                  val end = bb.position() + size
+                  fmtCode = bb.getShort & 0xffff
+                  channels = bb.getShort & 0xffff
+                  sampleRate = bb.getInt
+                  bb.getInt // byte rate
+                  bb.getShort // block align
+                  bits = bb.getShort & 0xffff
+                  bb.position(end + (size & 1))
+                case "data" =>
+                  dataOff = bb.position()
+                  dataLen = size
+                case _ =>
+                  bb.position(bb.position() + size + (size & 1))
+              }
+            }
+            if (sampleRate <= 0 || channels <= 0 || dataOff < 0)
+              Left("missing fmt/data chunk")
+            else if (fmtCode != 1 || bits != 16)
+              Left(s"unsupported wav encoding (fmt=$fmtCode bits=$bits)")
+            else {
+              val n = dataLen / 2
+              var peak = 0.0
+              var sum = 0.0
+              var sumSq = 0.0
+              var crossings = 0L
+              var prevSign = 0
+              var i = 0
+              while (i < n) {
+                val s = bb.getShort(dataOff + 2 * i) / 32768.0
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                sum += s
+                sumSq += s * s
+                val sign = java.lang.Double.compare(s, 0.0)
+                if (sign != 0) {
+                  if (prevSign != 0 && sign != prevSign) crossings += 1
+                  prevSign = sign
+                }
+                i += 1
+              }
+              val frames = n / channels
+              val durMs = frames.toDouble * 1000.0 / sampleRate
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+              val zcr = if (n < 2) 0.0 else crossings.toDouble / (n - 1)
+              val mean = if (n == 0) 0.0 else sum / n
+              Right(Array(sampleRate.toFloat, channels.toFloat, frames.toFloat,
+                durMs.toFloat, peak.toFloat, rms.toFloat, zcr.toFloat,
+                mean.toFloat))
+            }
+          }
+        }
+      } catch {
+        case e: Exception => Left(s"wav decode failed: ${e.getMessage}")
+      }
+  }
+
+  /** STUB CODEC — deterministic fake standing in for VIDEO decoding (and
+    * compressed audio like opus; no such codec libs in this container —
+    * images decode for real via [[ImageCodec]], WAV audio via
+    * [[WavCodec]]). Produces an 8-dim feature from payload bytes; a real
+    * implementation would decode frames here. The contract (bytes + meta
+    * in → fixed-width float features out, corrupt rows flagged not thrown)
+    * is the real one.
     */
   object StubCodec {
     val FEATURE_DIM: Int = Multimodal.FEATURE_DIM
@@ -165,6 +294,7 @@ object Multimodal {
     else if (meta == null || meta.media_type == null) Left("missing metadata")
     else meta.media_type match {
       case "image" => ImageCodec.decodeFeatures(payload)
+      case "audio" if meta.format == "wav" => WavCodec.decodeFeatures(payload)
       case _ => StubCodec.decodeFeatures(payload)
     }
 

@@ -26,6 +26,20 @@ object Ivf {
 
   private val DIM = 64
 
+  /** Unpersist the block-manager RDD behind a `localCheckpoint`ed frame.
+    * `queryExecution.toRdd` is NOT that RDD — the physical scan wraps the
+    * checkpointed RDD in a fresh unsafe-projection `MapPartitionsRDD`, so
+    * unpersisting it is a silent no-op (measured: superseded Lloyd rounds
+    * stayed in the block manager). The persisted handle hangs off the
+    * `LogicalRDD` leaf the checkpoint rewrote the plan to.
+    */
+  private[graft] def dropCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Exception => () }
+
   /** Quantized element i of an embedding, as an exact long. */
   private def q(e: Column, i: Int): Column =
     floor(element_at(e, i).cast("double") * lit(1e8)).cast("long")
@@ -78,8 +92,15 @@ object Ivf {
     var assigned = vectors.withColumn("cid", seedAssign).localCheckpoint(true)
     var cents = centroids(assigned, "cid").localCheckpoint(true)
     (1 to iterations).foreach { _ =>
+      val (prevAssigned, prevCents) = (assigned, cents)
       assigned = assign(vectors, cents).localCheckpoint(true)
       cents = centroids(assigned, "cid").localCheckpoint(true)
+      // the new round is materialized and lineage-free, so the superseded
+      // round's checkpoint RDDs are dead weight — drop them now instead of
+      // letting every intermediate round sit in the block manager until
+      // session end (only the RETURNED pair outlives the build; the
+      // SimilarityQueries memo cleanup hook evicts that pair)
+      Seq(prevAssigned, prevCents).foreach(dropCheckpoint)
     }
     (assigned, cents)
   }

@@ -215,16 +215,14 @@ object SimilarityQueries {
   private val ivfMemo =
     new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]()
 
-  // eager eviction: unpersist the checkpointed RDBs behind each memoized
-  // frame (for a localCheckpointed Dataset, queryExecution.toRdd IS the
-  // persisted RDD) before dropping the references
+  // eager eviction: unpersist the checkpointed RDDs behind each memoized
+  // frame before dropping the references (Ivf.dropCheckpoint reaches the
+  // real persisted RDD via the LogicalRDD leaf — queryExecution.toRdd is
+  // a fresh projection wrapper, and unpersisting that is a no-op)
   graft.PlanCache.registerCleanupHook { s =>
     val dropped = ivfMemo.synchronized(Option(ivfMemo.remove(s)))
     dropped.foreach(_.values.foreach { case (index, cents) =>
-      Seq(index, cents).foreach { df =>
-        try df.queryExecution.toRdd.unpersist(blocking = false)
-        catch { case _: Exception => () }
-      }
+      Seq(index, cents).foreach(Ivf.dropCheckpoint)
     })
   }
 

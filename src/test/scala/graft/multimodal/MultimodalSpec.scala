@@ -38,6 +38,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio decode is real: WAV header and sample stats match generation") {
+    val audio = media.filter(_.meta.media_type == "audio")
+    val metaById = audio.collect().map(r => r.media_id -> r.meta).toMap
+    val decoded = Multimodal.extractFeatures(audio).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.ok))
+    decoded.foreach { d =>
+      val m = metaById(d.media_id)
+      assert(d.feature(0) === 8000f, s"sample rate mismatch for ${d.media_id}")
+      assert(d.feature(1) === 1f, s"channel count mismatch for ${d.media_id}")
+      // decoded duration comes from the data chunk, not the metadata struct
+      assert(d.feature(3) === m.duration_ms.get.toFloat,
+        s"decoded duration mismatch for ${d.media_id}")
+      // the generated tone's amplitude is 0.1 + (id % 9) * 0.1
+      val amp = (0.1 + (d.media_id % 9) * 0.1).toFloat
+      assert(d.feature(4) <= amp + 0.01f && d.feature(4) >= amp * 0.8f,
+        s"peak ${d.feature(4)} vs amplitude $amp for ${d.media_id}")
+      val rms = (amp / math.sqrt(2.0)).toFloat
+      assert(math.abs(d.feature(5) - rms) <= rms * 0.15f,
+        s"rms ${d.feature(5)} vs sine expectation $rms for ${d.media_id}")
+      // a fractional final cycle leaves a little DC; ~zero is all a sine owes us
+      assert(math.abs(d.feature(7)) < 0.05f, "sine tone must have ~zero DC offset")
+    }
+  }
+
+  test("wav codec round-trips an encoded buffer exactly") {
+    val samples = Array.tabulate[Short](1600)(i =>
+      (math.sin(i / 20.0) * 12000).toShort)
+    val wav = Multimodal.WavCodec.encodePcm16(samples, 16000)
+    val f = Multimodal.WavCodec.decodeFeatures(wav).toOption.get
+    assert(f(0) === 16000f && f(1) === 1f && f(2) === 1600f)
+    assert(f(3) === 100f) // 1600 frames @ 16 kHz = 100 ms
+    val peak = samples.map(s => math.abs(s / 32768.0)).max.toFloat
+    assert(math.abs(f(4) - peak) < 1e-4f)
+  }
+
+  test("corrupt wav bytes are flagged, not thrown") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.MediaRow(20, Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("audio", "wav", None, None, Some(10), 4)),
+      Multimodal.MediaRow(21, "RIFFxxxxWAVEnochunkshere padded to 44 bytes!!"
+        .getBytes("US-ASCII"),
+        Multimodal.MediaMeta("audio", "wav", None, None, Some(10), 44))).toDS()
+    val out = Multimodal.extractFeatures(bad).collect().sortBy(_.media_id)
+    assert(out.forall(!_.ok))
+    assert(out(0).error === "truncated wav")
+    assert(out(1).error === "missing fmt/data chunk")
+  }
+
   test("corrupt image bytes are flagged, not thrown") {
     import spark.implicits._
     val bad = Seq(Multimodal.MediaRow(9, Array[Byte](1, 2, 3, 4),

@@ -46,6 +46,46 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.getLong(4) === 7L, "payload columns must come from the same right row")
   }
 
+  test("generative differential fuzz vs brute-force reference (250 seeded cases)") {
+    import spark.implicits._
+    // each case gets a disjoint key space, so one Spark job runs all 250
+    // cases at once (as-of never crosses keys); the reference is a plain
+    // in-memory scan over the same generated rows
+    val cases = (0 until 250).map { c =>
+      val rng = new scala.util.Random(987000 + c)
+      val nKeys = rng.nextInt(4) + 1
+      def key() = rng.nextInt(nKeys).toLong + c * 100L
+      val nR = rng.nextInt(25)
+      val rights = Seq.fill(nR)((key(), rng.nextInt(40).toLong,
+          if (rng.nextBoolean()) Some(rng.nextInt(1000) / 10.0) else None,
+          if (rng.nextInt(4) == 0) None else Some(rng.nextInt(100).toLong)))
+        // the operator's contract: one right row per (key, time) — among
+        // same-time right rows the carried one is arbitrary
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val nL = rng.nextInt(24) + 1
+      val lefts = (0 until nL).map(j =>
+        (key(), rng.nextInt(45).toLong, c * 1000L + j))
+      (rights, lefts)
+    }
+    val rightDf = cases.flatMap(_._1).toDF("q_key", "q_t", "price", "size")
+    val leftDf = cases.flatMap(_._2).toDF("t_key", "t_t", "row_id")
+    val out = AsOfJoin.asOf(leftDf, rightDf, "t_key", "q_key", "t_t", "q_t",
+        Seq("price", "size"))
+      .collect()
+      .map(r => r.getLong(2) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    val rightsByKey = cases.flatMap(_._1).groupBy(_._1)
+    var checked = 0
+    cases.flatMap(_._2).foreach { case (k, t, id) =>
+      val prior = rightsByKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+      val expected: (Option[Any], Option[Any]) =
+        if (prior.isEmpty) (None, None)
+        else { val best = prior.maxBy(_._2); (best._3, best._4) }
+      assert(out(id) === expected, s"case row $id key=$k t=$t")
+      checked += 1
+    }
+    assert(out.size === checked && checked >= 250)
+  }
+
   test("one shuffle: the plan exchanges only on the join key") {
     import spark.implicits._
     val r = Seq((1L, day("2001-01-01"), 1.0)).toDF("k", "d", "v")

@@ -29,6 +29,20 @@ class IvfSpec extends SparkSpec {
     assert(cents.count() <= 10)
   }
 
+  test("build leaves only the final round's checkpoints in the block manager") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 3)
+    // 3 Lloyd rounds checkpoint 8 frames; the 6 superseded ones must be
+    // evicted eagerly, not parked until session end
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.size === 2,
+      s"expected only the final pair persisted, found ids $during")
+    Seq(idx, cents).foreach(Ivf.dropCheckpoint)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"final-pair eviction left RDDs persisted: $leaked")
+  }
+
   test("probing more lists improves recall vs brute force") {
     val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 1)
     val queries = vectors.filter(col("vec_id") < 20)
