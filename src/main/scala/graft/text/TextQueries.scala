@@ -182,5 +182,89 @@ object TextQueries {
                    CAST(len(text) AS BIGINT) AS n_chars
             FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount, t23Fingerprint)
+  /** T24 — within-document repetition: total vs distinct 3-gram counts per
+    * doc (ratio ≥ 1 — how much the doc repeats itself), rolled up per
+    * source. The standard boilerplate/low-quality signal next to T21's
+    * lexical score. Per-doc ratios snap to 1e-8 fixed point (floor) so the
+    * source-level average is exact integer math (Parity rationale); the
+    * average divides an exact long sum, never a partial-ordered double sum.
+    */
+  val t24Repetition = QueryDef(
+    "t24_repetition",
+    "within-doc 3-gram repetition ratio stats per source",
+    (s, d) => {
+      val sh = docs(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(1, size(toks) - 2)")).as("i"), col("toks"))
+        .select(col("doc_id"), col("source"),
+          expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
+      sh.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("total"), countDistinct(col("shingle")).as("uniq"))
+        .select(col("source"),
+          floor(col("total").cast("double") / col("uniq") * lit(1e8))
+            .cast("long").as("rep8"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("rep8")).cast("double") / count(lit(1)) / 1e8, 4)
+            .as("avg_repetition"),
+          round(max(col("rep8")).cast("double") / 1e8, 4).as("max_repetition"),
+          sum(when(col("rep8") >= 150000000L, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+           |              WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+           |per_doc AS (SELECT doc_id, source,
+           |              CAST(floor(CAST(count(*) AS DOUBLE) / count(DISTINCT shingle) * 100000000.0) AS BIGINT) AS rep8
+           |            FROM sh GROUP BY doc_id, source)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       round(CAST(sum(rep8) AS DOUBLE) / count(*) / 100000000.0, 4) AS avg_repetition,
+           |       round(CAST(max(rep8) AS DOUBLE) / 100000000.0, 4) AS max_repetition,
+           |       CAST(sum(CASE WHEN rep8 >= 150000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+           |FROM per_doc GROUP BY source ORDER BY source""".stripMargin))
+
+  /** T25 — corpus boilerplate mining: the 3 most frequent 3-grams per
+    * source (occurrence-counted, deterministic ties on the shingle text).
+    * At scale the groupBy is the only full shuffle — per-source vocabulary
+    * is bounded, so the top-k window sorts small partitions.
+    */
+  val t25TopShingles = QueryDef(
+    "t25_top_shingles",
+    "top-3 most frequent 3-grams per source with occurrence counts",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = docs(s, d)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("source"),
+          explode(expr("sequence(1, size(toks) - 2)")).as("i"), col("toks"))
+        .select(col("source"),
+          expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
+      val counts = sh.groupBy("source", "shingle").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("shingle"))
+      counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("shingle"), col("n"))
+        .orderBy("source", "rk")
+    },
+    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
+           |              WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+           |counts AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS n
+           |           FROM sh GROUP BY source, shingle),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, shingle) AS rk
+           |           FROM counts)
+           |SELECT source, CAST(rk AS INTEGER) AS rk, shingle, n
+           |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
+    t23Fingerprint, t24Repetition, t25TopShingles)
 }
