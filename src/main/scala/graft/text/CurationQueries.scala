@@ -63,21 +63,28 @@ object CurationQueries {
     "x11_contamination",
     "shared-shingle overlap coefficient per source pair",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       // same tokenization contract as the dedup operators (single source
-      // of truth in DedupQueries), keyed by source instead of doc_id
-      val srcSh = graft.dedup.DedupQueries.shingleSet(docs(s, d), "source")
-      val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("sz"))
-      val shared = srcSh.as("a")
-        .join(srcSh.as("b"),
+      // of truth in DedupQueries), keyed by source instead of doc_id.
+      // The index carries each source's vocabulary size on every row
+      // (x4's fused-sizes trick): the self-join emits it through the pair
+      // groupBy, so the runtime plan has no separate sizes aggregation or
+      // joins. Cached per (session, dir); the build repartitions the
+      // single-row-group corpus before the explode.
+      val idx = graft.PlanCache.persisted(s, s"x11_idx/$d") {
+        graft.dedup.DedupQueries
+          .shingleSet(docs(s, d).repartition(col("doc_id")), "source")
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("source")))
+      }
+      idx.as("a")
+        .join(idx.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
         .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(sizes.as("sa"), col("source_a") === col("sa.source"))
-        .join(sizes.as("sb"), col("source_b") === col("sb.source"))
         .select(col("source_a"), col("source_b"), col("n_shared"),
           (col("n_shared").cast("double") /
-            least(col("sa.sz"), col("sb.sz"))).as("overlap"))
+            least(col("sza"), col("szb"))).as("overlap"))
         .orderBy("source_a", "source_b")
     },
     Some(s"""WITH ${graft.dedup.DedupQueries.shingleSetSql("source")},
@@ -150,6 +157,82 @@ object CurationQueries {
            |       CAST(sum(toks) AS DOUBLE) / (count(*) * 2048) AS mean_fill
            |FROM per_bin GROUP BY source ORDER BY source""".stripMargin))
 
+  /** X13 — incremental dedup audit: a daily-increment pipeline dedups each
+    * NEW batch against the historical corpus's fingerprint index, never
+    * re-scanning history text. Here history/new is a deterministic id
+    * split; the audit reports, per source of the new batch: how many new
+    * docs collide with history (fingerprint semi-join), how many are
+    * within-batch duplicates, and how many unique fingerprints are
+    * actually insertable. At 100 TB both joins are fp-keyed single
+    * shuffles against an O(history) index of 128-bit fingerprints — text
+    * never crosses the wire.
+    */
+  val x13DedupIncremental = QueryDef(
+    "x13_dedup_incremental",
+    "new-batch vs historical-corpus fingerprint dedup audit per source",
+    (s, d) => {
+      val base = docs(s, d).withColumn("fp", md5(col("text")))
+      val isNew = col("doc_id") % 10 >= 8
+      val hist = base.filter(!isNew).select("fp").distinct()
+      val fresh = base.filter(isNew)
+      val vsHist = fresh.join(hist, Seq("fp"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_dup_vs_history"))
+      val insertable = fresh.join(hist, Seq("fp"), "left_anti")
+        .groupBy("source").agg(countDistinct(col("fp")).as("n_insertable"))
+      fresh.groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_within_batch"))
+        .join(vsHist, Seq("source"), "left")
+        .join(insertable, Seq("source"), "left")
+        .select(col("source"), col("n_new"), col("n_dup_within_batch"),
+          coalesce(col("n_dup_vs_history"), lit(0L)).as("n_dup_vs_history"),
+          coalesce(col("n_insertable"), lit(0L)).as("n_insertable"))
+        .orderBy("source")
+    },
+    Some("""WITH base AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+           |hist AS (SELECT DISTINCT fp FROM base WHERE doc_id % 10 < 8),
+           |fresh AS (SELECT * FROM base WHERE doc_id % 10 >= 8)
+           |SELECT f.source,
+           |       CAST(count(*) AS BIGINT) AS n_new,
+           |       CAST(count(*) - count(DISTINCT f.fp) AS BIGINT) AS n_dup_within_batch,
+           |       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp)
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_history,
+           |       CAST(count(DISTINCT CASE WHEN NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp)
+           |                                THEN f.fp END) AS BIGINT) AS n_insertable
+           |FROM fresh f GROUP BY f.source ORDER BY f.source""".stripMargin))
+
+  /** X14 — deterministic stratified sampling: k docs per (source, lang)
+    * stratum, ranked by a portable content-independent hash of the id —
+    * the reproducible eval-set draw (same sample on any engine, any
+    * cluster layout, any day). One shuffle on the stratum key; the window
+    * sorts only within strata.
+    */
+  val x14SampleStratified = QueryDef(
+    "x14_sample_stratified",
+    "deterministic 3-per-(source,lang) hash-ranked sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = call_function("graft_md5u60", col("doc_id").cast("string"))
+      val w = Window.partitionBy("source", "lang")
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, d)
+        .withColumn("h", h)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("lang"), col("rk"), col("doc_id"),
+          col("n_chars"))
+        .orderBy("source", "lang", "rk")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT source, lang, doc_id, n_chars,
+           |         row_number() OVER (
+           |           PARTITION BY source, lang
+           |           ORDER BY CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT), doc_id) AS rk
+           |  FROM documents)
+           |SELECT source, lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
+           |FROM ranked WHERE rk <= 3 ORDER BY source, lang, rk""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(x10SplitStratified, x11Contamination, x12SequencePacking)
+    Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
+      x13DedupIncremental, x14SampleStratified)
 }
