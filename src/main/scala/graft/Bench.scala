@@ -111,7 +111,11 @@ object Bench {
       }
       override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
         val g = stageToGroup.get(ts.stageId)
-        if (g != null) groupFirstTask.putIfAbsent(g, System.nanoTime())
+        // the event itself carries the task's real launch time (epoch ms);
+        // the listener bus is processed asynchronously and lags most under
+        // exactly the 48-in-flight flood this measures, so stamping with
+        // "now" here would inflate queue time by the bus delay
+        if (g != null) groupFirstTask.putIfAbsent(g, ts.taskInfo.launchTime)
       }
     }
     spark.sparkContext.addSparkListener(waveListener)
@@ -122,11 +126,17 @@ object Bench {
           val group = s"wave-$tag-$i"
           spark.sparkContext.setJobGroup(group, tag, interruptOnCancel = false)
           val t0 = System.nanoTime()
+          val t0Ms = System.currentTimeMillis()
           try {
             force(mk())
             val total = (System.nanoTime() - t0) / 1e9
+            // launchTime is epoch ms from the scheduler; clamp into
+            // [0, total] — the listener bus may not have delivered the
+            // first-task event yet (then queue under-reports as 0, which
+            // is the honest failure mode; it can never exceed total)
             val queue = Option(groupFirstTask.get(group))
-              .map(ft => math.max(0.0, (ft - t0) / 1e9)).getOrElse(0.0)
+              .map(lt => math.min(total, math.max(0.0, (lt - t0Ms) / 1e3)))
+              .getOrElse(0.0)
             (total, queue)
           } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] wave $tag-$i failed: ${e.getMessage}")

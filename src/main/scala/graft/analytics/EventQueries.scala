@@ -36,30 +36,79 @@ object EventQueries {
       |     WHEN c_custkey % 4 = 2 THEN 'gold'
       |     ELSE 'platinum' END""".stripMargin
 
+  /** Events broadcast-enriched with the customer tier (reference J5 — the
+    * event stream, the 100 TB side, never shuffles for the dimension).
+    * Shared by the A7/A8 queries and the MV-serving builders
+    * ([[graft.streaming.MvServing]]): ONE definition, so the MV-served
+    * dashboards cannot diverge from the fact-scan queries.
+    */
+  private[graft] def enriched(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tiers = cust(s, d).select(col("c_custkey"), tierExpr.as("user_tier"))
+    ev(s, d)
+      .join(broadcast(tiers), col("user_id") === col("c_custkey"), "left")
+      .withColumn("user_tier", coalesce(col("user_tier"), lit("unknown")))
+  }
+
+  /** A7's aggregate at (date, user_tier) grain, unordered — the funnel MV. */
+  private[graft] def funnelMv(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    enriched(s, d)
+      .groupBy(to_date(col("ts")).as("date"), col("user_tier"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signups"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** A8's aggregate at (user_tier) grain, unordered, sums only (the
+    * ratio column is derived at read time, keeping the MV mergeable).
+    */
+  private[graft] def tierMv(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    enriched(s, d)
+      .groupBy("user_tier")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase", k).otherwise(0L)).as("sum_purchase_k"))
+  }
+
+  /** A9's aggregate at (date, product_bucket) grain, unordered. */
+  private[graft] def productMv(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    ev(s, d)
+      .withColumn("product_bucket", k % 10)
+      .filter(col("product_bucket").isNotNull)
+      .groupBy(to_date(col("ts")).as("date"), col("product_bucket"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_viewers"))
+  }
+
+  /** A11's aggregate at (date, hour) grain, unordered. */
+  private[graft] def hourlyMv(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    ev(s, d)
+      .groupBy(to_date(col("ts")).as("date"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("user_id")).as("n_users"))
+
   /** A7 — conversion-funnel pre-aggregate: per (date, tier) conditional
     * counts per funnel stage + exact distinct users. Reference:
     * `.kiro/specs/realtime-analytics-speed-layer/design.md:256-272`.
-    * The enrich join is an explicit broadcast — the event stream (100 TB
-    * side) never shuffles for the dimension.
     */
   val a7Funnel = QueryDef(
     "a7_funnel",
     "per-(date,tier) funnel-stage conditional counts + distinct users",
-    (s, d) => {
-      val tiers = cust(s, d).select(col("c_custkey"), tierExpr.as("user_tier"))
-      ev(s, d)
-        .join(broadcast(tiers), col("user_id") === col("c_custkey"), "left")
-        .withColumn("user_tier", coalesce(col("user_tier"), lit("unknown")))
-        .groupBy(to_date(col("ts")).as("date"), col("user_tier"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
-          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signups"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("date", "user_tier")
-    },
+    (s, d) => funnelMv(s, d).orderBy("date", "user_tier"),
     Some(s"""WITH t AS (SELECT c_custkey, $tierSql AS user_tier FROM customer)
             |SELECT CAST(e.ts AS DATE) AS date,
             |       COALESCE(t.user_tier, 'unknown') AS user_tier,
@@ -80,23 +129,10 @@ object EventQueries {
   val a8TierValue = QueryDef(
     "a8_tier_value",
     "per-tier event totals + avg JSON-extracted purchase amount",
-    (s, d) => {
-      val tiers = cust(s, d).select(col("c_custkey"), tierExpr.as("user_tier"))
-      val k = get_json_object(col("props"), "$.k").cast("long")
-      ev(s, d)
-        .join(broadcast(tiers), col("user_id") === col("c_custkey"), "left")
-        .withColumn("user_tier", coalesce(col("user_tier"), lit("unknown")))
-        .groupBy("user_tier")
-        .agg(
-          count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-          sum(when(col("event_type") === "purchase", k).otherwise(0L)).as("sum_purchase_k"),
-          (sum(when(col("event_type") === "purchase", k).otherwise(0L)).cast("double") /
-            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)))
-            .as("avg_purchase_k"))
-        .orderBy("user_tier")
-    },
+    (s, d) => tierMv(s, d)
+      .withColumn("avg_purchase_k",
+        col("sum_purchase_k").cast("double") / col("n_purchases"))
+      .orderBy("user_tier"),
     Some(s"""WITH t AS (SELECT c_custkey, $tierSql AS user_tier FROM customer)
             |SELECT COALESCE(t.user_tier, 'unknown') AS user_tier,
             |       CAST(count(*) AS BIGINT) AS n_events,
@@ -115,19 +151,7 @@ object EventQueries {
   val a9ProductPerf = QueryDef(
     "a9_product_perf",
     "per-(date, product-bucket) view/click/purchase counts, null-filtered",
-    (s, d) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
-      ev(s, d)
-        .withColumn("product_bucket", k % 10)
-        .filter(col("product_bucket").isNotNull)
-        .groupBy(to_date(col("ts")).as("date"), col("product_bucket"))
-        .agg(
-          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-          countDistinct(col("user_id")).as("n_viewers"))
-        .orderBy("date", "product_bucket")
-    },
+    (s, d) => productMv(s, d).orderBy("date", "product_bucket"),
     Some("""SELECT CAST(ts AS DATE) AS date,
                    CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS product_bucket,
                    CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
@@ -165,12 +189,7 @@ object EventQueries {
   val a11PartitionStats = QueryDef(
     "a11_partition_stats",
     "per-(date,hour) record counts, the lakehouse partition health query",
-    (s, d) =>
-      ev(s, d)
-        .groupBy(to_date(col("ts")).as("date"), hour(col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n_records"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("date", "hour"),
+    (s, d) => hourlyMv(s, d).orderBy("date", "hour"),
     Some("""SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
                    CAST(count(*) AS BIGINT) AS n_records,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

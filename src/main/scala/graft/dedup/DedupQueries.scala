@@ -81,7 +81,7 @@ object DedupQueries {
     * cached builders use it: for scan→agg queries like x1 an extra shuffle
     * would be pure loss.
     */
-  private def docsWide(s: SparkSession, d: String) =
+  private[graft] def docsWide(s: SparkSession, d: String) =
     docs(s, d).repartition(col("doc_id"))
 
   /** Hot-path 60-bit hash: the codegen [[graft.functions.Md5U60]] kernel
@@ -94,31 +94,45 @@ object DedupQueries {
   private val BANDS = 4 // LSH bands (4 rows per band)
   private val MOD_P = 1073741789L // largest prime < 2^30
 
-  /** Distinct 3-token shingles per `keyCol` (set semantics for Jaccard).
-    * The tokenization contract lives HERE only — x2/x3/x4 key by doc_id,
-    * the contamination screen (x11) keys by source; both Spark and the
-    * DuckDB oracle CTE derive from these two definitions.
+  /** Every 3-token shingle occurrence per `keyCols` row (bag semantics —
+    * one output row per position). The tokenization contract lives HERE
+    * only: the dedup operators (x2/x3/x4), the contamination screen
+    * (x11), and the text-analysis repetition/boilerplate queries
+    * (t24/t25) all derive from this one definition, Spark-side and via
+    * the matching SQL CTE below.
     */
-  private[graft] def shingleSet(df: DataFrame, keyCol: String): DataFrame =
-    df.select(col(keyCol), split(col("text"), " ").as("toks"))
+  private[graft] def shingleRows(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col) :+ split(col("text"), " ").as("toks"): _*)
       .where(size(col("toks")) >= 3)
-      .select(
-        col(keyCol),
+      .select(keyCols.map(col) ++ Seq(
         explode(expr("sequence(1, size(toks) - 2)")).as("i"),
-        col("toks"))
-      .select(
-        col(keyCol),
-        expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
-      .distinct()
+        col("toks")): _*)
+      .select(keyCols.map(col) :+
+        expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"): _*)
+
+  /** Distinct shingles per `keyCol` (set semantics for Jaccard). */
+  private[graft] def shingleSet(df: DataFrame, keyCol: String): DataFrame =
+    shingleRows(df, Seq(keyCol)).distinct()
 
   private def shingles(df: DataFrame): DataFrame = shingleSet(df, "doc_id")
 
-  /** DuckDB CTEs `toks`/`sh` replicating [[shingleSet]] over `documents`. */
-  private[graft] def shingleSetSql(keyCol: String): String =
-    s"""toks AS (SELECT $keyCol, string_split(text, ' ') AS t FROM documents
+  /** DuckDB CTEs `toks`/`sh` replicating [[shingleRows]]/[[shingleSet]]
+    * over `documents`.
+    */
+  private def shingleCtes(keyCols: Seq[String], distinct: Boolean): String = {
+    val ks = keyCols.mkString(", ")
+    val d = if (distinct) "DISTINCT " else ""
+    s"""toks AS (SELECT $ks, string_split(text, ' ') AS t FROM documents
        |          WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (SELECT DISTINCT $keyCol, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |sh AS (SELECT $d$ks, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))""".stripMargin
+  }
+
+  private[graft] def shingleRowsSql(keyCols: Seq[String]): String =
+    shingleCtes(keyCols, distinct = false)
+
+  private[graft] def shingleSetSql(keyCol: String): String =
+    shingleCtes(Seq(keyCol), distinct = true)
 
   private val shinglesSql = shingleSetSql("doc_id")
 

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,59 +32,6 @@ object MvServing {
   final case class Mvs(funnel: DataFrame, tier: DataFrame,
       product: DataFrame, hourly: DataFrame)
 
-  private def enriched(spark: SparkSession, sfDir: String): DataFrame = {
-    val tiers = Tables.load(spark, sfDir, "customer")
-      .select(col("c_custkey"), graft.analytics.EventQueries.tierExpr.as("user_tier"))
-    Tables.load(spark, sfDir, "events")
-      .join(broadcast(tiers), col("user_id") === col("c_custkey"), "left")
-      .withColumn("user_tier", coalesce(col("user_tier"), lit("unknown")))
-  }
-
-  /** Funnel MV at (date, user_tier) — the A7 aggregate shape. */
-  def funnelMv(spark: SparkSession, sfDir: String): DataFrame =
-    enriched(spark, sfDir)
-      .groupBy(to_date(col("ts")).as("date"), col("user_tier"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
-        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signups"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-        countDistinct(col("user_id")).as("n_users"))
-
-  /** Tier MV at (user_tier) — the A8 aggregate shape. */
-  def tierMv(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
-    enriched(spark, sfDir)
-      .groupBy("user_tier")
-      .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-        sum(when(col("event_type") === "purchase", k).otherwise(0L)).as("sum_purchase_k"))
-  }
-
-  /** Product MV at (date, product_bucket) — the A9 aggregate shape. */
-  def productMv(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
-    Tables.load(spark, sfDir, "events")
-      .withColumn("product_bucket", k % 10)
-      .filter(col("product_bucket").isNotNull)
-      .groupBy(to_date(col("ts")).as("date"), col("product_bucket"))
-      .agg(
-        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-        countDistinct(col("user_id")).as("n_viewers"))
-  }
-
-  /** Hourly MV at (date, hour) — the A11 partition-health shape. */
-  def hourlyMv(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "events")
-      .groupBy(to_date(col("ts")).as("date"), hour(col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_records"),
-        countDistinct(col("user_id")).as("n_users"))
-
   /** Merge keys per MV (the MV grain). */
   val mvKeys: Seq[(String, Seq[String])] = Seq(
     "funnel" -> Seq("date", "user_tier"),
@@ -93,12 +39,19 @@ object MvServing {
     "product" -> Seq("date", "product_bucket"),
     "hourly" -> Seq("date", "hour"))
 
-  /** MV name → builder over the fact table. */
-  def mvBuilders(spark: SparkSession, sfDir: String): Map[String, DataFrame] = Map(
-    "funnel" -> funnelMv(spark, sfDir),
-    "tier" -> tierMv(spark, sfDir),
-    "product" -> productMv(spark, sfDir),
-    "hourly" -> hourlyMv(spark, sfDir))
+  /** MV name → builder over the fact table. The builders ARE the A7/A8/
+    * A9/A11 aggregate bodies ([[graft.analytics.EventQueries]]) — one
+    * definition, so the MV-served dashboards cannot diverge from the
+    * oracle-gated fact-scan queries.
+    */
+  def mvBuilders(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+    import graft.analytics.EventQueries
+    Map(
+      "funnel" -> EventQueries.funnelMv(spark, sfDir),
+      "tier" -> EventQueries.tierMv(spark, sfDir),
+      "product" -> EventQueries.productMv(spark, sfDir),
+      "hourly" -> EventQueries.hourlyMv(spark, sfDir))
+  }
 
   /** Append one partial snapshot per MV (what `foreachBatch` does each
     * trigger), then merge-on-read and pin each merged MV in the cache.

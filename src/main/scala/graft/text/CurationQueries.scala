@@ -69,11 +69,11 @@ object CurationQueries {
       // The index carries each source's vocabulary size on every row
       // (x4's fused-sizes trick): the self-join emits it through the pair
       // groupBy, so the runtime plan has no separate sizes aggregation or
-      // joins. Cached per (session, dir); the build repartitions the
-      // single-row-group corpus before the explode.
+      // joins. Cached per (session, dir); the build spreads the
+      // single-row-group corpus before the explode (docsWide).
       val idx = graft.PlanCache.persisted(s, s"x11_idx/$d") {
         graft.dedup.DedupQueries
-          .shingleSet(docs(s, d).repartition(col("doc_id")), "source")
+          .shingleSet(graft.dedup.DedupQueries.docsWide(s, d), "source")
           .withColumn("sz", count(lit(1)).over(Window.partitionBy("source")))
       }
       idx.as("a")
@@ -173,20 +173,20 @@ object CurationQueries {
     (s, d) => {
       val base = docs(s, d).withColumn("fp", md5(col("text")))
       val isNew = col("doc_id") % 10 >= 8
+      // hist is distinct on the join key, so the left join never
+      // multiplies rows — ONE fp-keyed join + ONE aggregation computes
+      // all four metrics (a semi/anti/plain-agg triple would scan and
+      // hash the corpus three times over)
       val hist = base.filter(!isNew).select("fp").distinct()
-      val fresh = base.filter(isNew)
-      val vsHist = fresh.join(hist, Seq("fp"), "left_semi")
-        .groupBy("source").agg(count(lit(1)).as("n_dup_vs_history"))
-      val insertable = fresh.join(hist, Seq("fp"), "left_anti")
-        .groupBy("source").agg(countDistinct(col("fp")).as("n_insertable"))
-      fresh.groupBy("source")
-        .agg(count(lit(1)).as("n_new"),
-          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_within_batch"))
-        .join(vsHist, Seq("source"), "left")
-        .join(insertable, Seq("source"), "left")
-        .select(col("source"), col("n_new"), col("n_dup_within_batch"),
-          coalesce(col("n_dup_vs_history"), lit(0L)).as("n_dup_vs_history"),
-          coalesce(col("n_insertable"), lit(0L)).as("n_insertable"))
+        .withColumn("in_hist", lit(1))
+      base.filter(isNew)
+        .join(hist, Seq("fp"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_new"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_within_batch"),
+          sum(when(col("in_hist") === 1, 1L).otherwise(0L)).as("n_dup_vs_history"),
+          countDistinct(when(col("in_hist").isNull, col("fp"))).as("n_insertable"))
         .orderBy("source")
     },
     Some("""WITH base AS (SELECT doc_id, source, md5(text) AS fp FROM documents),

@@ -193,13 +193,9 @@ object TextQueries {
     "t24_repetition",
     "within-doc 3-gram repetition ratio stats per source",
     (s, d) => {
-      val sh = docs(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("source"),
-          explode(expr("sequence(1, size(toks) - 2)")).as("i"), col("toks"))
-        .select(col("doc_id"), col("source"),
-          expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
+      // tokenization contract shared with the dedup/contamination ops
+      val sh = graft.dedup.DedupQueries
+        .shingleRows(docs(s, d), Seq("doc_id", "source"))
       sh.groupBy("doc_id", "source")
         .agg(count(lit(1)).as("total"), countDistinct(col("shingle")).as("uniq"))
         .select(col("source"),
@@ -214,10 +210,7 @@ object TextQueries {
           sum(when(col("rep8") >= 150000000L, 1L).otherwise(0L)).as("n_repetitive"))
         .orderBy("source")
     },
-    Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-           |              WHERE len(string_split(text, ' ')) >= 3),
-           |sh AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+    Some(s"""WITH ${graft.dedup.DedupQueries.shingleRowsSql(Seq("doc_id", "source"))},
            |per_doc AS (SELECT doc_id, source,
            |              CAST(floor(CAST(count(*) AS DOUBLE) / count(DISTINCT shingle) * 100000000.0) AS BIGINT) AS rep8
            |            FROM sh GROUP BY doc_id, source)
@@ -238,13 +231,8 @@ object TextQueries {
     "top-3 most frequent 3-grams per source with occurrence counts",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = docs(s, d)
-        .select(col("source"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 3)
-        .select(col("source"),
-          explode(expr("sequence(1, size(toks) - 2)")).as("i"), col("toks"))
-        .select(col("source"),
-          expr("concat_ws(' ', toks[i-1], toks[i], toks[i+1])").as("shingle"))
+      // tokenization contract shared with the dedup/contamination ops
+      val sh = graft.dedup.DedupQueries.shingleRows(docs(s, d), Seq("source"))
       val counts = sh.groupBy("source", "shingle").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("source")
         .orderBy(col("n").desc, col("shingle"))
@@ -254,10 +242,7 @@ object TextQueries {
         .select(col("source"), col("rk"), col("shingle"), col("n"))
         .orderBy("source", "rk")
     },
-    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
-           |              WHERE len(string_split(text, ' ')) >= 3),
-           |sh AS (SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+    Some(s"""WITH ${graft.dedup.DedupQueries.shingleRowsSql(Seq("source"))},
            |counts AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS n
            |           FROM sh GROUP BY source, shingle),
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, shingle) AS rk
