@@ -120,7 +120,7 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(waveListener)
     def runWave(queries: Seq[() => org.apache.spark.sql.DataFrame],
-        tag: String): Seq[(Double, Double)] = {
+        tag: String): Seq[(Double, Option[Double])] = {
       val futures = queries.zipWithIndex.map { case (mk, i) =>
         scala.concurrent.Future {
           val group = s"wave-$tag-$i"
@@ -131,16 +131,15 @@ object Bench {
             force(mk())
             val total = (System.nanoTime() - t0) / 1e9
             // launchTime is epoch ms from the scheduler; clamp into
-            // [0, total] — the listener bus may not have delivered the
-            // first-task event yet (then queue under-reports as 0, which
-            // is the honest failure mode; it can never exceed total)
+            // [0, total]. None = the listener bus never delivered the
+            // first-task event — reported as missing rather than a fake 0
+            // so under-reporting is distinguishable in the JSON.
             val queue = Option(groupFirstTask.get(group))
               .map(lt => math.min(total, math.max(0.0, (lt - t0Ms) / 1e3)))
-              .getOrElse(0.0)
             (total, queue)
           } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] wave $tag-$i failed: ${e.getMessage}")
-            (-1.0, -1.0)
+            (-1.0, None)
           } finally spark.sparkContext.clearJobGroup()
         }
       }
@@ -153,13 +152,17 @@ object Bench {
       if (s.isEmpty) -1.0
       else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
     }
-    def waveJson(res: Seq[(Double, Double)]): String = {
+    def waveJson(res: Seq[(Double, Option[Double])]): String = {
       val totals = res.map(_._1)
-      val queues = res.map(_._2)
-      val execs = res.map(r => r._1 - r._2)
+      // queue/exec splits only over executions whose first-task event
+      // arrived; `queue_missing` counts the rest
+      val known = res.collect { case (t, Some(q)) => (t, q) }
+      val queues = known.map(_._2)
+      val execs = known.map(k => k._1 - k._2)
       val t = pctOf(totals) _; val q = pctOf(queues) _; val e = pctOf(execs) _
       s"""{"in_flight":48,"completed":${res.size},""" +
         s""""p50_sec":${t(0.5)},"p95_sec":${t(0.95)},"max_sec":${t(1.0)},""" +
+        s""""queue_missing":${res.size - known.size},""" +
         s""""queue_p50_sec":${q(0.5)},"queue_p95_sec":${q(0.95)},""" +
         s""""exec_p50_sec":${e(0.5)},"exec_p95_sec":${e(0.95)}}"""
     }
@@ -179,6 +182,11 @@ object Bench {
     val mvWave = runWave(
       (0 until 6).flatMap(_ => dash.indices).map(i => dash(i)._2), "mv")
     streaming.MvServing.release(mvs)
+    // the wave instrumentation is scoped to the two waves above — drop the
+    // listener and its maps so nothing accumulates past this point
+    spark.sparkContext.removeSparkListener(waveListener)
+    stageToGroup.clear()
+    groupFirstTask.clear()
     pool.shutdown()
     val seq = results.toMap
     // only pairs where both runs succeeded contribute to the slowdown
@@ -189,7 +197,10 @@ object Bench {
     val cq = concNames.map(n => "\"" + n + "\":" + conc(n))
       .mkString("{", ",", "}")
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
+    // full-precision record, written to a file: long stdout lines have been
+    // truncated by log captures before (BENCH_r02-r04 arrived unparseable);
+    // SPARK_GRAFT_BENCH_OUT overrides the default path
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
       s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
       s""""queries":$qs,""" +
       s""""concurrent":{"parallelism":${concNames.size},"queries":$cq,""" +
@@ -198,17 +209,34 @@ object Bench {
       s""""mv_build_sec":$mvBuildSec,""" +
       s""""wave_mv_served":${waveJson(mvWave)}},""" +
       s""""sf":"$sfDir"}"""
-    println(json)
-    // the stdout line is very long and log captures have truncated it
-    // before (BENCH_r02/r03 arrived unparseable) — a file copy makes the
-    // record robust; SPARK_GRAFT_BENCH_OUT overrides the default path
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (detail + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+
+    // the log capture keeps only the LAST ~2000 chars of output, so the
+    // stdout record must be compact (ms precision, summary-only concurrent
+    // section; full numbers live in the detail file) and must be the very
+    // last thing printed — after session shutdown, so no stray WARN line
+    // can land between it and the end of the log.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val mvWaveTotals = mvWave.map(_._1)
+    val waveTotals = wave.map(_._1)
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,""" +
+      s""""ingest_events_per_sec":${eps.round},"ingest_events":$nWritten,""" +
+      s""""queries":$qsCompact,""" +
+      s""""concurrent":{"parallelism":${concNames.size},""" +
+      s""""worst_slowdown":${r3(worstSlowdown)},""" +
+      s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
+      s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))}},""" +
+      s""""detail":"$outPath","sf":"$sfDir"}"""
+    spark.sparkContext.setLogLevel("ERROR")
     PlanCache.clear(spark)
     spark.stop()
+    println(compact)
   }
 }

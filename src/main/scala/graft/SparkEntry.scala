@@ -18,7 +18,9 @@ object SparkEntry {
       analytics.AsOfQueries.defs ++
       cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
+      dedup.ClusterQueries.defs ++
       similarity.SimilarityQueries.defs ++
+      similarity.QuantizationQueries.defs ++
       text.TextQueries.defs ++
       text.CurationQueries.defs
 

@@ -192,6 +192,12 @@ object DedupQueries {
           (1 until K).map(k =>
             min((col("h1") + col("h2") * k) % MOD_P).as(s"m$k")): _*)
     }
+    // x4's fused trick, applied to signatures: each band row carries the
+    // doc's WHOLE 16-minhash signature (16 longs — fixed width, O(docs·4)
+    // band rows total), so the band self-join scores est_jaccard directly
+    // and the pair dedup is a groupBy — no joins back to the signature
+    // table (two fewer shuffles; the score is identical from every band
+    // that discovers a pair, so max() under the groupBy is exact).
     val bandCols = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(":",
@@ -199,23 +205,22 @@ object DedupQueries {
           .as("sig"))
     }
     val bands = dfCap(
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig")),
+      sig.select(col("doc_id") +: explode(array(bandCols: _*)).as("bs") +:
+        (0 until K).map(k => col(s"m$k")): _*)
+        .select(col("doc_id") +: col("bs.band").as("band") +:
+          col("bs.sig").as("sig") +: (0 until K).map(k => col(s"m$k")): _*),
       Seq("band", "sig"), cap)
-    val cand = bands.as("a")
+    val matches = (0 until K)
+      .map(k => when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val matches = (0 until K)
-      .map(k => when(col(s"x.m$k") === col(s"y.m$k"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (matches.cast("double") / K).as("est_jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (matches.cast("double") / K).as("est"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("est")).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -281,62 +286,72 @@ object DedupQueries {
               .reduce(_ + _).as(s"s$j")
           }: _*)
     }
+    // fused like x2: each band row carries the full 4-word simhash, so the
+    // band join computes the exact Hamming distance directly and pairs
+    // dedup through a groupBy — no joins back to the signature table
     val bandCols = (0 until 4).map(j =>
       struct(lit(j).as("band"), col(s"s$j").as("bv")))
     val bands = dfCap(
-      sim.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bv").as("bv")),
+      sim.select(col("doc_id") +: explode(array(bandCols: _*)).as("bs") +:
+        (0 until 4).map(j => col(s"s$j")): _*)
+        .select(col("doc_id") +: col("bs.band").as("band") +:
+          col("bs.bv").as("bv") +: (0 until 4).map(j => col(s"s$j")): _*),
       Seq("band", "bv"), cap)
-    val cand = bands.as("a")
+    val hamming = (0 until 4)
+      .map(j => expr(s"bit_count(a.s$j ^ b.s$j)"))
+      .reduce(_ + _)
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val hamming = (0 until 4)
-      .map(j => expr(s"bit_count(x.s$j ^ y.s$j)"))
-      .reduce(_ + _)
-    cand
-      .join(sim.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sim.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
-      .filter(col("hamming") <= 2)
-      .orderBy("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.cast("int").as("ham"))
+      .filter(col("ham") <= 2)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("ham")).as("hamming"))
+  }
+
+  /** DuckDB CTE chain replaying [[simHashPairs]]; ends in `sim_pairs
+    * (doc_a, doc_b, hamming)`. Shared by x3's oracle and the x15
+    * cluster oracle.
+    */
+  private[graft] def simHashSqlCtes(cap: Int): String = {
+    val bandVals = (0 until 4).map(j =>
+      s"""CAST(sum(CASE WHEN b >= ${j * 15} AND b < ${(j + 1) * 15}
+         |  THEN CAST(bit AS BIGINT) << (b - ${j * 15}) ELSE 0 END) AS BIGINT) AS s$j"""
+        .stripMargin.replaceAll("\n", " "))
+      .mkString(",\n         ")
+    val bandSel = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band, s$j AS bv FROM sim").mkString("\n       UNION ALL ")
+    val ham = (0 until 4).map(j => s"bit_count(xor(x.s$j, y.s$j))").mkString(" + ")
+    s"""toks AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |              FROM documents),
+       |bits AS (SELECT doc_id, b,
+       |           CASE WHEN sum(CAST((h >> b) & 1 AS INT) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+       |         FROM (SELECT doc_id, CAST(md5_number_lower(tok) >> 4 AS BIGINT) AS h FROM toks),
+       |              UNNEST(generate_series(0, 59)) AS u(b)
+       |         GROUP BY doc_id, b),
+       |sim AS (SELECT doc_id,
+       |         $bandVals
+       |        FROM bits GROUP BY doc_id),
+       |bands AS ($bandSel),
+       |capped AS ${dfCapSql("bands", Seq("band", "bv"), cap)},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM capped a JOIN capped b
+       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |sim_pairs AS (SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
+       |              FROM cand JOIN sim x ON doc_a = x.doc_id
+       |                        JOIN sim y ON doc_b = y.doc_id
+       |              WHERE $ham <= 2)""".stripMargin
   }
 
   val x3SimHash = QueryDef(
     "x3_dedup_simhash",
     "SimHash(60-bit, 4-band blocking) pairs with Hamming distance <= 2",
-    (s, d) => simHashPairs(s, d, BAND_DF_CAP),
-    Some {
-      val bandVals = (0 until 4).map(j =>
-        s"""CAST(sum(CASE WHEN b >= ${j * 15} AND b < ${(j + 1) * 15}
-           |  THEN CAST(bit AS BIGINT) << (b - ${j * 15}) ELSE 0 END) AS BIGINT) AS s$j"""
-          .stripMargin.replaceAll("\n", " "))
-        .mkString(",\n         ")
-      val bandSel = (0 until 4).map(j =>
-        s"SELECT doc_id, $j AS band, s$j AS bv FROM sim").mkString("\n       UNION ALL ")
-      val ham = (0 until 4).map(j => s"bit_count(xor(x.s$j, y.s$j))").mkString(" + ")
-      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-         |              FROM documents),
-         |bits AS (SELECT doc_id, b,
-         |           CASE WHEN sum(CAST((h >> b) & 1 AS INT) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
-         |         FROM (SELECT doc_id, CAST(md5_number_lower(tok) >> 4 AS BIGINT) AS h FROM toks),
-         |              UNNEST(generate_series(0, 59)) AS u(b)
-         |         GROUP BY doc_id, b),
-         |sim AS (SELECT doc_id,
-         |         $bandVals
-         |        FROM bits GROUP BY doc_id),
-         |bands AS ($bandSel),
-         |capped AS ${dfCapSql("bands", Seq("band", "bv"), BAND_DF_CAP)},
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM capped a JOIN capped b
-         |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
-         |FROM cand JOIN sim x ON doc_a = x.doc_id JOIN sim y ON doc_b = y.doc_id
-         |WHERE $ham <= 2
-         |ORDER BY doc_a, doc_b""".stripMargin
-    })
+    (s, d) => simHashPairs(s, d, BAND_DF_CAP).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH ${simHashSqlCtes(BAND_DF_CAP)}
+            |SELECT doc_a, doc_b, hamming FROM sim_pairs
+            |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** X4 — exact n-gram Jaccard via shingle inverted index.
     * Candidate pairs are generated by self-joining the (shingle → doc)

@@ -200,7 +200,9 @@ object Multimodal {
             var fmtCode = -1
             var dataOff = -1
             var dataLen = -1
-            while (bb.remaining() >= 8 && dataOff < 0) {
+            // walk until BOTH fmt and data have been seen — the spec does
+            // not order them, and data-before-fmt files exist in the wild
+            while (bb.remaining() >= 8 && (dataOff < 0 || sampleRate < 0)) {
               val id = ascii(bb)
               val size = bb.getInt
               if (size < 0 || size > bb.remaining()) {
@@ -218,6 +220,7 @@ object Multimodal {
                 case "data" =>
                   dataOff = bb.position()
                   dataLen = size
+                  bb.position(dataOff + size + (size & 1))
                 case _ =>
                   bb.position(bb.position() + size + (size & 1))
               }
@@ -228,29 +231,42 @@ object Multimodal {
               Left(s"unsupported wav encoding (fmt=$fmtCode bits=$bits)")
             else {
               val n = dataLen / 2
+              // peak/RMS/mean are sample-wise and channel-agnostic (the
+              // overall mean IS the mean of the channel means), but
+              // zero-crossings must follow each channel's own waveform —
+              // counting sign flips across interleaved samples would mix
+              // channels. One pass per channel with stride `channels`.
               var peak = 0.0
               var sum = 0.0
               var sumSq = 0.0
               var crossings = 0L
-              var prevSign = 0
-              var i = 0
-              while (i < n) {
-                val s = bb.getShort(dataOff + 2 * i) / 32768.0
-                val a = math.abs(s)
-                if (a > peak) peak = a
-                sum += s
-                sumSq += s * s
-                val sign = java.lang.Double.compare(s, 0.0)
-                if (sign != 0) {
-                  if (prevSign != 0 && sign != prevSign) crossings += 1
-                  prevSign = sign
+              var ch = 0
+              while (ch < channels) {
+                var prevSign = 0
+                var i = ch
+                while (i < n) {
+                  val s = bb.getShort(dataOff + 2 * i) / 32768.0
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  sum += s
+                  sumSq += s * s
+                  val sign = java.lang.Double.compare(s, 0.0)
+                  if (sign != 0) {
+                    if (prevSign != 0 && sign != prevSign) crossings += 1
+                    prevSign = sign
+                  }
+                  i += channels
                 }
-                i += 1
+                ch += 1
               }
               val frames = n / channels
               val durMs = frames.toDouble * 1000.0 / sampleRate
               val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-              val zcr = if (n < 2) 0.0 else crossings.toDouble / (n - 1)
+              // crossings normalized by the transitions actually inspected:
+              // frames-1 per channel
+              val transitions = channels.toLong * math.max(0L, frames - 1L)
+              val zcr = if (transitions == 0) 0.0
+                else crossings.toDouble / transitions
               val mean = if (n == 0) 0.0 else sum / n
               Right(Array(sampleRate.toFloat, channels.toFloat, frames.toFloat,
                 durMs.toFloat, peak.toFloat, rms.toFloat, zcr.toFloat,

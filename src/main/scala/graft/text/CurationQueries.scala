@@ -63,18 +63,22 @@ object CurationQueries {
     "x11_contamination",
     "shared-shingle overlap coefficient per source pair",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       // same tokenization contract as the dedup operators (single source
       // of truth in DedupQueries), keyed by source instead of doc_id.
       // The index carries each source's vocabulary size on every row
       // (x4's fused-sizes trick): the self-join emits it through the pair
       // groupBy, so the runtime plan has no separate sizes aggregation or
-      // joins. Cached per (session, dir); the build spreads the
-      // single-row-group corpus before the explode (docsWide).
+      // joins. Sizes come from a map-side-combinable groupBy broadcast
+      // back onto the index during the one-time cached build — a window
+      // partitioned by source would funnel a whole source's vocabulary
+      // through one partition, which does not survive corpus scale.
+      // Cached per (session, dir); the build spreads the single-row-group
+      // corpus before the explode (docsWide).
       val idx = graft.PlanCache.persisted(s, s"x11_idx/$d") {
-        graft.dedup.DedupQueries
+        val sh = graft.dedup.DedupQueries
           .shingleSet(graft.dedup.DedupQueries.docsWide(s, d), "source")
-          .withColumn("sz", count(lit(1)).over(Window.partitionBy("source")))
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+        sh.join(broadcast(sizes), Seq("source"))
       }
       idx.as("a")
         .join(idx.as("b"),
@@ -232,7 +236,82 @@ object CurationQueries {
            |SELECT source, lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
            |FROM ranked WHERE rk <= 3 ORDER BY source, lang, rk""".stripMargin))
 
+  /** X16 — domain-mixture reweighting: given a target mixture (uniform
+    * across sources here), compute each source's actual token share, the
+    * per-source keep RATE that would hit the target (capped at 1 — an
+    * under-represented source cannot be upsampled by dropping docs), and
+    * audit a deterministic hash-sample at that rate. This is the
+    * source-mixing step of training-data assembly (Pile/Dolma-style
+    * domain weights) as a pure plan: two tiny aggregations (sources²-free)
+    * and one per-row hash filter — the sampled corpus is re-derivable on
+    * any cluster layout, and the rate table is the artifact a 100 TB run
+    * would persist.
+    */
+  val x16MixtureReweight = QueryDef(
+    "x16_mixture_reweight",
+    "uniform-target mixture rates per source + deterministic sample audit",
+    (s, d) => {
+      val toks = docs(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val bySource = toks.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val totals = bySource.agg(
+        sum(col("n_tokens")).as("tok_total"), count(lit(1)).as("n_sources"))
+      // rate = (uniform target share of tokens) / (source's tokens), in
+      // exactly this operation order on both engines so the doubles match
+      val rate = least(lit(1.0),
+        (col("tok_total").cast("double") / col("n_sources")) / col("n_tokens"))
+      val rates = bySource.crossJoin(broadcast(totals))
+        .withColumn("share_actual",
+          col("n_tokens").cast("double") / col("tok_total"))
+        .withColumn("rate", rate)
+        .withColumn("thresh", floor(col("rate") * 1000000).cast("long"))
+      val kept = toks
+        .join(broadcast(rates.select("source", "thresh")), Seq("source"))
+        .filter(pmod(
+          call_function("graft_md5u60", col("doc_id").cast("string")),
+          lit(1000000)) < col("thresh"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("n_tokens_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("share_actual"), col("rate"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |by_source AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           |  FROM toks GROUP BY source),
+           |totals AS (
+           |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+           |         CAST(count(*) AS BIGINT) AS n_sources
+           |  FROM by_source),
+           |rates AS (
+           |  SELECT source, n_docs, n_tokens,
+           |         CAST(n_tokens AS DOUBLE) / tok_total AS share_actual,
+           |         least(1.0, (CAST(tok_total AS DOUBLE) / n_sources) / n_tokens) AS rate,
+           |         CAST(floor(least(1.0, (CAST(tok_total AS DOUBLE) / n_sources) / n_tokens) * 1000000) AS BIGINT) AS thresh
+           |  FROM by_source CROSS JOIN totals),
+           |kept AS (
+           |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           |         CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens_kept
+           |  FROM toks t JOIN rates r ON t.source = r.source
+           |  WHERE CAST(md5_number_lower(CAST(t.doc_id AS VARCHAR)) >> 4 AS BIGINT) % 1000000 < r.thresh
+           |  GROUP BY t.source)
+           |SELECT r.source, r.n_docs, r.n_tokens, r.share_actual, r.rate,
+           |       coalesce(k.n_docs_kept, 0) AS n_docs_kept,
+           |       coalesce(k.n_tokens_kept, 0) AS n_tokens_kept
+           |FROM rates r LEFT JOIN kept k ON r.source = k.source
+           |ORDER BY r.source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
-      x13DedupIncremental, x14SampleStratified)
+      x13DedupIncremental, x14SampleStratified, x16MixtureReweight)
 }

@@ -73,6 +73,41 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(4) - peak) < 1e-4f)
   }
 
+  test("wav chunk walk handles data-before-fmt ordering") {
+    // RIFF does not order chunks; rebuild a valid file with the data
+    // chunk FIRST and assert it decodes identically to the canonical one
+    val samples = Array.tabulate[Short](800)(i => (math.sin(i / 9.0) * 9000).toShort)
+    val canonical = Multimodal.WavCodec.encodePcm16(samples, 8000)
+    val fmt = java.util.Arrays.copyOfRange(canonical, 12, 36)  // "fmt " + 16b
+    val data = java.util.Arrays.copyOfRange(canonical, 36, canonical.length)
+    val reordered = java.nio.ByteBuffer
+      .allocate(canonical.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(canonical.length - 8)
+      .put("WAVE".getBytes("US-ASCII")).put(data).put(fmt).array()
+    val a = Multimodal.WavCodec.decodeFeatures(canonical).toOption.get
+    val b = Multimodal.WavCodec.decodeFeatures(reordered).toOption.get
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("stereo zero-crossing rate follows each channel, not the interleave") {
+    // L = +k (never crosses), R = alternating sign (crosses every frame).
+    // Interleaved sign flips would be ~1.0; the per-channel truth is ~0.5.
+    val frames = 1000
+    val samples = new Array[Short](frames * 2)
+    var i = 0
+    while (i < frames) {
+      samples(2 * i) = 1000
+      samples(2 * i + 1) = (if (i % 2 == 0) 2000 else -2000).toShort
+      i += 1
+    }
+    val f = Multimodal.WavCodec
+      .decodeFeatures(Multimodal.WavCodec.encodePcm16(samples, 16000, 2))
+      .toOption.get
+    assert(f(1) === 2f && f(2) === frames.toFloat)
+    assert(math.abs(f(6) - 0.5f) < 0.01f,
+      s"stereo zcr must be ~0.5 (per-channel), got ${f(6)}")
+  }
+
   test("corrupt wav bytes are flagged, not thrown") {
     import spark.implicits._
     val bad = Seq(
