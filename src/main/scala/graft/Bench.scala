@@ -221,7 +221,10 @@ object Bench {
     // section; full numbers live in the detail file) and must be the very
     // last thing printed — after session shutdown, so no stray WARN line
     // can land between it and the end of the log.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // explicit root locale: the default-locale f interpolator writes comma
+    // decimal separators on some JVMs, corrupting the JSON record
+    def r3(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val mvWaveTotals = mvWave.map(_._1)

@@ -15,44 +15,74 @@ import org.apache.spark.sql.functions._
   * node starts as its own label, each round every node takes the min of
   * its own and its neighbors' labels, and the loop stops when a round
   * changes nothing. Each round is one shuffle join + one aggregation,
-  * and the round count is the graph diameter — near-dup components are
-  * band-blocked near-cliques (diameter 1–3), so this converges in a
-  * handful of rounds regardless of corpus size. At 1000-executor scale
-  * the same loop runs with edges partitioned by node; the
-  * alternating-star optimizations (large-star/small-star) drop in only
-  * if components with large diameters appear, which near-dup graphs do
-  * not produce.
+  * and the plain-round count is the graph diameter — near-dup components
+  * are band-blocked near-cliques (diameter 1–3), so this converges in a
+  * handful of rounds regardless of corpus size. For pathological shapes
+  * (a chain of docs, each a near-dup of the next) the loop switches to
+  * POINTER JUMPING after [[JUMP_AFTER]] rounds: each extra round also
+  * replaces every label with its label's label, so label chains halve
+  * per round and a diameter-D component converges in O(log D) instead of
+  * O(D) — a degenerate corpus gets slower rounds, never a crash.
+  *
+  * Incremental maintenance (x18): a daily pipeline adds a batch of edges
+  * and wants the existing assignment MERGED, not recomputed. Old labels
+  * are replayed as star edges (member ↔ canonical), so every old
+  * component re-enters the graph with diameter ≤ 2 regardless of its
+  * original diameter, and propagation over (star edges ∪ new edges)
+  * converges in ~diameter(new overlay) + 2 rounds — the full-corpus
+  * history contributes O(|affected nodes|) state and no re-walk.
   *
   * Reference anchor: dedup extension per the training-data north star —
   * pair generation is x3's (SimHash, Hamming ≤ 2), so the DuckDB oracle
-  * replays the identical edges and closes them with a recursive CTE.
+  * replays the identical edges and closes them with recursive CTEs; the
+  * incremental posture mirrors the reference's own incremental marts
+  * (dbt `is_incremental`, batch-analytics-layer/design.md:668-670).
   */
 object ClusterQueries {
 
-  /** Min-label propagation to a fixpoint. `edges` must be (doc_a, doc_b)
-    * with doc_a < doc_b; returns (node, lbl) with lbl = min doc_id of the
-    * node's component. Each round materializes via `localCheckpoint` (the
-    * loop must not re-execute a growing lineage) and evicts the previous
-    * round's RDD immediately.
+  /** Plain min-label rounds up to this many, then pointer jumping. */
+  private val JUMP_AFTER = 8
+
+  /** Hard backstop — with pointer jumping a component would need
+    * diameter ≈ 2^56 to exhaust this.
     */
-  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-      .union(edges.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-      .localCheckpoint(true)
-    var labels = und.select("node").distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+  private val MAX_ROUNDS = 64
+
+  /** Min-label propagation to a fixpoint over an undirected adjacency
+    * frame `und` (node, nbr — both directions present) from seed labels
+    * (node, lbl). Returns (labels, rounds). Each round materializes via
+    * `localCheckpoint` (the loop must not re-execute a growing lineage)
+    * and evicts the previous round's RDD immediately.
+    */
+  private[graft] def propagate(und: DataFrame, seeds: DataFrame): (DataFrame, Int) = {
+    var labels = seeds.select("node", "lbl").localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < MAX_ROUNDS) {
       val nbrMin = und
         .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")),
           Seq("nbr"))
         .groupBy("node").agg(min(col("nlbl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      val next =
+        if (iter < JUMP_AFTER) stepped.localCheckpoint(true)
+        else {
+          // pointer jumping: lbl := lbl(lbl). Every label is itself a
+          // node id present in `labels`, so the self-join resolves each
+          // label one more hop toward its component minimum — chains
+          // halve per round.
+          val base = stepped.localCheckpoint(true)
+          val jumped = base
+            .join(base.select(col("node").as("lbl"), col("lbl").as("jlbl")),
+              Seq("lbl"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+            .localCheckpoint(true)
+          graft.similarity.Ivf.dropCheckpoint(base)
+          jumped
+        }
       changed = next
         .join(labels.select(col("node"), col("lbl").as("prev")), Seq("node"))
         .filter(col("lbl") < col("prev")).count()
@@ -60,38 +90,94 @@ object ClusterQueries {
       labels = next
       iter += 1
     }
-    graft.similarity.Ivf.dropCheckpoint(und)
     require(changed == 0, s"label propagation not converged after $iter rounds")
+    (labels, iter)
+  }
+
+  private def bothDirections(edges: DataFrame): DataFrame =
+    edges
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(edges.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+
+  /** Connected components from scratch. `edges` is (doc_a, doc_b);
+    * returns (node, lbl) with lbl = min doc_id of the node's component.
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = bothDirections(edges).localCheckpoint(true)
+    val seeds = und.select("node").distinct().withColumn("lbl", col("node"))
+    val (labels, _) = propagate(und, seeds)
+    graft.similarity.Ivf.dropCheckpoint(und)
     labels
   }
 
-  // Clusters are COMPUTED ONCE per (session, dir) and the tiny (node,
-  // lbl) result is kept checkpointed — same memo + cleanup pattern as
-  // the IVF index (the loop's checkpoints are evicted inside the loop;
-  // only the final frame survives until PlanCache.clear/app end).
+  /** Incremental maintenance: merge a new batch's edges into an existing
+    * (node, lbl) assignment without re-walking history. Old labels are
+    * replayed as star edges member ↔ canonical (diameter ≤ 2 per old
+    * component), seeds start from the old labels, and only the new
+    * overlay needs propagating. Returns (labels, rounds).
+    */
+  private[graft] def mergeIncremental(oldLabels: DataFrame,
+      newEdges: DataFrame): (DataFrame, Int) = {
+    val star = oldLabels.filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_a"), col("lbl").as("doc_b"))
+    val und = bothDirections(newEdges.select("doc_a", "doc_b").union(star))
+      .localCheckpoint(true)
+    val seeds = und.select("node").distinct()
+      .join(oldLabels.select(col("node"), col("lbl").as("olbl")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("olbl"), col("node")).as("lbl"))
+    val out = propagate(und, seeds)
+    graft.similarity.Ivf.dropCheckpoint(und)
+    out
+  }
+
+  // Cluster frames are COMPUTED ONCE per (session, key) and the tiny
+  // (node, lbl) results kept checkpointed — same memo + cleanup pattern
+  // as the IVF index. The global map lock covers only map reads/inserts;
+  // the heavy multi-job build runs under the per-key holder's own lock,
+  // so concurrent invocations for DIFFERENT keys never serialize behind
+  // one build (same-key callers block, as they must).
+  private final class Holder(build: () => DataFrame) {
+    @volatile private var built: DataFrame = _
+    def get: DataFrame = {
+      if (built == null) synchronized { if (built == null) built = build() }
+      built
+    }
+    /** The frame iff the build has completed (for cleanup). */
+    def peek: Option[DataFrame] = Option(built)
+  }
+
   private val ccMemo =
-    new java.util.HashMap[SparkSession, Map[String, DataFrame]]()
+    new java.util.HashMap[SparkSession, Map[String, Holder]]()
 
   graft.PlanCache.registerCleanupHook { s =>
     val dropped = ccMemo.synchronized(Option(ccMemo.remove(s)))
-    dropped.foreach(_.values.foreach(graft.similarity.Ivf.dropCheckpoint))
+    dropped.foreach(_.values.flatMap(_.peek)
+      .foreach(graft.similarity.Ivf.dropCheckpoint))
   }
 
-  private def clusters(s: SparkSession, d: String): DataFrame =
-    ccMemo.synchronized {
-      val m = Option(ccMemo.get(s)).getOrElse(Map.empty)
-      m.get(d) match {
+  private def memoized(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val h = ccMemo.synchronized {
+      val m = Option(ccMemo.get(s)).getOrElse(Map.empty[String, Holder])
+      m.get(key) match {
         case Some(hit) => hit
         case None =>
           graft.PlanCache.track(s)
-          val edges = DedupQueries
-            .simHashPairs(s, d, DedupQueries.BAND_DF_CAP)
-            .select("doc_a", "doc_b")
-          val built = connectedComponents(edges)
-          ccMemo.put(s, m.updated(d, built))
-          built
+          val nh = new Holder(() => build)
+          ccMemo.put(s, m.updated(key, nh))
+          nh
       }
     }
+    h.get
+  }
+
+  private def simHashEdges(s: SparkSession, d: String): DataFrame =
+    DedupQueries.simHashPairs(s, d, DedupQueries.BAND_DF_CAP)
+      .select("doc_a", "doc_b")
+
+  private def clusters(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"x15/$d")(connectedComponents(simHashEdges(s, d)))
 
   /** X15 — near-dup cluster membership: every doc in a SimHash near-dup
     * component, its cluster id (= component min doc_id), whether it is
@@ -127,5 +213,74 @@ object ClusterQueries {
             |FROM cc JOIN sized s ON cc.cluster_id = s.cluster_id
             |ORDER BY cc.cluster_id, cc.doc_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x15DedupClusters)
+  /** X18 — incremental cluster maintenance: the corpus's near-dup edges
+    * split into a historical batch (both endpoints in history, same
+    * doc_id % 10 < 8 split as x13) and a new batch; history is clustered
+    * once, then the new batch MERGES into the existing assignment via
+    * [[mergeIncremental]] — no full-corpus re-propagation. Output is the
+    * x15 schema plus a per-doc `status` audit: `kept` (label unchanged),
+    * `relabeled` (component grew/merged), `new` (doc entered the graph
+    * with this batch). The merged assignment provably equals a full
+    * recompute over all edges (min-label is order-insensitive), which is
+    * exactly what the oracle checks with two recursive closures.
+    */
+  val x18ClustersIncremental = QueryDef(
+    "x18_clusters_incremental",
+    "incremental cluster merge of a new edge batch into existing labels",
+    (s, d) => {
+      val assembled = memoized(s, s"x18/$d") {
+        val pairs = simHashEdges(s, d).localCheckpoint(true)
+        val isOld = (col("doc_a") % 10 < 8) && (col("doc_b") % 10 < 8)
+        val oldLabels = connectedComponents(pairs.filter(isOld))
+        val (merged, _) = mergeIncremental(oldLabels, pairs.filter(!isOld))
+        graft.similarity.Ivf.dropCheckpoint(pairs)
+        val sizes = merged.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
+        merged.join(sizes, Seq("lbl"))
+          .join(oldLabels.select(col("node"), col("lbl").as("old_lbl")),
+            Seq("node"), "left")
+          .select(col("lbl").as("cluster_id"), col("node").as("doc_id"),
+            when(col("node") === col("lbl"), 1).otherwise(0).as("is_canonical"),
+            col("n_docs"),
+            when(col("old_lbl").isNull, "new")
+              .when(col("old_lbl") === col("lbl"), "kept")
+              .otherwise("relabeled").as("status"))
+          // the assembled audit is a few hundred rows; checkpoint it so
+          // the memoized frame holds no lineage into the build frames
+          .localCheckpoint(true)
+      }
+      assembled.orderBy("cluster_id", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
+            |old_edges AS (SELECT doc_a, doc_b FROM sim_pairs
+            |              WHERE doc_a % 10 < 8 AND doc_b % 10 < 8),
+            |old_und AS (SELECT doc_a AS node, doc_b AS nbr FROM old_edges
+            |            UNION ALL
+            |            SELECT doc_b AS node, doc_a AS nbr FROM old_edges),
+            |old_reach AS (SELECT node, node AS lbl FROM old_und
+            |              UNION
+            |              SELECT u.nbr AS node, r.lbl
+            |              FROM old_reach r JOIN old_und u ON r.node = u.node),
+            |old_cc AS (SELECT node, min(lbl) AS lbl FROM old_reach GROUP BY node),
+            |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |        UNION ALL
+            |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+            |reach AS (SELECT node, node AS lbl FROM und
+            |          UNION
+            |          SELECT u.nbr AS node, r.lbl
+            |          FROM reach r JOIN und u ON r.node = u.node),
+            |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            |       FROM reach GROUP BY node),
+            |sized AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+            |          FROM cc GROUP BY cluster_id)
+            |SELECT cc.cluster_id, cc.doc_id,
+            |       CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INTEGER) AS is_canonical,
+            |       s.n_docs,
+            |       CASE WHEN o.lbl IS NULL THEN 'new'
+            |            WHEN o.lbl = cc.cluster_id THEN 'kept'
+            |            ELSE 'relabeled' END AS status
+            |FROM cc JOIN sized s ON cc.cluster_id = s.cluster_id
+            |     LEFT JOIN old_cc o ON cc.doc_id = o.node
+            |ORDER BY cc.cluster_id, cc.doc_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x15DedupClusters, x18ClustersIncremental)
 }

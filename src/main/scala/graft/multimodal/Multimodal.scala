@@ -200,6 +200,10 @@ object Multimodal {
             var fmtCode = -1
             var dataOff = -1
             var dataLen = -1
+            // chunk-skip clamp: the RIFF pad byte after an odd-sized final
+            // chunk may be absent in the wild; skipping past limit would
+            // throw and fail an otherwise-decodable file
+            def skipTo(pos: Int): Unit = bb.position(math.min(bb.limit(), pos))
             // walk until BOTH fmt and data have been seen — the spec does
             // not order them, and data-before-fmt files exist in the wild
             while (bb.remaining() >= 8 && (dataOff < 0 || sampleRate < 0)) {
@@ -216,13 +220,13 @@ object Multimodal {
                   bb.getInt // byte rate
                   bb.getShort // block align
                   bits = bb.getShort & 0xffff
-                  bb.position(end + (size & 1))
+                  skipTo(end + (size & 1))
                 case "data" =>
                   dataOff = bb.position()
                   dataLen = size
-                  bb.position(dataOff + size + (size & 1))
+                  skipTo(dataOff + size + (size & 1))
                 case _ =>
-                  bb.position(bb.position() + size + (size & 1))
+                  skipTo(bb.position() + size + (size & 1))
               }
             }
             if (sampleRate <= 0 || channels <= 0 || dataOff < 0)
