@@ -103,27 +103,55 @@ object CurationQueries {
            |            JOIN sizes sb ON source_b = sb.source
            |ORDER BY source_a, source_b""".stripMargin))
 
+  /** Two-phase distributed prefix sum: cumulative `n_tokens` per source
+    * in (source, doc_id) order, WITHOUT ever sorting a whole source in
+    * one task. Docs block deterministically by `doc_id div blockSize`
+    * (id-contiguous blocks respect doc_id order by construction — no
+    * sampled range partitioner whose boundaries could differ between the
+    * two passes); phase 1 is a map-side-combinable per-(source, block)
+    * sum whose running total over blocks yields each block's offset;
+    * phase 2 joins the broadcast offsets back and runs the running sum
+    * inside each block only. Every window partition is bounded: ≤
+    * `blockSize` docs in phase 2, ≤ corpus/blockSize block-summary rows
+    * in phase 1 — at 100 TB both stay task-sized by picking blockSize,
+    * and `cum` is independent of blockSize (physical knob, not semantic).
+    */
+  private[graft] def cumulativeTokens(toks: org.apache.spark.sql.DataFrame,
+      blockSize: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBlk = toks.withColumn("blk", expr(s"doc_id div ${blockSize}L"))
+    val offW = Window.partitionBy("source").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBlk.groupBy("source", "blk")
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("offset", coalesce(sum(col("bsum")).over(offW), lit(0L)))
+      .select("source", "blk", "offset")
+    val localW = Window.partitionBy("source", "blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBlk
+      .join(broadcast(offsets), Seq("source", "blk"))
+      .withColumn("cum", col("offset") + sum(col("n_tokens")).over(localW))
+      .drop("blk", "offset")
+  }
+
   /** X12 — sequence packing audit: documents pack into fixed token-budget
     * bins by cumulative token count in deterministic (source, doc_id)
-    * order — the sample-packing step before LLM pretraining, expressed as
-    * a running-sum window per source (parallel across sources; one
-    * spillable sort per source, never a global order). Reported per
-    * source: bins used, docs and tokens per bin on average, and mean bin
-    * utilization vs the budget.
+    * order — the sample-packing step before LLM pretraining. The
+    * cumulative count is the two-phase blocked prefix sum above
+    * ([[cumulativeTokens]]): a giant source spreads over corpus/blockSize
+    * tasks instead of serializing through one. Reported per source: bins
+    * used, docs and tokens per bin on average, and mean bin utilization
+    * vs the budget.
     */
   val x12SequencePacking = QueryDef(
     "x12_sequence_packing",
     "cumulative-token packing into 2048-token bins, utilization per source",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val budget = 2048L
       // whitespace tokens as the packing unit (t22's proven-parity counter)
       val toks = docs(s, d).select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val binned = toks
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      val binned = cumulativeTokens(toks, blockSize = 4096L)
         // bin of the doc's LAST token — contiguous packing, a doc may
         // straddle a boundary (its tail spills into the next bin), which
         // is the cheap deterministic trade vs bin-exact first-fit.
@@ -208,23 +236,28 @@ object CurationQueries {
   /** X14 — deterministic stratified sampling: k docs per (source, lang)
     * stratum, ranked by a portable content-independent hash of the id —
     * the reproducible eval-set draw (same sample on any engine, any
-    * cluster layout, any day). One shuffle on the stratum key; the window
-    * sorts only within strata.
+    * cluster layout, any day). The k winners come from the bounded
+    * [[graft.functions.TopKSample]] aggregate: map tasks shrink each
+    * stratum to ≤ k rows BEFORE the shuffle and merges are capped sorted
+    * merges, so a giant stratum never full-sorts through one task (the
+    * row_number-window form does exactly that).
     */
   val x14SampleStratified = QueryDef(
     "x14_sample_stratified",
     "deterministic 3-per-(source,lang) hash-ranked sample",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val h = call_function("graft_md5u60", col("doc_id").cast("string"))
-      val w = Window.partitionBy("source", "lang")
-        .orderBy(col("h"), col("doc_id"))
+      val topk = udaf(new graft.functions.TopKSample(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.SampleRow])
       docs(s, d)
-        .withColumn("h", h)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("source"), col("lang"), col("rk"), col("doc_id"),
+        .select(col("source"), col("lang"), h.as("h"), col("doc_id"),
           col("n_chars"))
+        .groupBy("source", "lang")
+        .agg(topk(col("h"), col("doc_id"), col("n_chars")).as("top"))
+        .select(col("source"), col("lang"), posexplode(col("top.rows")))
+        .select(col("source"), col("lang"),
+          (col("pos") + 1).cast("int").as("rk"),
+          col("col.doc_id"), col("col.n_chars"))
         .orderBy("source", "lang", "rk")
     },
     Some("""WITH ranked AS (
