@@ -74,5 +74,151 @@ object QuantizationQueries {
            |       CAST(sum(sq_fp) AS DOUBLE) / (count(*) * 1000000000000) AS mse
            |FROM quant GROUP BY label ORDER BY label""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x17EmbeddingQuantization)
+  // ---- X19: product quantization -------------------------------------
+
+  /** PQ geometry: 64 dims → [[PQ_M]] subvectors of [[PQ_SUBDIM]] dims,
+    * [[PQ_K]] codes per subvector, [[PQ_ROUNDS]] Lloyd refinement rounds
+    * from a deterministic `vec_id % K` seeding. All arithmetic is exact
+    * fixed-point ([[PQ_FP]] = 1e6 per element — |v| < 1 in this corpus,
+    * so squared element distances stay far inside a long): centroids are
+    * floor(mean) longs, distances are integer sums, ties break on code
+    * id. Every step is therefore bit-replayable in DuckDB, which is what
+    * the oracle does — the same rounds as SQL CTEs.
+    */
+  private[graft] val PQ_M = 4
+  private[graft] val PQ_SUBDIM = 16
+  private[graft] val PQ_K = 8
+  private[graft] val PQ_ROUNDS = 2
+  private val PQ_FP = 1e6
+
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+  /** Element view: (vec_id, sub, dim, qv) with qv the 1e6 fixed-point
+    * element value.
+    */
+  private[graft] def pqElems(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"),
+        expr(s"CAST(pos div $PQ_SUBDIM AS INT)").as("sub"),
+        (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * lit(PQ_FP)).cast("long").as("qv"))
+
+  /** Codebook for an assignment: per (sub, cid, dim) the floor'd exact
+    * mean of member elements.
+    */
+  private[graft] def pqCentroids(elems: DataFrame, assign: DataFrame): DataFrame =
+    elems.join(assign, Seq("vec_id", "sub"))
+      .groupBy("sub", "cid", "dim")
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1)))
+        .cast("long").as("cq"))
+
+  /** Nearest-code assignment under a codebook: integer subvector L2,
+    * ties to the smaller cid. The codebook is M·K·SUBDIM = 512 rows —
+    * always broadcast; the corpus never shuffles by anything wider than
+    * (vec_id, sub).
+    */
+  private[graft] def pqAssign(elems: DataFrame, cents: DataFrame): DataFrame =
+    elems.join(broadcast(cents), Seq("sub", "dim"))
+      .withColumn("dd", (col("qv") - col("cq")) * (col("qv") - col("cq")))
+      .groupBy("vec_id", "sub", "cid").agg(sum(col("dd")).as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+
+  /** Final (codebook, codes) after the deterministic Lloyd rounds. */
+  private[graft] def pqBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val elems = pqElems(s, d)
+    var assign = elems.select("vec_id", "sub").distinct()
+      .withColumn("cid", pmod(col("vec_id"), lit(PQ_K)).cast("long"))
+    var cents = pqCentroids(elems, assign)
+    (1 until PQ_ROUNDS).foreach { _ =>
+      assign = pqAssign(elems, cents)
+      cents = pqCentroids(elems, assign)
+    }
+    (cents, pqAssign(elems, cents))
+  }
+
+  /** The oracle's replay of the same rounds as recursive-free CTEs. */
+  private def pqSqlCtes: String = {
+    val sb = new StringBuilder
+    sb.append(s"""elems AS (
+      |  SELECT vec_id, CAST((i-1)//$PQ_SUBDIM AS INTEGER) AS sub, i AS dim,
+      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+      |a0 AS (SELECT DISTINCT vec_id, sub, vec_id % $PQ_K AS cid FROM elems)""".stripMargin)
+    for (r <- 1 to PQ_ROUNDS) {
+      sb.append(s""",
+        |c$r AS (SELECT e.sub, a.cid, e.dim,
+        |         CAST(floor(CAST(sum(e.qv) AS DOUBLE)/count(*)) AS BIGINT) AS cq
+        |       FROM elems e JOIN a${r - 1} a ON e.vec_id = a.vec_id AND e.sub = a.sub
+        |       GROUP BY e.sub, a.cid, e.dim)""".stripMargin)
+      if (r < PQ_ROUNDS) sb.append(s""",
+        |d$r AS (SELECT e.vec_id, e.sub, c.cid,
+        |         CAST(sum((e.qv-c.cq)*(e.qv-c.cq)) AS BIGINT) AS dist
+        |       FROM elems e JOIN c$r c ON e.sub = c.sub AND e.dim = c.dim
+        |       GROUP BY e.vec_id, e.sub, c.cid),
+        |a$r AS (SELECT vec_id, sub, cid FROM (
+        |         SELECT vec_id, sub, cid,
+        |                row_number() OVER (PARTITION BY vec_id, sub
+        |                                   ORDER BY dist, cid) AS rn
+        |         FROM d$r) WHERE rn = 1)""".stripMargin)
+    }
+    val fr = PQ_ROUNDS
+    sb.append(s""",
+      |dfin AS (SELECT e.vec_id, e.sub, c.cid,
+      |          CAST(sum((e.qv-c.cq)*(e.qv-c.cq)) AS BIGINT) AS dist
+      |        FROM elems e JOIN c$fr c ON e.sub = c.sub AND e.dim = c.dim
+      |        GROUP BY e.vec_id, e.sub, c.cid),
+      |afin AS (SELECT vec_id, sub, cid, dist FROM (
+      |          SELECT vec_id, sub, cid, dist,
+      |                 row_number() OVER (PARTITION BY vec_id, sub
+      |                                    ORDER BY dist, cid) AS rn
+      |          FROM dfin) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** X19 — product-quantization audit: the next rung after SQ8 (x17) on
+    * the embedding-compression ladder. Builds deterministic per-subvector
+    * codebooks with exact fixed-point Lloyd rounds (the IVF build's
+    * machinery applied per subvector), assigns codes, and rolls up exact
+    * reconstruction error per (subvector, code) — n_vecs, integer
+    * fixed-point SSE, and MSE in original units. Because the final
+    * assignment's `dist` IS the subvector reconstruction SSE, the rollup
+    * needs no second element pass.
+    */
+  val x19ProductQuantization = QueryDef(
+    "x19_product_quantization",
+    "PQ codebook audit: per-(subvector, code) membership + exact reconstruction error",
+    (s, d) => {
+      val elems = pqElems(s, d)
+      var assign = elems.select("vec_id", "sub").distinct()
+        .withColumn("cid", pmod(col("vec_id"), lit(PQ_K)).cast("long"))
+      var cents: DataFrame = null
+      (1 to PQ_ROUNDS).foreach { _ =>
+        cents = pqCentroids(elems, assign)
+        assign = pqAssign(elems, cents)
+      }
+      // final assignment WITH its distance (= subvector SSE in fp² units)
+      val scored = elems.join(broadcast(cents), Seq("sub", "dim"))
+        .withColumn("dd", (col("qv") - col("cq")) * (col("qv") - col("cq")))
+        .groupBy("vec_id", "sub", "cid").agg(sum(col("dd")).as("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"),
+          col("m.dist").as("dist"))
+      scored.groupBy("sub", "cid")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("sum_sq_err_fp"))
+        .withColumn("mse",
+          col("sum_sq_err_fp").cast("double") /
+            (col("n_vecs") * lit(PQ_SUBDIM)) / lit(1e12))
+        .orderBy("sub", "cid")
+    },
+    Some(s"""WITH $pqSqlCtes
+           |SELECT sub, cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           |       CAST(sum(dist) AS BIGINT) AS sum_sq_err_fp,
+           |       CAST(sum(dist) AS DOUBLE) / (count(*) * $PQ_SUBDIM) / 1e12 AS mse
+           |FROM afin GROUP BY sub, cid ORDER BY sub, cid""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x17EmbeddingQuantization, x19ProductQuantization)
 }
