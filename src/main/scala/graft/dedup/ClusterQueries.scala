@@ -235,7 +235,7 @@ object ClusterQueries {
         val (merged, _) = mergeIncremental(oldLabels, pairs.filter(!isOld))
         graft.similarity.Ivf.dropCheckpoint(pairs)
         val sizes = merged.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
-        merged.join(sizes, Seq("lbl"))
+        val audit = merged.join(sizes, Seq("lbl"))
           .join(oldLabels.select(col("node"), col("lbl").as("old_lbl")),
             Seq("node"), "left")
           .select(col("lbl").as("cluster_id"), col("node").as("doc_id"),
@@ -247,6 +247,12 @@ object ClusterQueries {
           // the assembled audit is a few hundred rows; checkpoint it so
           // the memoized frame holds no lineage into the build frames
           .localCheckpoint(true)
+        // audit is materialized: the corpus-sized (node, lbl) build frames
+        // are no longer reachable — release their pinned RDDs now instead
+        // of holding both until session end
+        graft.similarity.Ivf.dropCheckpoint(oldLabels)
+        graft.similarity.Ivf.dropCheckpoint(merged)
+        audit
       }
       assembled.orderBy("cluster_id", "doc_id")
     },

@@ -20,6 +20,12 @@ final case class TopKRows(rows: Seq[SampleRow])
   * form funnels every group through one task and full-sorts it; this
   * form moves O(k) state per (task, group) and never materializes a
   * group anywhere.
+  *
+  * PRECONDITION: the (h, doc_id) rank key must be unique within a group.
+  * `reduce` drops an incoming row that compares EQUAL to the kth
+  * buffered row (`!lt` holds for equal keys), which diverges from
+  * `row_number` semantics on duplicate keys. Holds here by construction
+  * — doc_id is unique per stratum.
   */
 final class TopKSample(k: Int)
     extends Aggregator[SampleRow, TopKRows, TopKRows] {

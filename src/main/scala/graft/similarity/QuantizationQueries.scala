@@ -114,9 +114,10 @@ object QuantizationQueries {
         .cast("long").as("cq"))
 
   /** Nearest-code assignment under a codebook: integer subvector L2,
-    * ties to the smaller cid. The codebook is M·K·SUBDIM = 512 rows —
-    * always broadcast; the corpus never shuffles by anything wider than
-    * (vec_id, sub).
+    * ties to the smaller cid, with the winning distance kept (it IS the
+    * subvector reconstruction SSE in fp² units). The codebook is
+    * M·K·SUBDIM = 512 rows — always broadcast; the corpus never shuffles
+    * by anything wider than (vec_id, sub).
     */
   private[graft] def pqAssign(elems: DataFrame, cents: DataFrame): DataFrame =
     elems.join(broadcast(cents), Seq("sub", "dim"))
@@ -124,19 +125,23 @@ object QuantizationQueries {
       .groupBy("vec_id", "sub", "cid").agg(sum(col("dd")).as("dist"))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"))
 
-  /** Final (codebook, codes) after the deterministic Lloyd rounds. */
+  /** Final (codebook, scored codes) after the deterministic Lloyd
+    * rounds — codes carry their reconstruction SSE (`dist`). The single
+    * Lloyd loop in this file; x19 rolls its output up.
+    */
   private[graft] def pqBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val elems = pqElems(s, d)
     var assign = elems.select("vec_id", "sub").distinct()
       .withColumn("cid", pmod(col("vec_id"), lit(PQ_K)).cast("long"))
-    var cents = pqCentroids(elems, assign)
-    (1 until PQ_ROUNDS).foreach { _ =>
+    var cents: DataFrame = null
+    (1 to PQ_ROUNDS).foreach { _ =>
+      cents = pqCentroids(elems, assign.select("vec_id", "sub", "cid"))
       assign = pqAssign(elems, cents)
-      cents = pqCentroids(elems, assign)
     }
-    (cents, pqAssign(elems, cents))
+    (cents, assign)
   }
 
   /** The oracle's replay of the same rounds as recursive-free CTEs. */
@@ -191,22 +196,10 @@ object QuantizationQueries {
     "x19_product_quantization",
     "PQ codebook audit: per-(subvector, code) membership + exact reconstruction error",
     (s, d) => {
-      val elems = pqElems(s, d)
-      var assign = elems.select("vec_id", "sub").distinct()
-        .withColumn("cid", pmod(col("vec_id"), lit(PQ_K)).cast("long"))
-      var cents: DataFrame = null
-      (1 to PQ_ROUNDS).foreach { _ =>
-        cents = pqCentroids(elems, assign)
-        assign = pqAssign(elems, cents)
-      }
-      // final assignment WITH its distance (= subvector SSE in fp² units)
-      val scored = elems.join(broadcast(cents), Seq("sub", "dim"))
-        .withColumn("dd", (col("qv") - col("cq")) * (col("qv") - col("cq")))
-        .groupBy("vec_id", "sub", "cid").agg(sum(col("dd")).as("dist"))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"),
-          col("m.dist").as("dist"))
+      // scored codes from the shared Lloyd build: dist IS the subvector
+      // reconstruction SSE in fp² units, so the rollup needs no second
+      // element pass
+      val (_, scored) = pqBuild(s, d)
       scored.groupBy("sub", "cid")
         .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("sum_sq_err_fp"))
         .withColumn("mse",

@@ -110,11 +110,16 @@ object CurationQueries {
     * sampled range partitioner whose boundaries could differ between the
     * two passes); phase 1 is a map-side-combinable per-(source, block)
     * sum whose running total over blocks yields each block's offset;
-    * phase 2 joins the broadcast offsets back and runs the running sum
-    * inside each block only. Every window partition is bounded: ≤
-    * `blockSize` docs in phase 2, ≤ corpus/blockSize block-summary rows
-    * in phase 1 — at 100 TB both stay task-sized by picking blockSize,
-    * and `cum` is independent of blockSize (physical knob, not semantic).
+    * phase 2 joins the offsets back and runs the running sum inside each
+    * block only. The offsets join is deliberately NOT broadcast-hinted:
+    * the table has corpus/blockSize rows (unbounded at 100 TB), and the
+    * phase-2 window already requires a hash exchange on (source, blk) —
+    * a shuffle join on the same keys rides that exchange, while AQE
+    * still auto-broadcasts when the table is actually small. Every
+    * window partition is bounded: ≤ `blockSize` docs in phase 2, ≤
+    * corpus/blockSize block-summary rows in phase 1 — at 100 TB both
+    * stay task-sized by picking blockSize, and `cum` is independent of
+    * blockSize (physical knob, not semantic).
     */
   private[graft] def cumulativeTokens(toks: org.apache.spark.sql.DataFrame,
       blockSize: Long): org.apache.spark.sql.DataFrame = {
@@ -129,7 +134,7 @@ object CurationQueries {
     val localW = Window.partitionBy("source", "blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withBlk
-      .join(broadcast(offsets), Seq("source", "blk"))
+      .join(offsets, Seq("source", "blk"))
       .withColumn("cum", col("offset") + sum(col("n_tokens")).over(localW))
       .drop("blk", "offset")
   }

@@ -70,4 +70,21 @@ class ClusterSpec extends SparkSpec {
     assert(lm == Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
     Seq(oldLabels, merged).foreach(graft.similarity.Ivf.dropCheckpoint)
   }
+
+  test("x18 build pins exactly the audit frame — build intermediates evicted") {
+    // a fresh (session, dir) key forces a real build; everything the
+    // build localCheckpoints (pairs, und frames, propagation rounds,
+    // oldLabels, merged) must be unpersisted once the audit frame is
+    // materialized, leaving a persistent-RDD delta of exactly 1.
+    // Warm the shared x3 signature cache first — it is a deliberate
+    // cross-query memo with its own cleanup hook, not part of x18's build
+    DedupQueries.simHashPairs(spark, sfDir, DedupQueries.BAND_DF_CAP).count()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = ClusterQueries.x18ClustersIncremental.run(spark, sfDir)
+    assert(out.count() > 0)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size == 1,
+      s"x18 build should pin only the audit frame, found ${leaked.size} RDDs")
+  }
 }
