@@ -24,11 +24,18 @@ object Bench {
     // warmup: one scan+agg+join through codegen
     force(SparkEntry.queries("j4_daily_business_metrics")(spark, sfDir))
 
-    // best-of-2 per query: the first execution of each distinct plan shape
-    // pays JIT/codegen compilation; the second measures the plan itself.
+    // Recorded per-query number is the MEDIAN of `runsN` executions
+    // (default 3): the first execution of each distinct plan shape pays
+    // JIT/codegen compilation, and single-run numbers on this box swing
+    // ±30% with neighbor noise — the median absorbs both the slow first
+    // run and a lucky/unlucky outlier. SPARK_GRAFT_BENCH_RUNS=2 keeps the
+    // old best-of-2 for fast iteration.
+    val runsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def record(times: Seq[Double]): Double =
+      if (runsN >= 3) times.sorted.apply(times.size / 2) else times.min
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runsN).map { _ =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
         catch { case scala.util.control.NonFatal(e) =>
@@ -38,7 +45,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // a failure must not masquerade as a fast timing in the JSON
-      name -> (if (failed) -1.0 else times.min)
+      name -> (if (failed) -1.0 else record(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -182,6 +189,16 @@ object Bench {
     val mvWave = runWave(
       (0 until 6).flatMap(_ => dash.indices).map(i => dash(i)._2), "mv")
     streaming.MvServing.release(mvs)
+
+    // End-to-end streaming freshness: event file landed -> visible through
+    // the merge-on-read serving path, running the real triggered stream
+    // (reference target: < 5 s ingestion-to-dashboard).
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    val fresh = streaming.Freshness.measure(spark, freshDir,
+      nBatches = 8, eventsPerBatch = 500, triggerMs = 250, timeoutSec = 30)
+    val freshJson = s"""{"batches":8,"completed":${fresh.completed},""" +
+      s""""timed_out":${fresh.timedOut},"p50_sec":${fresh.p50},""" +
+      s""""p95_sec":${fresh.p95},"max_sec":${fresh.max}}"""
     // the wave instrumentation is scoped to the two waves above — drop the
     // listener and its maps so nothing accumulates past this point
     spark.sparkContext.removeSparkListener(waveListener)
@@ -200,7 +217,7 @@ object Bench {
     // full-precision record, written to a file: long stdout lines have been
     // truncated by log captures before (BENCH_r02-r04 arrived unparseable);
     // SPARK_GRAFT_BENCH_OUT overrides the default path
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsN,""" +
       s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
       s""""queries":$qs,""" +
       s""""concurrent":{"parallelism":${concNames.size},"queries":$cq,""" +
@@ -208,6 +225,7 @@ object Bench {
       s""""wave":${waveJson(wave)},""" +
       s""""mv_build_sec":$mvBuildSec,""" +
       s""""wave_mv_served":${waveJson(mvWave)}},""" +
+      s""""freshness":$freshJson,""" +
       s""""sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -229,13 +247,14 @@ object Bench {
       .mkString("{", ",", "}")
     val mvWaveTotals = mvWave.map(_._1)
     val waveTotals = wave.map(_._1)
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,""" +
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsN,""" +
       s""""ingest_events_per_sec":${eps.round},"ingest_events":$nWritten,""" +
       s""""queries":$qsCompact,""" +
       s""""concurrent":{"parallelism":${concNames.size},""" +
       s""""worst_slowdown":${r3(worstSlowdown)},""" +
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
       s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))}},""" +
+      s""""freshness_p95_sec":${r3(fresh.p95)},""" +
       s""""detail":"$outPath","sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("ERROR")
     PlanCache.clear(spark)

@@ -156,6 +156,21 @@ object ClusterQueries {
       .foreach(graft.similarity.Ivf.dropCheckpoint))
   }
 
+  /** Evict one memo entry (and its checkpoint), forcing the next call to
+    * rebuild — test seam for cold-build assertions; the memo itself has
+    * no other per-key lifecycle.
+    */
+  private[graft] def evictMemo(s: SparkSession, key: String): Unit = {
+    val dropped = ccMemo.synchronized {
+      Option(ccMemo.get(s)).flatMap { m =>
+        val hit = m.get(key)
+        if (hit.isDefined) ccMemo.put(s, m - key)
+        hit
+      }
+    }
+    dropped.flatMap(_.peek).foreach(graft.similarity.Ivf.dropCheckpoint)
+  }
+
   private def memoized(s: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     val h = ccMemo.synchronized {

@@ -349,7 +349,62 @@ object CurationQueries {
            |FROM rates r LEFT JOIN kept k ON r.source = k.source
            |ORDER BY r.source""".stripMargin))
 
+  /** X21 — cross-split leakage screen: near-duplicate document pairs that
+    * STRADDLE the train/val/test split — the eval-integrity check x10's
+    * split audit and the x3 near-dup detector exist to feed. A val/test
+    * doc whose near-twin sits in train inflates eval scores; this query
+    * counts near-dup pairs per (split, split) bucket so the
+    * `train|val` / `train|test` rows quantify the leak. Composition, not
+    * new machinery: the simhash pair pipeline (banded blocking, Hamming
+    * ≤ 2 — [[graft.dedup.DedupQueries.simHashPairs]]) joined twice
+    * against the pure-hash split assignment. At 100 TB the two split
+    * joins are doc_id-keyed hash joins against an O(docs) 2-column
+    * table, dwarfed by the pair generation itself.
+    */
+  val x21SplitLeakage = QueryDef(
+    "x21_split_leakage",
+    "near-dup (simhash) pairs straddling the train/val/test split",
+    (s, d) => {
+      val bucket = pmod(
+        call_function("graft_md5u60", col("doc_id").cast("string")), lit(100))
+      val splits = docs(s, d).select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      val pairs = graft.dedup.DedupQueries
+        .simHashPairs(s, d, graft.dedup.DedupQueries.BAND_DF_CAP)
+      pairs
+        .join(splits.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "split_of_a"), Seq("doc_a"))
+        .join(splits.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "split_of_b"), Seq("doc_b"))
+        .groupBy(
+          least(col("split_of_a"), col("split_of_b")).as("split_a"),
+          greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("split_of_a") =!= col("split_of_b"), 1L).otherwise(0L))
+            .as("n_leaking"))
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""WITH ${graft.dedup.DedupQueries.simHashSqlCtes(
+                graft.dedup.DedupQueries.BAND_DF_CAP)},
+           |splits AS (
+           |  SELECT doc_id,
+           |         CASE WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT) % 100 < 80 THEN 'train'
+           |              WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT) % 100 < 90 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT least(sa.split, sb.split) AS split_a,
+           |       greatest(sa.split, sb.split) AS split_b,
+           |       CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+           |FROM sim_pairs p
+           |JOIN splits sa ON p.doc_a = sa.doc_id
+           |JOIN splits sb ON p.doc_b = sb.doc_id
+           |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
-      x13DedupIncremental, x14SampleStratified, x16MixtureReweight)
+      x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
+      x21SplitLeakage)
 }

@@ -250,6 +250,124 @@ object TextQueries {
            |SELECT source, CAST(rk AS INTEGER) AS rk, shingle, n
            |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
 
+  /** T26 — PII detection + redaction. The corpus is synthetic word-salad
+    * with no real PII, so the query plants it deterministically (email /
+    * phone / IPv4 derived from doc_id — a doc gets each kind only on its
+    * id's residue class), then detects and masks with patterns valid in
+    * BOTH regex dialects (Java and RE2) — the oracle replays the planting
+    * AND the redaction, so a dialect divergence or masking bug flips the
+    * fingerprint. Pure per-row column expressions: embarrassingly parallel
+    * at 100 TB, and the real-corpus version is this same plan minus the
+    * planting step.
+    */
+  val t26PiiRedaction = QueryDef(
+    "t26_pii_redaction",
+    "plant-and-redact PII audit: email/phone/IP counts + redacted fingerprint",
+    (s, d) => {
+      val reEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val rePhone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val reIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val payload = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" user"), col("doc_id"), lit("@mail-"), col("source"),
+            lit(".org"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.1")))
+          .otherwise(""))
+      docs(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          regexp_count(col("payload"), lit(reEmail)).cast("long").as("n_emails"),
+          regexp_count(col("payload"), lit(rePhone)).cast("long").as("n_phones"),
+          regexp_count(col("payload"), lit(reIp)).cast("long").as("n_ips"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("payload"), reEmail, "<EMAIL>"),
+              rePhone, "<PHONE>"),
+            reIp, "<IP>")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH planted AS (
+           |  SELECT doc_id,
+           |         text ||
+           |         CASE WHEN doc_id % 3 = 0
+           |              THEN ' user' || doc_id || '@mail-' || source || '.org'
+           |              ELSE '' END ||
+           |         CASE WHEN doc_id % 4 = 0
+           |              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |              ELSE '' END ||
+           |         CASE WHEN doc_id % 5 = 0
+           |              THEN ' from 10.' || (doc_id % 256) || '.0.1'
+           |              ELSE '' END AS payload
+           |  FROM documents WHERE doc_id < 200)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(payload, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           |       CAST(len(regexp_extract_all(payload, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           |       CAST(len(regexp_extract_all(payload, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           |       md5(regexp_replace(regexp_replace(regexp_replace(payload,
+           |             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |             '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           |             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_fp
+           |FROM planted ORDER BY doc_id""".stripMargin))
+
+  /** X20 — salient-term mining per source: tf·(N/df) term weighting (the
+    * linear-idf variant of TF-IDF, chosen because tf·N·10⁴ div df is
+    * EXACT integer math on both engines — ln() is a libm call whose last
+    * ulp is not portable, and a fixed-point floor at an ulp boundary
+    * would flip the gate). Top-3 terms per source, deterministic ties on
+    * the term. Shuffles: the tf groupBy and the corpus-wide df groupBy
+    * (both map-side combinable, vocabulary-bounded); the per-source
+    * window sorts bounded vocabularies, never documents.
+    */
+  val x20SalientTerms = QueryDef(
+    "x20_salient_terms",
+    "top-3 tf*(N/df)-salient terms per source (exact integer weighting)",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d).select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs(s, d).agg(count(lit(1)).as("n_corpus"))
+      val scored = tf
+        .join(dfreq, Seq("term"))
+        .crossJoin(broadcast(total))
+        .withColumn("score4", expr("tf * n_corpus * 10000 DIV df"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score4").desc, col("term"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("term"), col("tf"), col("df"),
+          (col("score4").cast("double") / 1e4).as("salience"))
+        .orderBy("source", "rk")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |tfq AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+           |        FROM toks GROUP BY source, term),
+           |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+           |total AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+           |scored AS (
+           |  SELECT source, tfq.term, tf, df, tf * n_corpus * 10000 // df AS score4
+           |  FROM tfq JOIN dfreq ON tfq.term = dfreq.term CROSS JOIN total),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY source
+           |            ORDER BY score4 DESC, term) AS rk
+           |  FROM scored)
+           |SELECT source, CAST(rk AS INTEGER) AS rk, term, tf, df,
+           |       CAST(score4 AS DOUBLE) / 10000.0 AS salience
+           |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
-    t23Fingerprint, t24Repetition, t25TopShingles)
+    t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
+    x20SalientTerms)
 }

@@ -77,8 +77,12 @@ class ClusterSpec extends SparkSpec {
     // oldLabels, merged) must be unpersisted once the audit frame is
     // materialized, leaving a persistent-RDD delta of exactly 1.
     // Warm the shared x3 signature cache first — it is a deliberate
-    // cross-query memo with its own cleanup hook, not part of x18's build
+    // cross-query memo with its own cleanup hook, not part of x18's build.
+    // Evict any memoized x18 frame (another suite may have run the query
+    // already — the inventory spec does), so the build below is COLD and
+    // the pinned-RDD delta is meaningful in any suite order.
     DedupQueries.simHashPairs(spark, sfDir, DedupQueries.BAND_DF_CAP).count()
+    ClusterQueries.evictMemo(spark, s"x18/$sfDir")
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = ClusterQueries.x18ClustersIncremental.run(spark, sfDir)

@@ -163,6 +163,58 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("scale_x") - 19.0 / 32) < 1e-9)
   }
 
+  test("mp4 container walk recovers the generated metadata exactly") {
+    val videos = media.filter(_.meta.media_type == "video")
+    val metaById = videos.collect().map(r => r.media_id -> r.meta).toMap
+    val walked = Multimodal.containerMeta(videos).collect()
+    assert(walked.nonEmpty && walked.forall(_.ok))
+    walked.foreach { c =>
+      val m = metaById(c.media_id)
+      assert(c.brand === "isom")
+      // mvhd timescale is 1000, so walked duration IS the generated ms
+      assert(c.duration_ms === m.duration_ms.get,
+        s"container duration mismatch for ${c.media_id}")
+      assert(c.n_tracks === 2)
+      assert(c.video_width === m.width && c.video_height === m.height,
+        s"tkhd resolution mismatch for ${c.media_id}")
+      assert(c.handlers.sorted === Seq("soun", "vide"))
+    }
+  }
+
+  test("mp4 codec round-trips track durations through mdhd timescales") {
+    val payload = Multimodal.Mp4Codec.encode(12345L, 640, 360,
+      Array.tabulate[Byte](64)(_.toByte))
+    val m = Multimodal.Mp4Codec.parseMeta(payload).toOption.get
+    assert(m.brand === "isom" && m.duration_ms === 12345L)
+    val vide = m.tracks.find(_.handler == "vide").get
+    val soun = m.tracks.find(_.handler == "soun").get
+    // per-track durations come from each track's own mdhd timescale
+    // (90 kHz video, 48 kHz audio), not the movie header
+    assert(vide.duration_ms === Some(12345L) && soun.duration_ms === Some(12345L))
+    assert(vide.width === Some(640) && vide.height === Some(360))
+    assert(soun.width === None && soun.height === None)
+  }
+
+  test("corrupt mp4 bytes are flagged, not thrown") {
+    import spark.implicits._
+    val good = Multimodal.Mp4Codec.encode(1000L, 64, 48, Array[Byte](1, 2, 3))
+    val bad = Seq(
+      Multimodal.MediaRow(30, Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("video", "mp4", None, None, Some(10), 4)),
+      // ftyp present but moov truncated away
+      Multimodal.MediaRow(31, java.util.Arrays.copyOfRange(good, 0, 24),
+        Multimodal.MediaMeta("video", "mp4", None, None, Some(10), 24)),
+      // wrong container format routed here
+      Multimodal.MediaRow(32, good,
+        Multimodal.MediaMeta("video", "webm", None, None, Some(10), good.length.toLong)))
+      .toDS()
+    val out = Multimodal.containerMeta(bad).collect().sortBy(_.media_id)
+    assert(out.forall(!_.ok))
+    assert(out(0).error === "truncated container")
+    assert(out(1).error === "missing moov box")
+    assert(out(2).error === "unsupported container format")
+  }
+
   test("frame sampling explodes a deterministic grid per video") {
     val frames = Multimodal.frameSamplePlan(media.toDF(), 10000)
     val perVideo = frames.groupBy("media_id").count()
