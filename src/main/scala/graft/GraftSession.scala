@@ -35,6 +35,12 @@ object GraftSession {
       // testdata events.parquet carries TIMESTAMP(NANOS) which Spark cannot
       // represent natively; read as epoch-nanos long and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // v2 output commit: tasks move their files into place themselves, so
+      // committing a time-partitioned write (bronze spans ~600 hour dirs)
+      // is parallel instead of one serial driver-side rename storm — on a
+      // 1000-executor cluster (or a metadata-slow disk) the v1 driver
+      // commit IS the ingest bottleneck.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
 
   def create(

@@ -221,6 +221,68 @@ object EventQueries {
                    CAST(sum(CAST(weight AS DECIMAL(10,2))) AS DOUBLE) AS total_weight
             FROM u GROUP BY name ORDER BY name"""))
 
+  /** ST8's batch oracle twin — purchase attribution per user over the
+    * canonical events table: for each user with purchases, how many
+    * purchases had at least one `click` (= product view) in the preceding
+    * hour, and how many (purchase, view) pairs the interval join emits.
+    * The streaming operator ([[graft.streaming.Attribution]]) runs the
+    * same join under watermarks; `AttributionSpec` pins stream ≡ batch.
+    * Timestamps compare as epoch MICROSECOND integers on both engines
+    * (the parquet carries nanos: Spark's reader truncates ns→µs, so the
+    * oracle must truncate identically — comparing raw TIMESTAMP_NS
+    * against truncated µs would disagree at nanosecond boundaries).
+    */
+  val st8Attribution = QueryDef(
+    "st8_attribution",
+    "per-user purchase attribution: views within 1h before each purchase",
+    (s, d) => {
+      val base = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val views = base.filter(col("event_type") === "click")
+        .select(col("user_id").as("v_user"), col("us").as("v_us"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("us").as("p_us"),
+          col("event_id").as("purchase_id"))
+      val pairs = purchases.join(views,
+        col("v_user") === col("p_user") &&
+          col("v_us") <= col("p_us") &&
+          col("v_us") >= col("p_us") - lit(3600000000L))
+      val perPurchase = pairs.groupBy(col("p_user"), col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"))
+      val perUser = purchases.groupBy(col("p_user"))
+        .agg(count(lit(1)).as("n_purchases"))
+      perUser
+        .join(perPurchase.groupBy("p_user")
+          .agg(count(lit(1)).as("n_attributed"), sum("n_views").as("n_pairs")),
+          Seq("p_user"), "left")
+        .select(col("p_user").as("user_id"), col("n_purchases"),
+          coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           |  FROM events),
+           |v AS (SELECT user_id AS v_user, us AS v_us FROM base WHERE event_type = 'click'),
+           |p AS (SELECT user_id AS p_user, us AS p_us, event_id AS purchase_id
+           |      FROM base WHERE event_type = 'purchase'),
+           |pairs AS (
+           |  SELECT p_user, purchase_id, CAST(count(*) AS BIGINT) AS n_views
+           |  FROM p JOIN v ON v_user = p_user
+           |               AND v_us <= p_us AND v_us >= p_us - 3600000000
+           |  GROUP BY 1, 2),
+           |per_user AS (
+           |  SELECT p_user, CAST(count(*) AS BIGINT) AS n_purchases FROM p GROUP BY 1),
+           |attr AS (
+           |  SELECT p_user, CAST(count(*) AS BIGINT) AS n_attributed,
+           |         CAST(sum(n_views) AS BIGINT) AS n_pairs
+           |  FROM pairs GROUP BY 1)
+           |SELECT u.p_user AS user_id, u.n_purchases,
+           |       coalesce(a.n_attributed, 0) AS n_attributed,
+           |       coalesce(a.n_pairs, 0) AS n_pairs
+           |FROM per_user u LEFT JOIN attr a ON u.p_user = a.p_user
+           |ORDER BY user_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
-    t3EpochMs, a11PartitionStats, u2LiteralUnion)
+    t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution)
 }

@@ -67,5 +67,186 @@ object ExtendedSqlQueries {
             SELECT 'retained', CAST(count(*) AS BIGINT) FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
             ORDER BY cohort"""))
 
-  val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept)
+  /** E3 — NTILE + CUME_DIST: revenue-day quartiles per order priority.
+    * Window partitions are (priority, calendar day) pre-aggregates —
+    * cardinality bounded by priorities × calendar, never by order volume,
+    * so the per-partition sort stays task-sized at any corpus scale (the
+    * same argument as a13's histogram metadata). Ties: revenue then date
+    * (total order → ntile/cume_dist deterministic on both engines).
+    */
+  val e3NtileCumeDist = QueryDef(
+    "e3_ntile_quartiles",
+    "NTILE(4) + CUME_DIST of daily revenue within each order priority",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // exact integer cents end to end: a double→decimal re-cast at the
+      // second aggregation level is the one known non-portable op (Spark
+      // rounds HALF_UP, DuckDB truncates)
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("order_date"))
+        .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("priority")
+        .orderBy(col("cents"), col("order_date"))
+      daily
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .groupBy("priority", "quartile")
+        .agg(
+          count(lit(1)).as("n_days"),
+          (sum(col("cents")).cast("double") / 100).as("revenue"),
+          round(max(col("cume")), 6).as("max_cume"))
+        .orderBy("priority", "quartile")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS order_date,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT priority, cents, order_date,
+           |         ntile(4) OVER (PARTITION BY priority ORDER BY cents, order_date) AS quartile,
+           |         round(cume_dist() OVER (PARTITION BY priority ORDER BY cents, order_date), 6) AS cume
+           |  FROM daily)
+           |SELECT priority, CAST(quartile AS INTEGER) AS quartile,
+           |       CAST(count(*) AS BIGINT) AS n_days,
+           |       CAST(sum(cents) AS DOUBLE) / 100 AS revenue,
+           |       round(max(cume), 6) AS max_cume
+           |FROM ranked GROUP BY 1, 2 ORDER BY priority, quartile""".stripMargin))
+
+  /** W8 — 7-day moving average of daily revenue (RANGE frame on epoch
+    * days, so calendar gaps widen the window correctly — a ROWS frame
+    * would silently average the last 7 *present* days). The window runs
+    * over the daily pre-aggregate: one partition, but its cardinality is
+    * the CALENDAR (~thousands of rows at any corpus size) — the fact
+    * volume was already reduced by the groupBy. Exact decimal sums feed
+    * the frame; the average is one deterministic double division.
+    */
+  val w8MovingAvg = QueryDef(
+    "w8_moving_avg",
+    "7-day RANGE-frame moving average of daily revenue",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+        .withColumn("epoch_day", datediff(col("order_date"), lit("1970-01-01")).cast("long"))
+      val w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+      daily
+        .withColumn("sum7", sum(col("rev_dec")).over(w).cast("double"))
+        .withColumn("days7", count(lit(1)).over(w))
+        .select(col("order_date"),
+          col("rev_dec").cast("double").as("revenue"),
+          round(col("sum7") / col("days7"), 4).as("avg7"),
+          col("days7"))
+        .orderBy("order_date")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+           |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+           |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+           |  FROM orders GROUP BY 1, 3)
+           |SELECT order_date,
+           |       CAST(rev_dec AS DOUBLE) AS revenue,
+           |       round(CAST(sum(rev_dec) OVER w AS DOUBLE) /
+           |             (count(*) OVER w), 4) AS avg7,
+           |       CAST(count(*) OVER w AS BIGINT) AS days7
+           |FROM daily
+           |WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY order_date""".stripMargin))
+
+  /** E4 — PIVOT/crosstab: order counts and exact revenue per priority,
+    * status pivoted to columns. Spark's `pivot` with an explicit value
+    * list compiles to conditional aggregates in ONE pass (no per-status
+    * scans); the explicit list is also the scale contract — pivoting on
+    * discovered values requires a driver-side distinct first.
+    */
+  val e4Pivot = QueryDef(
+    "e4_pivot",
+    "status-pivoted order counts + revenue per priority (one-pass crosstab)",
+    (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        .select(col("priority"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          (coalesce(col("F_cents"), lit(0L)).cast("double") / 100).as("f_revenue"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"),
+          (coalesce(col("O_cents"), lit(0L)).cast("double") / 100).as("o_revenue"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"),
+          (coalesce(col("P_cents"), lit(0L)).cast("double") / 100).as("p_revenue"))
+        .orderBy("priority"),
+    Some("""SELECT o_orderpriority AS priority,
+           |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+           |       CAST(coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100 AS BIGINT), 0) AS DOUBLE) / 100 AS f_revenue,
+           |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+           |       CAST(coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100 AS BIGINT), 0) AS DOUBLE) / 100 AS o_revenue,
+           |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n,
+           |       CAST(coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100 AS BIGINT), 0) AS DOUBLE) / 100 AS p_revenue
+           |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin))
+
+  /** ST1's batch oracle twin — gaps-and-islands sessionization over the
+    * canonical events table: a user's events split into sessions at
+    * >30-minute inactivity gaps, rolled up per user. The streaming
+    * operator ([[graft.streaming.Sessionization]]) holds the same
+    * semantics under state timeouts; this query value-gates them against
+    * DuckDB. Per-user windows order by epoch-microsecond integers with
+    * event_id tie-breaks (total order → identical islands on both
+    * engines); all durations are exact integer µs until the final div.
+    */
+  val st1SessionsBatch = QueryDef(
+    "st1_sessions_batch",
+    "gaps-and-islands sessionization (30 min) rolled up per user",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sessions = base
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+            .when(lag(col("us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          // DIV, not /: long division through a double mis-bins past 2^53
+          expr("(max(us) - min(us)) DIV 1000000").as("active_sec"))
+      sessions.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("longest_session_events"),
+          sum(col("active_sec")).as("total_active_sec"))
+        .orderBy("user_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+           |flagged AS (
+           |  SELECT user_id, us, event_id,
+           |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+           |              WHEN us - lag(us) OVER w > 1800000000 THEN 1
+           |              ELSE 0 END AS new_s
+           |  FROM base
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |sess AS (
+           |  SELECT user_id, us,
+           |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |                          ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flagged),
+           |per_session AS (
+           |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+           |         (max(us) - min(us)) // 1000000 AS active_sec
+           |  FROM sess GROUP BY 1, 2)
+           |SELECT user_id,
+           |       CAST(count(*) AS BIGINT) AS n_sessions,
+           |       CAST(sum(n_events) AS BIGINT) AS n_events,
+           |       CAST(max(n_events) AS BIGINT) AS longest_session_events,
+           |       CAST(sum(active_sec) AS BIGINT) AS total_active_sec
+           |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
+    e3NtileCumeDist, w8MovingAvg, e4Pivot, st1SessionsBatch)
 }

@@ -51,5 +51,79 @@ object SketchQueries {
            |       CAST(1 AS BIGINT) AS within_2pct
            |FROM events""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x8HllMergeable)
+  /** X22 — Count-Min frequency sketch, fully deterministic and therefore
+    * hash-gated WITHOUT a tolerance verdict: every cell is an exact sum
+    * over portable md5 buckets (4 rows × 1024 cols, row-salted keys), so
+    * both engines compute bit-identical sketches AND estimates. The build
+    * is one scan with a map-side-combinable groupBy onto ≤ 4096 cells —
+    * sketch state is O(1) in corpus size, the 100 TB path for "how often
+    * does key k appear" without a full distinct aggregation. Probes (10
+    * fixed part keys) check the CM guarantee est ≥ true; the estimate
+    * itself is also compared exactly.
+    */
+  val x22CountMin = QueryDef(
+    "x22_countmin",
+    "deterministic Count-Min sketch (4x1024) over l_partkey + probe check",
+    (s, d) => {
+      graft.GraftExtensions.ensure(s)
+      val depth = 4
+      val width = 1024
+      def buckets(key: org.apache.spark.sql.Column) =
+        explode(array((0 until depth).map(r => struct(lit(r).as("r"),
+          pmod(call_function("graft_md5u60",
+            concat(lit(s"$r:"), key.cast("string"))), lit(width))
+            .as("bucket"))): _*)).as("rb")
+      val li = Tables.load(s, d, "lineitem").select(col("l_partkey"))
+      val cells = li.select(buckets(col("l_partkey")))
+        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = Tables.load(s, d, "part")
+        .filter(col("p_partkey") <= 10).select(col("p_partkey"))
+      val probeBuckets = probes
+        .select(col("p_partkey"), buckets(col("p_partkey")))
+        .select(col("p_partkey"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      val est = probeBuckets.join(cells, Seq("r", "bucket"))
+        .groupBy("p_partkey").agg(min(col("cnt")).as("est_count"))
+      val exact = li.filter(col("l_partkey") <= 10)
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(count(lit(1)).as("true_count"))
+      probes
+        .join(est, Seq("p_partkey"), "left")
+        .join(exact, Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"),
+          coalesce(col("est_count"), lit(0L)).as("est_count"),
+          (coalesce(col("est_count"), lit(0L)) >=
+            coalesce(col("true_count"), lit(0L))).cast("long")
+            .as("no_underestimate"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH cells AS (
+           |  SELECT r, CAST(md5_number_lower(r || ':' || CAST(l_partkey AS VARCHAR)) >> 4 AS BIGINT) % 1024 AS bucket,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM lineitem, UNNEST(generate_series(0, 3)) AS u(r)
+           |  GROUP BY 1, 2),
+           |probes AS (SELECT p_partkey FROM part WHERE p_partkey <= 10),
+           |pb AS (
+           |  SELECT p_partkey, r,
+           |         CAST(md5_number_lower(r || ':' || CAST(p_partkey AS VARCHAR)) >> 4 AS BIGINT) % 1024 AS bucket
+           |  FROM probes, UNNEST(generate_series(0, 3)) AS u(r)),
+           |est AS (
+           |  SELECT p_partkey, CAST(min(cnt) AS BIGINT) AS est_count
+           |  FROM pb JOIN cells c ON pb.r = c.r AND pb.bucket = c.bucket
+           |  GROUP BY 1),
+           |exact AS (
+           |  SELECT l_partkey AS p_partkey, CAST(count(*) AS BIGINT) AS true_count
+           |  FROM lineitem WHERE l_partkey <= 10 GROUP BY 1)
+           |SELECT p.p_partkey,
+           |       coalesce(x.true_count, 0) AS true_count,
+           |       coalesce(e.est_count, 0) AS est_count,
+           |       CAST(CASE WHEN coalesce(e.est_count, 0) >= coalesce(x.true_count, 0)
+           |                 THEN 1 ELSE 0 END AS BIGINT) AS no_underestimate
+           |FROM probes p
+           |LEFT JOIN est e ON p.p_partkey = e.p_partkey
+           |LEFT JOIN exact x ON p.p_partkey = x.p_partkey
+           |ORDER BY p.p_partkey""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x8HllMergeable, x22CountMin)
 }

@@ -26,13 +26,13 @@ object SpeedLayer {
   /** Adapter from the canonical `events` table shape to the speed-layer
     * [[Event]] model (testdata event types → the spec's 9-type enum;
     * `value` becomes the purchase amount in the JSON properties bag).
+    * Pure column expressions — works identically on a static or streaming
+    * frame (same Catalyst plan), so batch twins of streaming operators
+    * share it.
     */
-  def eventStream(spark: SparkSession, cfg: Config): Dataset[Event] = {
+  def adapt(src: org.apache.spark.sql.DataFrame): Dataset[Event] = {
+    val spark = src.sparkSession
     import spark.implicits._
-    val reader = spark.readStream.schema(Tables.events)
-    val src = cfg.maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(cfg.eventsPath)
     src
       .withColumnRenamed("ts", "ts_ns")
       .select(
@@ -47,6 +47,14 @@ object SpeedLayer {
         lit("unknown").as("user_tier"),
         concat(lit("""{"amount": """), col("value"), lit("}")).as("properties"))
       .as[Event]
+  }
+
+  def eventStream(spark: SparkSession, cfg: Config): Dataset[Event] = {
+    val reader = spark.readStream.schema(Tables.events)
+    val src = cfg.maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(cfg.eventsPath)
+    adapt(src)
   }
 
   /** Start both queries (sessionization + funnel MV). Returns them running;
