@@ -88,6 +88,38 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
   def delete(cond: Column): Int =
     overwriteAs(read().filter(!cond || cond.isNull), "delete")
 
+  /** Copy-on-write MERGE (Iceberg `MERGE INTO` equivalent): each source
+    * row REPLACES the target row sharing `keyCols` (WHEN MATCHED THEN
+    * UPDATE SET *), unmatched source rows INSERT, and source rows
+    * satisfying `deleteWhen` DELETE their target match instead. The
+    * standard MERGE precondition is enforced: a source with duplicate
+    * merge keys is the ambiguous-merge error every engine raises.
+    *
+    * Plan shape at scale: ONE key-shuffled left-anti join (the surviving
+    * target rows) unioned with the replacement rows — no full-outer
+    * join, no window sort; the write cost is the COW file set, same as
+    * update/delete, and every pre-merge snapshot stays readable.
+    */
+  def merge(source: DataFrame, keyCols: Seq[String],
+      deleteWhen: Option[Column] = None): Int = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val dups = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dups == 0, "MERGE source has duplicate rows on the merge keys")
+    val upserts = deleteWhen.fold(source)(c =>
+      source.filter(!coalesce(c, lit(false))))
+    val result =
+      if (manifest(currentVersion).dirs.isEmpty) upserts
+      else {
+        val cur = read()
+        // delete-marked source rows still carry their keys into the anti
+        // join, so their target matches drop; they just insert nothing
+        cur.join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(upserts.select(cur.columns.toSeq.map(col): _*))
+      }
+    overwriteAs(result, "merge")
+  }
+
   private def overwriteAs(df: DataFrame, op: String): Int = {
     val v = currentVersion + 1
     val dir = dataDir(v)

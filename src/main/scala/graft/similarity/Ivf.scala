@@ -105,6 +105,26 @@ object Ivf {
     (assigned, cents)
   }
 
+  /** Persist a built index for reuse across sessions — the operational
+    * path at scale: build once (the expensive Lloyd pass over the
+    * corpus), then every consumer loads the finished index. The inverted
+    * lists are laid out `partitionBy(cid)` so storage mirrors the index
+    * structure (a probe touches only its nprobe list directories);
+    * centroids are a k-row table.
+    */
+  def save(index: DataFrame, cents: DataFrame, dir: String): Unit = {
+    index.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a [[save]]d index: (inverted lists, centroids) — drop-in for
+    * the pair [[buildIndex]] returns.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/lists"),
+      spark.read.parquet(s"$dir/centroids"))
+
   /** Probe: per query, rank centroids, take `nprobe` lists, score only
     * those lists with exact fixed-point cosine, keep top `k`.
     */

@@ -403,8 +403,73 @@ object CurationQueries {
            |JOIN splits sb ON p.doc_b = sb.doc_id
            |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin))
 
+  /** X23 — leakage-SAFE splitting: x21 measures the leak, this is the
+    * remedy. The split key is the near-dup CLUSTER id (x15's connected
+    * components; singletons fall back to their own doc_id), so an entire
+    * near-dup component lands in one split by construction and the
+    * cross-split near-dup count is provably zero — the audit re-runs
+    * x21's join under the new assignment and the `train|val`-style rows
+    * vanish (all surviving buckets are diagonal, n_leaking = 0). This is
+    * how eval sets are actually cut for LLM training: dedup-cluster
+    * first, split second. Still a pure per-row function of (cluster id,
+    * doc id) — re-derivable on any cluster layout, no stored assignment.
+    */
+  val x23SplitClusterSafe = QueryDef(
+    "x23_split_cluster_safe",
+    "cluster-keyed 80/10/10 split: near-dup pairs can no longer straddle splits",
+    (s, d) => {
+      val labels = graft.dedup.ClusterQueries.x15DedupClusters.run(s, d)
+        .select(col("doc_id"), col("cluster_id"))
+      val bucket = pmod(call_function("graft_md5u60",
+        coalesce(col("cluster_id"), col("doc_id")).cast("string")), lit(100))
+      val splits = docs(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"))
+      val pairs = graft.dedup.DedupQueries
+        .simHashPairs(s, d, graft.dedup.DedupQueries.BAND_DF_CAP)
+      pairs
+        .join(splits.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "split_of_a"), Seq("doc_a"))
+        .join(splits.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "split_of_b"), Seq("doc_b"))
+        .groupBy(
+          least(col("split_of_a"), col("split_of_b")).as("split_a"),
+          greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("split_of_a") =!= col("split_of_b"), 1L).otherwise(0L))
+            .as("n_leaking"))
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""WITH RECURSIVE ${graft.dedup.DedupQueries.simHashSqlCtes(
+                graft.dedup.DedupQueries.BAND_DF_CAP)},
+           |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+           |        UNION ALL
+           |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+           |reach AS (SELECT node, node AS lbl FROM und
+           |          UNION
+           |          SELECT u.nbr AS node, r.lbl
+           |          FROM reach r JOIN und u ON r.node = u.node),
+           |cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+           |splits AS (
+           |  SELECT d.doc_id,
+           |         CASE WHEN CAST(md5_number_lower(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)) >> 4 AS BIGINT) % 100 < 80 THEN 'train'
+           |              WHEN CAST(md5_number_lower(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)) >> 4 AS BIGINT) % 100 < 90 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+           |SELECT least(sa.split, sb.split) AS split_a,
+           |       greatest(sa.split, sb.split) AS split_b,
+           |       CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+           |FROM sim_pairs p
+           |JOIN splits sa ON p.doc_a = sa.doc_id
+           |JOIN splits sb ON p.doc_b = sb.doc_id
+           |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
-      x21SplitLeakage)
+      x21SplitLeakage, x23SplitClusterSafe)
 }

@@ -62,6 +62,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*("), s"no WholeStageCodegen stages:\n${plan.take(800)}")
   }
 
+  test("x22: sketch cells and probes join by broadcast, never shuffling the scan") {
+    val plan = planOf("x22_countmin")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"x22 probe joins must broadcast the tiny sketch/probe side:\n$plan")
+  }
+
+  test("st8: interval join is an equi-join on the user key, ranges as filters") {
+    val plan = planOf("st8_attribution")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"st8 must hash/merge-join on the user equality, not loop:\n$plan")
+  }
+
+  test("e4: pivot compiles to one conditional-aggregate pass (no Expand)") {
+    val plan = planOf("e4_pivot")
+    assert(!plan.contains("Expand"),
+      s"pivot must be one pass of conditional aggregates:\n$plan")
+  }
+
   test("partition pruning on time-partitioned bronze (cdc sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     graft.cdc.Cdc.writeBronze(

@@ -52,6 +52,31 @@ class SnapshotTableSpec extends SparkSpec {
       === Seq(10.0, 20.0, 30.0))
   }
 
+  test("MERGE: update matched, insert unmatched, delete marked, history kept") {
+    val t = freshTable()
+    t.append(df((1L, "new", 10.0), (2L, "new", 20.0), (3L, "paid", 30.0)))
+    // 1 updates, 4 inserts, 3 deletes (status sentinel drives the delete)
+    val src = df((1L, "paid", 11.0), (4L, "new", 40.0), (3L, "tombstone", 0.0))
+    val v = t.merge(src, Seq("id"), deleteWhen = Some(col("status") === "tombstone"))
+    val now = t.read().orderBy("id").collect()
+    assert(now.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    assert(now(0).getString(1) === "paid" && now(0).getDouble(2) === 11.0,
+      "matched row must take the source values")
+    assert(now(1).getString(1) === "new", "untouched row must survive as-is")
+    assert(now(2).getDouble(2) === 40.0, "unmatched source row must insert")
+    // COW: the pre-merge snapshot is intact and the op is recorded
+    assert(t.readVersion(v - 1).count() === 3)
+    assert(t.history().filter(col("version") === v).head().getString(1) === "merge")
+    // ambiguous merge (duplicate source keys) must be refused
+    intercept[IllegalArgumentException] {
+      t.merge(df((5L, "a", 1.0), (5L, "b", 2.0)), Seq("id"))
+    }
+    // merging into an empty table is a plain insert
+    val t2 = freshTable()
+    t2.merge(df((9L, "new", 90.0)), Seq("id"))
+    assert(t2.read().head().getLong(0) === 9L)
+  }
+
   test("history and files metadata tables") {
     val t = freshTable()
     t.append(df((1L, "a", 1.0)))

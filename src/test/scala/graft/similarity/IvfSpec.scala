@@ -43,6 +43,26 @@ class IvfSpec extends SparkSpec {
     assert(leaked.isEmpty, s"final-pair eviction left RDDs persisted: $leaked")
   }
 
+  test("saved index loads in list-partitioned layout and probes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 1)
+    Ivf.save(idx, cents, dir)
+    val (idx2, cents2) = Ivf.load(spark, dir)
+    // storage mirrors the index: one directory per inverted list
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(listDirs.length === idx.select("cid").distinct().count())
+    val queries = vectors.filter(col("vec_id") < 5)
+    def probe(i: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      Ivf.topK(i, c, queries, nprobe = 3, k = 5)
+        .select("q_id", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(probe(idx2, cents2) === probe(idx, cents),
+      "a loaded index must answer probes identically to the in-memory build")
+    Seq(idx, cents).foreach(Ivf.dropCheckpoint)
+  }
+
   test("probing more lists improves recall vs brute force") {
     val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 1)
     val queries = vectors.filter(col("vec_id") < 20)
