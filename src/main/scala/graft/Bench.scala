@@ -31,8 +31,16 @@ object Bench {
     // run and a lucky/unlucky outlier. SPARK_GRAFT_BENCH_RUNS=2 keeps the
     // old best-of-2 for fast iteration.
     val runsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runsN >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsN")
     def record(times: Seq[Double]): Double =
-      if (runsN >= 3) times.sorted.apply(times.size / 2) else times.min
+      if (runsN < 3) times.min
+      else {
+        // true median for any N (even N averages the middle pair — the
+        // upper-middle element alone would bias recorded numbers high)
+        val s = times.sorted
+        val n = s.size
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       val times = (1 to runsN).map { _ =>
@@ -192,13 +200,26 @@ object Bench {
 
     // End-to-end streaming freshness: event file landed -> visible through
     // the merge-on-read serving path, running the real triggered stream
-    // (reference target: < 5 s ingestion-to-dashboard).
-    val freshDir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
-    val fresh = streaming.Freshness.measure(spark, freshDir,
-      nBatches = 8, eventsPerBatch = 500, triggerMs = 250, timeoutSec = 30)
-    val freshJson = s"""{"batches":8,"completed":${fresh.completed},""" +
-      s""""timed_out":${fresh.timedOut},"p50_sec":${fresh.p50},""" +
-      s""""p95_sec":${fresh.p95},"max_sec":${fresh.max}}"""
+    // (reference target: < 5 s ingestion-to-dashboard). Guarded like every
+    // other section: a stream-start failure must not abort the run and
+    // lose the sequential/concurrent/ingest numbers gathered above.
+    val freshBatches = 8
+    val (freshJson, freshP95) =
+      try {
+        val freshDir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+        val fresh = streaming.Freshness.measure(spark, freshDir,
+          nBatches = freshBatches, eventsPerBatch = 500, triggerMs = 250,
+          timeoutSec = 30)
+        (s"""{"batches":$freshBatches,"completed":${fresh.completed},""" +
+          s""""timed_out":${fresh.timedOut},"warmup_ok":${fresh.warmupOk},""" +
+          s""""p50_sec":${fresh.p50},""" +
+          s""""p95_sec":${fresh.p95},"max_sec":${fresh.max}}""", fresh.p95)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] freshness failed: ${e.getMessage}")
+          (s"""{"batches":$freshBatches,"completed":0,"timed_out":-1,""" +
+            s""""warmup_ok":false,"p50_sec":-1,"p95_sec":-1,"max_sec":-1}""", -1.0)
+      }
     // the wave instrumentation is scoped to the two waves above — drop the
     // listener and its maps so nothing accumulates past this point
     spark.sparkContext.removeSparkListener(waveListener)
@@ -254,7 +275,7 @@ object Bench {
       s""""worst_slowdown":${r3(worstSlowdown)},""" +
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
       s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))}},""" +
-      s""""freshness_p95_sec":${r3(fresh.p95)},""" +
+      s""""freshness_p95_sec":${r3(freshP95)},""" +
       s""""detail":"$outPath","sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("ERROR")
     PlanCache.clear(spark)

@@ -163,7 +163,10 @@ object ClusterQueries {
   private[graft] def evictMemo(s: SparkSession, key: String): Unit = {
     val dropped = ccMemo.synchronized {
       Option(ccMemo.get(s)).flatMap { m =>
-        val hit = m.get(key)
+        // only evict COMPLETED builds: removing a Holder whose build is
+        // in flight would orphan it — the finished frame's checkpoint
+        // would be reachable by no cleanup path for the session lifetime
+        val hit = m.get(key).filter(_.peek.isDefined)
         if (hit.isDefined) ccMemo.put(s, m - key)
         hit
       }

@@ -366,7 +366,8 @@ object Multimodal {
     }
 
     private def hdlr(handler: String, name: String): Array[Byte] = {
-      val nameBytes = (name + " ").getBytes("US-ASCII")
+      // ISO 14496-12: `name` is NUL-terminated
+      val nameBytes = name.getBytes("US-ASCII") :+ 0.toByte
       val bb = java.nio.ByteBuffer.allocate(24 + nameBytes.length)
       bb.putInt(0)
       bb.putInt(0) // pre_defined
@@ -382,6 +383,11 @@ object Multimodal {
       */
     def encode(durationMs: Long, width: Int, height: Int,
         mdat: Array[Byte]): Array[Byte] = {
+      // version-0 boxes carry u32 time fields; the 90 kHz video mdhd is
+      // the tightest (durationMs * 90 must fit) — refuse instead of
+      // silently wrapping the tick count for ≥ ~13h inputs
+      require(durationMs >= 0 && durationMs * 90 <= 0xFFFFFFFFL,
+        s"duration ${durationMs}ms overflows version-0 box time fields")
       val ftyp = box("ftyp",
         "isom".getBytes("US-ASCII"),
         Array[Byte](0, 0, 2, 0),

@@ -118,11 +118,15 @@ object Ivf {
   }
 
   /** Load a [[save]]d index: (inverted lists, centroids) — drop-in for
-    * the pair [[buildIndex]] returns.
+    * the pair [[buildIndex]] returns. `cid` comes back from the partition
+    * directories as an inferred int in the same (last) column position
+    * buildIndex emits; re-cast to long so loaded and freshly-built
+    * indexes union/compare without schema surprises.
     */
   def load(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/lists"),
+    (spark.read.parquet(s"$dir/lists")
+      .withColumn("cid", col("cid").cast("long")),
       spark.read.parquet(s"$dir/centroids"))
 
   /** Probe: per query, rank centroids, take `nprobe` lists, score only

@@ -25,7 +25,13 @@ import Events.Event
   */
 object Freshness {
 
-  final case class Result(samples: Seq[Double], timedOut: Int) {
+  /** `warmupOk` = the untimed warmup batch became visible within its
+    * timeout; when false, sample 1 also absorbed the warmup backlog and
+    * the recorded numbers overstate steady-state latency — callers should
+    * treat the run as degraded rather than trust the percentiles.
+    */
+  final case class Result(samples: Seq[Double], timedOut: Int,
+      warmupOk: Boolean = true) {
     private def pct(p: Double): Double = {
       val s = samples.sorted
       if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
@@ -90,6 +96,7 @@ object Freshness {
 
     val samples = Seq.newBuilder[Double]
     var timedOut = 0
+    var warmupOk = true
     var expected = 0L
     try {
       // batch 0 is an UNTIMED warmup: it pays stream startup, state-store
@@ -107,10 +114,13 @@ object Freshness {
           Thread.sleep(25)
           seen = visible()
         }
-        if (seen < expected) { if (b > 0) timedOut += 1 }
-        else if (b > 0) samples += (System.nanoTime() - t0) / 1e9
+        if (seen < expected) {
+          // a timed-out warmup leaks its backlog into sample 1 — flag it
+          // so the percentiles are not mistaken for steady state
+          if (b > 0) timedOut += 1 else warmupOk = false
+        } else if (b > 0) samples += (System.nanoTime() - t0) / 1e9
       }
     } finally query.stop()
-    Result(samples.result(), timedOut)
+    Result(samples.result(), timedOut, warmupOk)
   }
 }

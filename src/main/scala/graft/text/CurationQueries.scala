@@ -349,6 +349,42 @@ object CurationQueries {
            |FROM rates r LEFT JOIN kept k ON r.source = k.source
            |ORDER BY r.source""".stripMargin))
 
+  /** Shared leakage-audit body for x21/x23: simhash near-dup pairs
+    * bucketed by a split assignment `(doc_id, split)` — counts per
+    * (split, split) sorted pair plus how many pairs straddle splits.
+    * One definition so the two queries (measure vs remedy) cannot
+    * diverge; the matching SQL tail below expects CTEs `sim_pairs`
+    * and `splits`.
+    */
+  private def leakageAudit(s: SparkSession,
+      d: String, splits: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = graft.dedup.DedupQueries
+      .simHashPairs(s, d, graft.dedup.DedupQueries.BAND_DF_CAP)
+    pairs
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_of_a"), Seq("doc_a"))
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_of_b"), Seq("doc_b"))
+      .groupBy(
+        least(col("split_of_a"), col("split_of_b")).as("split_a"),
+        greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("split_of_a") =!= col("split_of_b"), 1L).otherwise(0L))
+          .as("n_leaking"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val leakageAuditSqlTail: String =
+    """SELECT least(sa.split, sb.split) AS split_a,
+      |       greatest(sa.split, sb.split) AS split_b,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+      |FROM sim_pairs p
+      |JOIN splits sa ON p.doc_a = sa.doc_id
+      |JOIN splits sb ON p.doc_b = sb.doc_id
+      |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+
   /** X21 — cross-split leakage screen: near-duplicate document pairs that
     * STRADDLE the train/val/test split — the eval-integrity check x10's
     * split audit and the x3 near-dup detector exist to feed. A val/test
@@ -370,21 +406,7 @@ object CurationQueries {
       val splits = docs(s, d).select(col("doc_id"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
           .as("split"))
-      val pairs = graft.dedup.DedupQueries
-        .simHashPairs(s, d, graft.dedup.DedupQueries.BAND_DF_CAP)
-      pairs
-        .join(splits.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("split", "split_of_a"), Seq("doc_a"))
-        .join(splits.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("split", "split_of_b"), Seq("doc_b"))
-        .groupBy(
-          least(col("split_of_a"), col("split_of_b")).as("split_a"),
-          greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("split_of_a") =!= col("split_of_b"), 1L).otherwise(0L))
-            .as("n_leaking"))
-        .orderBy("split_a", "split_b")
+      leakageAudit(s, d, splits)
     },
     Some(s"""WITH ${graft.dedup.DedupQueries.simHashSqlCtes(
                 graft.dedup.DedupQueries.BAND_DF_CAP)},
@@ -394,14 +416,7 @@ object CurationQueries {
            |              WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT) % 100 < 90 THEN 'val'
            |              ELSE 'test' END AS split
            |  FROM documents)
-           |SELECT least(sa.split, sb.split) AS split_a,
-           |       greatest(sa.split, sb.split) AS split_b,
-           |       CAST(count(*) AS BIGINT) AS n_pairs,
-           |       CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
-           |FROM sim_pairs p
-           |JOIN splits sa ON p.doc_a = sa.doc_id
-           |JOIN splits sb ON p.doc_b = sb.doc_id
-           |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin))
+           |$leakageAuditSqlTail""".stripMargin))
 
   /** X23 — leakage-SAFE splitting: x21 measures the leak, this is the
     * remedy. The split key is the near-dup CLUSTER id (x15's connected
@@ -427,21 +442,7 @@ object CurationQueries {
         .select(col("doc_id"),
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
             .as("split"))
-      val pairs = graft.dedup.DedupQueries
-        .simHashPairs(s, d, graft.dedup.DedupQueries.BAND_DF_CAP)
-      pairs
-        .join(splits.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("split", "split_of_a"), Seq("doc_a"))
-        .join(splits.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("split", "split_of_b"), Seq("doc_b"))
-        .groupBy(
-          least(col("split_of_a"), col("split_of_b")).as("split_a"),
-          greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("split_of_a") =!= col("split_of_b"), 1L).otherwise(0L))
-            .as("n_leaking"))
-        .orderBy("split_a", "split_b")
+      leakageAudit(s, d, splits)
     },
     Some(s"""WITH RECURSIVE ${graft.dedup.DedupQueries.simHashSqlCtes(
                 graft.dedup.DedupQueries.BAND_DF_CAP)},
@@ -459,14 +460,7 @@ object CurationQueries {
            |              WHEN CAST(md5_number_lower(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)) >> 4 AS BIGINT) % 100 < 90 THEN 'val'
            |              ELSE 'test' END AS split
            |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
-           |SELECT least(sa.split, sb.split) AS split_a,
-           |       greatest(sa.split, sb.split) AS split_b,
-           |       CAST(count(*) AS BIGINT) AS n_pairs,
-           |       CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
-           |FROM sim_pairs p
-           |JOIN splits sa ON p.doc_a = sa.doc_id
-           |JOIN splits sb ON p.doc_b = sb.doc_id
-           |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin))
+           |$leakageAuditSqlTail""".stripMargin))
 
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
