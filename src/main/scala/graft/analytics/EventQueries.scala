@@ -283,6 +283,56 @@ object EventQueries {
            |FROM per_user u LEFT JOIN attr a ON u.p_user = a.p_user
            |ORDER BY user_id""".stripMargin))
 
+  /** A15 — weekly cohort retention: users grouped by first-activity week,
+    * tracked across week offsets — the standard product-analytics
+    * retention matrix. Three aggregations, all user/week-keyed shuffles
+    * with map-side combine; the matrix itself is calendar² rows whatever
+    * the event volume. Retention is exact integer basis points (n·10⁴
+    * div cohort) surfaced as a double percentage — no engine-dependent
+    * float division in the gate.
+    */
+  val a15CohortRetention = QueryDef(
+    "a15_cohort_retention",
+    "weekly cohort x week-offset retention matrix with exact basis points",
+    (s, d) => {
+      val act = ev(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val sizes = coh.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_users"))
+      val cells = act.join(coh, Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          expr("datediff(wk, cohort_wk) DIV 7").as("offset_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      cells.join(sizes, Seq("cohort_wk"))
+        .select(col("cohort_wk").as("cohort_week"),
+          col("offset_weeks").cast("int").as("offset_weeks"),
+          col("n_users"), col("cohort_users"),
+          (expr("n_users * 10000 DIV cohort_users").cast("double") / 100)
+            .as("retention_pct"))
+        .orderBy("cohort_week", "offset_weeks")
+    },
+    Some("""WITH act AS (
+           |  SELECT DISTINCT user_id,
+           |         CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+           |  FROM events),
+           |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1),
+           |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+           |          FROM coh GROUP BY 1),
+           |cells AS (
+           |  SELECT cohort_wk, datediff('day', cohort_wk, wk) // 7 AS offset_weeks,
+           |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |  FROM act JOIN coh USING (user_id) GROUP BY 1, 2)
+           |SELECT c.cohort_wk AS cohort_week,
+           |       CAST(c.offset_weeks AS INTEGER) AS offset_weeks,
+           |       c.n_users, s.cohort_users,
+           |       CAST(c.n_users * 10000 // s.cohort_users AS DOUBLE) / 100 AS retention_pct
+           |FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+           |ORDER BY cohort_week, offset_weeks""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
-    t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution)
+    t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
+    a15CohortRetention)
 }

@@ -367,7 +367,64 @@ object TextQueries {
            |       CAST(score4 AS DOUBLE) / 10000.0 AS salience
            |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
 
+  /** X24 — vocabulary drift monitor: the corpus split into two halves
+    * (interleaved by doc_id — on a dated corpus the split key is the
+    * ingestion date), per-term usage share compared across halves, top
+    * drifted terms reported. This is the data-drift check a continuously
+    * ingested training corpus runs per batch. The statistic is the L1
+    * share difference |ca·10⁶ div ta − cb·10⁶ div tb| — exact integer
+    * math (a chi-square needs squares that overflow longs at corpus
+    * scale and engine-variant division; the L1 form ranks the same
+    * offenders). Two token-keyed aggregations, vocabulary-bounded.
+    */
+  val x24VocabDrift = QueryDef(
+    "x24_vocab_drift",
+    "top-10 L1 usage-share drifted terms between corpus halves",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d).select(
+        (pmod(col("doc_id"), lit(2)) === 0).as("is_a"),
+        explode(split(col("text"), " ")).as("term"))
+      val counts = toks.groupBy("term")
+        .agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val totals = counts.agg(
+        sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      val scored = counts.crossJoin(broadcast(totals))
+        .withColumn("drift6",
+          abs(expr("ca * 1000000 DIV ta") - expr("cb * 1000000 DIV tb")))
+      val w = Window.orderBy(col("drift6").desc, col("term"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("rk").cast("int").as("rk"), col("term"),
+          col("ca"), col("cb"),
+          (col("drift6").cast("double") / 1e6).as("share_drift"))
+        .orderBy("rk")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id % 2 = 0 AS is_a, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |counts AS (
+           |  SELECT term,
+           |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           |         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           |  FROM toks GROUP BY term),
+           |totals AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+           |                  CAST(sum(cb) AS BIGINT) AS tb FROM counts),
+           |scored AS (
+           |  SELECT term, ca, cb,
+           |         abs(ca * 1000000 // ta - cb * 1000000 // tb) AS drift6
+           |  FROM counts CROSS JOIN totals),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (ORDER BY drift6 DESC, term) AS rk
+           |  FROM scored)
+           |SELECT CAST(rk AS INTEGER) AS rk, term, ca, cb,
+           |       CAST(drift6 AS DOUBLE) / 1000000.0 AS share_drift
+           |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
-    x20SalientTerms)
+    x20SalientTerms, x24VocabDrift)
 }
