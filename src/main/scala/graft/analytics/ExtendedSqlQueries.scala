@@ -196,32 +196,38 @@ object ExtendedSqlQueries {
     * event_id tie-breaks (total order → identical islands on both
     * engines); all durations are exact integer µs until the final div.
     */
+  /** The st1 sessionization body over any `(user_id, us, event_id)`
+    * frame (`us` = epoch microseconds) — factored out so the
+    * differential fuzz can drive it with arbitrary event sets.
+    */
+  private[graft] def sessionRollup(base: org.apache.spark.sql.DataFrame,
+      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sessions = base
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        // DIV, not /: long division through a double mis-bins past 2^53
+        expr("(max(us) - min(us)) DIV 1000000").as("active_sec"))
+    sessions.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("longest_session_events"),
+        sum(col("active_sec")).as("total_active_sec"))
+      .orderBy("user_id")
+  }
+
   val st1SessionsBatch = QueryDef(
     "st1_sessions_batch",
     "gaps-and-islands sessionization (30 min) rolled up per user",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables.load(s, d, "events")
-        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val sessions = base
-        .withColumn("new_s",
-          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
-            .when(lag(col("us"), 1).over(w).isNull, 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("new_s")).over(w))
-        .groupBy("user_id", "sid")
-        .agg(count(lit(1)).as("n_events"),
-          // DIV, not /: long division through a double mis-bins past 2^53
-          expr("(max(us) - min(us)) DIV 1000000").as("active_sec"))
-      sessions.groupBy("user_id")
-        .agg(
-          count(lit(1)).as("n_sessions"),
-          sum(col("n_events")).as("n_events"),
-          max(col("n_events")).as("longest_session_events"),
-          sum(col("active_sec")).as("total_active_sec"))
-        .orderBy("user_id")
-    },
+    (s, d) => sessionRollup(Tables.load(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))),
     Some("""WITH base AS (
            |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
            |flagged AS (
