@@ -462,8 +462,74 @@ object CurationQueries {
            |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
            |$leakageAuditSqlTail""".stripMargin))
 
+  /** X25 — the assembled corpus-curation pipeline, end to end in ONE
+    * declarative plan: exact dedup (keep the min-id doc per text
+    * fingerprint) → near-dup canonicalization (keep cluster canonicals,
+    * x15) → quality gate (t21's score, medium-or-better) → leakage-safe
+    * split (x23's cluster-keyed hash) → per-(split, source) corpus audit.
+    * This is the query a training-data team runs to cut a corpus: every
+    * stage is a prior oracle-gated operator, composed — the audit proves
+    * the stages agree with DuckDB *through* the composition, not just
+    * individually. Shuffles: fingerprint groupBy, the cluster build
+    * (memoized), and the final rollup; no stage is corpus² and the
+    * output is splits × sources rows.
+    */
+  val x25CorpusCuration = QueryDef(
+    "x25_corpus_curation",
+    "exact-dedup -> canonical near-dups -> quality gate -> safe split audit",
+    (s, d) => {
+      val base = docs(s, d).withColumn("fp", md5(col("text")))
+      val keepers = base.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val exactKeep = base.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      val labels = graft.dedup.ClusterQueries.x15DedupClusters.run(s, d)
+        .select(col("doc_id"), col("cluster_id"))
+      val canon = exactKeep.join(labels, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      val quality = canon
+        .filter(graft.text.TextQueries.qualityScore6 >= 450000L)
+      val bucket = pmod(call_function("graft_md5u60",
+        coalesce(col("cluster_id"), col("doc_id")).cast("string")), lit(100))
+      quality
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("split", "source")
+    },
+    Some(s"""WITH RECURSIVE ${graft.dedup.DedupQueries.simHashSqlCtes(
+                graft.dedup.DedupQueries.BAND_DF_CAP)},
+           |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+           |        UNION ALL
+           |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+           |reach AS (SELECT node, node AS lbl FROM und
+           |          UNION
+           |          SELECT u.nbr AS node, r.lbl
+           |          FROM reach r JOIN und u ON r.node = u.node),
+           |cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+           |base AS (SELECT doc_id, source, text, md5(text) AS fp FROM documents),
+           |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY fp),
+           |exact_keep AS (SELECT b.* FROM base b
+           |               JOIN keepers k ON b.fp = k.fp AND b.doc_id = k.doc_id),
+           |canon AS (SELECT e.*, cc.cluster_id FROM exact_keep e
+           |          LEFT JOIN cc ON e.doc_id = cc.node
+           |          WHERE cc.cluster_id IS NULL OR cc.cluster_id = e.doc_id),
+           |quality AS (SELECT * FROM canon
+           |            WHERE ${graft.text.TextQueries.qualityScore6Sql} >= 450000),
+           |labeled AS (
+           |  SELECT source, text,
+           |         CASE WHEN CAST(md5_number_lower(CAST(coalesce(cluster_id, doc_id) AS VARCHAR)) >> 4 AS BIGINT) % 100 < 80 THEN 'train'
+           |              WHEN CAST(md5_number_lower(CAST(coalesce(cluster_id, doc_id) AS VARCHAR)) >> 4 AS BIGINT) % 100 < 90 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM quality)
+           |SELECT split, source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |FROM labeled GROUP BY 1, 2 ORDER BY split, source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
-      x21SplitLeakage, x23SplitClusterSafe)
+      x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration)
 }

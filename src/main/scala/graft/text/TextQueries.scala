@@ -75,6 +75,30 @@ object TextQueries {
          |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
     })
 
+  /** T21's per-document quality score as a 1e-6 fixed-point long column
+    * over `text` — factored so the corpus-curation pipeline (x25) filters
+    * on the identical definition. Floor is the only engine-portable snap
+    * (decimal casts round HALF_UP in Spark but not DuckDB).
+    */
+  private[graft] def qualityScore6: Column = {
+    val stop = Seq("the", "a", "of", "and")
+    val toks = split(col("text"), " ")
+    val nToks = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(stop))).cast("double")
+    val nLetters = length(regexp_replace(col("text"), " ", "")).cast("double")
+    floor((nDistinct / nToks * 0.4 +
+      (lit(1.0) - nStop / nToks) * 0.3 +
+      least(nLetters / nToks / 10.0, lit(1.0)) * 0.3) * lit(1e6)).cast("long")
+  }
+
+  /** SQL mirror of [[qualityScore6]] (expects `text` in scope). */
+  private[graft] val qualityScore6Sql: String =
+    """CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.4 +
+      |     (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(string_split(text, ' '))) * 0.3 +
+      |     least(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) / 10.0, 1.0) * 0.3) * 1000000.0) AS BIGINT)"""
+      .stripMargin.replaceAll("\n", "\n      ")
+
   /** T21 — document quality scoring: lexical-diversity / stopword-ratio /
     * length components folded into one score, bucketed. Per-doc scores are
     * snapped to 1e-6 fixed point (floor) before aggregation so the bucket
