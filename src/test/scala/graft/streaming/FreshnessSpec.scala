@@ -4,23 +4,51 @@ import graft.SparkSpec
 import java.nio.file.Files
 
 /** End-to-end MV freshness: events landing in the source must be visible
-  * through the merge-on-read serving path within the reference's 5-second
-  * target (`realtime-analytics-speed-layer/tasks.md:163`).
+  * through the pinned-MV serving path within the reference's 5-second
+  * target (`realtime-analytics-speed-layer/tasks.md:163`), at the BENCH
+  * configuration (8 batches × 500 events, the reference's own 2 s
+  * micro-batch trigger) — and the served state must equal a batch
+  * recompute over everything that landed, so the speed path cannot buy
+  * latency with wrong answers.
   */
 class FreshnessSpec extends SparkSpec {
 
-  test("event-landed to dashboard-visible median under 5 seconds") {
+  test("event-landed to dashboard-visible p95 under 5 seconds at bench config") {
     val base = Files.createTempDirectory("graft-fresh").toString
-    val r = Freshness.measure(spark, base,
-      nBatches = 4, eventsPerBatch = 200, triggerMs = 200, timeoutSec = 30)
-    assert(r.timedOut === 0, "every batch must become visible")
-    assert(r.warmupOk, "warmup batch must become visible")
-    assert(r.completed === 4)
-    // median, not p95: with 4 samples p95 IS the max, and one GC pause or
-    // noisy-neighbor stall on a loaded box would fail the build with no
-    // code defect. The bench's 8-batch run reports the honest p95.
-    assert(r.p50 < 5.0, s"freshness median ${r.p50}s exceeds the 5s target")
-    // samples are real waits, not clock noise
-    assert(r.samples.forall(_ > 0.0))
+    val (r, mv) = Freshness.measureWithMv(spark, base,
+      nBatches = 8, eventsPerBatch = 500, triggerMs = 2000, timeoutSec = 30)
+    try {
+      assert(r.timedOut === 0, "every batch must become visible")
+      assert(r.warmupOk, "warmup batch must become visible")
+      assert(r.completed === 8)
+      // p95 (with 8 samples, the max): the serving path is in-memory, so
+      // every sample is trigger alignment + the micro-batch itself —
+      // comfortably inside 5 s unless the pipeline genuinely regressed.
+      assert(r.p95 < 5.0, s"freshness p95 ${r.p95}s exceeds the 5s target")
+      // samples are real waits, not clock noise
+      assert(r.samples.forall(_ > 0.0))
+      assert(r.snapshotFailures === 0,
+        s"async MV snapshot writes failed: ${mv.snapshotError}")
+
+      // served-state correctness: the pinned MV must equal the funnel
+      // aggregation recomputed in batch over every event that landed.
+      // (approx_count_distinct included: HLL register merges are
+      // order-insensitive, so stream and batch agree exactly.)
+      import spark.implicits._
+      val landed = spark.read.schema(Events.schema)
+        .parquet(s"$base/in").as[Events.Event]
+      val batchMv = StreamingAggs.funnel(landed, watermark = None)
+      val served = mv.toDF(spark)
+      assert(served.count() === batchMv.count())
+      assert(served.exceptAll(batchMv).isEmpty && batchMv.exceptAll(served).isEmpty,
+        "pinned MV diverged from batch recompute")
+    } finally mv.close()
+
+    // durability: close() flushed the newest async snapshot; an external
+    // reader sees the same MV state from parquet.
+    val snap = spark.read.parquet(s"$base/mv")
+    assert(snap.count() === mv.rows.size.toLong)
+    assert(snap.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .head.getLong(0) === mv.sumLong("n_events"))
   }
 }
