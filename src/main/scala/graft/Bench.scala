@@ -14,8 +14,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // v2 committer: the bench's ingest section writes ~600 bronze hour
+    // dirs and discards the whole tree on failure — the v2 atomicity
+    // tradeoff (see GraftSession.builder doc) doesn't apply here
     val spark = GraftSession.create(s"local[$cpus]", "graft-bench",
-      shufflePartitions = cpus.toInt)
+      shufflePartitions = cpus.toInt, v2Committer = true)
     spark.sparkContext.setLogLevel("WARN")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -13,11 +13,28 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Builder with scale-aware defaults; caller may override before create. */
+  /** Builder with scale-aware defaults; caller may override before create.
+    *
+    * `v2Committer` opts a session into output-committer algorithm v2:
+    * tasks move their files into place themselves, so committing a
+    * time-partitioned write (bronze spans ~600 hour dirs) is parallel
+    * instead of one serial driver-side rename storm — on a 1000-executor
+    * cluster (or a metadata-slow disk) the v1 driver commit IS the ingest
+    * bottleneck. The tradeoff is atomicity: v2 makes task output visible
+    * at task commit, so a failed/killed job can leave partial files that a
+    * direct-directory reader would see as data, and speculative retries
+    * can duplicate files; v1 keeps partial output invisible under
+    * `_temporary`. It therefore defaults OFF and is enabled only where the
+    * consumer is failure-aware: the bench/ingest sessions (a failed bench
+    * run's bronze dir is discarded wholesale) and SnapshotTable-backed
+    * writes (readers resolve a manifest committed only after job success,
+    * so partial files are never referenced).
+    */
   def builder(
       master: String = "local[*]",
       appName: String = "graft",
-      shufflePartitions: Int = 32): SparkSession.Builder =
+      shufflePartitions: Int = 32,
+      v2Committer: Boolean = false): SparkSession.Builder =
     SparkSession
       .builder()
       .master(master)
@@ -35,19 +52,16 @@ object GraftSession {
       // testdata events.parquet carries TIMESTAMP(NANOS) which Spark cannot
       // represent natively; read as epoch-nanos long and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // v2 output commit: tasks move their files into place themselves, so
-      // committing a time-partitioned write (bronze spans ~600 hour dirs)
-      // is parallel instead of one serial driver-side rename storm — on a
-      // 1000-executor cluster (or a metadata-slow disk) the v1 driver
-      // commit IS the ingest bottleneck.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        if (v2Committer) "2" else "1")
       .config("spark.ui.enabled", "false")
 
   def create(
       master: String = "local[*]",
       appName: String = "graft",
-      shufflePartitions: Int = 32): SparkSession = {
-    val spark = builder(master, appName, shufflePartitions).getOrCreate()
+      shufflePartitions: Int = 32,
+      v2Committer: Boolean = false): SparkSession = {
+    val spark = builder(master, appName, shufflePartitions, v2Committer).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -99,25 +99,37 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     * target rows) unioned with the replacement rows — no full-outer
     * join, no window sort; the write cost is the COW file set, same as
     * update/delete, and every pre-merge snapshot stays readable.
+    *
+    * The source is persisted for the duration of the merge: it is
+    * evaluated twice (the ambiguity check, then the COW write), and a
+    * nondeterministic source could otherwise pass the check yet write
+    * different rows — pinning makes both actions see one materialization
+    * (and avoids recomputing an expensive source). NULL merge keys follow
+    * the SQL standard: NULL never equals NULL, so a null-keyed source row
+    * matches no target row and inserts alongside any null-keyed target
+    * rows rather than replacing them.
     */
   def merge(source: DataFrame, keyCols: Seq[String],
       deleteWhen: Option[Column] = None): Int = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
-    val dups = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-    require(dups == 0, "MERGE source has duplicate rows on the merge keys")
-    val upserts = deleteWhen.fold(source)(c =>
-      source.filter(!coalesce(c, lit(false))))
-    val result =
-      if (manifest(currentVersion).dirs.isEmpty) upserts
-      else {
-        val cur = read()
-        // delete-marked source rows still carry their keys into the anti
-        // join, so their target matches drop; they just insert nothing
-        cur.join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(upserts.select(cur.columns.toSeq.map(col): _*))
-      }
-    overwriteAs(result, "merge")
+    val src = source.persist()
+    try {
+      val dups = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dups == 0, "MERGE source has duplicate rows on the merge keys")
+      val upserts = deleteWhen.fold(src)(c =>
+        src.filter(!coalesce(c, lit(false))))
+      val result =
+        if (manifest(currentVersion).dirs.isEmpty) upserts
+        else {
+          val cur = read()
+          // delete-marked source rows still carry their keys into the anti
+          // join, so their target matches drop; they just insert nothing
+          cur.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(upserts.select(cur.columns.toSeq.map(col): _*))
+        }
+      overwriteAs(result, "merge")
+    } finally src.unpersist()
   }
 
   private def overwriteAs(df: DataFrame, op: String): Int = {

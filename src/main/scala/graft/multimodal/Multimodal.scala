@@ -416,6 +416,14 @@ object Multimodal {
     /** Child boxes inside [start, end): (type, payloadStart, payloadEnd).
       * A malformed size stops the walk (everything parsed so far stands) —
       * absolute reads, no buffer position state.
+      *
+      * All three ISO 14496-12 §4.2 size encodings are handled: the plain
+      * u32 (read unsigned — a 2-4 GiB box must not alias to a negative
+      * signed int), `size==1` (64-bit largesize follows the type; a big
+      * `mdat` before `moov` is the common real-world case), and `size==0`
+      * (box extends to the end of the enclosing container). Payloads live
+      * in one byte array, so offsets stay under 2 GiB by construction —
+      * within that, any legal size encoding walks.
       */
     private def children(bb: java.nio.ByteBuffer, start: Int,
         end: Int): Seq[(String, Int, Int)] = {
@@ -423,11 +431,16 @@ object Multimodal {
       var pos = start
       var bad = false
       while (!bad && end - pos >= 8) {
-        val size = bb.getInt(pos)
-        if (size < 8 || pos + size > end) bad = true
+        val size32 = bb.getInt(pos).toLong & 0xffffffffL
+        val (size, hdr): (Long, Int) =
+          if (size32 == 1L) {
+            if (end - pos < 16) (-1L, 16) else (bb.getLong(pos + 8), 16)
+          } else if (size32 == 0L) ((end - pos).toLong, 8)
+          else (size32, 8)
+        if (size < hdr || pos.toLong + size > end) bad = true
         else {
-          out += ((boxType(bb, pos), pos + 8, pos + size))
-          pos += size
+          out += ((boxType(bb, pos), pos + hdr, (pos + size).toInt))
+          pos = (pos + size).toInt
         }
       }
       out.result()

@@ -77,6 +77,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t2.read().head().getLong(0) === 9L)
   }
 
+  test("MERGE: null keys never match (SQL standard), nondeterministic source pinned") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(Seq((java.lang.Long.valueOf(1L), "t-null"), (null.asInstanceOf[java.lang.Long], "t-one"))
+      .toDF("id", "status"))
+    // null-keyed source row inserts ALONGSIDE the null-keyed target row
+    // (NULL = NULL is not a match), non-null key replaces normally
+    t.merge(Seq((java.lang.Long.valueOf(1L), "s-upd"), (null.asInstanceOf[java.lang.Long], "s-null"))
+      .toDF("id", "status"), Seq("id"))
+    val rows = t.read().collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).sorted.toSeq
+    assert(rows === Seq((-1L, "s-null"), (-1L, "t-one"), (1L, "s-upd")))
+
+    // a nondeterministic source must write exactly what the ambiguity
+    // check saw: one materialization (merge persists the source), so the
+    // written ids are a subset of 0..99 with no duplicates
+    val t2 = freshTable()
+    val nondet = spark.range(200)
+      .withColumn("id", (rand(7) * 100).cast("long"))
+      .withColumn("status", lit("x")).drop("id").toDF()
+      .select((rand(7) * 100).cast("long").as("id"), lit("x").as("status"))
+      .dropDuplicates("id")
+    t2.merge(nondet, Seq("id"))
+    val ids = t2.read().select("id").as[Long].collect().toSeq
+    assert(ids.distinct.size === ids.size,
+      "re-evaluated nondeterministic source produced duplicate merge keys")
+  }
+
   test("history and files metadata tables") {
     val t = freshTable()
     t.append(df((1L, "a", 1.0)))
