@@ -247,23 +247,31 @@ object TextQueries {
 
   /** T25 — corpus boilerplate mining: the 3 most frequent 3-grams per
     * source (occurrence-counted, deterministic ties on the shingle text).
-    * At scale the groupBy is the only full shuffle — per-source vocabulary
-    * is bounded, so the top-k window sorts small partitions.
+    * At scale the count groupBy is the only full shuffle; the top-3 is a
+    * bounded [[graft.functions.TopKTerms]] aggregate (map tasks reduce to
+    * ≤ 3 rows per source pre-shuffle) — NOT a per-source window, which
+    * would funnel each source's entire shingle vocabulary (corpus-growing
+    * at 100 TB) through one task.
     */
   val t25TopShingles = QueryDef(
     "t25_top_shingles",
     "top-3 most frequent 3-grams per source with occurrence counts",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      import graft.functions.{KeyedTermRow, TopKTerms}
       // tokenization contract shared with the dedup/contamination ops
       val sh = graft.dedup.DedupQueries.shingleRows(docs(s, d), Seq("source"))
       val counts = sh.groupBy("source", "shingle").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("n").desc, col("shingle"))
       counts
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("source"), col("rk"), col("shingle"), col("n"))
+        .select(col("source").as("g"), col("n").as("rank"),
+          col("shingle").as("term"), col("n").as("v1"), lit(0L).as("v2"))
+        .as[KeyedTermRow]
+        .groupByKey(_.g)
+        .agg(new TopKTerms(3).toColumn.name("top"))
+        .flatMap { case (g, top) =>
+          top.rows.zipWithIndex.map { case (r, i) => (g, i + 1, r.term, r.v1) }
+        }
+        .toDF("source", "rk", "shingle", "n")
         .orderBy("source", "rk")
     },
     Some(s"""WITH ${graft.dedup.DedupQueries.shingleRowsSql(Seq("source"))},
@@ -345,14 +353,16 @@ object TextQueries {
     * ulp is not portable, and a fixed-point floor at an ulp boundary
     * would flip the gate). Top-3 terms per source, deterministic ties on
     * the term. Shuffles: the tf groupBy and the corpus-wide df groupBy
-    * (both map-side combinable, vocabulary-bounded); the per-source
-    * window sorts bounded vocabularies, never documents.
+    * (both map-side combinable, vocabulary-bounded); the per-source top-3
+    * is a bounded [[graft.functions.TopKTerms]] aggregate — ≤ 3 rows per
+    * (task, source) move, never a vocabulary-wide window sort.
     */
   val x20SalientTerms = QueryDef(
     "x20_salient_terms",
     "top-3 tf*(N/df)-salient terms per source (exact integer weighting)",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      import graft.functions.{KeyedTermRow, TopKTerms}
       val toks = docs(s, d).select(col("source"), col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
@@ -363,13 +373,18 @@ object TextQueries {
         .join(dfreq, Seq("term"))
         .crossJoin(broadcast(total))
         .withColumn("score4", expr("tf * n_corpus * 10000 DIV df"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("score4").desc, col("term"))
       scored
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("source"), col("rk"), col("term"), col("tf"), col("df"),
-          (col("score4").cast("double") / 1e4).as("salience"))
+        .select(col("source").as("g"), col("score4").as("rank"),
+          col("term"), col("tf").as("v1"), col("df").as("v2"))
+        .as[KeyedTermRow]
+        .groupByKey(_.g)
+        .agg(new TopKTerms(3).toColumn.name("top"))
+        .flatMap { case (g, top) =>
+          top.rows.zipWithIndex.map { case (r, i) =>
+            (g, i + 1, r.term, r.v1, r.v2, r.rank / 1e4)
+          }
+        }
+        .toDF("source", "rk", "term", "tf", "df", "salience")
         .orderBy("source", "rk")
     },
     Some("""WITH toks AS (
@@ -405,7 +420,8 @@ object TextQueries {
     "x24_vocab_drift",
     "top-10 L1 usage-share drifted terms between corpus halves",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      import graft.functions.{KeyedTermRow, TopKTerms}
       val toks = docs(s, d).select(
         (pmod(col("doc_id"), lit(2)) === 0).as("is_a"),
         explode(split(col("text"), " ")).as("term"))
@@ -418,13 +434,21 @@ object TextQueries {
       val scored = counts.crossJoin(broadcast(totals))
         .withColumn("drift6",
           abs(expr("ca * 1000000 DIV ta") - expr("cb * 1000000 DIV tb")))
-      val w = Window.orderBy(col("drift6").desc, col("term"))
+      // global top-10 via the bounded aggregate (single group): each map
+      // task contributes ≤ 10 rows — an unpartitioned row_number window
+      // would sort the whole vocabulary in one task
       scored
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
-        .select(col("rk").cast("int").as("rk"), col("term"),
-          col("ca"), col("cb"),
-          (col("drift6").cast("double") / 1e6).as("share_drift"))
+        .select(lit("").as("g"), col("drift6").as("rank"), col("term"),
+          col("ca").as("v1"), col("cb").as("v2"))
+        .as[KeyedTermRow]
+        .groupByKey(_.g)
+        .agg(new TopKTerms(10).toColumn.name("top"))
+        .flatMap { case (_, top) =>
+          top.rows.zipWithIndex.map { case (r, i) =>
+            (i + 1, r.term, r.v1, r.v2, r.rank / 1e6)
+          }
+        }
+        .toDF("rk", "term", "ca", "cb", "share_drift")
         .orderBy("rk")
     },
     Some("""WITH toks AS (

@@ -52,6 +52,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected shuffles:\n$plan")
   }
 
+  test("top-k-terms queries plan bounded aggregates, not vocabulary windows") {
+    // t25/x20/x24 rank a vocabulary-count table: a row_number window
+    // (partitioned by source, or unpartitioned for the global x24) would
+    // funnel each group's ENTIRE vocabulary — corpus-growing at 100 TB —
+    // through one task. The bounded TopKTerms aggregate moves ≤ k rows
+    // per (task, group); this pin fails any refactor that re-grows the
+    // window form.
+    for (q <- Seq("t25_top_shingles", "x20_salient_terms", "x24_vocab_drift")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"),
+        s"$q plans a window over the vocabulary table:\n$plan")
+      assert(plan.contains("TopKTerms"),
+        s"$q lost its bounded top-k aggregate:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // AQE finalizes the plan only on execution; codegen stages then show
     // as starred operators (*(n) HashAggregate...) in the final plan.
