@@ -30,10 +30,18 @@ import scala.jdk.CollectionConverters._
   *    tables; `expireSnapshots` keeps the last N manifests and removes
   *    unreferenced data dirs.
   *
-  * Scale: the manifest holds *directories* (one per commit), not
-  * individual file paths, so manifest size is O(commits); data files are
-  * only ever written once and never rewritten on append — the same I/O
-  * profile that makes the pattern work at 100 TB.
+  * Scale: the manifest holds *directories*, not individual file paths:
+  * one per commit for an unpartitioned table (manifest size O(commits)),
+  * one per (commit, partition) for a partitioned table (O(commits ×
+  * partitions) — the granularity that lets compaction and expiry touch
+  * single partitions; Iceberg's manifests are O(files) for the same
+  * reason). Data files are only ever written once and never rewritten on
+  * append — the same I/O profile that makes the pattern work at 100 TB.
+  *
+  * Partitioned tables (`partitionBy` at create) lay data out hive-style
+  * (`data/v00001/p=a/...parquet`); reads restore partition columns via
+  * per-commit `basePath`, and [[compactPartitions]] binpacks each
+  * partition independently toward a target file size.
   */
 final class SnapshotTable private (val spark: SparkSession, val root: String) {
 
@@ -41,6 +49,16 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
 
   private def snapDir = Paths.get(root, "_snapshots")
   private def headPath = snapDir.resolve("HEAD")
+  private def propsPath = snapDir.resolve("PROPERTIES")
+
+  /** Partition columns fixed at table creation (empty = unpartitioned). */
+  val partitionCols: Seq[String] =
+    if (Files.exists(propsPath))
+      Files.readString(propsPath).linesIterator.toSeq
+        .collectFirst { case s if s.startsWith("partitionBy=") =>
+          s.stripPrefix("partitionBy=").split(",").toSeq.filter(_.nonEmpty)
+        }.getOrElse(Nil)
+    else Nil
 
   def currentVersion: Int =
     if (Files.exists(headPath)) Files.readString(headPath).trim.toInt else 0
@@ -55,23 +73,60 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
   def readVersion(version: Int): DataFrame = {
     val m = manifest(version)
     if (m.dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(m.dirs: _*)
+    else if (partitionCols.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(m.dirs: _*)
+    else {
+      // partitioned: manifest entries are partition subdirs; group them by
+      // commit dir so basePath restores the typed partition columns, then
+      // union across commits (allowMissingColumns = schema evolution)
+      m.dirs.groupBy(commitDirOf).toSeq.sortBy(_._1)
+        .map { case (base, subdirs) =>
+          spark.read.option("mergeSchema", "true").option("basePath", base)
+            .parquet(subdirs: _*)
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+  }
+
+  /** Write `df` into a fresh commit dir and return the manifest entries it
+    * produced: the dir itself, or its partition subdirs when partitioned.
+    */
+  private def writeData(df: DataFrame, v: Int): Seq[String] = {
+    val dir = dataDir(v)
+    if (partitionCols.isEmpty) {
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+      Seq(dir)
+    } else {
+      df.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(partitionCols: _*).parquet(dir)
+      listPartitionDirs(dir)
+    }
+  }
+
+  /** Leaf partition subdirs (depth = #partition cols) under a commit dir. */
+  private def listPartitionDirs(dir: String): Seq[String] = {
+    def walk(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else scala.util.Using.resource(Files.list(p)) { s =>
+        s.iterator().asScala.toSeq
+          .filter(c => Files.isDirectory(c) && c.getFileName.toString.contains("="))
+          .flatMap(walk(_, depth - 1))
+      }
+    walk(Paths.get(dir), partitionCols.size).map(_.toString).sorted
   }
 
   def append(df: DataFrame): Int = {
     val v = currentVersion + 1
-    val dir = dataDir(v)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    val entries = writeData(df, v)
     commit(v, Manifest(v, "append",
-      manifest(currentVersion).dirs :+ dir, System.currentTimeMillis()))
+      manifest(currentVersion).dirs ++ entries, System.currentTimeMillis()))
     v
   }
 
   def overwrite(df: DataFrame): Int = {
     val v = currentVersion + 1
-    val dir = dataDir(v)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
-    commit(v, Manifest(v, "overwrite", Seq(dir), System.currentTimeMillis()))
+    val entries = writeData(df, v)
+    commit(v, Manifest(v, "overwrite", entries, System.currentTimeMillis()))
     v
   }
 
@@ -134,9 +189,8 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
 
   private def overwriteAs(df: DataFrame, op: String): Int = {
     val v = currentVersion + 1
-    val dir = dataDir(v)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
-    commit(v, Manifest(v, op, Seq(dir), System.currentTimeMillis()))
+    val entries = writeData(df, v)
+    commit(v, Manifest(v, op, entries, System.currentTimeMillis()))
     v
   }
 
@@ -165,19 +219,104 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     }.toDF("dir", "file", "size_bytes")
   }
 
-  /** Small-file compaction (Iceberg `rewrite_data_files` equivalent):
-    * rewrite the current snapshot into `targetFiles` files as a new
-    * commit. Append-heavy tables accumulate one dir per commit with small
-    * files; compaction collapses them while every older snapshot stays
-    * readable. At scale `targetFiles` comes from table size / 128 MB.
+  /** Small-file compaction for UNPARTITIONED tables: rewrite the current
+    * snapshot into `targetFiles` files as a new commit. Partitioned
+    * tables must use [[compactPartitions]] — a whole-table rewrite is
+    * exactly the 100 TB scale-killer that API exists to avoid.
     */
   def compact(targetFiles: Int): Int = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(partitionCols.isEmpty,
+      "partitioned table: use compactPartitions (per-partition binpack), " +
+        "not a whole-table rewrite")
     // empty table: nothing to rewrite (and parquet refuses a zero-column
     // schema) — no-op maintenance
     if (manifest(currentVersion).dirs.isEmpty) currentVersion
     else overwriteAs(read().coalesce(targetFiles), "compact")
   }
+
+  /** Iceberg `rewrite_data_files` semantics for partitioned tables:
+    * binpack each partition's small files toward `targetBytes` per output
+    * file, independently per partition, optionally restricted by
+    * `predicate` over the partition values (compact only hot partitions —
+    * the reference's 128 MB target-file maintenance,
+    * `task6-ecommerce-tables-config.yaml:52-53`).
+    *
+    * Partitions whose files already meet the target (one file, or every
+    * file ≥ half the target — Iceberg's own "skip near-target files"
+    * heuristic) and partitions excluded by the predicate are NOT
+    * rewritten: the new manifest re-references their existing subdirs
+    * byte-identically. Only selected partitions' rows are read, and each
+    * is written as ceil(bytes / targetBytes) files — never a full-table
+    * job. Every older snapshot stays readable (COW).
+    *
+    * Returns the new version, or the current one when nothing qualified.
+    */
+  def compactPartitions(targetBytes: Long,
+      predicate: Map[String, String] => Boolean = _ => true): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(partitionCols.nonEmpty,
+      "unpartitioned table: use compact(targetFiles)")
+    val entries = manifest(currentVersion).dirs
+    // group manifest entries by their partition-relative path ("p=a/q=b")
+    val byPartition = entries.groupBy(relPartitionPath)
+    def bytesAndFiles(dirs: Seq[String]): (Long, Int) = {
+      val files = dirs.flatMap { d =>
+        scala.util.Using.resource(Files.list(Paths.get(d))) { s =>
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(Files.size).toSeq
+        }
+      }
+      (files.sum, files.size)
+    }
+    val selected = byPartition.toSeq.sortBy(_._1).filter { case (rel, dirs) =>
+      predicate(partitionValues(rel)) && {
+        val (bytes, nFiles) = bytesAndFiles(dirs)
+        nFiles > 1 && bytes.toDouble / nFiles < targetBytes / 2.0
+      }
+    }
+    if (selected.isEmpty) return currentVersion
+    val v = currentVersion + 1
+    val newDir = dataDir(v)
+    val newEntries = selected.map { case (rel, dirs) =>
+      val (bytes, _) = bytesAndFiles(dirs)
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val out = Paths.get(newDir, rel).toString
+      // the subdir files carry only data columns (hive layout) — read
+      // them directly and write back under the same partition path
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .coalesce(nOut)
+        .write.mode(SaveMode.ErrorIfExists).parquet(out)
+      rel -> out
+    }.toMap
+    val compactedRels = newEntries.keySet
+    val dirs = entries.filterNot(e => compactedRels(relPartitionPath(e))) ++
+      newEntries.values.toSeq.sorted
+    commit(v, Manifest(v, "compact", dirs, System.currentTimeMillis()))
+    v
+  }
+
+  /** "p=a/q=b" suffix of a manifest entry (last #partitionCols segments). */
+  private def relPartitionPath(entry: String): String = {
+    val p = Paths.get(entry)
+    val n = p.getNameCount
+    p.subpath(n - partitionCols.size, n).toString
+  }
+
+  /** The commit dir a partition-subdir manifest entry lives under. */
+  private def commitDirOf(entry: String): String = {
+    var p = Paths.get(entry)
+    (1 to partitionCols.size).foreach(_ => p = p.getParent)
+    p.toString
+  }
+
+  /** Decoded partition values of a relative partition path. */
+  private def partitionValues(rel: String): Map[String, String] =
+    rel.split('/').toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      seg.substring(0, i) ->
+        java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+    }.toMap
 
   /** Keep the last `keep` snapshots; delete older manifests and any data
     * dir no surviving manifest references.
@@ -251,15 +390,26 @@ object SnapshotTable {
     }
   }
 
-  /** Create (or open) a snapshot table at `root`. */
-  def create(spark: SparkSession, root: String): SnapshotTable = {
-    val t = new SnapshotTable(spark, root)
+  /** Create (or open) a snapshot table at `root`. `partitionBy` fixes the
+    * hive-style partition spec at creation time (persisted in table
+    * properties); reopening an existing table ignores a matching spec and
+    * refuses a conflicting one.
+    */
+  def create(spark: SparkSession, root: String,
+      partitionBy: Seq[String] = Nil): SnapshotTable = {
     val snapDir = Paths.get(root, "_snapshots")
     if (!Files.exists(snapDir.resolve("HEAD"))) {
       Files.createDirectories(snapDir)
+      if (partitionBy.nonEmpty)
+        Files.writeString(snapDir.resolve("PROPERTIES"),
+          s"partitionBy=${partitionBy.mkString(",")}\n")
       Files.writeString(snapDir.resolve("v00000.json"), Manifest.empty.toJson)
       Files.writeString(snapDir.resolve("HEAD"), "0")
     }
+    val t = new SnapshotTable(spark, root)
+    require(partitionBy.isEmpty || t.partitionCols == partitionBy,
+      s"table at $root is partitioned by ${t.partitionCols.mkString(",")}, " +
+        s"not ${partitionBy.mkString(",")}")
     t
   }
 }

@@ -174,6 +174,74 @@ class SnapshotTableSpec extends SparkSpec {
       .head().getString(1) === "compact")
   }
 
+  test("partitioned table: appends land hive-style, reads restore partition column") {
+    import spark.implicits._
+    val t = SnapshotTable.create(spark,
+      Files.createTempDirectory("graft-snap-p").toString, partitionBy = Seq("p"))
+    t.append(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "amount", "p"))
+    t.append(Seq((3L, 30.0, "a")).toDF("id", "amount", "p"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("p"))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    // partition pruning: a p-filter scans only that partition's subdirs
+    val scanned = t.read().filter(col("p") === "a")
+    assert(scanned.count() === 2)
+    // time travel works on the partitioned layout too
+    assert(t.readVersion(1).count() === 2)
+    // reopening with a conflicting spec is refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.create(spark, t.root, partitionBy = Seq("q"))
+    }
+    // whole-table compact is refused on a partitioned table
+    intercept[IllegalArgumentException] { t.compact(1) }
+  }
+
+  test("compactPartitions: per-partition binpack, untouched partitions byte-identical") {
+    import spark.implicits._
+    val t = SnapshotTable.create(spark,
+      Files.createTempDirectory("graft-snap-c").toString, partitionBy = Seq("p"))
+    // partition a: many small files across commits; partition b: one file
+    (1 to 5).foreach(i =>
+      t.append(Seq((i.toLong, i.toDouble, "a")).toDF("id", "amount", "p")))
+    t.append(Seq((100L, 1.0, "b")).toDF("id", "amount", "p"))
+    def filesOf(part: String): Seq[(String, Long)] =
+      t.filesMetadata().filter(col("dir").endsWith(s"p=$part"))
+        .select("dir", "file", "size_bytes").collect()
+        .map(r => (r.getString(0) + "/" + r.getString(1), r.getLong(2))).toSeq.sorted
+    val bBefore = filesOf("b")
+    val aBefore = filesOf("a")
+    assert(aBefore.size >= 5, "partition a must start fragmented")
+    val preVersion = t.currentVersion
+
+    val v = t.compactPartitions(targetBytes = 64L * 1024 * 1024)
+    assert(v === preVersion + 1)
+    // partition a collapsed to one file; rows intact
+    assert(filesOf("a").size === 1)
+    assert(t.read().filter(col("p") === "a").count() === 5)
+    assert(t.read().count() === 6)
+    // partition b untouched: exact same file paths and sizes re-referenced
+    assert(filesOf("b") === bBefore, "untouched partition must not be rewritten")
+    // old snapshot intact (COW)
+    assert(t.readVersion(preVersion).count() === 6)
+    assert(t.history().orderBy(col("version").desc).head().getString(1) === "compact")
+    // idempotent: nothing left to binpack → no new version
+    assert(t.compactPartitions(64L * 1024 * 1024) === v)
+
+    // predicate restricts the rewrite to selected partitions
+    val t2 = SnapshotTable.create(spark,
+      Files.createTempDirectory("graft-snap-c2").toString, partitionBy = Seq("p"))
+    (1 to 3).foreach(i =>
+      t2.append(Seq((i.toLong, 1.0, "hot"), (i.toLong, 1.0, "cold"))
+        .toDF("id", "amount", "p")))
+    def files2(part: String): Seq[String] =
+      t2.filesMetadata().filter(col("dir").endsWith(s"p=$part"))
+        .select("dir").collect().map(_.getString(0)).toSeq.sorted
+    val coldBefore = files2("cold")
+    t2.compactPartitions(64L * 1024 * 1024, pv => pv("p") == "hot")
+    assert(files2("hot").distinct.size === 1, "hot partition compacted")
+    assert(files2("cold") === coldBefore, "cold partition left alone")
+  }
+
   test("atomic commit: HEAD and manifest agree after every operation") {
     val t = freshTable()
     (1 to 5).foreach(i => t.append(df((i.toLong, "s", i.toDouble))))
