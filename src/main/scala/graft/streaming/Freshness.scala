@@ -94,13 +94,26 @@ object Freshness {
     val src = spark.readStream.schema(Events.schema).parquet(inDir).as[Event]
     // dedup sets the stream's single watermark (same contract as SpeedLayer)
     val events = Events.deduped(src)
-    val query = StreamingAggs.funnel(events, watermark = None)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) => mv.update(batch, id) }
-      .option("checkpointLocation", ckpt)
-      .outputMode("update")
-      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
-      .start()
+    // State partitioning sized to the stream's keyspace (the MV grain is
+    // calendar × enum ≈ 10² groups), not the batch-analytics shuffle
+    // default: every micro-batch commits a delta file PER state partition
+    // PER stateful operator, and those small fsyncs are the freshness
+    // floor on metadata-slow disks — 2×32 partitions of near-empty state
+    // deltas is pure overhead. Streams clone the session at start, so
+    // restoring the conf right after start() leaves the running stream
+    // (and its checkpoint-pinned state partitioning) untouched.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        StreamingAggs.funnel(events, watermark = None)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) => mv.update(batch, id) }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
     val samples = Seq.newBuilder[Double]
     var timedOut = 0
