@@ -24,6 +24,16 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // host-I/O health, sampled before and after the run: the I/O-sensitive
+    // sections (ingest/wave/freshness) are only trustworthy when the probe
+    // is in the healthy band (thresholds in NOTES). A degraded probe tells
+    // the reader to discount those sections instead of the code. The probe
+    // targets the SCRATCH mount (java.io.tmpdir) — Spark local dirs,
+    // checkpoints, and the bench's bronze/MV dirs live there, and this box
+    // has shown windows where that mount alone throttles to single-digit
+    // MB/s while the root fs stays at full bandwidth.
+    val ioPre = IoProbe.run()
+
     // warmup: one scan+agg+join through codegen
     force(SparkEntry.queries("j4_daily_business_metrics")(spark, sfDir))
 
@@ -227,6 +237,8 @@ object Bench {
           (s"""{"batches":$freshBatches,"completed":0,"timed_out":-1,""" +
             s""""warmup_ok":false,"p50_sec":-1,"p95_sec":-1,"max_sec":-1}""", -1.0)
       }
+    val ioPost = IoProbe.run()
+
     // the wave instrumentation is scoped to the two waves above — drop the
     // listener and its maps so nothing accumulates past this point
     spark.sparkContext.removeSparkListener(waveListener)
@@ -254,6 +266,7 @@ object Bench {
       s""""mv_build_sec":$mvBuildSec,""" +
       s""""wave_mv_served":${waveJson(mvWave)}},""" +
       s""""freshness":$freshJson,""" +
+      s""""io_probe":{"pre":${ioPre.toJson},"post":${ioPost.toJson}},""" +
       s""""sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -283,6 +296,9 @@ object Bench {
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
       s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))}},""" +
       s""""freshness_p95_sec":${r3(freshP95)},""" +
+      // [seq-write MB/s, fsync/s, small-creates/s] before/after the run;
+      // healthy-band thresholds live in NOTES
+      s""""io_probe":{"pre":${ioPre.toJsonCompact},"post":${ioPost.toJsonCompact}},""" +
       s""""detail":"$outPath","sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("ERROR")
     PlanCache.clear(spark)
