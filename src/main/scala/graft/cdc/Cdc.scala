@@ -151,7 +151,8 @@ object Cdc {
     * the default; minute is for short-retention hot paths.
     */
   def writeBronze(df: DataFrame, path: String,
-      grain: String = "hour"): Unit = {
+      grain: String = "hour",
+      mode: String = "overwrite"): Unit = {
     val partitionCols = grain match {
       case "hour" => Seq("year", "month", "day", "hour")
       case "minute" => Seq("year", "month", "day", "hour", "minute")
@@ -167,16 +168,20 @@ object Cdc {
       .drop("__src_ts")
       .drop((Seq("year", "month", "day", "hour", "minute")
         diff partitionCols): _*)
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
 
   /** S5: partition-pruned read — predicates on year/month/day/hour prune
-    * directories at planning time (no hand-rolled listing).
+    * directories at planning time (no hand-rolled listing). `mergeSchema`
+    * so a BACKWARD schema evolution mid-stream (new nullable column — the
+    * reference's users-table evolution drill, `task9-validate-cdc.sh:
+    * 295-420`) reads pre- and post-evolution files in ONE scan, old rows
+    * null-filled.
     */
   def readBronze(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** W4: latest-record-per-key compaction by LSN (generic). */
   def latestByKey(df: DataFrame, keyCols: Seq[String],

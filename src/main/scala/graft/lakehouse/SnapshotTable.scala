@@ -115,10 +115,15 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     walk(Paths.get(dir), partitionCols.size).map(_.toString).sorted
   }
 
-  def append(df: DataFrame): Int = {
+  /** `op` labels the commit in the manifest/history (default "append");
+    * idempotent writers use it as their commit marker — e.g. streaming
+    * dedup stamps "dedup-batch-N" so a replayed micro-batch can see its
+    * own prior commit atomically with the data it wrote.
+    */
+  def append(df: DataFrame, op: String = "append"): Int = {
     val v = currentVersion + 1
     val entries = writeData(df, v)
-    commit(v, Manifest(v, "append",
+    commit(v, Manifest(v, op,
       manifest(currentVersion).dirs ++ entries, System.currentTimeMillis()))
     v
   }

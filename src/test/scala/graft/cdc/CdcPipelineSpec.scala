@@ -53,6 +53,62 @@ class CdcPipelineSpec extends SparkSpec {
     assert(r.getAs[String]("email") === "user42@example.com")
   }
 
+  test("schema evolution mid-stream: old+new bronze in one scan, compaction across the boundary") {
+    // The reference's CDC validation drill evolves the users table
+    // mid-stream by adding a nullable column (`task9-validate-cdc.sh:
+    // 295-420`); the registry gates it BACKWARD. End-to-end here:
+    // phase-1 bronze written with the original envelope, phase-2 appended
+    // with an extra nullable `phone` column and strictly higher LSNs.
+    val dir = Files.createTempDirectory("graft-bronze-evo").toString
+    val phase1 = typed
+    Cdc.writeBronze(phase1, dir)
+    // phase 2: a second wave of updates for id % 5 == 0, post-evolution
+    // envelope (phone present), LSN above every phase-1 LSN for the key
+    val phase2 = Cdc.unwrap(Cdc.generateUsersCdc(spark, nUsers))
+      .filter(col("id") % 5 === 0 && col("__op") === "c")
+      .withColumn("__op", lit("u"))
+      .withColumn("__source_lsn", col("id") * 100 + 95)
+      .withColumn("__ts_ms", col("__ts_ms") + 3600000L)
+      .withColumn("__source_ts_ms", col("__source_ts_ms") + 3600000L)
+      .withColumn("phone", concat(lit("+1-555-"),
+        lpad((col("id") % 10000).cast("string"), 4, "0")))
+    Cdc.writeBronze(phase2, dir, mode = "append")
+
+    // ONE scan reads both phases; pre-evolution rows null-fill the column
+    val back = Cdc.readBronze(spark, dir)
+    assert(back.columns.contains("phone"))
+    assert(back.count() === phase1.count() + phase2.count())
+    val phase1Back = back.filter(col("__source_lsn") % 100 =!= 95)
+    assert(phase1Back.filter(col("phone").isNotNull).count() === 0,
+      "pre-evolution rows must read with NULL phone")
+    assert(back.filter(col("__source_lsn") % 100 === 95)
+      .filter(col("phone").isNull).count() === 0,
+      "post-evolution rows must carry their phone values")
+
+    // w4 compaction across the boundary: evolved keys surface the
+    // phase-2 image (max LSN), un-evolved keys their phase-1 latest
+    val cur = Cdc.currentState(back)
+    val evolved = cur.filter(col("id") % 5 === 0 && col("id") % 11 =!= 0)
+    assert(evolved.count() > 0)
+    assert(evolved.filter(col("phone").isNull).count() === 0,
+      "evolved keys must compact to the post-evolution image")
+    assert(evolved.filter(col("__source_lsn") % 100 =!= 95).count() === 0)
+    val untouched = cur.filter(col("id") % 5 =!= 0)
+    assert(untouched.filter(col("phone").isNotNull).count() === 0)
+    // LSN invariant holds across the evolution boundary: the compacted
+    // row per key is the max-LSN row of the merged history
+    val maxLsn = back.groupBy("id").agg(max("__source_lsn").as("mx"))
+    val mismatches = cur.join(maxLsn, "id")
+      .filter(col("__source_lsn") =!= col("mx")).count()
+    assert(mismatches === 0, "compaction must pick the max-LSN row per key")
+    // deletes still drop: id % 11 == 0 keys stay gone (phase 2 touched
+    // only % 5 keys; a key divisible by both 5 and 11 is resurrected by
+    // its later phase-2 update — verify one such key behaves that way)
+    assert(cur.filter(col("id") === 55).count() === 1,
+      "a post-delete update must resurrect the key (WAL order)")
+    assert(cur.filter(col("id") === 11).count() === 0)
+  }
+
   test("compaction: current state drops deleted keys, keeps latest version") {
     val cur = Cdc.currentState(typed)
     // every id%11==0 key is deleted; others present exactly once
