@@ -380,7 +380,11 @@ object DedupQueries {
     * only when verification is array-local (a native PPJoin) or τ is
     * high; at τ=0.5 the prefix is half the doc and prunes little.
     */
-  def ngramJaccardPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+  /** Shared pair-counting core: every co-shingled pair with its
+    * intersection size and both full set sizes (x4 scores these as
+    * Jaccard; x27 sweeps thresholds over the SAME frame).
+    */
+  private def ngramPairCounts(s: SparkSession, d: String, cap: Int): DataFrame = {
     val idx = graft.PlanCache.persisted(s, s"x4_idx/$d/$cap") {
       val sized = shingles(docsWide(s, d)).withColumn("sz",
         count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -392,12 +396,15 @@ object DedupQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def ngramJaccardPairs(s: SparkSession, d: String, cap: Int): DataFrame =
+    ngramPairCounts(s, d, cap)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
-  }
 
   val x4NgramJaccard = QueryDef(
     "x4_dedup_ngram_jaccard",
@@ -416,5 +423,51 @@ object DedupQueries {
             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
             |ORDER BY doc_a, doc_b""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x1DedupExact, x2MinHashLsh, x3SimHash, x4NgramJaccard)
+  /** X27 — dedup-rate sensitivity sweep: for each Jaccard threshold τ ∈
+    * {0.3 … 0.9}, the number of near-dup pairs at ≥ τ and the number of
+    * distinct higher-id docs with at least one such pair (the docs a
+    * keep-lowest-id dedup pass would examine at that setting). The
+    * curation knob-tuning query: one run shows how aggressive each
+    * threshold is before committing a full dedup at corpus scale.
+    *
+    * Exactness: τ comparison is cross-multiplied into integers
+    * (`inter/union ≥ t/10` ⇔ `10·inter ≥ t·union`), so the sweep has no
+    * float-boundary risk in either engine. Runtime: the SAME cached
+    * fused index/pair plan as x4 (one join + one agg); the 7-way
+    * threshold expansion happens on the tiny pair set, not the index.
+    */
+  val x27DedupSweep = QueryDef(
+    "x27_dedup_sweep",
+    "near-dup pair / affected-doc counts per Jaccard threshold 0.3-0.9",
+    (s, d) =>
+      ngramPairCounts(s, d, SHINGLE_DF_CAP)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sza") + col("szb") - col("inter")).as("un"))
+        .select(col("doc_b"), col("inter"), col("un"),
+          explode(expr("sequence(3, 9)")).as("t"))
+        .filter(col("inter") * 10 >= col("t") * col("un"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_docs_affected"))
+        .select((col("t").cast("double") / 10.0).as("tau"),
+          col("n_pairs"), col("n_docs_affected"))
+        .orderBy("tau"),
+    Some(s"""WITH $shinglesSql,
+            |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+            |capped AS ${dfCapSql("sh", Seq("shingle"), SHINGLE_DF_CAP)},
+            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+            |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |          GROUP BY 1, 2),
+            |pairs AS (SELECT doc_b, i, sa.sz + sb.sz - i AS un
+            |          FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+            |                     JOIN sizes sb ON doc_b = sb.doc_id),
+            |sw AS (SELECT t, doc_b FROM pairs, UNNEST(generate_series(3, 9)) AS g(t)
+            |       WHERE i * 10 >= t * un)
+            |SELECT CAST(t AS DOUBLE) / 10.0 AS tau,
+            |       CAST(count(*) AS BIGINT) AS n_pairs,
+            |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_affected
+            |FROM sw GROUP BY t ORDER BY tau""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x1DedupExact, x2MinHashLsh, x3SimHash,
+    x4NgramJaccard, x27DedupSweep)
 }

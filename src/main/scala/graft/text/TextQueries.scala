@@ -206,6 +206,127 @@ object TextQueries {
                    CAST(len(text) AS BIGINT) AS n_chars
             FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 
+  /** X26 — token-window chunking (RAG / context-window prep): each
+    * document splits into 32-token chunks on a 24-token stride (8-token
+    * overlap between neighbors), emitted with token offsets and a content
+    * fingerprint. Chunk counts and bounds are pure integer arithmetic —
+    * `nChunks = 1 + ceil((n - C) / S)` for n > C — so the chunking is
+    * reproducible across engines and cluster layouts (no float window
+    * math). Scale posture: one scan + a per-row `sequence`/`explode` (the
+    * fan-out is ≤ n/S per doc, data-proportional), no shuffle at all
+    * except the bounded-output sort; at 100 TB this is the map-only job
+    * it should be. Output gated to doc_id < 50 to keep the verify dump
+    * bounded; the plan is identical without the gate.
+    */
+  val x26Chunking = QueryDef(
+    "x26_chunking",
+    "32-token / stride-24 overlapping chunks with offsets + fingerprints",
+    (s, d) => {
+      val C = 32
+      val S = 24
+      docs(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          when(col("n") <= C, lit(1L))
+            .otherwise(expr(s"1 + (n - $C + ${S - 1}) div $S")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr("sequence(0L, nc - 1)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).as("start_tok"),
+          least(lit(C.toLong), col("n") - col("chunk_id") * S).as("n_toks"),
+          md5(array_join(
+            expr(s"slice(toks, chunk_id * $S + 1, least($C, n - chunk_id * $S))"),
+            " ")).as("fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           |  FROM documents WHERE doc_id < 50),
+           |c AS (
+           |  SELECT doc_id, toks, n,
+           |         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+           |  FROM t)
+           |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           |       CAST(i * 24 AS BIGINT) AS start_tok,
+           |       CAST(least(32, n - i * 24) AS BIGINT) AS n_toks,
+           |       md5(array_to_string(
+           |         list_slice(toks, i * 24 + 1, i * 24 + least(32, n - i * 24)),
+           |         ' ')) AS fp
+           |FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)
+           |ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** T27 — rule-card quality audit (Gopher/C4-style hard filters): each
+    * document is checked against five independent rules — too short,
+    * too long, repetitive (distinct/total token ratio < 0.5), no
+    * stopword, mean word length outside [3, 7] — and the per-source
+    * violation counts plus the fully-clean count are reported. Distinct
+    * from t21 (a blended score): this is the per-RULE accounting a
+    * curation pipeline uses to tune individual filters. Every rule is an
+    * integer comparison (ratio thresholds cross-multiplied: `distinct/n
+    * < 0.5` ⇔ `2·distinct < n`), so the audit is exact and
+    * engine-portable with no float snapping at all. One scan + one
+    * map-side-combinable aggregation keyed by source.
+    */
+  val t27QualityRules = QueryDef(
+    "t27_quality_rules",
+    "per-rule quality-filter violation counts per source (Gopher-style rule card)",
+    (s, d) => {
+      val stop = Seq("the", "a", "of", "and")
+      val toks = split(col("text"), " ")
+      docs(s, d)
+        .select(col("source"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          size(filter(toks, t => t.isInCollection(stop))).cast("long").as("n_stop"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"))
+        .select(col("source"),
+          (col("n_toks") < 20).cast("long").as("v_short"),
+          (col("n_toks") > 80).cast("long").as("v_long"),
+          (col("n_distinct") * 2 < col("n_toks")).cast("long").as("v_rep"),
+          (col("n_stop") === 0).cast("long").as("v_nostop"),
+          (col("n_letters") < col("n_toks") * 3 ||
+            col("n_letters") > col("n_toks") * 7).cast("long").as("v_mwl"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("v_short").as("v_short"),
+          sum("v_long").as("v_long"),
+          sum("v_rep").as("v_rep"),
+          sum("v_nostop").as("v_nostop"),
+          sum("v_mwl").as("v_mwl"),
+          sum(when(col("v_short") + col("v_long") + col("v_rep") +
+            col("v_nostop") + col("v_mwl") === 0, 1L).otherwise(0L))
+            .as("n_clean"))
+        .orderBy("source")
+    },
+    Some("""WITH f AS (
+           |  SELECT source,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+           |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_letters
+           |  FROM documents),
+           |v AS (
+           |  SELECT source,
+           |         CAST(n_toks < 20 AS BIGINT) AS v_short,
+           |         CAST(n_toks > 80 AS BIGINT) AS v_long,
+           |         CAST(n_distinct * 2 < n_toks AS BIGINT) AS v_rep,
+           |         CAST(n_stop = 0 AS BIGINT) AS v_nostop,
+           |         CAST(n_letters < n_toks * 3 OR n_letters > n_toks * 7 AS BIGINT) AS v_mwl
+           |  FROM f)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(v_short) AS BIGINT) AS v_short,
+           |       CAST(sum(v_long) AS BIGINT) AS v_long,
+           |       CAST(sum(v_rep) AS BIGINT) AS v_rep,
+           |       CAST(sum(v_nostop) AS BIGINT) AS v_nostop,
+           |       CAST(sum(v_mwl) AS BIGINT) AS v_mwl,
+           |       CAST(sum(CASE WHEN v_short + v_long + v_rep + v_nostop + v_mwl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+           |FROM v GROUP BY source ORDER BY source""".stripMargin))
+
   /** T24 — within-document repetition: total vs distinct 3-gram counts per
     * doc (ratio ≥ 1 — how much the doc repeats itself), rolled up per
     * source. The standard boilerplate/low-quality signal next to T21's
@@ -474,5 +595,5 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
-    x20SalientTerms, x24VocabDrift)
+    t27QualityRules, x20SalientTerms, x24VocabDrift, x26Chunking)
 }
