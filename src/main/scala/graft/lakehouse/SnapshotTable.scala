@@ -167,10 +167,12 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     * (and avoids recomputing an expensive source). NULL merge keys follow
     * the SQL standard: NULL never equals NULL, so a null-keyed source row
     * matches no target row and inserts alongside any null-keyed target
-    * rows rather than replacing them.
+    * rows rather than replacing them. `op` labels the commit in the
+    * manifest (default "merge") — idempotent writers stamp their batch id
+    * here, same contract as [[append]].
     */
   def merge(source: DataFrame, keyCols: Seq[String],
-      deleteWhen: Option[Column] = None): Int = {
+      deleteWhen: Option[Column] = None, op: String = "merge"): Int = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     val src = source.persist()
     try {
@@ -188,7 +190,7 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
           cur.join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
             .unionByName(upserts.select(cur.columns.toSeq.map(col): _*))
         }
-      overwriteAs(result, "merge")
+      overwriteAs(result, op)
     } finally src.unpersist()
   }
 
