@@ -187,6 +187,65 @@ object ExtendedSqlQueries {
            |       CAST(coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100 AS BIGINT), 0) AS DOUBLE) / 100 AS p_revenue
            |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin))
 
+  /** E5 — UNPIVOT (melt): the e4 crosstab turned back into long form with
+    * the native unpivot operator — wide per-status revenue columns become
+    * (priority, status, revenue) rows. Round-trips the pivot surface so
+    * wide-table consumers can re-normalize without hand-written unions;
+    * the unpivot itself is a zero-shuffle per-row expansion.
+    */
+  val e5Unpivot = QueryDef(
+    "e5_unpivot",
+    "UNPIVOT of the status-pivoted revenue crosstab back to long form",
+    (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long"))
+        .select(col("priority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .unpivot(Array(col("priority")),
+          Array(col("F"), col("O"), col("P")), "status", "cents")
+        .select(col("priority"), col("status"),
+          (col("cents").cast("double") / 100).as("revenue"))
+        .orderBy("priority", "status"),
+    Some("""WITH w AS (
+           |  SELECT o_orderpriority AS priority,
+           |         coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100 AS BIGINT), 0) AS "F",
+           |         coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100 AS BIGINT), 0) AS "O",
+           |         coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) * 100 AS BIGINT), 0) AS "P"
+           |  FROM orders GROUP BY 1)
+           |SELECT priority, status, CAST(cents AS DOUBLE) / 100 AS revenue
+           |FROM w UNPIVOT (cents FOR status IN ("F", "O", "P"))
+           |ORDER BY priority, status""".stripMargin))
+
+  /** E6 — CUBE over (status, priority): every subtotal combination
+    * (per-pair, per-status, per-priority, grand total) in ONE Expand-based
+    * pass — the remaining grouping-sets shape next to e1's ROLLUP. Output
+    * cardinality is (|status|+1) × (|priority|+1), bounded by the dims.
+    */
+  val e6Cube = QueryDef(
+    "e6_cube",
+    "CUBE(status, priority): all subtotal combinations with grouping flags",
+    (s, d) =>
+      Tables.load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("revenue"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS TINYINT) AS g_status,
+                   CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS TINYINT) AS g_priority
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""))
+
   /** ST1's batch oracle twin — gaps-and-islands sessionization over the
     * canonical events table: a user's events split into sessions at
     * >30-minute inactivity gaps, rolled up per user. The streaming
@@ -254,5 +313,6 @@ object ExtendedSqlQueries {
            |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
-    e3NtileCumeDist, w8MovingAvg, e4Pivot, st1SessionsBatch)
+    e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
+    st1SessionsBatch)
 }
