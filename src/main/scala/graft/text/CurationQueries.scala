@@ -528,8 +528,54 @@ object CurationQueries {
            |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
            |FROM labeled GROUP BY 1, 2 ORDER BY split, source""".stripMargin))
 
+  /** X29 — quality-weighted (importance) sampling: each document is kept
+    * with probability equal to its t21 quality score, decided by a pure
+    * hash of its id (`md5(doc_id) mod 1e6 < score6`) — soft quality
+    * filtering, the standard middle ground between t27's hard rule cuts
+    * and keeping everything. Deterministic: the same doc always draws the
+    * same ticket, so the sample is reproducible across runs, engines, and
+    * cluster layouts (re-derivable, never stored), exactly like the x10
+    * split. The audit reports kept counts against the exact expected
+    * value Σ score6 — the calibration check that the sampler is unbiased.
+    * One scan, one map-side-combinable aggregation; zero shuffles beyond
+    * the tiny source rollup.
+    */
+  val x29QualityWeightedSample = QueryDef(
+    "x29_quality_weighted_sample",
+    "hash-deterministic quality-proportional sampling, calibration audit per source",
+    (s, d) => {
+      val score6 = TextQueries.qualityScore6
+      val ticket6 = pmod(
+        call_function("graft_md5u60", col("doc_id").cast("string")),
+        lit(1000000L))
+      docs(s, d)
+        .select(col("source"), col("n_chars"),
+          score6.as("score6"), ticket6.as("ticket6"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ticket6") < col("score6"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(col("score6")).as("exp_kept6"),
+          sum(when(col("ticket6") < col("score6"), col("n_chars"))
+            .otherwise(0L)).as("kept_chars"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT source, n_chars,
+            |         ${TextQueries.qualityScore6Sql} AS score6,
+            |         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT) % 1000000 AS ticket6
+            |  FROM documents)
+            |SELECT source,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(CASE WHEN ticket6 < score6 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            |       CAST(sum(score6) AS BIGINT) AS exp_kept6,
+            |       CAST(sum(CASE WHEN ticket6 < score6 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+            |FROM t GROUP BY source ORDER BY source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
-      x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration)
+      x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
+      x29QualityWeightedSample)
 }

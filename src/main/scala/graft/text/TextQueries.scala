@@ -593,7 +593,73 @@ object TextQueries {
            |       CAST(drift6 AS DOUBLE) / 1000000.0 AS share_drift
            |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin))
 
+  /** X28 — unigram-surprisal scoring (the perplexity-proxy quality
+    * filter): each token's surprisal under the corpus unigram model,
+    * averaged per document, rolled up per source. High mean surprisal =
+    * rare-token-heavy outlier docs; low = templated/common-token docs —
+    * the cheap LM-free stand-in for perplexity filtering at corpus scale.
+    *
+    * Portability: real surprisal is −log p, and libm's `log` differs in
+    * the last ulp across engines — so the metric is defined DIRECTLY in
+    * integers as `bitlen(N_total div c) − 1` (floor-log2 of the inverse
+    * frequency, via the binary-string length both engines produce
+    * identically), and per-doc means are 1e-6 fixed-point integer
+    * division. Exact end to end; the only doubles are final display
+    * divisions of exact longs.
+    *
+    * Scale: one explode → one token-keyed agg (map-combinable vocabulary
+    * build) → token join (vocab ≪ corpus; AQE broadcasts when small) →
+    * doc-keyed agg → source-keyed agg. No window over the corpus, no
+    * driver-side vocabulary.
+    */
+  val x28UnigramSurprisal = QueryDef(
+    "x28_unigram_surprisal",
+    "per-source mean unigram surprisal (integer floor-log2 perplexity proxy)",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum(col("c")).as("n_total"))
+      toks.join(vocab, "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("surp",
+          (length(bin(expr("n_total div c"))) - 1).cast("long"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("surp")).as("ssum"), count(lit(1)).as("n"))
+        .withColumn("mean6", expr("(ssum * 1000000) div n"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("mean6")).as("sum_mean6"),
+          min(col("mean6")).as("min_mean6"),
+          max(col("mean6")).as("max_mean6"))
+        .withColumn("avg_surprisal",
+          col("sum_mean6").cast("double") / col("n_docs") / 1e6)
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+           |scored AS (
+           |  SELECT doc_id, source, CAST(len(bin(n_total // c)) - 1 AS BIGINT) AS surp
+           |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+           |per_doc AS (
+           |  SELECT doc_id, source, sum(surp) AS ssum, CAST(count(*) AS BIGINT) AS n
+           |  FROM scored GROUP BY 1, 2),
+           |m AS (SELECT source, (ssum * 1000000) // n AS mean6 FROM per_doc)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(mean6) AS BIGINT) AS sum_mean6,
+           |       CAST(min(mean6) AS BIGINT) AS min_mean6,
+           |       CAST(max(mean6) AS BIGINT) AS max_mean6,
+           |       CAST(sum(mean6) AS DOUBLE) / count(*) / 1000000.0 AS avg_surprisal
+           |FROM m GROUP BY source ORDER BY source""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
-    t27QualityRules, x20SalientTerms, x24VocabDrift, x26Chunking)
+    t27QualityRules, x20SalientTerms, x24VocabDrift, x26Chunking,
+    x28UnigramSurprisal)
 }
