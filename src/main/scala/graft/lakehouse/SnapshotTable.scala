@@ -242,6 +242,22 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     else overwriteAs(read().coalesce(targetFiles), "compact")
   }
 
+  /** Delta `OPTIMIZE ... ZORDER BY` analog for unpartitioned tables:
+    * rewrite the current snapshot clustered on the Morton curve over
+    * `cols`, so parquet min/max stats prune files for box predicates on
+    * any subset of those columns (see [[ZOrder]]). COW like [[compact]]:
+    * every older snapshot stays readable.
+    */
+  def compactZOrdered(cols: Seq[String], targetFiles: Int,
+      bits: Int = 8): Int = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(partitionCols.isEmpty,
+      "partitioned table: z-order within partitions via compactPartitions " +
+        "is not supported yet — unpartitioned tables only")
+    if (manifest(currentVersion).dirs.isEmpty) currentVersion
+    else overwriteAs(ZOrder.layout(read(), cols, bits, targetFiles), "zorder")
+  }
+
   /** Iceberg `rewrite_data_files` semantics for partitioned tables:
     * binpack each partition's small files toward `targetBytes` per output
     * file, independently per partition, optionally restricted by

@@ -1,0 +1,81 @@
+package graft.lakehouse
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Z-order layout: Morton values interleave correctly, the rewrite is
+  * row-preserving, and — the point of the operator — a box predicate on
+  * the SECOND dimension touches a fraction of the files where a linear
+  * sort touches all of them.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  test("zvalue interleaves bits (x even positions, y odd)") {
+    // x=3 (011), y=5 (101), 3 bits: z = x0 + y0<<1 + x1<<2 + y1<<3 + x2<<4 + y2<<5
+    //   = 1 + 2 + 4 + 0 + 0 + 32 = 39
+    val z = spark.range(1)
+      .select(ZOrder.zvalue(Seq(lit(3L), lit(5L)), 3).as("z"))
+      .head.getLong(0)
+    assert(z === 39L)
+    // z-order locality: neighbors in both dims differ in low bits only
+    val z2 = spark.range(1)
+      .select(ZOrder.zvalue(Seq(lit(0L), lit(0L)), 3).as("a"),
+        ZOrder.zvalue(Seq(lit(1L), lit(1L)), 3).as("b")).head
+    assert(z2.getLong(0) === 0L && z2.getLong(1) === 3L)
+  }
+
+  /** 64x64 grid; returns (#files touched, #rows) for predicate y < 16. */
+  private def filesTouched(dir: String): (Long, Long) = {
+    val hit = spark.read.parquet(dir).filter(col("y") < 16)
+      .select(input_file_name().as("f"))
+    (hit.select("f").distinct().count(), hit.count())
+  }
+
+  private def grid: DataFrame =
+    spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"),
+      col("id").as("payload"))
+
+  test("box predicate on the second dim touches few z-ordered files, all linear ones") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    // linear: range-sorted by (x, y) — y is subordinate, every file spans all y
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.parquet(s"$base/linear")
+    ZOrder.layout(grid, Seq("x", "y"), bits = 6, files = 16)
+      .write.parquet(s"$base/zorder")
+
+    val (linFiles, linRows) = filesTouched(s"$base/linear")
+    val (zFiles, zRows) = filesTouched(s"$base/zorder")
+    assert(linRows === 1024L && zRows === 1024L)
+    assert(linFiles === 16L, "linear sort spreads a y-stripe over every file")
+    assert(zFiles <= 8L,
+      s"z-order must cluster the y-stripe into few files, touched $zFiles")
+    // row preservation
+    val back = spark.read.parquet(s"$base/zorder")
+    assert(back.count() === 4096L)
+    assert(back.select("x", "y", "payload").except(grid).count() === 0L)
+  }
+
+  test("compactZOrdered: COW rewrite, history labeled, older snapshots readable") {
+    val base = Files.createTempDirectory("graft-zorder-st").toString
+    val t = SnapshotTable.create(spark, s"$base/t")
+    t.append(grid)
+    val vBefore = t.currentVersion
+    val v = t.compactZOrdered(Seq("x", "y"), targetFiles = 16, bits = 6)
+    assert(v === vBefore + 1)
+    assert(t.history().filter(col("operation") === "zorder").count() === 1)
+    assert(t.read().count() === 4096L)
+    assert(t.read().select("x", "y", "payload").except(grid).count() === 0L)
+    assert(t.readVersion(vBefore).count() === 4096L)
+    // the rewritten layout actually clusters: y-stripe touches <= half
+    val touched = t.read().filter(col("y") < 16)
+      .select(input_file_name().as("f")).distinct().count()
+    val total = t.filesMetadata().count()
+    assert(total >= 8, s"expected >= 8 files after rewrite, got $total")
+    assert(touched * 2 <= total,
+      s"y-stripe touched $touched of $total files after z-order")
+  }
+}
