@@ -97,6 +97,29 @@ class PlanAuditSpec extends SparkSpec {
       s"pivot must be one pass of conditional aggregates:\n$plan")
   }
 
+  test("x26 chunking is map-only: no shuffle beyond the bounded-output sort") {
+    val plan = planOf("x26_chunking")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // the sequence/explode expansion must stay in the scan's tasks; only
+    // the final orderBy of the id-gated output may range-exchange
+    assert(exchanges <= 1, s"chunking grew a shuffle:\n$plan")
+  }
+
+  test("x28 surprisal broadcasts the scalar total (no cartesian, no extra shuffle)") {
+    val plan = planOf("x28_unigram_surprisal")
+    assert(plan.contains("Broadcast"),
+      s"corpus-total must broadcast onto the token frame:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian blowup:\n$plan")
+  }
+
+  test("x29 sampling plans one scan and no joins") {
+    val plan = planOf("x29_quality_weighted_sample")
+    assert(!plan.contains("Join"),
+      s"hash-deterministic sampling must not join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"expected exactly one scan:\n$plan")
+  }
+
   test("partition pruning on time-partitioned bronze (cdc sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     graft.cdc.Cdc.writeBronze(
