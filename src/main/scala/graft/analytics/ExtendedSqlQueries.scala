@@ -312,7 +312,53 @@ object ExtendedSqlQueries {
            |       CAST(sum(active_sec) AS BIGINT) AS total_active_sec
            |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin))
 
+  /** ST10 — Spark's NATIVE `session_window` operator (the built-in
+    * alternative to the mapGroupsWithState sessionizer and the st1
+    * window composition): per-session rows with event-time bounds.
+    * Boundary semantics pinned by SessionWindowSpec: session windows
+    * MERGE when the next window's start <= the current end, so an event
+    * at EXACTLY gap distance joins the session and only a strictly
+    * greater gap splits — the same `> gap` island rule as st1, which the
+    * oracle mirrors. Output bounded by the user_id gate; the identical
+    * expression runs streaming with a watermark (SessionWindowSpec).
+    */
+  val st10SessionWindow = QueryDef(
+    "st10_session_window",
+    "native session_window(30 min) per-session bounds + counts (user_id < 200)",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .filter(col("user_id") < 200)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us"),
+    Some("""WITH base AS (
+           |  SELECT user_id, epoch_us(ts) AS us, event_id
+           |  FROM events WHERE user_id < 200),
+           |flagged AS (
+           |  SELECT user_id, us, event_id,
+           |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+           |              WHEN us - lag(us) OVER w > 1800000000 THEN 1
+           |              ELSE 0 END AS new_s
+           |  FROM base
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |sess AS (
+           |  SELECT user_id, us,
+           |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |                          ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flagged)
+           |SELECT user_id,
+           |       CAST(min(us) AS BIGINT) AS start_us,
+           |       CAST(max(us) AS BIGINT) AS end_us,
+           |       CAST(count(*) AS BIGINT) AS n_events
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, start_us""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
-    st1SessionsBatch)
+    st1SessionsBatch, st10SessionWindow)
 }
