@@ -37,10 +37,38 @@ object Attribution {
       .withWatermark("ts", watermark)
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"))
-    purchases.join(views,
-      col("v_user") === col("p_user") &&
-        col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+    purchases.join(views, intervalCond(windowMinutes))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("view_id"), col("view_ts"))
+  }
+
+  private def intervalCond(windowMinutes: Int) =
+    col("v_user") === col("p_user") &&
+      col("view_ts") <= col("purchase_ts") &&
+      col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES")
+
+  /** LEFT OUTER variant: every purchase emits — attributed ones with
+    * their view rows, ORGANIC ones (no prior view in the window) with
+    * null view columns. In streaming, an unmatched purchase can only be
+    * declared organic once no matching view can still arrive, i.e. after
+    * the view-side watermark passes its interval — so null rows surface
+    * with watermark latency, while matches emit immediately (standard
+    * Spark outer stream-stream join semantics). State bounds are the
+    * same as the inner join's: the watermark, not stream history.
+    */
+  def viewPurchasePairsOuter(events: Dataset[Event],
+      watermark: String = "1 hour", windowMinutes: Int = 60): DataFrame = {
+    val views = events.toDF
+      .filter(col("event_type") === "product_view")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val purchases = events.toDF
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(views, intervalCond(windowMinutes), "left_outer")
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("view_id"), col("view_ts"))
   }

@@ -573,9 +573,58 @@ object CurationQueries {
             |       CAST(sum(CASE WHEN ticket6 < score6 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
             |FROM t GROUP BY source ORDER BY source""".stripMargin))
 
+  /** X30 — temporal train/eval split audit: events before the cutoff
+    * train, after it evaluate (the forecasting-correct cut — a random
+    * split would let the model see the future), with the user-overlap
+    * count alongside: users active on BOTH sides are where user-level
+    * memorization can leak across a purely temporal cut, the first thing
+    * a leakage review asks for. Two scans' worth of aggregation in one
+    * plan: per-split rollup + a per-user two-flag aggregate for the
+    * overlap, broadcast back as a scalar.
+    */
+  val x30TemporalSplit = QueryDef(
+    "x30_temporal_split",
+    "temporal train/eval split audit with cross-split user overlap",
+    (s, d) => {
+      val cutoff = to_timestamp(lit("2024-01-25 00:00:00"))
+      val tagged = Tables.load(s, d, "events")
+        .withColumn("split",
+          when(col("ts") < cutoff, "train").otherwise("eval"))
+      val perSplit = tagged.groupBy("split")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(to_date(col("ts"))).as("n_days"))
+      val shared = tagged.groupBy("user_id")
+        .agg(
+          max(when(col("split") === "train", 1).otherwise(0)).as("t"),
+          max(when(col("split") === "eval", 1).otherwise(0)).as("e"))
+        .filter(col("t") === 1 && col("e") === 1)
+        .agg(count(lit(1)).as("n_shared_users"))
+      perSplit.crossJoin(broadcast(shared)).orderBy("split")
+    },
+    Some("""WITH tagged AS (
+           |  SELECT user_id, ts,
+           |         CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+           |              THEN 'train' ELSE 'eval' END AS split
+           |  FROM events),
+           |per_split AS (
+           |  SELECT split,
+           |         CAST(count(*) AS BIGINT) AS n_events,
+           |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+           |  FROM tagged GROUP BY split),
+           |shared AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_shared_users FROM (
+           |    SELECT user_id FROM tagged GROUP BY user_id
+           |    HAVING max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+           |       AND max(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) = 1))
+           |SELECT split, n_events, n_users, n_days, n_shared_users
+           |FROM per_split CROSS JOIN shared ORDER BY split""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
-      x29QualityWeightedSample)
+      x29QualityWeightedSample, x30TemporalSplit)
 }

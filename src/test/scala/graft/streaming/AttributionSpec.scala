@@ -47,4 +47,43 @@ class AttributionSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("purchase_ts")).count()
     assert(bad === 0)
   }
+
+  test("left-outer interval join: organic purchases emit nulls after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1600000000000L
+    def ev(id: String, user: Long, typ: String, tsMs: Long) =
+      Events.Event(id, user, s"s$user", typ,
+        new java.sql.Timestamp(tsMs), "basic", "{}")
+    val mem = MemoryStream[Events.Event]
+    val q = Attribution.viewPurchasePairsOuter(mem.toDS())
+      .writeStream.format("memory").queryName("st11_outer")
+      .outputMode("append").start()
+    try {
+      // user 1: view 10 min before purchase (attributed)
+      // user 2: purchase with NO prior view (organic)
+      mem.addData(
+        ev("v1", 1, "product_view", base),
+        ev("p1", 1, "purchase", base + 600000L),
+        ev("p2", 2, "purchase", base + 600000L))
+      q.processAllAvailable()
+      // watermark jump on BOTH sides (each withWatermark node only sees
+      // its own filtered rows): 3h ahead → watermark passes base+2h,
+      // beyond p2's interval end, so the organic row can flush
+      mem.addData(
+        ev("v9", 9, "product_view", base + 10800000L),
+        ev("p9", 9, "purchase", base + 10800000L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, purchase_id, view_id FROM st11_outer ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      assert(rows.contains((1L, "p1", Some("v1"))),
+        s"attributed pair missing: ${rows.toSeq}")
+      assert(rows.contains((2L, "p2", None)),
+        s"organic purchase must emit with null view: ${rows.toSeq}")
+      // matched rows never duplicate as organic
+      assert(!rows.contains((1L, "p1", None)))
+    } finally q.stop()
+  }
 }
