@@ -332,7 +332,39 @@ object EventQueries {
            |FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
            |ORDER BY cohort_week, offset_weeks""".stripMargin))
 
+  /** A16 — hopping (sliding) windows: 1-hour windows advancing every 15
+    * minutes — the smoothed dashboard view next to ST7's tumbling MVs;
+    * the same `window(ts, "1 hour", "15 minutes")` expression runs
+    * watermarked in a stream. Each event lands in exactly 4 windows
+    * (Spark's Expand), so the blowup is the constant window/hop ratio —
+    * output cardinality is the calendar, never event volume. The oracle
+    * replays the expansion with epoch-aligned integer window starts in
+    * epoch-µs (DuckDB's epoch_us truncates ns→µs exactly like Spark's
+    * timestamp read, so window membership matches at the boundary).
+    */
+  val a16HoppingWindows = QueryDef(
+    "a16_hopping_windows",
+    "1h windows hopping every 15 min: event + distinct-user counts",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("n_events"), col("n_users"))
+        .orderBy("window_start_us"),
+    Some("""WITH base AS (
+           |  SELECT epoch_us(ts) AS us, user_id FROM events),
+           |hopped AS (
+           |  SELECT (us // 900000000) * 900000000 - k * 900000000 AS window_start_us,
+           |         user_id
+           |  FROM base, UNNEST(generate_series(0, 3)) AS g(k))
+           |SELECT window_start_us,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM hopped GROUP BY 1 ORDER BY window_start_us""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
     t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
-    a15CohortRetention)
+    a15CohortRetention, a16HoppingWindows)
 }

@@ -289,6 +289,51 @@ object SimilarityQueries {
          |ORDER BY q_id, rk""".stripMargin
     })
 
+  /** X31 — hard-negative mining for contrastive training: per query
+    * vector, the top-5 most-similar vectors with a DIFFERENT label — the
+    * near-misses a contrastive/triplet objective learns the most from
+    * (easy negatives are already far; hard ones define the margin).
+    * Identical plan skeleton to x6 (broadcast query set, one corpus scan,
+    * per-query top-k window); the label inequality is one extra join
+    * predicate, so the scale posture is unchanged.
+    */
+  val x31HardNegatives = QueryDef(
+    "x31_hard_negatives",
+    "top-5 most-similar OTHER-label vectors per query (hard negatives)",
+    (s, d) => {
+      val v = withNorm(emb(s, d))
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val scored = v.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("label").as("neg_label"),
+          cosine(dotFix(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("neg_label"), col("cos_sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""WITH $normSql,
+            |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+            |      FROM normed WHERE vec_id < 8),
+            |scored AS (
+            |  SELECT q.q_id, q.q_label, v.vec_id, v.label AS neg_label,
+            |         CAST(${qdotSql} AS DOUBLE) /
+            |           (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos_sim
+            |  FROM normed v, q WHERE v.label <> q.q_label),
+            |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+            |           FROM scored)
+            |SELECT q_id, q_label, vec_id, neg_label, cos_sim, rk
+            |FROM ranked WHERE rk <= 5
+            |ORDER BY q_id, rk""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf)
+    Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf,
+      x31HardNegatives)
 }
