@@ -199,6 +199,94 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average hash (aHash) — the classic perceptual image
+    * fingerprint: average-pool the decoded pixels into an 8×8 luminance
+    * grid, threshold each cell against the grid mean, pack the 64 bits.
+    * Pooling is computed directly from pixel sums per block (no
+    * Graphics2D resampling — interpolation differs across JDKs; integer
+    * block sums are deterministic everywhere). Near-duplicate images
+    * (re-encodes, small edits, minor noise) land within a few bits;
+    * unrelated images differ in ~32.
+    */
+  def aHash(payload: Array[Byte]): Either[String, Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Left("undecodable image")
+      else if (img.getWidth < 8 || img.getHeight < 8)
+        Left(s"image too small for aHash: ${img.getWidth}x${img.getHeight}")
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = new Array[Double](64)
+        var by = 0
+        while (by < 8) {
+          val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+          var bx = 0
+          while (bx < 8) {
+            val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+            var s = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += 0.2126 * ((rgb >> 16) & 0xff) +
+                  0.7152 * ((rgb >> 8) & 0xff) + 0.0722 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            cell(by * 8 + bx) = s / ((y1 - y0).toLong * (x1 - x0))
+            bx += 1
+          }
+          by += 1
+        }
+        val mean = cell.sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (cell(i) > mean) hash |= (1L << i)
+          i += 1
+        }
+        Right(hash)
+      }
+    } catch {
+      case e: Exception => Left(s"image decode failed: ${e.getMessage}")
+    }
+
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Near-duplicate IMAGE pairs via aHash band blocking — the multimodal
+    * analogue of the x3 SimHash text dedup, with the same scale posture:
+    * candidate pairs come from a 4×16-bit band equi-join (never an
+    * all-pairs comparison), verified with an exact `bit_count(a ^ b)`
+    * Hamming distance. Undecodable rows drop out (DLQ-able upstream via
+    * [[extractFeatures]]).
+    */
+  def nearDupImagePairs(media: Dataset[MediaRow],
+      maxHamming: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media
+      .filter(r => r.meta != null && r.meta.media_type == "image")
+      .mapPartitions(_.flatMap(r =>
+        aHash(r.payload).toOption.map(ImageHash(r.media_id, _))))
+      .toDF()
+    val bands = hashed.select(col("media_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bits", expr("shiftright(ahash, band * 16) & 65535"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** REAL audio codec for WAV: RIFF/fmt/data chunk walk + PCM16 sample
     * statistics, pure JDK (`ByteBuffer`, little-endian). Features:
     * [sample rate Hz, channels, frames, duration ms, peak |s| (0..1),
