@@ -747,11 +747,83 @@ object RelationalQueries {
             FROM b FULL OUTER JOIN sp ON b.month = sp.month
             ORDER BY month"""))
 
+  /** Q6 — distribution-drift monitor (the PSI/data-drift staple between
+    * dataset versions): order totals bucketed into 10 equi-width bins
+    * whose EDGES come from the baseline (early) half only — the
+    * production contract, where the monitor compares new data against a
+    * frozen reference binning — with per-bin shares of each half in
+    * basis points and their absolute difference. Everything is exact
+    * integer math: prices as cents, bin = (cents−min)·10 div (range+1)
+    * clamped into [0,9] (late-half values may exceed the baseline
+    * range), shares via integer division — no log-based PSI, whose libm
+    * calls are not portable and whose ranking the L1 drift preserves.
+    * Two aggregate passes over one scan: baseline bounds broadcast back,
+    * then one map-combinable (half, bin) rollup.
+    */
+  val q6DistributionDrift = QueryDef(
+    "q6_distribution_drift",
+    "order-total distribution drift: per-bin shares (bp) early vs late half",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderdate"),
+          (Parity.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .withColumn("half",
+          when(to_date(col("o_orderdate")) < "1997-01-01", "early")
+            .otherwise("late"))
+      val bounds = o.filter(col("half") === "early")
+        .agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+      val binned = o.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(lit(9L), greatest(lit(0L),
+            expr("((cents - min_c) * 10) div (max_c - min_c + 1)"))))
+      val counts = binned.groupBy("bin")
+        .agg(
+          sum(when(col("half") === "early", 1L).otherwise(0L)).as("n_early"),
+          sum(when(col("half") === "late", 1L).otherwise(0L)).as("n_late"))
+      val totals = o.groupBy()
+        .agg(
+          sum(when(col("half") === "early", 1L).otherwise(0L)).as("t_early"),
+          sum(when(col("half") === "late", 1L).otherwise(0L)).as("t_late"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("early_bp", expr("(n_early * 10000) div t_early"))
+        .withColumn("late_bp", expr("(n_late * 10000) div t_late"))
+        .select(col("bin"), col("n_early"), col("n_late"),
+          col("early_bp"), col("late_bp"),
+          abs(col("early_bp") - col("late_bp")).as("drift_bp"))
+        .orderBy("bin")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           |         CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+           |              THEN 'early' ELSE 'late' END AS half
+           |  FROM orders),
+           |bounds AS (
+           |  SELECT min(cents) AS min_c, max(cents) AS max_c
+           |  FROM o WHERE half = 'early'),
+           |binned AS (
+           |  SELECT least(9, greatest(0, ((cents - min_c) * 10) // (max_c - min_c + 1))) AS bin,
+           |         half
+           |  FROM o CROSS JOIN bounds),
+           |counts AS (
+           |  SELECT bin,
+           |         CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+           |         CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+           |  FROM binned GROUP BY bin),
+           |totals AS (
+           |  SELECT CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS t_early,
+           |         CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS t_late
+           |  FROM o)
+           |SELECT bin, n_early, n_late,
+           |       (n_early * 10000) // t_early AS early_bp,
+           |       (n_late * 10000) // t_late AS late_bp,
+           |       abs((n_early * 10000) // t_early - (n_late * 10000) // t_late) AS drift_bp
+           |FROM counts CROSS JOIN totals ORDER BY bin""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     t4FilterProject, t6DecodeMap, t9DerivedFlags, t12Bucketize, t13DateArith,
     t14LineDerivations, j1ThreeWay, j2Enrich, j3NewVsReturning,
     j4DailyBusinessMetrics, a1CustomerMetrics, a2DailyOrderKpis, a6OpSummary,
     a13Percentiles, a13bPercentilesApprox, w1RankInCategory, w3OrderGaps, w4LatestByKey,
     w6FavoriteCategory, u1RuleViolations, q2Uniqueness,
-    q4ReferentialIntegrity, j6Reconciliation)
+    q4ReferentialIntegrity, j6Reconciliation, q6DistributionDrift)
 }
