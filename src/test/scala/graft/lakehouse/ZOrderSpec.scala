@@ -35,7 +35,7 @@ class ZOrderSpec extends SparkSpec {
 
   private def grid: DataFrame =
     spark.range(0, 4096).select(
-      (col("id") % 64).as("x"), (col("id") / 64).as("y"),
+      (col("id") % 64).as("x"), expr("id div 64").as("y"),
       col("id").as("payload"))
 
   test("box predicate on the second dim touches few z-ordered files, all linear ones") {
@@ -77,5 +77,36 @@ class ZOrderSpec extends SparkSpec {
     assert(total >= 8, s"expected >= 8 files after rewrite, got $total")
     assert(touched * 2 <= total,
       s"y-stripe touched $touched of $total files after z-order")
+  }
+
+  test("filesStats: footer min/max bounds quantify z-order file skipping") {
+    val base = Files.createTempDirectory("graft-zstats").toString
+    val t = SnapshotTable.create(spark, s"$base/t")
+    t.append(grid.withColumn("maybe_null",
+      when(col("payload") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("payload"))))
+    t.compactZOrdered(Seq("x", "y"), targetFiles = 16, bits = 6)
+
+    val stats = t.filesStats(Seq("x", "y", "maybe_null")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).map(_.toLong),
+        Option(r.getString(3)).map(_.toLong), r.getLong(4)))
+    val files = stats.map(_._1).distinct
+    assert(files.length >= 8)
+    // every (file, column) has bounds; x/y have no nulls
+    assert(stats.filter(s => s._2 != "maybe_null")
+      .forall(s => s._3.nonEmpty && s._4.nonEmpty && s._5 === 0L))
+    // global bounds across files reconstruct the data range
+    val yStats = stats.filter(_._2 == "y")
+    assert(yStats.map(_._3.get).min === 0L && yStats.map(_._4.get).max === 63L)
+    // THE pruning measure: files whose footer y-range intersects y < 16
+    // are a minority after z-order — this is exactly what a stats-based
+    // planner (or parquet row-group filter) skips with
+    val intersecting = yStats.count(s => s._3.get < 16)
+    assert(intersecting * 2 <= files.length,
+      s"$intersecting of ${files.length} files intersect y<16 after z-order")
+    // null accounting folds across row groups: 4096/7 rounded up
+    val nullTotal = stats.filter(_._2 == "maybe_null").map(_._5).sum
+    assert(nullTotal === (0 until 4096).count(_ % 7 == 0))
   }
 }
