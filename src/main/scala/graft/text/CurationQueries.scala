@@ -622,9 +622,89 @@ object CurationQueries {
            |SELECT split, n_events, n_users, n_days, n_shared_users
            |FROM per_split CROSS JOIN shared ORDER BY split""".stripMargin))
 
+  /** X32 — tokenizer-ready shard assembly, the second composition
+    * capstone next to x25: exact dedup (min-id canonical per fingerprint)
+    * → t21 quality gate → x26 token-window chunking (32/24) → x12-style
+    * cumulative packing of the CHUNKS into 512-token shards per source —
+    * raw corpus to training-shard manifest in ONE declarative plan. Chunk
+    * order inside a source is (doc_id, chunk_id) via a single integer key
+    * (doc_id·64 + chunk_id; ≤ 5 chunks per doc at this corpus's ≤ 99
+    * tokens), so the packing is deterministic and re-derivable. The
+    * cumulative sum is the blocked two-phase prefix sum
+    * ([[cumulativeTokens]]) — no source-wide single-partition window at
+    * corpus scale. The oracle replays the entire composition.
+    */
+  val x32ShardAssembly = QueryDef(
+    "x32_shard_assembly",
+    "dedup -> quality gate -> chunk -> 512-token shard packing per source",
+    (s, d) => {
+      val C = 32
+      val S = 24
+      val budget = 512L
+      val base = docs(s, d).withColumn("fp", md5(col("text")))
+      val canon = base.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = base.join(canon, Seq("fp", "doc_id"))
+        .filter(TextQueries.qualityScore6 >= 450000L)
+      val chunks = kept
+        .select(col("source"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          when(col("n") <= C, lit(1L))
+            .otherwise(expr(s"1 + (n - $C + ${S - 1}) div $S")))
+        .select(col("source"), col("doc_id"), col("n"),
+          explode(expr("sequence(0L, nc - 1)")).as("chunk_id"))
+        .select(col("source"), col("doc_id").as("orig_doc"),
+          (col("doc_id") * 64 + col("chunk_id")).as("doc_id"),
+          least(lit(C.toLong), col("n") - col("chunk_id") * S)
+            .as("n_tokens"))
+      val binned = cumulativeTokens(chunks, blockSize = 4096L * 64)
+        .withColumn("shard", expr(s"(cum - 1) div ${budget}L"))
+      binned.groupBy("source")
+        .agg(
+          countDistinct(col("orig_doc")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("shard")).as("n_shards"))
+        .withColumn("mean_fill",
+          col("n_tokens").cast("double") / (col("n_shards") * budget))
+        .orderBy("source")
+    },
+    Some(s"""WITH canon AS (
+            |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            |kept AS (
+            |  SELECT d.source, d.doc_id, d.text FROM documents d
+            |  JOIN canon USING (doc_id)
+            |  WHERE ${TextQueries.qualityScore6Sql} >= 450000),
+            |t AS (
+            |  SELECT source, doc_id, string_split(text, ' ') AS toks,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            |  FROM kept),
+            |c AS (
+            |  SELECT source, doc_id, n,
+            |         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+            |  FROM t),
+            |chunks AS (
+            |  SELECT source, doc_id AS orig_doc, doc_id * 64 + i AS ord,
+            |         least(32, n - i * 24) AS n_tokens
+            |  FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)),
+            |binned AS (
+            |  SELECT source, orig_doc, n_tokens,
+            |         (sum(n_tokens) OVER (PARTITION BY source ORDER BY ord
+            |            ROWS UNBOUNDED PRECEDING) - 1) // 512 AS shard
+            |  FROM chunks)
+            |SELECT source,
+            |       CAST(count(DISTINCT orig_doc) AS BIGINT) AS n_docs,
+            |       CAST(count(*) AS BIGINT) AS n_chunks,
+            |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            |       CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+            |       CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT shard) * 512) AS mean_fill
+            |FROM binned GROUP BY source ORDER BY source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
-      x29QualityWeightedSample, x30TemporalSplit)
+      x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly)
 }
