@@ -226,6 +226,66 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     }.toDF("dir", "file", "size_bytes")
   }
 
+  /** Change data feed between two snapshots (Delta `table_changes` /
+    * Iceberg changelog analog, derived rather than stored): diff
+    * `fromVersion` → `toVersion` keyed by `keyCols`, emitting one row per
+    * change with `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage. COW tables don't persist per-commit row deltas, so
+    * the feed is computed as ONE full-outer key join between the two
+    * manifests' states — O(|v1| + |v2|) with a single key shuffle, no
+    * log replay; rows identical in all non-key columns drop out.
+    *
+    * NULL-safe on both sides: null-keyed rows compare with `<=>` so they
+    * diff as normal rows instead of cross-matching. Multi-row keys (a
+    * key appearing twice in one snapshot) are rejected — a diff keyed on
+    * a non-unique key is ambiguous by construction.
+    */
+  def changes(fromVersion: Int, toVersion: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changes requires at least one key column")
+    val pre = readVersion(fromVersion)
+    val post = readVersion(toVersion)
+    if (pre.columns.isEmpty && post.columns.isEmpty)
+      return spark.emptyDataFrame
+    val cols = (if (post.columns.nonEmpty) post else pre).columns.toSeq
+    val valueCols = cols.filterNot(keyCols.contains)
+    def tagged(df: DataFrame, side: String): DataFrame =
+      if (df.columns.isEmpty)
+        // empty snapshot: synthesize the schema so the join still plans
+        post.limit(0)
+          .select(cols.map(c => col(c).as(s"${side}_$c")) :+
+            lit(1).as(s"${side}_present"): _*)
+      else {
+        val dup = df.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+        require(dup.count() == 0,
+          s"changes: key ${keyCols.mkString(",")} is not unique in a snapshot")
+        // presence marker: a row's existence on a side must not be read
+        // off key nullness — null-keyed rows are legitimate
+        df.select(cols.map(c => col(c).as(s"${side}_$c")) :+
+          lit(1).as(s"${side}_present"): _*)
+      }
+    val joined = tagged(pre, "a").join(tagged(post, "b"),
+      keyCols.map(k => col(s"a_$k") <=> col(s"b_$k")).reduce(_ && _),
+      "full_outer")
+    val aPresent = col("a_present").isNotNull
+    val bPresent = col("b_present").isNotNull
+    val changed = valueCols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val inserts = joined.filter(!aPresent && bPresent)
+      .select(cols.map(c => col(s"b_$c").as(c)) :+
+        lit("insert").as("_change_type"): _*)
+    val deletes = joined.filter(aPresent && !bPresent)
+      .select(cols.map(c => col(s"a_$c").as(c)) :+
+        lit("delete").as("_change_type"): _*)
+    val updates = joined.filter(aPresent && bPresent && changed)
+    val prer = updates.select(cols.map(c => col(s"a_$c").as(c)) :+
+      lit("update_preimage").as("_change_type"): _*)
+    val postr = updates.select(cols.map(c => col(s"b_$c").as(c)) :+
+      lit("update_postimage").as("_change_type"): _*)
+    inserts.unionByName(deletes).unionByName(prer).unionByName(postr)
+  }
+
   /** Iceberg `.files`-style PER-COLUMN statistics for the current
     * snapshot: min / max / null count per (file, column), read from the
     * parquet footers (row-group stats folded per file). This is the

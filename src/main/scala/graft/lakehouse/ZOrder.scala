@@ -52,23 +52,52 @@ object ZOrder {
         lit(nb.toLong)))
   }
 
+  /** `df` plus a `__z` Morton column over `cols`. Equi-width buckets by
+    * default; `equiDepth = true` buckets by in-plan approx quantiles
+    * instead — on skewed dimensions equi-width collapses most rows into
+    * one bucket (losing that dimension's resolution in the curve), while
+    * quantile edges keep every bucket population-balanced. Either way
+    * the bounds/edges are ONE aggregate broadcast back — no driver-side
+    * data pass, no per-row UDF.
+    */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
+      equiDepth: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    if (!equiDepth) {
+      val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c")))
+      val bounds = df.agg(aggs.head, aggs.tail: _*)
+      val bucketed = cols.map(c =>
+        bucketize(col(c), col(s"__min_$c"), col(s"__max_$c"), bits))
+      df.crossJoin(broadcast(bounds))
+        .withColumn("__z", zvalue(bucketed, bits))
+        .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+    } else {
+      val nb = (1 << bits) - 1 // interior quantile edges → buckets 0..nb
+      val pcts = array((1 to nb).map(i =>
+        lit(i.toDouble / (nb + 1))): _*)
+      val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+        pcts, lit(10000)).as(s"__edges_$c"))
+      val bounds = df.agg(aggs.head, aggs.tail: _*)
+      // bucket = #edges <= value: a fold over the broadcast edge array
+      val bucketed = cols.map(c =>
+        aggregate(col(s"__edges_$c"), lit(0L), (acc, e) =>
+          acc + when(col(c).cast("double") >= e, 1L).otherwise(0L)))
+      df.crossJoin(broadcast(bounds))
+        .withColumn("__z", zvalue(bucketed, bits))
+        .drop(cols.map(c => s"__edges_$c"): _*)
+    }
+  }
+
   /** Rewrite `df` into a z-ordered layout over `cols`: `files` output
     * ranges of the Morton value, rows sorted by it within each. Bounds
     * for bucketization are computed in-plan and broadcast — no
     * driver-side pass over the data.
     */
   def layout(df: DataFrame, cols: Seq[String], bits: Int = 8,
-      files: Int = 32): DataFrame = {
-    require(cols.nonEmpty, "layout needs at least one z-order column")
-    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"),
-      max(col(c)).as(s"__max_$c")))
-    val bounds = df.agg(aggs.head, aggs.tail: _*)
-    val bucketed = cols.map(c =>
-      bucketize(col(c), col(s"__min_$c"), col(s"__max_$c"), bits))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("__z", zvalue(bucketed, bits))
+      files: Int = 32, equiDepth: Boolean = false): DataFrame =
+    withZValue(df, cols, bits, equiDepth)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")) :+ "__z": _*)
-  }
+      .drop("__z")
 }

@@ -79,6 +79,32 @@ class ZOrderSpec extends SparkSpec {
       s"y-stripe touched $touched of $total files after z-order")
   }
 
+  test("equi-depth buckets balance a skewed dimension where equi-width collapses") {
+    // 50% of x mass at 0 plus a polynomially value-skewed tail: on a
+    // linear scale most tail values crowd the low end, so equi-width
+    // merges them (and the spike) into bucket 0
+    val skewed = spark.range(0, 4000).select(
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(expr("(id % 16) * (id % 16) * (id % 16) * (id % 16) * 1000"))
+        .as("x"),
+      (col("id") % 64).as("y"))
+    def zHist(equiDepth: Boolean): Map[Long, Long] =
+      ZOrder.withZValue(skewed, Seq("x"), bits = 4, equiDepth = equiDepth)
+        .groupBy("__z").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val widthHist = zHist(equiDepth = false)
+    val depthHist = zHist(equiDepth = true)
+    // equi-width: spike + low tail values crowd one bucket (~75% of rows)
+    assert(widthHist.values.max >= 2900L,
+      s"expected equi-width to collapse the low end: $widthHist")
+    // equi-depth: no bucket exceeds the (unsplittable) spike itself, and
+    // the tail values spread across several population-balanced buckets
+    assert(depthHist.values.max <= 2100L,
+      s"equi-depth must not exceed the spike population: $depthHist")
+    assert(depthHist.size >= 6,
+      s"tail must spread over several quantile buckets: $depthHist")
+  }
+
   test("filesStats: footer min/max bounds quantify z-order file skipping") {
     val base = Files.createTempDirectory("graft-zstats").toString
     val t = SnapshotTable.create(spark, s"$base/t")
