@@ -132,14 +132,20 @@ object Cdc {
   /** T1-T3: typed view of the envelope — string money → DECIMAL(12,2),
     * epoch-ms → TimestampType; keeps CDC metadata columns; T2 drops the
     * `__deleted` rewrite flag (the `__op='d'` code is authoritative).
+    * Schema-driven: casts whichever of the four envelopes' money/time
+    * columns are present, so one unwrap serves every CDC'd table
+    * ([[envelopeSchemas]]) — the per-connector SMT config expressed once.
     */
-  def unwrap(envelope: DataFrame): DataFrame =
-    envelope
-      .withColumn("account_balance",
-        col("account_balance").cast(DecimalType(12, 2)))
-      .withColumn("created_at", timestamp_millis(col("created_at")))
-      .withColumn("updated_at", timestamp_millis(col("updated_at")))
+  def unwrap(envelope: DataFrame): DataFrame = {
+    val money = Seq("account_balance", "price", "total_amount", "unit_price")
+    val times = Seq("created_at", "updated_at")
+    val present = envelope.columns.toSet
+    val cast1 = money.filter(present).foldLeft(envelope)((df, c) =>
+      df.withColumn(c, col(c).cast(DecimalType(12, 2))))
+    times.filter(present).foldLeft(cast1)((df, c) =>
+      df.withColumn(c, timestamp_millis(col(c))))
       .drop("__deleted")
+  }
 
   /** S4: bronze sink — Hive-style time partitions derived from the source
     * commit timestamp, exactly the reference's partition scheme. The

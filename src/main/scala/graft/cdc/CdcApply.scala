@@ -41,23 +41,29 @@ object CdcApply {
     table.history().filter(col("operation") === s"cdc-batch-$batchId")
       .limit(1).count() > 0
 
-  /** Apply one micro-batch of envelope rows; idempotent on replay. */
-  def applyBatch(envelope: DataFrame, batchId: Long,
-      table: SnapshotTable): Unit = {
+  /** Apply one micro-batch of envelope rows; idempotent on replay.
+    * `keyCols`/`orderCol` default to the users-table contract but any
+    * envelope with a primary key and a WAL order column works — the four
+    * reference envelopes ([[Cdc.envelopeSchemas]]) all do.
+    */
+  def applyBatch(envelope: DataFrame, batchId: Long, table: SnapshotTable,
+      keyCols: Seq[String] = Seq("id"),
+      orderCol: String = "__source_lsn"): Unit = {
     if (committed(table, batchId)) return
     // batch-local W4 compaction: one image per key, WAL order by LSN
-    val image = Cdc.latestByKey(Cdc.unwrap(envelope), Seq("id"), "__source_lsn")
+    val image = Cdc.latestByKey(Cdc.unwrap(envelope), keyCols, orderCol)
     // out-of-order guard: never regress a key the table already has newer
     val current = if (table.read().columns.isEmpty) None else Some(table.read())
     val guarded = current.fold(image) { cur =>
       image
-        .join(cur.select(col("id"), col("__source_lsn").as("__tgt_lsn")),
-          Seq("id"), "left")
-        .filter(col("__tgt_lsn").isNull ||
-          col("__source_lsn") >= col("__tgt_lsn"))
-        .drop("__tgt_lsn")
+        .join(cur.select((keyCols.map(col) :+
+            col(orderCol).as("__tgt_ord")): _*),
+          keyCols, "left")
+        .filter(col("__tgt_ord").isNull ||
+          col(orderCol) >= col("__tgt_ord"))
+        .drop("__tgt_ord")
     }
-    table.merge(guarded, Seq("id"),
+    table.merge(guarded, keyCols,
       deleteWhen = Some(col("__op") === "d"), op = s"cdc-batch-$batchId")
   }
 
@@ -66,10 +72,15 @@ object CdcApply {
     * config swap). Caller stops the returned query.
     */
   def start(spark: SparkSession, inDir: String, table: SnapshotTable,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(Cdc.usersEnvelopeSchema).parquet(inDir)
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType = Cdc.usersEnvelopeSchema,
+      keyCols: Seq[String] = Seq("id"),
+      orderCol: String = "__source_lsn"): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, id, table) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, table, keyCols, orderCol)
+      }
       .option("checkpointLocation", checkpoint)
       .start()
 }

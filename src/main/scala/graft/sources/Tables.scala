@@ -109,4 +109,12 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     } else raw
   }
+
+  /** Register every canonical table as a temp view so the whole corpus is
+    * queryable through `spark.sql` (the reference's ad-hoc SQL surface,
+    * `utils-dev/s3_parquet_query.py`) — same schemas and the same events
+    * ts normalization as [[load]].
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.keys.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -62,6 +62,29 @@ class CdcApplySpec extends SparkSpec {
       maxLsn === (nUsers - 1) * 100)
   }
 
+  test("generalized apply: an ORDERS envelope mirrors through the same loop") {
+    import org.apache.spark.sql.Row
+    val base = Files.createTempDirectory("graft-cdcapply-ord").toString
+    val table = SnapshotTable.create(spark, s"$base/table")
+    def row(id: Long, status: String, amount: String, op: String, lsn: Long) =
+      Row(id, 7L, status, amount, 980000000000L, 980000000100L,
+        op, 980000000200L, 980000000100L, lsn, if (op == "d") "true" else "false")
+    def batch(rows: Row*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      Cdc.ordersEnvelopeSchema)
+    CdcApply.applyBatch(batch(
+      row(1, "pending", "10.00", "c", 100),
+      row(2, "pending", "20.00", "c", 200)), 0, table)
+    CdcApply.applyBatch(batch(
+      row(1, "shipped", "10.00", "u", 150),
+      row(2, "cancelled", "20.00", "d", 250)), 1, table)
+    val got = table.read().orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("status"),
+        r.getAs[java.math.BigDecimal]("total_amount").toPlainString))
+    // delete dropped id 2; money unwrapped to decimal via the generic cast
+    assert(got.toSeq === Seq((1L, "shipped", "10.00")))
+  }
+
   test("replayed micro-batch is a no-op; restart continues from checkpoint") {
     val base = Files.createTempDirectory("graft-cdcapply-r").toString
     val inDir = s"$base/in"
