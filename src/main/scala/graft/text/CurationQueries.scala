@@ -622,6 +622,59 @@ object CurationQueries {
            |SELECT split, n_events, n_users, n_days, n_shared_users
            |FROM per_split CROSS JOIN shared ORDER BY split""".stripMargin))
 
+  /** X33 — temperature-sampled mixture weights (the T5/multilingual
+    * α-sampling next to x16's uniform target): source share ∝ n_tokens^α
+    * with α = 0.5, flattening the corpus distribution without equalizing
+    * it — big sources still dominate, small ones are boosted. `sqrt` is
+    * the one transcendental-adjacent op that IS portable (IEEE-754
+    * requires correct rounding, unlike ln/exp/pow), and each source's
+    * weight is snapped to a 1e-6 fixed-point long BEFORE the denominator
+    * sum so the normalization is exact integer math, not an
+    * order-dependent double sum. `epochs` is the per-source up/down-
+    * sampling factor the data loader would apply.
+    */
+  val x33TemperatureMixture = QueryDef(
+    "x33_temperature_mixture",
+    "alpha=0.5 temperature-sampled mixture shares + epoch factors per source",
+    (s, d) => {
+      val bySource = docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("w6", floor(sqrt(col("n_tokens").cast("double")) * 1e6)
+          .cast("long"))
+      val totals = bySource.agg(
+        sum(col("n_tokens")).as("tok_total"), sum(col("w6")).as("w6_total"))
+      bySource.crossJoin(broadcast(totals))
+        .withColumn("share_actual",
+          col("n_tokens").cast("double") / col("tok_total"))
+        .withColumn("share_alpha",
+          col("w6").cast("double") / col("w6_total"))
+        .withColumn("epochs",
+          col("share_alpha") * col("tok_total") / col("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("share_actual"), col("share_alpha"), col("epochs"))
+        .orderBy("source")
+    },
+    Some("""WITH by_source AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |w AS (
+           |  SELECT source, n_docs, n_tokens,
+           |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6
+           |  FROM by_source),
+           |totals AS (
+           |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+           |         CAST(sum(w6) AS BIGINT) AS w6_total
+           |  FROM w)
+           |SELECT source, n_docs, n_tokens,
+           |       CAST(n_tokens AS DOUBLE) / tok_total AS share_actual,
+           |       CAST(w6 AS DOUBLE) / w6_total AS share_alpha,
+           |       CAST(w6 AS DOUBLE) / w6_total * tok_total / n_tokens AS epochs
+           |FROM w CROSS JOIN totals ORDER BY source""".stripMargin))
+
   /** X32 — tokenizer-ready shard assembly, the second composition
     * capstone next to x25: exact dedup (min-id canonical per fingerprint)
     * → t21 quality gate → x26 token-window chunking (32/24) → x12-style
@@ -706,5 +759,6 @@ object CurationQueries {
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
-      x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly)
+      x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
+      x33TemperatureMixture)
 }
