@@ -246,6 +246,140 @@ object ExtendedSqlQueries {
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""))
 
+  /** E7 — GROUPING SETS ((status), (priority), ()): the general form of
+    * which e1's ROLLUP and e6's CUBE are special cases — two independent
+    * one-dimensional subtotal views plus the grand total in a single
+    * Expand-based pass (one shuffle, 3× row expansion, vs three separate
+    * scans + a union). At 100 TB the single-scan form is the difference
+    * between one pass over the fact table and three.
+    */
+  val e7GroupingSets = QueryDef(
+    "e7_grouping_sets",
+    "GROUPING SETS ((status),(priority),()): independent subtotal views in one pass",
+    (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("revenue"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   CAST(CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS TINYINT) AS g_status,
+                   CAST(CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS TINYINT) AS g_priority
+            FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""))
+
+  /** W9 — earliest/latest-record consolidation via MIN_BY/MAX_BY: per
+    * (market segment, year), the priority of the chronologically first and
+    * last order. The ordering key is a single long
+    * `epoch_day(o_orderdate)·10^10 + o_orderkey` — unique per order, so
+    * min_by/max_by are deterministic (no arbitrary-tie hazard) and the
+    * whole consolidation is ONE hash aggregate instead of the
+    * row_number-window + self-join a naive "first and last per group"
+    * takes. The carried value is the priority's int class code, not the
+    * string: HashAggregateExec only keeps buffers with mutable primitive
+    * fields — a string-valued min_by demotes the whole aggregate to
+    * SortAggregate (per-task sort of the fact rows), which at 100 TB is
+    * the difference between O(n) and O(n log n) map tasks. Scale posture:
+    * min_by/max_by carry one (key, value) pair per group through partial
+    * aggregation — map-side combine works, nothing sorts, and the output
+    * is bounded by segments × calendar years. Customer is the canonical
+    * broadcastable dim (orders ≫ customers).
+    */
+  val w9FirstLast = QueryDef(
+    "w9_first_last_order",
+    "per (segment, year): first/latest order priority via deterministic min_by/max_by",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("prio"),
+          to_date(col("o_orderdate")).as("od"),
+          dec2(col("o_totalprice")).as("price"))
+        .withColumn("yr", year(col("od")))
+        .withColumn("ok",
+          datediff(col("od"), lit("1970-01-01").cast("date")).cast("long")
+            * lit(10000000000L) + col("o_orderkey"))
+      o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("yr"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min_by(col("prio"), col("ok")).as("first_priority"),
+          max_by(col("prio"), col("ok")).as("last_priority"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy("segment", "yr")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey,
+           |         CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio,
+           |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+           |         year(CAST(o_orderdate AS DATE)) AS yr,
+           |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           |           * 10000000000 + o_orderkey AS ok
+           |  FROM orders)
+           |SELECT c_mktsegment AS segment, CAST(yr AS INTEGER) AS yr,
+           |       CAST(count(*) AS BIGINT) AS n_orders,
+           |       arg_min(prio, ok) AS first_priority,
+           |       arg_max(prio, ok) AS last_priority,
+           |       CAST(sum(price) AS DOUBLE) AS revenue
+           |FROM o JOIN customer ON o_custkey = c_custkey
+           |GROUP BY 1, 2 ORDER BY segment, yr""".stripMargin))
+
+  /** Q7 — robust outlier detection on daily revenue: flag days whose
+    * absolute deviation from the median exceeds 5× the median absolute
+    * deviation (MAD). Median/MAD instead of mean/stddev because at corpus
+    * scale a single corrupt-load day drags the mean enough to mask
+    * itself — the breakdown point of MAD is 50%. Every number stays
+    * exactly representable: revenues are integer cents (< 2^40), medians
+    * of integers are at worst .5 halves, MAD at worst .25 quarters — all
+    * exact in IEEE doubles, so the flag comparison is portable, not a
+    * tolerance check. Scale posture: the medians run over the DAILY
+    * pre-aggregate (calendar-bounded, thousands of rows at any corpus
+    * size), never the fact table; the two scalar medians broadcast back.
+    * The daily frame is [[graft.PlanCache]]'d: med, dev, and mad all
+    * reference it, and static planning cannot reuse the exchange across
+    * those subtrees (AQE exchange reuse is runtime-only) — without the
+    * cache the plan re-scans the fact table four times.
+    */
+  val q7OutlierDays = QueryDef(
+    "q7_outlier_days",
+    "median/MAD robust outlier flags on daily revenue (exact halves)",
+    (s, d) => {
+      val daily = graft.PlanCache.persisted(s, s"q7-daily:$d") {
+        Tables.load(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("order_date"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      }
+      val med = daily.agg(median(col("cents")).as("med"))
+      val dev = daily.crossJoin(broadcast(med))
+        .withColumn("absdev", abs(col("cents").cast("double") - col("med")))
+      val mad = dev.agg(median(col("absdev")).as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select(col("order_date"), col("cents"), col("absdev"),
+          (col("absdev") > col("mad") * 5).cast("int").as("is_outlier"))
+        .orderBy("order_date")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1),
+           |med AS (SELECT median(cents) AS med FROM daily),
+           |dev AS (
+           |  SELECT order_date, cents, abs(CAST(cents AS DOUBLE) - med) AS absdev
+           |  FROM daily CROSS JOIN med),
+           |mad AS (SELECT median(absdev) AS mad FROM dev)
+           |SELECT order_date, cents, absdev,
+           |       CAST(CASE WHEN absdev > mad * 5 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+           |FROM dev CROSS JOIN mad ORDER BY order_date""".stripMargin))
+
   /** ST1's batch oracle twin — gaps-and-islands sessionization over the
     * canonical events table: a user's events split into sessions at
     * >30-minute inactivity gaps, rolled up per user. The streaming
@@ -360,5 +494,6 @@ object ExtendedSqlQueries {
 
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
+    e7GroupingSets, w9FirstLast, q7OutlierDays,
     st1SessionsBatch, st10SessionWindow)
 }

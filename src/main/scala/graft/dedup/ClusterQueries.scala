@@ -306,5 +306,62 @@ object ClusterQueries {
             |     LEFT JOIN old_cc o ON cc.doc_id = o.node
             |ORDER BY cc.cluster_id, cc.doc_id""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x15DedupClusters, x18ClustersIncremental)
+  /** X34 — survivorship merge (golden-record consolidation): every
+    * near-dup cluster from x15 collapses to ONE canonical record with
+    * field-level survivorship rules — the cluster's min doc_id as the
+    * stable record id (x15's canonical rule), `max_by(lang, doc_id)` as
+    * latest-wins for mutable fields, the distinct source set merged into
+    * one sorted list, and exact char totals for the content the merge
+    * absorbs. This is the metadata half of dedup: x15 says WHICH records
+    * form a duplicate group, x34 says what the surviving record LOOKS
+    * like — the consolidation step every entity-resolution pipeline runs
+    * after clustering.
+    *
+    * Scale posture: the cluster assignment is the memoized x15 frame
+    * (pair-graph sized — tiny next to the corpus), broadcast onto ONE
+    * documents scan, then a single hash aggregate keyed by cluster.
+    * min/max/max_by carry constant state per group through partial
+    * aggregation, and collect_set(source) is bounded by the source
+    * vocabulary, not cluster size. No window, no self-join.
+    */
+  val x34Survivorship = QueryDef(
+    "x34_survivorship",
+    "golden-record consolidation per near-dup cluster (latest-wins + source merge)",
+    (s, d) => {
+      val cc = clusters(s, d)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val docs = graft.sources.Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.join(broadcast(cc), Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(
+          count(lit(1)).as("n_records"),
+          max(col("doc_id")).as("last_id"),
+          max_by(col("lang"), col("doc_id")).as("survivor_lang"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
+            |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |        UNION ALL
+            |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+            |reach AS (SELECT node, node AS lbl FROM und
+            |          UNION
+            |          SELECT u.nbr AS node, r.lbl
+            |          FROM reach r JOIN und u ON r.node = u.node),
+            |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            |       FROM reach GROUP BY node)
+            |SELECT cc.cluster_id,
+            |       CAST(count(*) AS BIGINT) AS n_records,
+            |       CAST(max(d.doc_id) AS BIGINT) AS last_id,
+            |       arg_max(d.lang, d.doc_id) AS survivor_lang,
+            |       array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources,
+            |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+            |FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+            |GROUP BY cc.cluster_id
+            |ORDER BY cluster_id""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x15DedupClusters, x18ClustersIncremental,
+    x34Survivorship)
 }

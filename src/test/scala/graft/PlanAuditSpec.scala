@@ -120,6 +120,47 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one scan:\n$plan")
   }
 
+  test("e7 grouping sets compile to ONE Expand pass over one scan") {
+    val plan = planOf("e7_grouping_sets")
+    // the whole point vs three separate rollup scans: a single read of the
+    // fact table expanded 3× in-task, one shuffle for the aggregate
+    assert(plan.contains("Expand"), s"grouping sets lost the Expand form:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"expected exactly one fact scan:\n$plan")
+  }
+
+  test("w9 first/last consolidation is one aggregate: broadcast dim, no window") {
+    val plan = planOf("w9_first_last_order")
+    assert(plan.contains("Broadcast"), s"customer dim must broadcast:\n$plan")
+    // min_by/max_by ride the groupBy shuffle; a row_number-window + self-join
+    // re-growth would funnel per-group history through sorts
+    assert(!plan.contains("Window"), s"w9 re-grew a window:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"first/last must stay in hash aggregation:\n$plan")
+  }
+
+  test("q7 medians run over the cached daily pre-aggregate, not the fact table") {
+    val plan = planOf("q7_outlier_days")
+    // med, dev, and mad all reference the PlanCache'd daily frame: every
+    // branch must read InMemoryTableScan, never re-derive from the fact
+    // table (static planning cannot reuse the exchange across subtrees —
+    // without the cache this is 4 fact scans at 100 TB)
+    assert(plan.contains("InMemoryTableScan"),
+      s"q7 lost the cached daily pre-aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"q7 must not window:\n$plan")
+  }
+
+  test("x34 survivorship broadcasts the cluster map onto one documents scan") {
+    val plan = planOf("x34_survivorship")
+    assert(!plan.contains("Window"), s"x34 re-grew a window:\n$plan")
+    // the pair-graph-sized cluster assignment must broadcast; shuffling the
+    // corpus against it would re-shuffle every document at 100 TB
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x34 must broadcast the cluster assignment:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"expected exactly one documents scan:\n$plan")
+  }
+
   test("partition pruning on time-partitioned bronze (cdc sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     graft.cdc.Cdc.writeBronze(
