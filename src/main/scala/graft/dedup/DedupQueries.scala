@@ -468,6 +468,51 @@ object DedupQueries {
             |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_affected
             |FROM sw GROUP BY t ORDER BY tau""".stripMargin))
 
+  /** X35 — asymmetric containment dedup: pairs where the smaller doc's
+    * shingle set is ≥ 80% contained in the larger's
+    * (`inter / min(|A|,|B|)`). Symmetric Jaccard misses subset
+    * duplication — a short doc quoted whole inside a long one scores
+    * `|A|/|B|` ≈ 0 on Jaccard but 1.0 on containment — and quote/
+    * boilerplate inclusion is a dominant near-dup mode in web training
+    * corpora. Output carries both scores plus the `is_near_dup` flag, so
+    * the delta (contained but NOT Jaccard-caught) is directly visible.
+    *
+    * Exactness: the 0.8 threshold is cross-multiplied into integers
+    * (`5·inter ≥ 4·min(sz)`) — no float-boundary risk; the emitted
+    * doubles are single divisions of identical integers on both engines.
+    * Runtime: the SAME PlanCache'd inverted-index pair plan as x4/x27 —
+    * the containment filter is free once the pair counts exist.
+    */
+  val x35Containment = QueryDef(
+    "x35_dedup_containment",
+    "asymmetric shingle containment >= 0.8 (subset/quote inclusion Jaccard misses)",
+    (s, d) =>
+      ngramPairCounts(s, d, SHINGLE_DF_CAP)
+        .filter(col("inter") * 5 >= least(col("sza"), col("szb")) * 4)
+        .select(col("doc_a"), col("doc_b"), col("inter").as("n_shared"),
+          (col("inter").cast("double") / least(col("sza"), col("szb")))
+            .as("containment"),
+          (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+            .as("jaccard"))
+        .withColumn("is_near_dup", (col("jaccard") >= 0.5).cast("int"))
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $shinglesSql,
+            |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+            |capped AS ${dfCapSql("sh", Seq("shingle"), SHINGLE_DF_CAP)},
+            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+            |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |          GROUP BY 1, 2),
+            |p AS (SELECT doc_a, doc_b, i, sa.sz AS sza, sb.sz AS szb
+            |      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+            |                 JOIN sizes sb ON doc_b = sb.doc_id)
+            |SELECT doc_a, doc_b, i AS n_shared,
+            |       CAST(i AS DOUBLE) / least(sza, szb) AS containment,
+            |       CAST(i AS DOUBLE) / (sza + szb - i) AS jaccard,
+            |       CAST(CASE WHEN CAST(i AS DOUBLE) / (sza + szb - i) >= 0.5
+            |            THEN 1 ELSE 0 END AS INTEGER) AS is_near_dup
+            |FROM p WHERE i * 5 >= least(sza, szb) * 4
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(x1DedupExact, x2MinHashLsh, x3SimHash,
-    x4NgramJaccard, x27DedupSweep)
+    x4NgramJaccard, x27DedupSweep, x35Containment)
 }
