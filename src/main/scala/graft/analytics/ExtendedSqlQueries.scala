@@ -380,6 +380,51 @@ object ExtendedSqlQueries {
            |       CAST(CASE WHEN absdev > mad * 5 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
            |FROM dev CROSS JOIN mad ORDER BY order_date""".stripMargin))
 
+  /** E8 — ordered LISTAGG (ANSI `LISTAGG … WITHIN GROUP (ORDER BY …)`):
+    * per order priority, the market segments concatenated in descending
+    * revenue order. The ordering rides INSIDE the aggregate as a
+    * `struct(-cents, segment)` sort key — `collect_list` + `array_sort`
+    * + `transform` — so the result is deterministic under any partial-
+    * aggregation merge order (a bare collect_list string would depend on
+    * task arrival). Group state is bounded by the segment vocabulary
+    * (5), not row count — the pre-aggregate underneath is the same
+    * (priority, segment) rollup, so the fact table never feeds the
+    * collect directly. Ties break on the segment name: a total order on
+    * both engines.
+    */
+  val e8OrderedListagg = QueryDef(
+    "e8_ordered_listagg",
+    "LISTAGG segments per priority in descending-revenue order (deterministic)",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val sp = Tables.load(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority").as("priority"), col("segment"))
+        .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      sp.groupBy("priority")
+        .agg(
+          count(lit(1)).as("n_segments"),
+          (sum(col("cents")).cast("double") / 100).as("revenue"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct((-col("cents")).as("nr"),
+                col("segment").as("seg")))),
+              x => x.getField("seg")),
+            ",").as("segments_by_revenue"))
+        .orderBy("priority")
+    },
+    Some("""WITH sp AS (
+           |  SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1, 2)
+           |SELECT priority,
+           |       CAST(count(*) AS BIGINT) AS n_segments,
+           |       CAST(sum(cents) AS DOUBLE) / 100 AS revenue,
+           |       string_agg(segment, ',' ORDER BY cents DESC, segment) AS segments_by_revenue
+           |FROM sp GROUP BY priority ORDER BY priority""".stripMargin))
+
   /** ST1's batch oracle twin — gaps-and-islands sessionization over the
     * canonical events table: a user's events split into sessions at
     * >30-minute inactivity gaps, rolled up per user. The streaming
@@ -494,6 +539,6 @@ object ExtendedSqlQueries {
 
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
-    e7GroupingSets, w9FirstLast, q7OutlierDays,
+    e7GroupingSets, w9FirstLast, q7OutlierDays, e8OrderedListagg,
     st1SessionsBatch, st10SessionWindow)
 }

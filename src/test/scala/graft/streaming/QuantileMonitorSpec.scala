@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** ST12 — streamed histogram ≡ batch histogram (exact), and every
+  * streamed bracket contains the exact batch percentile.
+  */
+class QuantileMonitorSpec extends SparkSpec {
+
+  private def lineitems(): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("price"))
+
+  test("streamed histogram accumulates to the batch histogram exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = lineitems().as[(String, Double)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    val mem = MemoryStream[(String, Double)]
+    val q = QuantileMonitor
+      .histogram(mem.toDF().toDF("flag", "price"), "flag", "price")
+      .writeStream.outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) =>
+        StreamingAggs.appendPartials(b, id, dir))
+      .start()
+    try {
+      val third = math.max(1, rows.length / 3)
+      rows.grouped(third).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val served = StreamingAggs.mergeOnRead(spark, dir, Seq("g", "bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = QuantileMonitor.binned(lineitems(), "flag", "price")
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(served.nonEmpty && served === batch,
+      "streamed running histogram must equal the batch histogram")
+
+    // brackets from the STREAMED state must contain the exact percentile
+    val servedDf = StreamingAggs.mergeOnRead(spark, dir, Seq("g", "bin"))
+    val brackets = QuantileMonitor.brackets(servedDf, Seq(0.5, 0.95, 0.99))
+    val exact = lineitems()
+      .groupBy("flag")
+      .agg(percentile(col("price"), lit(0.5)).as("p50"),
+        percentile(col("price"), lit(0.95)).as("p95"),
+        percentile(col("price"), lit(0.99)).as("p99"))
+      .collect().map(r => r.getString(0) ->
+        Map(0.5 -> r.getDouble(1), 0.95 -> r.getDouble(2), 0.99 -> r.getDouble(3)))
+      .toMap
+    assert(brackets.nonEmpty)
+    brackets.foreach { b =>
+      val v = exact(b.group)(b.quantile)
+      assert(b.lo <= v && v <= b.hi,
+        s"exact ${b.quantile} of ${b.group} = $v outside bracket [${b.lo}, ${b.hi}]")
+      // 16 bin bits: sign+exponent+4 mantissa bits → ~3% relative width
+      assert((b.hi - b.lo) <= math.abs(v) * 0.07 + 1e-9,
+        s"bracket [${b.lo}, ${b.hi}] too wide for $v")
+    }
+  }
+
+  test("bin bounds invert the sortable transform at both edges") {
+    for (v <- Seq(0.0, 1.5, -2.75, 1e300, -1e-300, 42.42)) {
+      val t = {
+        val s = java.lang.Double.doubleToLongBits(v)
+        if (s < 0) ~s else s | java.lang.Long.MIN_VALUE
+      }
+      val bin = t >>> 48
+      val (lo, hi) = QuantileMonitor.binBounds(bin, 16)
+      assert(lo <= v && v <= hi, s"$v outside its own bin [$lo, $hi]")
+    }
+  }
+}
