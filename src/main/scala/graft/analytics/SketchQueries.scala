@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object SketchQueries {
 
+  /** The Count-Min bucket expansion shared by the x22 batch sketch and
+    * the streaming heavy-hitter monitor
+    * ([[graft.streaming.HeavyHitters]]): one `(r, bucket)` struct per
+    * sketch row, keyed by the portable row-salted md5 — identical cells
+    * whoever computes them, which is what makes the sketch mergeable
+    * across engines AND across micro-batches.
+    */
+  def cmsBuckets(key: org.apache.spark.sql.Column,
+      depth: Int = 4, width: Int = 1024): org.apache.spark.sql.Column =
+    explode(array((0 until depth).map(r => struct(lit(r).as("r"),
+      pmod(call_function("graft_md5u60",
+        concat(lit(s"$r:"), key.cast("string"))), lit(width))
+        .as("bucket"))): _*)).as("rb")
+
   /** X8 — per-day user sketches (lgK=14, ~0.8% RSE) unioned to one overall
     * estimate, hash-compared to DuckDB via the exact count + tolerance
     * verdict. The 1×1 scalar join is a broadcast, not a data shuffle.
@@ -66,13 +80,7 @@ object SketchQueries {
     "deterministic Count-Min sketch (4x1024) over l_partkey + probe check",
     (s, d) => {
       graft.GraftExtensions.ensure(s)
-      val depth = 4
-      val width = 1024
-      def buckets(key: org.apache.spark.sql.Column) =
-        explode(array((0 until depth).map(r => struct(lit(r).as("r"),
-          pmod(call_function("graft_md5u60",
-            concat(lit(s"$r:"), key.cast("string"))), lit(width))
-            .as("bucket"))): _*)).as("rb")
+      def buckets(key: org.apache.spark.sql.Column) = cmsBuckets(key)
       val li = Tables.load(s, d, "lineitem").select(col("l_partkey"))
       val cells = li.select(buckets(col("l_partkey")))
         .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
