@@ -324,56 +324,93 @@ object Multimodal {
       new String(b, "US-ASCII")
     }
 
+    private final case class Header(fmtCode: Int, channels: Int, bits: Int,
+        sampleRate: Int, dataOff: Int, dataLen: Int)
+
+    /** RIFF/fmt/data chunk walk shared by [[decodeFeatures]] and
+      * [[decodePcm]]; validates PCM16.
+      */
+    private def header(payload: Array[Byte],
+        bb: java.nio.ByteBuffer): Either[String, Header] =
+      if (payload.length < 44) Left("truncated wav")
+      else if (ascii(bb) != "RIFF") Left("not a RIFF payload")
+      else {
+        bb.getInt // riff size (unreliable in the wild; chunk walk below)
+        if (ascii(bb) != "WAVE") Left("not a WAVE payload")
+        else {
+          var sampleRate = -1
+          var channels = -1
+          var bits = -1
+          var fmtCode = -1
+          var dataOff = -1
+          var dataLen = -1
+          // chunk-skip clamp: the RIFF pad byte after an odd-sized final
+          // chunk may be absent in the wild; skipping past limit would
+          // throw and fail an otherwise-decodable file
+          def skipTo(pos: Int): Unit = bb.position(math.min(bb.limit(), pos))
+          // walk until BOTH fmt and data have been seen — the spec does
+          // not order them, and data-before-fmt files exist in the wild
+          while (bb.remaining() >= 8 && (dataOff < 0 || sampleRate < 0)) {
+            val id = ascii(bb)
+            val size = bb.getInt
+            if (size < 0 || size > bb.remaining()) {
+              bb.position(bb.limit()) // malformed size: stop the walk
+            } else id match {
+              case "fmt " =>
+                val end = bb.position() + size
+                fmtCode = bb.getShort & 0xffff
+                channels = bb.getShort & 0xffff
+                sampleRate = bb.getInt
+                bb.getInt // byte rate
+                bb.getShort // block align
+                bits = bb.getShort & 0xffff
+                skipTo(end + (size & 1))
+              case "data" =>
+                dataOff = bb.position()
+                dataLen = size
+                skipTo(dataOff + size + (size & 1))
+              case _ =>
+                skipTo(bb.position() + size + (size & 1))
+            }
+          }
+          if (sampleRate <= 0 || channels <= 0 || dataOff < 0)
+            Left("missing fmt/data chunk")
+          else if (fmtCode != 1 || bits != 16)
+            Left(s"unsupported wav encoding (fmt=$fmtCode bits=$bits)")
+          else Right(Header(fmtCode, channels, bits, sampleRate, dataOff, dataLen))
+        }
+      }
+
+    /** First-channel PCM as doubles in [-1, 1) plus the sample rate — the
+      * sample source for [[graft.multimodal.Spectral]].
+      */
+    def decodePcm(payload: Array[Byte]): Either[String, (Array[Double], Int)] =
+      try {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        header(payload, bb).map { h =>
+          val n = h.dataLen / 2
+          val frames = n / h.channels
+          val out = new Array[Double](frames)
+          var f = 0
+          while (f < frames) {
+            out(f) = bb.getShort(h.dataOff + 2 * f * h.channels) / 32768.0
+            f += 1
+          }
+          (out, h.sampleRate)
+        }
+      } catch {
+        case e: Exception => Left(s"wav decode failed: ${e.getMessage}")
+      }
+
     def decodeFeatures(payload: Array[Byte]): Either[String, Array[Float]] =
       try {
         val bb = java.nio.ByteBuffer.wrap(payload)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        if (payload.length < 44) Left("truncated wav")
-        else if (ascii(bb) != "RIFF") Left("not a RIFF payload")
-        else {
-          bb.getInt // riff size (unreliable in the wild; chunk walk below)
-          if (ascii(bb) != "WAVE") Left("not a WAVE payload")
-          else {
-            var sampleRate = -1
-            var channels = -1
-            var bits = -1
-            var fmtCode = -1
-            var dataOff = -1
-            var dataLen = -1
-            // chunk-skip clamp: the RIFF pad byte after an odd-sized final
-            // chunk may be absent in the wild; skipping past limit would
-            // throw and fail an otherwise-decodable file
-            def skipTo(pos: Int): Unit = bb.position(math.min(bb.limit(), pos))
-            // walk until BOTH fmt and data have been seen — the spec does
-            // not order them, and data-before-fmt files exist in the wild
-            while (bb.remaining() >= 8 && (dataOff < 0 || sampleRate < 0)) {
-              val id = ascii(bb)
-              val size = bb.getInt
-              if (size < 0 || size > bb.remaining()) {
-                bb.position(bb.limit()) // malformed size: stop the walk
-              } else id match {
-                case "fmt " =>
-                  val end = bb.position() + size
-                  fmtCode = bb.getShort & 0xffff
-                  channels = bb.getShort & 0xffff
-                  sampleRate = bb.getInt
-                  bb.getInt // byte rate
-                  bb.getShort // block align
-                  bits = bb.getShort & 0xffff
-                  skipTo(end + (size & 1))
-                case "data" =>
-                  dataOff = bb.position()
-                  dataLen = size
-                  skipTo(dataOff + size + (size & 1))
-                case _ =>
-                  skipTo(bb.position() + size + (size & 1))
-              }
-            }
-            if (sampleRate <= 0 || channels <= 0 || dataOff < 0)
-              Left("missing fmt/data chunk")
-            else if (fmtCode != 1 || bits != 16)
-              Left(s"unsupported wav encoding (fmt=$fmtCode bits=$bits)")
-            else {
+        header(payload, bb) match {
+          case Left(err) => Left(err)
+          case Right(Header(_, channels, _, sampleRate, dataOff, dataLen)) =>
+            {
               val n = dataLen / 2
               // peak/RMS/mean are sample-wise and channel-agnostic (the
               // overall mean IS the mean of the channel means), but
@@ -416,7 +453,6 @@ object Multimodal {
                 durMs.toFloat, peak.toFloat, rms.toFloat, zcr.toFloat,
                 mean.toFloat))
             }
-          }
         }
       } catch {
         case e: Exception => Left(s"wav decode failed: ${e.getMessage}")
