@@ -325,14 +325,44 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
                 .reduce((a, b) =>
                   if ((a.compareTo(b) > 0) == takeMax) a else b)
                 .toString
-            (f.getFileName.toString, c,
+            (d, f.getFileName.toString, c,
               s(mins.toSeq, takeMax = false), s(maxs.toSeq, takeMax = true),
               stats.map(_.getNumNulls).sum)
           }
         }
       }
     }
-    rows.toDF("file", "column", "min", "max", "null_count")
+    rows.toDF("dir", "file", "column", "min", "max", "null_count")
+  }
+
+  /** Stats-based data skipping (Iceberg scan-planning analog on plain
+    * parquet): the files whose footer [min, max] range for `column` can
+    * intersect [lo, hi]. Files with no usable stats for the column —
+    * all-null chunks, or non-numeric stats — are KEPT: skipping may only
+    * drop a file it can PROVE irrelevant, so unparseable evidence always
+    * degrades to reading, never to wrong answers.
+    */
+  def skippingFiles(column: String, lo: Double, hi: Double): Seq[String] = {
+    val st = filesStats(Seq(column)).collect()
+    st.filter { r =>
+      val mn = r.getAs[String]("min")
+      val mx = r.getAs[String]("max")
+      try mn == null || mx == null || !(mx.toDouble < lo || mn.toDouble > hi)
+      catch { case _: NumberFormatException => true }
+    }.map(r => s"${r.getAs[String]("dir")}/${r.getAs[String]("file")}").toSeq
+  }
+
+  /** Read only the files [[skippingFiles]] keeps. The result is a
+    * SUPERSET of the rows matching the range (file granularity); callers
+    * apply their own predicate on top — same contract as partition
+    * pruning. At 100 TB this is the difference between a full-table scan
+    * and touching the few files a z-ordered/clustered layout confines the
+    * range to.
+    */
+  def readSkipping(column: String, lo: Double, hi: Double): DataFrame = {
+    val files = skippingFiles(column, lo, hi)
+    if (files.isEmpty) read().filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(files: _*)
   }
 
   /** Small-file compaction for UNPARTITIONED tables: rewrite the current

@@ -114,9 +114,9 @@ class ZOrderSpec extends SparkSpec {
     t.compactZOrdered(Seq("x", "y"), targetFiles = 16, bits = 6)
 
     val stats = t.filesStats(Seq("x", "y", "maybe_null")).collect()
-      .map(r => (r.getString(0), r.getString(1),
-        Option(r.getString(2)).map(_.toLong),
-        Option(r.getString(3)).map(_.toLong), r.getLong(4)))
+      .map(r => (r.getString(1), r.getString(2),
+        Option(r.getString(3)).map(_.toLong),
+        Option(r.getString(4)).map(_.toLong), r.getLong(5)))
     val files = stats.map(_._1).distinct
     assert(files.length >= 8)
     // every (file, column) has bounds; x/y have no nulls
@@ -134,5 +134,30 @@ class ZOrderSpec extends SparkSpec {
     // null accounting folds across row groups: 4096/7 rounded up
     val nullTotal = stats.filter(_._2 == "maybe_null").map(_._5).sum
     assert(nullTotal === (0 until 4096).count(_ % 7 == 0))
+  }
+
+  test("readSkipping reads a file subset and loses no rows in range") {
+    val base = Files.createTempDirectory("graft-skip").toString
+    val t = SnapshotTable.create(spark, s"$base/t")
+    t.append(grid)
+    t.compactZOrdered(Seq("x", "y"), targetFiles = 16, bits = 6)
+
+    val all = t.filesStats(Seq("y")).collect().length
+    val kept = t.skippingFiles("y", 0, 15)
+    assert(kept.nonEmpty && kept.length * 2 <= all,
+      s"skipping kept ${kept.length} of $all files for y in [0,15]")
+
+    // superset contract: the skipped read + predicate equals the full read
+    val viaSkip = t.readSkipping("y", 0, 15)
+      .filter(col("y") <= 15).agg(count(lit(1)), sum(col("payload")))
+      .collect().head
+    val viaFull = t.read()
+      .filter(col("y") <= 15).agg(count(lit(1)), sum(col("payload")))
+      .collect().head
+    assert(viaSkip === viaFull, s"skipping dropped rows: $viaSkip vs $viaFull")
+
+    // a range outside the data proves files CAN all be skipped
+    assert(t.skippingFiles("y", 1000, 2000).isEmpty)
+    assert(t.readSkipping("y", 1000, 2000).count() === 0L)
   }
 }
