@@ -364,7 +364,37 @@ object EventQueries {
            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
            |FROM hopped GROUP BY 1 ORDER BY window_start_us""".stripMargin))
 
+  /** A17 — semi-structured access through Spark 4 VariantType: the JSON
+    * properties parse ONCE into the binary variant encoding, and field
+    * access is a typed path get on that encoding — at 100 TB the
+    * difference between one parse per row (then cheap byte-offset gets,
+    * shreddable to columnar) and re-parsing the JSON string in every
+    * `get_json_object` call (a8's classic path, kept as the baseline).
+    * Missing fields surface as typed NULLs, so the aggregate needs no
+    * string-level existence checks. Integers end to end — nothing to
+    * round, the oracle comparison is exact.
+    */
+  val a17VariantExtract = QueryDef(
+    "a17_variant_extract",
+    "typed field access through VariantType (parse once, get by path)",
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          coalesce(sum(col("k")), lit(0L)).as("sum_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+           |       CAST(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
     t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
-    a15CohortRetention, a16HoppingWindows)
+    a15CohortRetention, a16HoppingWindows, a17VariantExtract)
 }
