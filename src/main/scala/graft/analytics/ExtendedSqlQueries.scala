@@ -283,11 +283,16 @@ object ExtendedSqlQueries {
     * min_by/max_by are deterministic (no arbitrary-tie hazard) and the
     * whole consolidation is ONE hash aggregate instead of the
     * row_number-window + self-join a naive "first and last per group"
-    * takes. The carried value is the priority's int class code, not the
-    * string: HashAggregateExec only keeps buffers with mutable primitive
-    * fields — a string-valued min_by demotes the whole aggregate to
-    * SortAggregate (per-task sort of the fact rows), which at 100 TB is
-    * the difference between O(n) and O(n log n) map tasks. Scale posture:
+    * takes. Pack-domain bound: the 10^13 multiplier supports order keys
+    * < 10^13 (TPC-H SF ≈ 1.6M, far past the 100 TB point) and epoch days
+    * < 9·10^5 (year ~4434) before overflowing a long — a struct ordering
+    * key would lift the bound but its immutable agg buffer demotes to
+    * SortAggregate, which is the wrong trade. The carried value is the
+    * priority's int class code, not the string: HashAggregateExec only
+    * keeps buffers with mutable primitive fields — a string-valued
+    * min_by demotes the whole aggregate to SortAggregate (per-task sort
+    * of the fact rows), which at 100 TB is the difference between O(n)
+    * and O(n log n) map tasks. Scale posture:
     * min_by/max_by carry one (key, value) pair per group through partial
     * aggregation — map-side combine works, nothing sorts, and the output
     * is bounded by segments × calendar years. Customer is the canonical
@@ -307,7 +312,7 @@ object ExtendedSqlQueries {
         .withColumn("yr", year(col("od")))
         .withColumn("ok",
           datediff(col("od"), lit("1970-01-01").cast("date")).cast("long")
-            * lit(10000000000L) + col("o_orderkey"))
+            * lit(10000000000000L) + col("o_orderkey"))
       o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segment"), col("yr"))
         .agg(
@@ -323,7 +328,7 @@ object ExtendedSqlQueries {
            |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
            |         year(CAST(o_orderdate AS DATE)) AS yr,
            |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-           |           * 10000000000 + o_orderkey AS ok
+           |           * 10000000000000 + o_orderkey AS ok
            |  FROM orders)
            |SELECT c_mktsegment AS segment, CAST(yr AS INTEGER) AS yr,
            |       CAST(count(*) AS BIGINT) AS n_orders,

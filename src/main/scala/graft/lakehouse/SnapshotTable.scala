@@ -343,13 +343,22 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     * degrades to reading, never to wrong answers.
     */
   def skippingFiles(column: String, lo: Double, hi: Double): Seq[String] = {
-    val st = filesStats(Seq(column)).collect()
-    st.filter { r =>
-      val mn = r.getAs[String]("min")
-      val mx = r.getAs[String]("max")
-      try mn == null || mx == null || !(mx.toDouble < lo || mn.toDouble > hi)
-      catch { case _: NumberFormatException => true }
-    }.map(r => s"${r.getAs[String]("dir")}/${r.getAs[String]("file")}").toSeq
+    // keyed off the FULL file list, not the stats rows: a file with no
+    // stats entry for the column (typo'd/nested name, or written before
+    // the column existed) has proven nothing and must be read
+    val statsByFile = filesStats(Seq(column)).collect()
+      .map(r => (s"${r.getAs[String]("dir")}/${r.getAs[String]("file")}",
+        (r.getAs[String]("min"), r.getAs[String]("max")))).toMap
+    filesMetadata().collect()
+      .map(r => s"${r.getAs[String]("dir")}/${r.getAs[String]("file")}")
+      .filter { path =>
+        statsByFile.get(path) match {
+          case Some((mn, mx)) =>
+            try mn == null || mx == null || !(mx.toDouble < lo || mn.toDouble > hi)
+            catch { case _: NumberFormatException => true }
+          case None => true
+        }
+      }.toSeq
   }
 
   /** Read only the files [[skippingFiles]] keeps. The result is a

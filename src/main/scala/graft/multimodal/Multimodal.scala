@@ -382,15 +382,20 @@ object Multimodal {
       }
 
     /** First-channel PCM as doubles in [-1, 1) plus the sample rate — the
-      * sample source for [[graft.multimodal.Spectral]].
+      * sample source for [[graft.multimodal.Spectral]]. `maxFrames` caps
+      * decoding at a frame budget: the spectral path analyzes one bounded
+      * frame, and materializing a whole 10-minute clip (hundreds of MB as
+      * doubles) per record to read 4096 samples would be pure executor
+      * GC pressure.
       */
-    def decodePcm(payload: Array[Byte]): Either[String, (Array[Double], Int)] =
+    def decodePcm(payload: Array[Byte],
+        maxFrames: Int = Int.MaxValue): Either[String, (Array[Double], Int)] =
       try {
         val bb = java.nio.ByteBuffer.wrap(payload)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         header(payload, bb).map { h =>
           val n = h.dataLen / 2
-          val frames = n / h.channels
+          val frames = math.min(n / h.channels, maxFrames)
           val out = new Array[Double](frames)
           var f = 0
           while (f < frames) {

@@ -113,7 +113,11 @@ object Spectral {
       if (m > maxMag) { maxMag = m; maxBin = i }
       i += 1
     }
-    if (total == 0.0) return Features(0.0, 0.0, 0.0, 1.0)
+    // silence: no spectral content at all — report 0 flatness like the
+    // any-zero-bin path below, NOT 1.0 (which the doc defines as white
+    // noise; classifying silence as maximal noise would invert a
+    // flatness-based quality filter)
+    if (total == 0.0) return Features(0.0, 0.0, 0.0, 0.0)
     // 85% spectral rolloff: lowest frequency below which 85% of magnitude
     var cum = 0.0
     var roll = 0
@@ -143,7 +147,7 @@ object Spectral {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.filter(_.meta.media_type == "audio").map { r =>
-        Multimodal.WavCodec.decodePcm(r.payload) match {
+        Multimodal.WavCodec.decodePcm(r.payload, maxFrames = FrameSize) match {
           case Right((samples, sampleRate)) =>
             val f = features(samples, sampleRate)
             AudioSpectral(r.media_id, ok = true, "", f.dominant_hz,

@@ -47,12 +47,15 @@ object DriftMonitor {
   final case class Baseline(bins: DataFrame, total: Long, minC: Long, maxC: Long)
 
   def baseline(trusted: DataFrame): Baseline = {
-    val b = trusted.agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
-      .head()
+    // one scan for bounds + total (not one each), then one for the bins
+    val b = trusted.agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"),
+      count(lit(1)).as("n")).head()
+    require(b.getLong(2) > 0,
+      "drift baseline is empty: the trusted window matched no rows")
     val (minC, maxC) = (b.getLong(0), b.getLong(1))
     val bins = bucketize(trusted, minC, maxC)
       .groupBy("bin").agg(count(lit(1)).as("n_early"))
-    Baseline(bins, trusted.count(), minC, maxC)
+    Baseline(bins, b.getLong(2), minC, maxC)
   }
 
   /** The streaming side: running per-bin counts of the live values, to

@@ -51,15 +51,27 @@ object QuantileMonitor {
     binned(stream, group, value, binBits)
       .groupBy("g", "bin").agg(count(lit(1)).as("n"))
 
-  /** Numeric inverse of the sortable-bits transform. */
+  /** Numeric inverse of the sortable-bits transform. The transformed
+    * space puts the negative-NaN payloads below -Inf and positive-NaN
+    * payloads above +Inf; a bin edge landing in either region must clamp
+    * to the infinity, not invert to NaN (NaN edges would poison every
+    * min/max/containment downstream).
+    */
   private[streaming] def invertSortable(t: Long): Double = {
-    val s = if (t < 0) t & ~java.lang.Long.MIN_VALUE else ~t
-    java.lang.Double.longBitsToDouble(s)
+    val tNegInf = ~java.lang.Double.doubleToLongBits(Double.NegativeInfinity)
+    val tPosInf =
+      java.lang.Double.doubleToLongBits(Double.PositiveInfinity) | java.lang.Long.MIN_VALUE
+    if (java.lang.Long.compareUnsigned(t, tNegInf) < 0) Double.NegativeInfinity
+    else if (java.lang.Long.compareUnsigned(t, tPosInf) > 0) Double.PositiveInfinity
+    else {
+      val s = if (t < 0) t & ~java.lang.Long.MIN_VALUE else ~t
+      java.lang.Double.longBitsToDouble(s)
+    }
   }
 
   /** The numeric [lo, hi] interval a bin prefix covers. The all-ones bin
     * wraps `(bin+1) << shift` to 0; `-1` is then the unsigned-max
-    * transformed bound, which is exactly right.
+    * transformed bound (clamped to +Inf by [[invertSortable]]).
     */
   private[streaming] def binBounds(bin: Long, binBits: Int): (Double, Double) = {
     val shift = 64 - binBits

@@ -159,5 +159,9 @@ class ZOrderSpec extends SparkSpec {
     // a range outside the data proves files CAN all be skipped
     assert(t.skippingFiles("y", 1000, 2000).isEmpty)
     assert(t.readSkipping("y", 1000, 2000).count() === 0L)
+
+    // no stats row = no proof = read: a column the footers know nothing
+    // about must keep EVERY file, not silently return an empty scan
+    assert(t.skippingFiles("no_such_column", 0, 1).length === all)
   }
 }

@@ -91,6 +91,21 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("silence reports zero flatness (not white-noise-like)") {
+    val f = Spectral.features(new Array[Double](2048), 8000)
+    assert(f.flatness === 0.0 && f.dominant_hz === 0.0)
+  }
+
+  test("decodePcm caps at maxFrames (bounded allocation per clip)") {
+    val samples = Array.tabulate[Short](50000)(i => (i % 1000).toShort)
+    val payload = WavCodec.encodePcm16(samples, 8000)
+    val Right((capped, _)) = WavCodec.decodePcm(payload, maxFrames = 4096)
+    assert(capped.length === 4096)
+    val Right((full, _)) = WavCodec.decodePcm(payload)
+    assert(full.length === 50000)
+    for (i <- 0 until 4096) assert(capped(i) === full(i))
+  }
+
   test("decodePcm mirrors the encoder (round-trip samples)") {
     val samples = Array.tabulate[Short](1000)(i =>
       (math.sin(i * 0.05) * 20000).toShort)

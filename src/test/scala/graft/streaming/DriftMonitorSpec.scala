@@ -58,6 +58,14 @@ class DriftMonitorSpec extends SparkSpec {
       s"stream/batch drift divergence:\nstream=$streamed\nbatch=$batch")
   }
 
+  test("an empty trusted window fails loudly, not with an NPE") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      DriftMonitor.baseline(Seq.empty[Long].toDF("cents"))
+    }
+    assert(e.getMessage.contains("baseline is empty"))
+  }
+
   test("out-of-range live values clamp into the edge bins (bins never move)") {
     import spark.implicits._
     val base = DriftMonitor.baseline(Seq(100L, 200L, 300L).toDF("cents"))

@@ -67,6 +67,25 @@ class QuantileMonitorSpec extends SparkSpec {
     }
   }
 
+  test("edge bins clamp to infinities, never NaN (Infinity-bearing streams)") {
+    // bottom edge (t=0, negative-NaN space) and top edge (t=-1, positive-
+    // NaN space) must clamp; a NaN edge would poison every containment
+    assert(QuantileMonitor.invertSortable(0L).isNegInfinity)
+    assert(QuantileMonitor.invertSortable(-1L).isPosInfinity)
+    val top = QuantileMonitor.binBounds((1L << 16) - 1, 16)
+    assert(!top._1.isNaN && top._2.isPosInfinity, s"top bin $top")
+    val bottom = QuantileMonitor.binBounds(0L, 16)
+    assert(bottom._1.isNegInfinity && !bottom._2.isNaN, s"bottom bin $bottom")
+    // a stream value of +Infinity lands in a bin whose bracket is finite-
+    // or-infinite, never NaN
+    val t = {
+      val s = java.lang.Double.doubleToLongBits(Double.PositiveInfinity)
+      s | java.lang.Long.MIN_VALUE
+    }
+    val (lo, hi) = QuantileMonitor.binBounds(t >>> 48, 16)
+    assert(!lo.isNaN && !hi.isNaN && hi.isPosInfinity)
+  }
+
   test("bin bounds invert the sortable transform at both edges") {
     for (v <- Seq(0.0, 1.5, -2.75, 1e300, -1e-300, 42.42)) {
       val t = {
