@@ -658,8 +658,60 @@ object TextQueries {
            |       CAST(sum(mean6) AS DOUBLE) / count(*) / 1000000.0 AS avg_surprisal
            |FROM m GROUP BY source ORDER BY source""".stripMargin))
 
+  /** X36 — vocabulary coverage: what fraction of each source's token
+    * mass the GLOBAL top-100 vocabulary covers — the tokenizer-sizing
+    * diagnostic (a vocab that covers 95% of tokens leaves 5% to subword
+    * fallback; per-source coverage exposes domains the vocab underserves).
+    *
+    * One corpus scan builds the (source, term) tf table
+    * ([[graft.PlanCache]]'d — the global ranking, per-source coverage,
+    * and totals all derive from it, and static planning cannot reuse the
+    * exchange across those subtrees). Everything downstream is
+    * vocabulary-bounded, never corpus-bounded. The global top-100 is
+    * `orderBy(n desc, term).limit(100)` — Spark compiles that to
+    * TakeOrderedAndProject, the heap-based bounded top-k (k rows per
+    * partition move, no vocabulary-wide sort; plan-pinned). Coverage is
+    * a broadcast membership join + exact integer basis points.
+    */
+  val x36VocabCoverage = QueryDef(
+    "x36_vocab_coverage",
+    "per-source token coverage of the global top-100 vocabulary (exact bp)",
+    (s, d) => {
+      val tf = graft.PlanCache.persisted(s, s"x36-tf/$d") {
+        docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      }
+      val top = tf.groupBy("term").agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(100)
+        .select(col("term"))
+      val cov = tf.join(broadcast(top), Seq("term"))
+        .groupBy("source").agg(sum(col("c")).as("covered"))
+      tf.groupBy("source").agg(sum(col("c")).as("n_tokens"))
+        .join(cov, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("n_covered"))
+        .withColumn("coverage_bp", expr("n_covered * 10000 DIV n_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           |       FROM toks GROUP BY 1, 2),
+           |g AS (SELECT term, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+           |top AS (SELECT term FROM g ORDER BY n DESC, term LIMIT 100),
+           |cov AS (SELECT source AS csource, CAST(sum(c) AS BIGINT) AS covered
+           |        FROM tf JOIN top USING (term) GROUP BY 1),
+           |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+           |        FROM tf GROUP BY 1)
+           |SELECT t.source, t.n_tokens,
+           |       CAST(coalesce(covered, 0) AS BIGINT) AS n_covered,
+           |       CAST(coalesce(covered, 0) * 10000 // t.n_tokens AS BIGINT) AS coverage_bp
+           |FROM tot t LEFT JOIN cov ON t.source = cov.csource
+           |ORDER BY source""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, x20SalientTerms, x24VocabDrift, x26Chunking,
-    x28UnigramSurprisal)
+    x28UnigramSurprisal, x36VocabCoverage)
 }

@@ -161,6 +161,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one documents scan:\n$plan")
   }
 
+  test("x36 global top-k plans TakeOrdered, reuses the cached tf table") {
+    val plan = planOf("x36_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-100 lost its bounded heap form:\n$plan")
+    assert(!plan.contains("Window"), s"x36 re-grew a window:\n$plan")
+    // ranking, coverage, and totals all read the cached tf table — one
+    // corpus scan total (at materialization), not three
+    assert(plan.contains("InMemoryTableScan"),
+      s"x36 lost the cached tf table:\n$plan")
+  }
+
   test("partition pruning on time-partitioned bronze (cdc sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     graft.cdc.Cdc.writeBronze(
