@@ -430,6 +430,68 @@ object ExtendedSqlQueries {
            |       string_agg(segment, ',' ORDER BY cents DESC, segment) AS segments_by_revenue
            |FROM sp GROUP BY priority ORDER BY priority""".stripMargin))
 
+  /** E9 — WITH RECURSIVE (Spark 4 recursive CTEs): a month spine from
+    * the first to the last order month, left-joined to monthly counts —
+    * the "which months have NO data" completeness audit a plain GROUP BY
+    * cannot express (absent months produce no groups; the spine
+    * manufactures them). Runs through `spark.sql` over the registered
+    * table views — the engine's ad-hoc SQL surface — with structurally
+    * the same recursive SQL on both engines.
+    *
+    * Scale posture: recursion depth = CALENDAR months (≤ ~84 here,
+    * bounded by data span, never row count), each step a one-row
+    * increment — the fact table is touched exactly twice (bounds +
+    * monthly rollup), both single aggregates. A DAY-grained spine would exceed
+    * Spark's default 100-level recursion guard and pay one iteration per
+    * day; month grain stays inside both.
+    */
+  val e9RecursiveMonthSpine = QueryDef(
+    "e9_recursive_month_spine",
+    "WITH RECURSIVE month spine x monthly counts: zero-order month audit",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""WITH RECURSIVE bounds AS (
+        |  SELECT make_date(year(min(CAST(o_orderdate AS DATE))),
+        |                   month(min(CAST(o_orderdate AS DATE))), 1) AS lo,
+        |         make_date(year(max(CAST(o_orderdate AS DATE))),
+        |                   month(max(CAST(o_orderdate AS DATE))), 1) AS hi
+        |  FROM orders),
+        |spine(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM spine, bounds WHERE m < hi),
+        |monthly AS (
+        |  SELECT make_date(year(CAST(o_orderdate AS DATE)),
+        |                   month(CAST(o_orderdate AS DATE)), 1) AS m,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT spine.m AS month_start,
+        |       CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+        |       CAST(CASE WHEN monthly.m IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+        |FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+        |ORDER BY month_start""".stripMargin)
+    },
+    Some("""WITH RECURSIVE bounds AS (
+           |  SELECT make_date(year(min(CAST(o_orderdate AS DATE))),
+           |                   month(min(CAST(o_orderdate AS DATE))), 1) AS lo,
+           |         make_date(year(max(CAST(o_orderdate AS DATE))),
+           |                   month(max(CAST(o_orderdate AS DATE))), 1) AS hi
+           |  FROM orders),
+           |spine(m) AS (
+           |  SELECT lo FROM bounds
+           |  UNION ALL
+           |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine, bounds WHERE m < hi),
+           |monthly AS (
+           |  SELECT make_date(year(CAST(o_orderdate AS DATE)),
+           |                   month(CAST(o_orderdate AS DATE)), 1) AS m,
+           |         CAST(count(*) AS BIGINT) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |SELECT spine.m AS month_start,
+           |       CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+           |       CAST(CASE WHEN monthly.m IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+           |FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+           |ORDER BY month_start""".stripMargin))
+
   /** ST1's batch oracle twin — gaps-and-islands sessionization over the
     * canonical events table: a user's events split into sessions at
     * >30-minute inactivity gaps, rolled up per user. The streaming
@@ -545,5 +607,5 @@ object ExtendedSqlQueries {
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, e8OrderedListagg,
-    st1SessionsBatch, st10SessionWindow)
+    e9RecursiveMonthSpine, st1SessionsBatch, st10SessionWindow)
 }
