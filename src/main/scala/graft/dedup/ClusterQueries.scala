@@ -362,6 +362,61 @@ object ClusterQueries {
             |GROUP BY cc.cluster_id
             |ORDER BY cluster_id""".stripMargin))
 
+  /** X37 — duplicate-aware loss weighting: instead of DELETING near-dups
+    * (x15's canonical-only cut), weight every document by the inverse of
+    * its cluster size — each near-dup family contributes ONE document's
+    * worth of gradient however many copies exist (the soft-dedup
+    * alternative when provenance requires keeping all copies). Output is
+    * the per-source audit: raw docs, clustered docs, and the effective
+    * corpus size in exact basis points (`Σ 10000 div cluster_size`;
+    * singletons contribute 10000).
+    *
+    * Scale posture: same broadcast shape as x34 — the pair-graph-sized
+    * cluster map broadcasts onto ONE documents scan, one hash aggregate
+    * by source. Integer division keeps the audit hash-gateable; the real
+    * trainer would emit `1.0 / n` per row with the same plan.
+    */
+  val x37DedupWeights = QueryDef(
+    "x37_dedup_weights",
+    "inverse-cluster-size loss weights: effective corpus size per source (bp)",
+    (s, d) => {
+      val cc = clusters(s, d)
+      val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      val sized = cc.join(sizes, Seq("lbl"))
+        .select(col("node").as("doc_id"), col("csize"))
+      graft.sources.Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(sized), Seq("doc_id"), "left")
+        .withColumn("w_bp",
+          coalesce(expr("10000 DIV csize"), lit(10000L)))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("csize")).as("n_clustered"),
+          sum(col("w_bp")).as("effective_docs_bp"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
+            |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |        UNION ALL
+            |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+            |reach AS (SELECT node, node AS lbl FROM und
+            |          UNION
+            |          SELECT u.nbr AS node, r.lbl
+            |          FROM reach r JOIN und u ON r.node = u.node),
+            |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            |       FROM reach GROUP BY node),
+            |sized AS (SELECT cc.doc_id, s.csize
+            |          FROM cc JOIN (SELECT cluster_id, count(*) AS csize
+            |                        FROM cc GROUP BY 1) s
+            |            ON cc.cluster_id = s.cluster_id)
+            |SELECT d.source,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(count(sized.csize) AS BIGINT) AS n_clustered,
+            |       CAST(sum(coalesce(10000 // sized.csize, 10000)) AS BIGINT) AS effective_docs_bp
+            |FROM documents d LEFT JOIN sized ON d.doc_id = sized.doc_id
+            |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(x15DedupClusters, x18ClustersIncremental,
-    x34Survivorship)
+    x34Survivorship, x37DedupWeights)
 }
