@@ -67,6 +67,50 @@ class QuantileMonitorSpec extends SparkSpec {
     }
   }
 
+  test("monitor survives a restart: checkpointed source + idempotent partials") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-qrestart").toString
+    val inDir = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = StructType(Seq(StructField("flag", StringType),
+      StructField("price", DoubleType)))
+
+    val all = lineitems().limit(2000).collect()
+    val (h1, h2) = all.splitAt(all.length / 2)
+    def drop(rows: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val outDir = s"$base/out"
+    def start() = QuantileMonitor
+      .histogram(spark.readStream.schema(schema).parquet(inDir), "flag", "price")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingAggs.appendPartials(b, id, outDir))
+      .start()
+
+    drop(h1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    drop(h2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the restarted aggregation resumed its state: merged counters equal
+    // the batch histogram over BOTH halves (nothing lost, nothing doubled)
+    val served = StreamingAggs.mergeOnRead(spark, outDir, Seq("g", "bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = QuantileMonitor.binned(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(all.toIndexedSeq, 2), schema),
+        "flag", "price")
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(served.nonEmpty && served === batch,
+      "restart lost or double-counted monitor state")
+  }
+
   test("edge bins clamp to infinities, never NaN (Infinity-bearing streams)") {
     // bottom edge (t=0, negative-NaN space) and top edge (t=-1, positive-
     // NaN space) must clamp; a NaN edge would poison every containment
