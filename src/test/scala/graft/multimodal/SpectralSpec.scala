@@ -22,14 +22,14 @@ class SpectralSpec extends SparkSpec {
 
   test("fft equals the naive DFT on seeded random inputs") {
     val rnd = new scala.util.Random(42)
-    for (n <- Seq(8, 64, 256)) {
+    for (n <- Seq(2, 4, 8, 16, 32, 64, 128, 256, 512, 1024); _ <- 1 to 3) {
       val x = Array.fill(n)(rnd.nextDouble() * 2 - 1)
       val (er, ei) = naiveDft(x)
       val re = x.clone(); val im = new Array[Double](n)
       Spectral.fft(re, im)
       for (k <- 0 until n) {
-        assert(math.abs(re(k) - er(k)) < 1e-9, s"re mismatch at $k (n=$n)")
-        assert(math.abs(im(k) - ei(k)) < 1e-9, s"im mismatch at $k (n=$n)")
+        assert(math.abs(re(k) - er(k)) < 1e-8, s"re mismatch at $k (n=$n)")
+        assert(math.abs(im(k) - ei(k)) < 1e-8, s"im mismatch at $k (n=$n)")
       }
     }
   }

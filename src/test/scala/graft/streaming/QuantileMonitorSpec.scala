@@ -130,6 +130,28 @@ class QuantileMonitorSpec extends SparkSpec {
     assert(!lo.isNaN && !hi.isNaN && hi.isPosInfinity)
   }
 
+  test("property: every double lies inside its own bin's bounds (500 seeded cases)") {
+    val rnd = new scala.util.Random(1234)
+    val extremes = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, 1e-308, -1e-308,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+    val cases = extremes ++ (1 to 490).map { _ =>
+      // span the full exponent range, both signs
+      val m = rnd.nextDouble() * 2 - 1
+      val e = rnd.nextInt(600) - 300
+      m * math.pow(10, e)
+    }
+    for (v <- cases; bits <- Seq(8, 16, 24)) {
+      val t = {
+        val s = java.lang.Double.doubleToLongBits(v)
+        if (s < 0) ~s else s | java.lang.Long.MIN_VALUE
+      }
+      val (lo, hi) = QuantileMonitor.binBounds(t >>> (64 - bits), bits)
+      assert(!lo.isNaN && !hi.isNaN, s"NaN bound for $v at $bits bits")
+      assert(lo <= v && v <= hi, s"$v outside its bin [$lo, $hi] at $bits bits")
+    }
+  }
+
   test("bin bounds invert the sortable transform at both edges") {
     for (v <- Seq(0.0, 1.5, -2.75, 1e300, -1e-300, 42.42)) {
       val t = {
