@@ -129,6 +129,19 @@ object Cdc {
     inserts.unionByName(updates).unionByName(deletes)
   }
 
+  /** Debezium snapshot-phase view of an envelope: `op = 'r'` (read) —
+    * the connector's initial table scan emitted before the WAL tail.
+    * Every downstream op treats 'r' exactly like an upsert image ('c'/
+    * 'u'): [[latestByKey]] keys on LSN regardless of op, and only
+    * `__op = 'd'` deletes — so bootstrap-then-stream composes through
+    * the SAME compaction/apply machinery as a pure change stream
+    * (pinned by `CdcApplySpec`'s snapshot-bootstrap case).
+    */
+  def asSnapshotRead(envelope: DataFrame): DataFrame =
+    envelope
+      .withColumn("__op", lit("r"))
+      .withColumn("__deleted", lit("false"))
+
   /** T1-T3: typed view of the envelope — string money → DECIMAL(12,2),
     * epoch-ms → TimestampType; keeps CDC metadata columns; T2 drops the
     * `__deleted` rewrite flag (the `__op='d'` code is authoritative).

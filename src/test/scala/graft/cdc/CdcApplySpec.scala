@@ -85,6 +85,34 @@ class CdcApplySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "shipped", "10.00")))
   }
 
+  test("Debezium snapshot bootstrap: snapshot('r') + WAL tail == full replay") {
+    // Connector-start semantics: ids < 20 already exist when the connector
+    // starts — it emits their CURRENT state as op='r' (the initial table
+    // scan), then streams only the subsequent WAL. ids >= 20 are created
+    // after the start, so their inserts ARE in the tail.
+    val preExisting = col("id") < 20
+    val snapshot = Cdc.asSnapshotRead(events.filter(col("__op") === "c")
+      .filter(preExisting))
+    val tail = events.filter(col("__op") =!= "c" || !preExisting)
+
+    val base = Files.createTempDirectory("graft-cdcapply-snap").toString
+    val table = SnapshotTable.create(spark, s"$base/table")
+    CdcApply.applyBatch(snapshot, 0, table)
+    // the mirror holds exactly the snapshot population before the tail
+    assert(table.read().count() === 20)
+    assert(table.read().filter(col("__op") =!= "r").count() === 0)
+    CdcApply.applyBatch(tail, 1, table)
+
+    // bootstrap-then-stream equals a full-history replay on every column
+    // except __op (untouched pre-existing users keep the snapshot's 'r'
+    // where the replay shows their original 'c' — same image, same LSN)
+    def opFree(df: DataFrame) =
+      df.select(col("id"), col("email"), col("account_balance"),
+        col("__source_lsn")).orderBy("id").collect().toSeq
+    val expected = Cdc.currentState(Cdc.unwrap(events))
+    assert(opFree(table.read()) === opFree(expected))
+  }
+
   test("replayed micro-batch is a no-op; restart continues from checkpoint") {
     val base = Files.createTempDirectory("graft-cdcapply-r").toString
     val inDir = s"$base/in"
