@@ -755,10 +755,65 @@ object CurationQueries {
             |       CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT shard) * 512) AS mean_fill
             |FROM binned GROUP BY source ORDER BY source""".stripMargin))
 
+  /** X38 — curriculum phase assignment: corpus-wide quality-score
+    * QUARTILES partition documents into four training phases (easy →
+    * hard curricula train on low-complexity data first; the standard
+    * knob is a quality/complexity quantile cut). Thresholds come from
+    * [[graft.operators.Percentiles.exact]] over the 1e-6 fixed-point t21
+    * score — the selection-based path, because at 100 TB the per-doc
+    * score column is billions of values in ONE group and Spark's
+    * value-buffering builtin is an executor OOM (a13's argument). Scores
+    * are integers and quantile interpolation lands on exact halves, so
+    * the phase CASE is portable; token sums per (phase, source) are
+    * exact integers.
+    */
+  val x38CurriculumPhases = QueryDef(
+    "x38_curriculum_phases",
+    "quality-quartile curriculum phases: per-(phase, source) doc/token rollup",
+    (s, d) => {
+      val scored = graft.PlanCache.persisted(s, s"x38-scores/$d") {
+        docs(s, d).select(col("source"),
+          graft.text.TextQueries.qualityScore6.as("score"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .withColumn("g", lit("all"))
+      }
+      val th = graft.operators.Percentiles
+        .exact(scored, "g", "score",
+          Seq(0.25 -> "q1", 0.5 -> "q2", 0.75 -> "q3"),
+          cacheKey = Some(s"x38/$d"))
+        .select("q1", "q2", "q3")
+      scored.crossJoin(broadcast(th))
+        .withColumn("phase",
+          when(col("score") <= col("q1"), 1)
+            .when(col("score") <= col("q2"), 2)
+            .when(col("score") <= col("q3"), 3)
+            .otherwise(4))
+        .groupBy("phase", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy("phase", "source")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT source,
+            |         ${graft.text.TextQueries.qualityScore6Sql} AS score,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+            |  FROM documents),
+            |th AS (SELECT quantile_cont(score, 0.25) AS q1,
+            |              quantile_cont(score, 0.5) AS q2,
+            |              quantile_cont(score, 0.75) AS q3
+            |       FROM scored)
+            |SELECT CASE WHEN score <= q1 THEN 1
+            |            WHEN score <= q2 THEN 2
+            |            WHEN score <= q3 THEN 3 ELSE 4 END AS phase,
+            |       source,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            |FROM scored CROSS JOIN th
+            |GROUP BY 1, 2 ORDER BY phase, source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
-      x33TemperatureMixture)
+      x33TemperatureMixture, x38CurriculumPhases)
 }
