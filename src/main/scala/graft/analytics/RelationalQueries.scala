@@ -29,6 +29,27 @@ object RelationalQueries {
   private def prt(s: SparkSession, d: String) = Tables.load(s, d, "part")
   private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
+  /** Q0 — whole-corpus census: one row per canonical table with its row
+    * count — the operational "is everything loaded" smoke every pipeline
+    * runs first (reference: the `read_s3_parquet`/count utilities in
+    * `utils-dev/`). Ten count-star aggregates unioned: each is a
+    * metadata-cheap scan (parquet row-group counts, no column data), so
+    * the census stays O(files) at any corpus size.
+    */
+  val q0TableCensus = QueryDef(
+    "q0_table_census",
+    "per-table row counts across the whole canonical surface",
+    (s, d) =>
+      Tables.all.keys.toSeq.sorted
+        .map(t => Tables.load(s, d, t)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows")))
+        .reduce(_.unionByName(_))
+        .orderBy("table_name"),
+    Some(Tables.all.keys.toSeq.sorted
+      .map(t => s"SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")))
+
   /** T4/T5/W5 — ad-hoc select + filter + deterministic limit.
     * Reference: `utils-dev/s3_parquet_query.py:135-158` (filter/project/limit).
     */
@@ -819,7 +840,7 @@ object RelationalQueries {
            |       abs((n_early * 10000) // t_early - (n_late * 10000) // t_late) AS drift_bp
            |FROM counts CROSS JOIN totals ORDER BY bin""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(
+  val defs: Seq[QueryDef] = Seq(q0TableCensus,
     t4FilterProject, t6DecodeMap, t9DerivedFlags, t12Bucketize, t13DateArith,
     t14LineDerivations, j1ThreeWay, j2Enrich, j3NewVsReturning,
     j4DailyBusinessMetrics, a1CustomerMetrics, a2DailyOrderKpis, a6OpSummary,
