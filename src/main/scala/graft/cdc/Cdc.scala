@@ -136,10 +136,20 @@ object Cdc {
     * `__op = 'd'` deletes — so bootstrap-then-stream composes through
     * the SAME compaction/apply machinery as a pure change stream
     * (pinned by `CdcApplySpec`'s snapshot-bootstrap case).
+    *
+    * Input contract: a CURRENT-STATE extract (e.g. [[currentState]]
+    * output, or the insert images of keys that still exist) — a table
+    * scan has no delete rewrites. Feeding a change HISTORY would
+    * re-stamp its 'd' rows as live upserts and silently resurrect
+    * deleted keys in the mirror, so any 'd' row fails the job instead.
     */
   def asSnapshotRead(envelope: DataFrame): DataFrame =
     envelope
-      .withColumn("__op", lit("r"))
+      .withColumn("__op",
+        when(col("__op") === "d", raise_error(lit(
+          "asSnapshotRead: input contains delete rewrites - pass a " +
+            "current-state extract (e.g. Cdc.currentState), not a change history")))
+          .otherwise(lit("r")))
       .withColumn("__deleted", lit("false"))
 
   /** T1-T3: typed view of the envelope — string money → DECIMAL(12,2),

@@ -51,6 +51,13 @@ object BpeLearn {
 
   /** Learn the top-`k` merges over `docs`' `toks` array column. Returns
     * the merge table in learned order. Stops early when no pair repeats.
+    *
+    * Tie-break collation: ties on count resolve by Spark's string
+    * ordering, which compares UTF-8 BYTES — for tokens beyond the BMP
+    * (emoji and other supplementary characters) this differs from Java's
+    * UTF-16 `String.compareTo`. Any single-process reference comparing
+    * against this learn must tie-break with a UTF-8 byte comparator (as
+    * `BpeLearnSpec.referenceLearn` does), or emoji-tied corpora diverge.
     */
   def learn(docs: DataFrame, k: Int): Seq[Merge] = {
     val spark = docs.sparkSession
@@ -62,10 +69,13 @@ object BpeLearn {
     var done = false
     var round = 0
     while (round < k && !done) {
+      // greatest(…, 0): a 0/1-token sequence has no pairs — a raw -1
+      // slice length is a runtime error, not an empty array
+      val pairLen = greatest(size(col("toks")) - 1, lit(0))
       val top = seqs.toDF("toks")
         .select(explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          slice(col("toks"), lit(1), pairLen),
+          slice(col("toks"), lit(2), pairLen),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n"))

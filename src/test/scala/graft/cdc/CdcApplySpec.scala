@@ -113,6 +113,18 @@ class CdcApplySpec extends SparkSpec {
     assert(opFree(table.read()) === opFree(expected))
   }
 
+  test("asSnapshotRead rejects delete rewrites (resurrection guard)") {
+    // stamping a change HISTORY as a snapshot would turn its 'd' rows
+    // into live upsert images; the guard fails the job instead
+    val e = intercept[Exception] {
+      Cdc.asSnapshotRead(events).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("current-state extract")),
+      s"unexpected error: $e")
+  }
+
   test("replayed micro-batch is a no-op; restart continues from checkpoint") {
     val base = Files.createTempDirectory("graft-cdcapply-r").toString
     val inDir = s"$base/in"

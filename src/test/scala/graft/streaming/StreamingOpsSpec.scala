@@ -39,7 +39,6 @@ class StreamingOpsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
-    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val q = mem.toDF().toDF("cents")
       .observe("batch_gauge", count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
       .writeStream.outputMode("append")
@@ -52,17 +51,16 @@ class StreamingOpsSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = q.recentProgress.flatMap(p =>
         Option(p.observedMetrics.get("batch_gauge")))
-      rows.foreach(r => seen.add(r.getAs[Long]("n")))
       // every non-empty micro-batch reported its gauge; totals reconcile
-      assert(seen.asScala.sum === 4L,
-        s"per-batch observed counts must total the stream: $seen")
-      val centsTotal = rows.map(_.getAs[Long]("cents_sum")).sum
-      assert(centsTotal === 16L)
+      assert(rows.map(_.getAs[Long]("n")).sum === 4L,
+        s"per-batch observed counts must total the stream")
+      assert(rows.map(_.getAs[Long]("cents_sum")).sum === 16L)
     } finally q.stop()
   }
 
   test("Trigger.AvailableNow drains the backlog then stops itself") {
     import spark.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
     val base = java.nio.file.Files.createTempDirectory("graft-avnow").toString
     val inDir = s"$base/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
@@ -71,10 +69,8 @@ class StreamingOpsSpec extends SparkSpec {
     Seq(10L, 20L).toDF("v").coalesce(1).write.mode("append").parquet(inDir)
 
     val outDir = s"$base/out"
-    val q = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("v",
-          org.apache.spark.sql.types.LongType))))
+    def start() = spark.readStream
+      .schema(StructType(Seq(StructField("v", LongType))))
       .parquet(inDir)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
@@ -82,33 +78,13 @@ class StreamingOpsSpec extends SparkSpec {
       .foreachBatch((b: DataFrame, id: Long) =>
         StreamingAggs.appendPartials(b, id, outDir))
       .start()
+    def drained() = spark.read.parquet(outDir).agg(sum(col("v"))).head.getLong(0)
+
     // AvailableNow terminates on its own once the backlog is drained
-    assert(q.awaitTermination(120000), "AvailableNow query did not self-stop")
-    val drained = spark.read.parquet(outDir).agg(sum(col("v"))).head.getLong(0)
-    assert(drained === 36L)
-
+    assert(start().awaitTermination(120000), "AvailableNow query did not self-stop")
+    assert(drained() === 36L)
     // a restart with NO new data processes nothing and stops immediately
-    val q2 = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("v",
-          org.apache.spark.sql.types.LongType))))
-      .parquet(inDir)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
-        StreamingAggs.appendPartials(b, id, outDir))
-      .start()
-    assert(q2.awaitTermination(120000))
-    assert(spark.read.parquet(outDir).agg(sum(col("v"))).head.getLong(0) === 36L,
-      "restart over a drained backlog must not re-process")
-  }
-
-  private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Long]) {
-    def asScala: Seq[Long] = {
-      val b = Seq.newBuilder[Long]
-      q.forEach(v => b += v)
-      b.result()
-    }
+    assert(start().awaitTermination(120000))
+    assert(drained() === 36L, "restart over a drained backlog must not re-process")
   }
 }

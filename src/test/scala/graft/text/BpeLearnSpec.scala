@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   */
 class BpeLearnSpec extends SparkSpec {
 
-  /** The naive reference: full pair scan, max count with (a, b)
-    * lexicographic tie-break, greedy left-to-right rewrite.
+  /** The naive reference: full pair scan, max count with UTF-8 BYTE-order
+    * tie-break (Spark's string collation — Java's UTF-16 compareTo
+    * diverges for supplementary characters), greedy left-to-right rewrite.
     */
+  private val u8: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def referenceLearn(corpus: Seq[Seq[String]], k: Int): Seq[(String, String, Long)] = {
     var seqs = corpus.map(_.toIndexedSeq)
     val out = Seq.newBuilder[(String, String, Long)]
@@ -29,7 +35,8 @@ class BpeLearnSpec extends SparkSpec {
       val eligible = counts.filter(_._2 >= 2)
       if (eligible.isEmpty) done = true
       else {
-        val ((a, b), n) = eligible.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((a, b), n) = eligible.minBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, u8, u8))
         out += ((a, b, n))
         seqs = seqs.map(s => BpeLearn.mergeOnce(s, a, b))
       }
@@ -67,6 +74,34 @@ class BpeLearnSpec extends SparkSpec {
     val learned = BpeLearn.learn(docs, 5).map(m => (m.a, m.b, m.count))
     val expected = referenceLearn(corpus, 5)
     assert(learned === expected, s"learned=$learned expected=$expected")
+  }
+
+  test("empty and single-token sequences are pair-free, not a crash") {
+    import spark.implicits._
+    val corpus: Seq[Seq[String]] = Seq(
+      Seq.empty, Seq("solo"), "a b a b".split(" ").toSeq)
+    val learned = BpeLearn.learn(corpus.toDF("toks"), 2)
+      .map(m => (m.a, m.b, m.count))
+    assert(learned === referenceLearn(corpus, 2))
+    assert(learned.head === (("a", "b", 2L)))
+  }
+
+  test("count ties break on UTF-8 bytes (supplementary chars after U+FFFF BMP)") {
+    import spark.implicits._
+    // U+1F600 (emoji, surrogate pair D83D DE00) vs U+FFFD (BMP): UTF-16
+    // compareTo sorts the emoji FIRST (D83D < FFFD), UTF-8 bytes sort it
+    // AFTER (F0… > EF…) — the tie must resolve the UTF-8 way on both
+    // sides of the differential
+    val emoji = new String(Character.toChars(0x1F600))
+    val bmp = "�"
+    val corpus: Seq[Seq[String]] = Seq(
+      Seq("x", emoji), Seq("x", emoji),
+      Seq("x", bmp), Seq("x", bmp))
+    val learned = BpeLearn.learn(corpus.toDF("toks"), 1)
+      .map(m => (m.a, m.b, m.count))
+    assert(learned === referenceLearn(corpus, 1))
+    assert(learned.head._2 === bmp,
+      "UTF-8 byte order must pick the BMP token over the emoji")
   }
 
   test("applyMerges replays the table in order; re-learning finds nothing new") {
