@@ -163,6 +163,32 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("scale_x") - 19.0 / 32) < 1e-9)
   }
 
+  test("image resize is real: bilinear shrink to the max edge, no upscaling") {
+    val images = media.filter(_.meta.media_type == "image")
+    val origDims = images.collect()
+      .map(r => r.media_id -> (r.meta.width.get, r.meta.height.get)).toMap
+    val maxDim = origDims.values.map(d => math.max(d._1, d._2)).max / 2
+    val out = Multimodal.resizeImages(images, maxDim).collect()
+    assert(out.nonEmpty && out.forall(_.ok), s"failures: ${out.filter(!_.ok).toSeq}")
+    out.foreach { r =>
+      val (w, h) = origDims(r.media_id)
+      if (math.max(w, h) <= maxDim) {
+        // inside budget: byte-identical passthrough, original dims
+        assert((r.width, r.height) === ((w, h)))
+      } else {
+        assert(math.max(r.width, r.height) === maxDim,
+          s"longer edge must land on $maxDim: ${(r.width, r.height)}")
+        // aspect preserved within rounding
+        assert(math.abs(r.width.toDouble / r.height - w.toDouble / h) < 0.15,
+          s"aspect drifted: ${(w, h)} -> ${(r.width, r.height)}")
+      }
+      // the payload is a real decodable PNG with the claimed geometry
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth === r.width && img.getHeight === r.height)
+    }
+  }
+
   test("mp4 container walk recovers the generated metadata exactly") {
     val videos = media.filter(_.meta.media_type == "video")
     val metaById = videos.collect().map(r => r.media_id -> r.meta).toMap
