@@ -163,6 +163,27 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("scale_x") - 19.0 / 32) < 1e-9)
   }
 
+  test("frame sampling is real: every k-th MJPEG frame decodes with true stats") {
+    val avis = Multimodal.syntheticMjpegAvi(spark, 6)
+    val metas = avis.collect().map { r =>
+      val Right((m, _)) = Multimodal.AviCodec.parseRaw(r.payload)
+      r.media_id -> m
+    }.toMap
+    val out = Multimodal.frameSample(avis, everyK = 2).collect()
+    assert(out.nonEmpty && out.forall(_.ok), s"failures: ${out.filter(!_.ok).toSeq}")
+    out.groupBy(_.media_id).foreach { case (id, frames) =>
+      val m = metas(id)
+      // exactly the even frame indices, each with the container geometry
+      assert(frames.map(_.frame_idx).sorted.toSeq
+        === (0 until m.nFrames by 2).toSeq)
+      assert(frames.forall(f => f.width === m.width && f.height === m.height))
+      assert(frames.forall(f => f.mean_luma >= 0.0 && f.mean_luma <= 1.0))
+      // timestamps follow the container fps
+      frames.sortBy(_.frame_idx).foreach(f =>
+        assert(f.ts_ms === math.round(f.frame_idx * 1000.0 / m.fps)))
+    }
+  }
+
   test("image resize is real: bilinear shrink to the max edge, no upscaling") {
     val images = media.filter(_.meta.media_type == "image")
     val origDims = images.collect()
