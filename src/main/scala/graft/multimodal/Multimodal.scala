@@ -912,6 +912,16 @@ object Multimodal {
       * min frame luminance, max frame luminance] — the last three are real
       * pixel statistics averaged per frame.
       */
+    /** Decode one frame slice in place (no byte copy). ImageIO throws
+      * (not null) on e.g. corrupt Huffman tables — either way the caller
+      * gets null and flags the row, never the task.
+      */
+    private[multimodal] def decodeFrame(payload: Array[Byte], s: Int,
+        e: Int): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload, s, e - s))
+      catch { case _: Exception => null }
+
     def decodeFeatures(payload: Array[Byte]): Either[String, Array[Float]] =
       parseRaw(payload).flatMap { case (meta, slices) =>
         var sumLum = 0.0
@@ -921,28 +931,10 @@ object Multimodal {
         var i = 0
         while (badFrame < 0 && i < slices.size) {
           val (s, e) = slices(i)
-          // ImageIO throws (not null) on e.g. corrupt Huffman tables —
-          // either way the row is flagged, not the task failed
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload, s, e - s))
-            catch { case _: Exception => null }
+          val img = decodeFrame(payload, s, e)
           if (img == null) badFrame = i
           else {
-            var fl = 0.0
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                fl += 0.2126 * ((rgb >> 16) & 0xff) / 255.0 +
-                  0.7152 * ((rgb >> 8) & 0xff) / 255.0 +
-                  0.0722 * (rgb & 0xff) / 255.0
-                x += 1
-              }
-              y += 1
-            }
-            val frameLum = fl / (img.getWidth.toDouble * img.getHeight)
+            val frameLum = Multimodal.meanLuma(img)
             sumLum += frameLum
             if (frameLum < minLum) minLum = frameLum
             if (frameLum > maxLum) maxLum = frameLum
@@ -1036,6 +1028,27 @@ object Multimodal {
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
       .select(col("media_id"), col("frame_ts_ms"), col("meta.format").as("format"))
 
+  /** Rec.709 mean luminance of a decoded frame, normalized to [0, 1].
+    * Double pixel-count math: a max-size JPEG (65535²) overflows an Int
+    * pixel product.
+    */
+  private[multimodal] def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    var s = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += (0.2126 * ((rgb >> 16) & 0xff) +
+          0.7152 * ((rgb >> 8) & 0xff) +
+          0.0722 * (rgb & 0xff)) / 255.0
+        x += 1
+      }
+      y += 1
+    }
+    s / (img.getWidth.toDouble * img.getHeight)
+  }
+
   final case class SampledFrame(media_id: Long, ok: Boolean, error: String,
       frame_idx: Int, ts_ms: Long, width: Int, height: Int, mean_luma: Double)
 
@@ -1045,16 +1058,26 @@ object Multimodal {
     * executed counterpart of [[frameSamplePlan]]'s grid staging.
     * Sampling at the INDEX level is the point at scale: a 1-in-30 sample
     * pays 1/30th of the JPEG decode, because frame boundaries come from
-    * the chunk walk, not from decoding. Coded-frame video (h264) still
-    * routes to the stub codec. One shuffle-free `mapPartitions` pass.
+    * the chunk walk, not from decoding. Non-AVI video (coded-frame
+    * containers like mp4/h264 — no codec libs in this environment) and
+    * null-metadata rows emit one `ok = false` row each, mirroring
+    * [[containerMeta]]'s flag-don't-drop contract. One shuffle-free
+    * `mapPartitions` pass.
     */
   def frameSample(media: Dataset[MediaRow], everyK: Int): Dataset[SampledFrame] = {
     require(everyK >= 1, s"everyK must be >= 1, got $everyK")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.filter(r => r.meta.media_type == "video" && r.meta.format == "avi")
+      rows.filter(r => r.meta == null || r.meta.media_type == "video")
         .flatMap { r =>
-          AviCodec.parseRaw(r.payload) match {
+          if (r.meta == null)
+            Iterator.single(SampledFrame(r.media_id, ok = false,
+              "missing metadata", -1, -1L, 0, 0, 0.0))
+          else if (r.meta.format != "avi")
+            Iterator.single(SampledFrame(r.media_id, ok = false,
+              s"unsupported container format ${r.meta.format} (no codec libs)",
+              -1, -1L, 0, 0, 0.0))
+          else AviCodec.parseRaw(r.payload) match {
             case Left(err) =>
               Iterator.single(SampledFrame(r.media_id, ok = false, err,
                 -1, -1L, 0, 0, 0.0))
@@ -1062,31 +1085,14 @@ object Multimodal {
               frames.iterator.zipWithIndex
                 .filter { case (_, i) => i % everyK == 0 }
                 .map { case ((off, end), i) =>
-                  val img = javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(
-                      java.util.Arrays.copyOfRange(r.payload, off, end)))
+                  val img = AviCodec.decodeFrame(r.payload, off, end)
                   if (img == null)
                     SampledFrame(r.media_id, ok = false,
                       s"undecodable frame $i", i, -1L, 0, 0, 0.0)
-                  else {
-                    var s = 0.0
-                    var y = 0
-                    while (y < img.getHeight) {
-                      var x = 0
-                      while (x < img.getWidth) {
-                        val rgb = img.getRGB(x, y)
-                        s += (0.2126 * ((rgb >> 16) & 0xff) +
-                          0.7152 * ((rgb >> 8) & 0xff) +
-                          0.0722 * (rgb & 0xff)) / 255.0
-                        x += 1
-                      }
-                      y += 1
-                    }
+                  else
                     SampledFrame(r.media_id, ok = true, "", i,
                       math.round(i * 1000.0 / meta.fps),
-                      img.getWidth, img.getHeight,
-                      s / (img.getWidth * img.getHeight))
-                  }
+                      img.getWidth, img.getHeight, meanLuma(img))
                 }
           }
         }
@@ -1112,8 +1118,11 @@ object Multimodal {
   def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.filter(_.meta.media_type == "image").map { r =>
-        try {
+      rows.filter(r => r.meta == null || r.meta.media_type == "image").map { r =>
+        if (r.meta == null)
+          ResizedImage(r.media_id, ok = false, "missing metadata",
+            Array.emptyByteArray, 0, 0)
+        else try {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload))
           if (img == null) ResizedImage(r.media_id, ok = false,
@@ -1134,6 +1143,11 @@ object Multimodal {
                 g.setRenderingHint(
                   java.awt.RenderingHints.KEY_INTERPOLATION,
                   java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                // source may carry alpha (ARGB PNG); the RGB canvas is
+                // all-zero, so composite over an explicit white fill or
+                // transparent regions silently become black pixels
+                g.setColor(java.awt.Color.WHITE)
+                g.fillRect(0, 0, nw, nh)
                 g.drawImage(img, 0, 0, nw, nh, null)
               } finally g.dispose()
               val bos = new java.io.ByteArrayOutputStream()

@@ -163,6 +163,39 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("scale_x") - 19.0 / 32) < 1e-9)
   }
 
+  test("frameSample/resizeImages flag null-meta and unsupported rows, not the task") {
+    import spark.implicits._
+    val mixed = spark.createDataset(Seq(
+      Multimodal.MediaRow(50, Array[Byte](1, 2, 3), null),
+      Multimodal.MediaRow(51, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("video", "mp4", Some(16), Some(16), Some(100), 3L))))
+    val sampled = Multimodal.frameSample(mixed, 1).collect().sortBy(_.media_id)
+    assert(sampled.length === 2 && sampled.forall(!_.ok))
+    assert(sampled(0).error === "missing metadata")
+    assert(sampled(1).error.contains("unsupported container format mp4"))
+    val resized = Multimodal.resizeImages(
+      spark.createDataset(Seq(Multimodal.MediaRow(52, Array[Byte](9), null))), 8).collect()
+    assert(resized.length === 1 && !resized(0).ok &&
+      resized(0).error === "missing metadata")
+  }
+
+  test("resize composites transparency over white, not black") {
+    import spark.implicits._
+    // a fully-transparent 32x32 ARGB PNG
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val row = Multimodal.MediaRow(60, bos.toByteArray,
+      Multimodal.MediaMeta("image", "png", Some(32), Some(32), None, bos.size().toLong))
+    val out = Multimodal.resizeImages(spark.createDataset(Seq(row)), 16).collect()
+    assert(out.length === 1 && out(0).ok)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    // transparent source must come out white (0xFFFFFF), not black
+    assert((dec.getRGB(8, 8) & 0xFFFFFF) === 0xFFFFFF)
+  }
+
   test("frame sampling is real: every k-th MJPEG frame decodes with true stats") {
     val avis = Multimodal.syntheticMjpegAvi(spark, 6)
     val metas = avis.collect().map { r =>
