@@ -37,7 +37,7 @@ object AvroBinary {
 
   // ---- primitive writers ------------------------------------------------
 
-  private def writeVarLong(n: Long, out: ByteArrayOutputStream): Unit = {
+  private[sources] def writeVarLong(n: Long, out: ByteArrayOutputStream): Unit = {
     var z = (n << 1) ^ (n >> 63) // zigzag
     while ((z & ~0x7fL) != 0L) {
       out.write(((z & 0x7f) | 0x80).toInt)
@@ -53,7 +53,7 @@ object AvroBinary {
 
   // ---- primitive readers ------------------------------------------------
 
-  private def readVarLong(in: ByteArrayInputStream): Long = {
+  private[sources] def readVarLong(in: ByteArrayInputStream): Long = {
     var shift = 0
     var acc = 0L
     var b = in.read()
@@ -67,7 +67,7 @@ object AvroBinary {
     (acc >>> 1) ^ -(acc & 1) // un-zigzag
   }
 
-  private def readNBytes(in: ByteArrayInputStream, n: Int): Array[Byte] = {
+  private[sources] def readNBytes(in: ByteArrayInputStream, n: Int): Array[Byte] = {
     val buf = new Array[Byte](n)
     var off = 0
     while (off < n) {
@@ -155,8 +155,15 @@ object AvroBinary {
     * `reader` (BACKWARD evolution: new nullable fields → null, dropped
     * fields → skipped, safe widenings applied).
     */
-  def decodeRow(bytes: Array[Byte], writer: StructType, reader: StructType): Row = {
-    val in = new ByteArrayInputStream(bytes)
+  def decodeRow(bytes: Array[Byte], writer: StructType, reader: StructType): Row =
+    decodeRowFrom(new ByteArrayInputStream(bytes), writer, reader)
+
+  /** Stream variant of [[decodeRow]]: consumes exactly one record from
+    * `in` — the shape OCF blocks need, where records are concatenated
+    * without per-record length prefixes.
+    */
+  def decodeRowFrom(in: ByteArrayInputStream, writer: StructType,
+      reader: StructType): Row = {
     val decoded = writer.fields.map { f =>
       val v =
         if (!f.nullable) readValue(f.dataType, in)
