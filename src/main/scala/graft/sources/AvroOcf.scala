@@ -207,4 +207,28 @@ object AvroOcf {
       .flatMap((bytes: Array[Byte]) => read(bytes, reader)._2)
       .toDF()
   }
+
+  /** Distributed OCF sink: each partition serializes itself into ONE
+    * container file (`part-NNNNN.avro`) — partitions are the
+    * parallelism unit on write exactly as files are on read, and no
+    * data moves to the driver. Empty partitions write nothing (an OCF
+    * with zero blocks is legal but useless).
+    */
+  def writeFiles(df: DataFrame, dir: String, codec: String = "null",
+      blockRecords: Int = 1000): Unit = {
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.rdd.mapPartitionsWithIndex { (part, it) =>
+      // one container per partition: the file must be assembled whole
+      // (blocks + trailing syncs), so the partition buffers here — size
+      // partitions to the file size you want, as with any file sink
+      val rows = it.toSeq
+      if (rows.nonEmpty) {
+        val payload = write(rows, schema, codec, blockRecords)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"part-$part%05d.avro"), payload)
+      }
+      Iterator.single(rows.size)
+    }.count() // one write job
+  }
 }

@@ -70,6 +70,19 @@ class AvroOcfSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"OCF read must not shuffle:\n$plan")
   }
 
+  test("distributed sink: one container per partition, round-trips through readFiles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ocf-w").toString + "/out"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows(600), 4), schema)
+    AvroOcf.writeFiles(df, dir, codec = "deflate", blockRecords = 100)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 4, "one container per non-empty partition")
+    val back = AvroOcf.readFiles(spark, dir, schema)
+    assert(back.count() === 600)
+    assert(back.orderBy("id").collect().toSeq === rows(600).sortBy(_.getLong(0)))
+  }
+
   test("corrupt payloads are rejected with meaningful errors") {
     val good = AvroOcf.write(rows(10), schema)
     val badMagic = good.clone(); badMagic(0) = 'X'
