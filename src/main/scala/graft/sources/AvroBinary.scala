@@ -173,7 +173,12 @@ object AvroBinary {
     }.toMap
     Row.fromSeq(reader.fields.toSeq.map { rf =>
       decoded.get(rf.name) match {
-        case Some((null, _)) => null
+        case Some((null, _)) =>
+          // fail HERE with the field named, not as an encoder NPE later:
+          // a schema-violating Row must never leave the decoder
+          require(rf.nullable,
+            s"null in writer field ${rf.name} cannot resolve into a non-nullable reader field")
+          null
         case Some((v, wdt)) => widen(v, wdt, rf.dataType)
         case None =>
           require(rf.nullable, s"reader field ${rf.name} absent from writer and not nullable")

@@ -55,18 +55,40 @@ object AvroOcf {
   private[sources] def fromAvroJson(json: String): StructType = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.readTree(json)
-    require(root.path("type").asText() == "record",
-      s"not an Avro record schema: $json")
+    if (root.path("type").asText() != "record")
+      throw new java.io.IOException(s"not an Avro record schema: $json")
     val byName = typeNames.map(_.swap).toMap
+    // a primitive may arrive as "long", or object form
+    // {"type":"long","logicalType":…} (Kafka Connect/Debezium exports);
+    // the logical annotation refines interpretation, the base decodes
+    // identically — unsupported shapes fail with the field named
+    def primitive(t: com.fasterxml.jackson.databind.JsonNode,
+        field: String): DataType = {
+      val name =
+        if (t.isTextual) t.asText()
+        else if (t.isObject) t.path("type").asText()
+        else null
+      byName.getOrElse(name, throw new java.io.IOException(
+        s"unsupported Avro type $t in field $field (envelope subset only)"))
+    }
     val fields = Seq.newBuilder[StructField]
     root.path("fields").forEach { fn =>
       val name = fn.path("name").asText()
       val t = fn.path("type")
       if (t.isArray) {
-        require(t.size == 2 && t.get(0).asText() == "null",
-          s"unsupported union in field $name")
-        fields += StructField(name, byName(t.get(1).asText()), nullable = true)
-      } else fields += StructField(name, byName(t.asText()), nullable = false)
+        // two-branch null unions in either order
+        val branches = (0 until t.size).map(t.get)
+        val (nulls, others) = branches.partition(b =>
+          b.isTextual && b.asText() == "null")
+        if (nulls.size != 1 || others.size != 1)
+          throw new java.io.IOException(s"unsupported union in field $name: $t")
+        // Avro writes the union BRANCH INDEX; our decoder assumes null=0,
+        // so only ["null", T] matches the binary layout
+        if (!t.get(0).asText().equals("null"))
+          throw new java.io.IOException(
+            s"union in field $name must order null first (branch indexes): $t")
+        fields += StructField(name, primitive(others.head, name), nullable = true)
+      } else fields += StructField(name, primitive(t, name), nullable = false)
     }
     StructType(fields.result())
   }
@@ -146,6 +168,18 @@ object AvroOcf {
     * resolution against the embedded writer schema). Returns the writer
     * schema too — provenance for audits.
     */
+  /** A length/size varint, validated: corrupt negatives or >2 GB values
+    * become IOExceptions (the corrupt-file contract), never a
+    * NegativeArraySizeException or a silently truncated Int.
+    */
+  private def readLen(in: ByteArrayInputStream, what: String): Int = {
+    val n = AvroBinary.readVarLong(in)
+    if (n < 0 || n > in.available())
+      throw new java.io.IOException(
+        s"corrupt OCF: $what length $n (have ${in.available()} bytes)")
+    n.toInt
+  }
+
   def read(payload: Array[Byte], reader: StructType): (StructType, Seq[Row]) = {
     val in = new ByteArrayInputStream(payload)
     if (!java.util.Arrays.equals(AvroBinary.readNBytes(in, 4), Magic))
@@ -160,8 +194,8 @@ object AvroOcf {
       if (n < 0) AvroBinary.readVarLong(in) // block byte size, unused
       while (i < count) {
         val k = new String(
-          AvroBinary.readNBytes(in, AvroBinary.readVarLong(in).toInt), "UTF-8")
-        val v = AvroBinary.readNBytes(in, AvroBinary.readVarLong(in).toInt)
+          AvroBinary.readNBytes(in, readLen(in, "metadata key")), "UTF-8")
+        val v = AvroBinary.readNBytes(in, readLen(in, "metadata value"))
         k match {
           case "avro.schema" => schemaJson = new String(v, "UTF-8")
           case "avro.codec" => codec = new String(v, "UTF-8")
@@ -176,11 +210,18 @@ object AvroOcf {
     if (codec != "null" && codec != "deflate")
       throw new java.io.IOException(s"unsupported OCF codec $codec")
     val writer = fromAvroJson(schemaJson)
+    // resolution compatibility surfaces HERE with a clear message, not as
+    // an encoder NPE deep in an executor task (e.g. a nullable writer
+    // field read under a non-nullable reader)
+    val incompat = SchemaRegistry.backwardIncompatibilities(writer, reader)
+    if (incompat.nonEmpty)
+      throw new java.io.IOException(
+        s"reader schema cannot resolve this file: ${incompat.mkString("; ")}")
     val sync = AvroBinary.readNBytes(in, 16)
     val rows = Seq.newBuilder[Row]
     while (in.available() > 0) {
       val count = AvroBinary.readVarLong(in)
-      val size = AvroBinary.readVarLong(in).toInt
+      val size = readLen(in, "block")
       val raw = AvroBinary.readNBytes(in, size)
       val body = new ByteArrayInputStream(
         if (codec == "deflate") inflate(raw) else raw)
@@ -208,16 +249,23 @@ object AvroOcf {
       .toDF()
   }
 
-  /** Distributed OCF sink: each partition serializes itself into ONE
-    * container file (`part-NNNNN.avro`) — partitions are the
-    * parallelism unit on write exactly as files are on read, and no
+  /** OCF sink for LOCAL/SHARED filesystems: each partition serializes
+    * itself into ONE container file (`part-NNNNN.avro`) — partitions are
+    * the parallelism unit on write exactly as files are on read, and no
     * data moves to the driver. Empty partitions write nothing (an OCF
     * with zero blocks is legal but useless).
+    *
+    * Filesystem contract: `dir` must be a path every executor can reach
+    * (local mode, NFS — the same contract as SnapshotTable's manifests).
+    * Each task creates the directory itself and writes through a
+    * task-attempt-unique temp name + atomic move, so a speculative or
+    * retried attempt can never interleave with a committed file — last
+    * complete attempt wins, both are whole files. Object stores need a
+    * Hadoop-committer-based sink instead.
     */
   def writeFiles(df: DataFrame, dir: String, codec: String = "null",
       blockRecords: Int = 1000): Unit = {
     val schema = df.schema
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.rdd.mapPartitionsWithIndex { (part, it) =>
       // one container per partition: the file must be assembled whole
       // (blocks + trailing syncs), so the partition buffers here — size
@@ -225,8 +273,17 @@ object AvroOcf {
       val rows = it.toSeq
       if (rows.nonEmpty) {
         val payload = write(rows, schema, codec, blockRecords)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, f"part-$part%05d.avro"), payload)
+        val dirPath = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(dirPath)
+        val attempt = org.apache.spark.TaskContext.get() match {
+          case null => 0L
+          case tc => tc.taskAttemptId()
+        }
+        val tmp = dirPath.resolve(f".part-$part%05d.avro.$attempt%d.tmp")
+        java.nio.file.Files.write(tmp, payload)
+        java.nio.file.Files.move(tmp, dirPath.resolve(f"part-$part%05d.avro"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       Iterator.single(rows.size)
     }.count() // one write job

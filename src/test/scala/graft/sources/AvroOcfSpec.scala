@@ -95,6 +95,59 @@ class AvroOcfSpec extends SparkSpec {
     assert(e2.getMessage.contains("sync marker mismatch"))
   }
 
+  test("external-writer schema shapes: object-form types parse, bad shapes fail clearly") {
+    // Kafka Connect/Debezium exports annotate primitives with logicalType
+    val objForm = """{"type":"record","name":"row","fields":[
+      {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}},
+      {"name":"id","type":"long"}]}"""
+    val parsed = AvroOcf.fromAvroJson(objForm.replaceAll("\n", ""))
+    assert(parsed.fields.map(f => (f.name, f.dataType)).toSeq
+      === Seq(("ts", LongType), ("id", LongType)))
+    // unsupported complex types name the field instead of a key-not-found
+    val complex = """{"type":"record","name":"row","fields":[
+      {"name":"tags","type":{"type":"array","items":"string"}}]}"""
+    val e = intercept[java.io.IOException](
+      AvroOcf.fromAvroJson(complex.replaceAll("\n", "")))
+    assert(e.getMessage.contains("tags"))
+    // a reversed union would break branch-index decoding: refused
+    val reversed = """{"type":"record","name":"row","fields":[
+      {"name":"email","type":["string","null"]}]}"""
+    val e2 = intercept[java.io.IOException](
+      AvroOcf.fromAvroJson(reversed.replaceAll("\n", "")))
+    assert(e2.getMessage.contains("null first"))
+  }
+
+  test("an unresolvable reader schema fails loudly at read, not in the encoder") {
+    val payload = AvroOcf.write(rows(10), schema)
+    val strictReader = StructType(schema.fields.map {
+      case f if f.name == "email" => f.copy(nullable = false)
+      case f => f
+    })
+    val e = intercept[java.io.IOException](AvroOcf.read(payload, strictReader))
+    assert(e.getMessage.contains("cannot resolve"))
+  }
+
+  test("corrupt length varints are IOExceptions, not negative-allocation crashes") {
+    val good = AvroOcf.write(rows(5), schema)
+    // the byte right after the magic starts the metadata map count; flip a
+    // later length byte to a negative zigzag value
+    var found = false
+    var i = 40
+    while (!found && i < good.length - 1) {
+      val mutated = good.clone()
+      mutated(i) = 0x05 // zigzag -3 if this lands on a varint start
+      try { AvroOcf.read(mutated, schema); () }
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("corrupt OCF") =>
+          found = true
+        case _: Exception => () // other corruption outcomes are fine too
+      }
+      i += 1
+    }
+    assert(found, "no byte position produced the guarded corrupt-length error")
+  }
+
   test("schema JSON round-trips the envelope subset") {
     val json = AvroOcf.toAvroJson(schema)
     assert(json.contains("\"type\":\"record\""))
