@@ -58,6 +58,42 @@ class DriftMonitorSpec extends SparkSpec {
       s"stream/batch drift divergence:\nstream=$streamed\nbatch=$batch")
   }
 
+  test("monitor survives a restart: resumed counts equal the batch audit") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val (early, late) = halves()
+    val base = DriftMonitor.baseline(early)
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-r").toString
+    val inDir = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = StructType(Seq(StructField("cents", LongType)))
+    val cents = late.collect().map(_.getLong(0))
+    val (h1, h2) = cents.splitAt(cents.length / 2)
+    def drop(vs: Array[Long]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          vs.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def start() = DriftMonitor
+      .binCounts(spark.readStream.schema(schema).parquet(inDir), base)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch((b: DataFrame, id: Long) =>
+        StreamingAggs.appendPartials(b, id, s"$dir/out"))
+      .start()
+
+    drop(h1)
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    drop(h2)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+
+    val served = StreamingAggs.mergeOnRead(spark, s"$dir/out", Seq("bin"))
+    val streamed = DriftMonitor.drift(spark, served, base)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q6_distribution_drift")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch, "restart lost or double-counted drift state")
+  }
+
   test("an empty trusted window fails loudly, not with an NPE") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {

@@ -11,6 +11,42 @@ import org.apache.spark.sql.functions._
   */
 class HeavyHittersSpec extends SparkSpec {
 
+  test("monitor survives a restart: resumed cells equal the batch sketch") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-r").toString
+    val inDir = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = StructType(Seq(StructField("key", LongType)))
+    val keys = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey")).collect().map(_.getLong(0))
+    val (h1, h2) = keys.splitAt(keys.length / 2)
+    def drop(vs: Array[Long]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          vs.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1), schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def start() = HeavyHitters
+      .cells(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingAggs.appendPartials(b, id, s"$dir/out"))
+      .start()
+
+    drop(h1)
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    drop(h2)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+
+    val served = StreamingAggs.mergeOnRead(spark, s"$dir/out", Seq("r", "bucket"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = HeavyHitters.cells(
+        Tables.load(spark, sfDir, "lineitem").select(col("l_partkey").as("key")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(served.nonEmpty && served === batch,
+      "restart lost or double-counted sketch cells")
+  }
+
   test("streamed CMS cells equal the batch sketch; probes match x22") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
