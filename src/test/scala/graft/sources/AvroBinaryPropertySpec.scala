@@ -78,6 +78,31 @@ class AvroBinaryPropertySpec extends AnyFunSuite {
       }
   }
 
+  test("150 random OCF container cases round-trip through both codecs") {
+    // whole-file fuzz: random schema, random row multiset, random block
+    // size and codec — the container framing (metadata map, sync markers,
+    // block boundaries) must round-trip whatever the record codec does
+    val gen = for {
+      schema <- schemaGen
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, rowGen(schema))
+      blockRecords <- Gen.choose(1, 25)
+      codec <- Gen.oneOf("null", "deflate")
+    } yield (schema, rows, blockRecords, codec)
+    samples(gen, 150, 1234L).foreach { case (schema, rows, blockRecords, codec) =>
+      val payload = AvroOcf.write(rows, schema, codec, blockRecords)
+      val (writer, back) = AvroOcf.read(payload, schema)
+      assert(writer.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
+        === schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+      assert(back.length === rows.length,
+        s"row count mismatch (codec=$codec blocks=$blockRecords)")
+      rows.zip(back).foreach { case (a, b) =>
+        assert(sameRow(a, b, schema),
+          s"OCF round-trip mismatch (codec=$codec)\nschema: ${schema.simpleString}\nin:  $a\nout: $b")
+      }
+    }
+  }
+
   test("random framed messages preserve the schema id and body") {
     val gen = for {
       id <- Gen.choose(Int.MinValue, Int.MaxValue)
