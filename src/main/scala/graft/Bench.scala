@@ -315,6 +315,13 @@ object Bench {
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
       s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))}},""" +
       s""""freshness_p95_sec":${r3(freshP95)},""" +
+      // adjudication visibility: when the freshness section was retried
+      // under a confirmed-degraded probe, say so HERE (not only in the
+      // detail file) and keep attempt 1's p95 next to the substituted one
+      s""""freshness_retried":${freshRetryJson != null},""" +
+      (if (freshRetryJson != null)
+        s""""freshness_attempt1_p95_sec":${r3(fresh1P95)},"""
+      else "") +
       // [seq-write MB/s, fsync/s, small-creates/s] before/after the run;
       // healthy-band thresholds live in NOTES
       s""""io_probe":{"pre":${ioPre.toJsonCompact},"post":${ioPost.toJsonCompact}},""" +

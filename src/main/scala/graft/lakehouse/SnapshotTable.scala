@@ -251,8 +251,10 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     val valueCols = cols.filterNot(keyCols.contains)
     def tagged(df: DataFrame, side: String): DataFrame =
       if (df.columns.isEmpty)
-        // empty snapshot: synthesize the schema so the join still plans
-        post.limit(0)
+        // empty snapshot: synthesize the schema from whichever side is
+        // non-empty so the join still plans (either side may be the v0
+        // empty frame — e.g. changes(v, 0) diffing back to empty)
+        (if (post.columns.nonEmpty) post else pre).limit(0)
           .select(cols.map(c => col(c).as(s"${side}_$c")) :+
             lit(1).as(s"${side}_present"): _*)
       else {

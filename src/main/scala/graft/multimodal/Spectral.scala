@@ -146,7 +146,7 @@ object Spectral {
   def audioSpectral(media: Dataset[MediaRow]): Dataset[AudioSpectral] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.filter(_.meta.media_type == "audio").map { r =>
+      rows.filter(r => r.meta != null && r.meta.media_type == "audio").map { r =>
         Multimodal.WavCodec.decodePcm(r.payload, maxFrames = FrameSize) match {
           case Right((samples, sampleRate)) =>
             val f = features(samples, sampleRate)

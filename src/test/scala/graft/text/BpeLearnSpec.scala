@@ -104,6 +104,97 @@ class BpeLearnSpec extends SparkSpec {
       "UTF-8 byte order must pick the BMP token over the emoji")
   }
 
+  test("batch rollback: a tied overlapping pair demotes tied batch members") {
+    import spark.implicits._
+    // (a,z):5 (b,b):5 (z,q):5 — the batch accepts (a,z) then (b,b), but
+    // (z,q) overlaps z at the SAME count: merging (a,z) creates (az,q)
+    // at count 5, which beats (b,b) on the UTF-8 tie-break. Exactness
+    // demands (b,b) be rolled back and learned AFTER (az,q).
+    val corpus: Seq[Seq[String]] =
+      Seq.fill(5)(Seq("a", "z", "q")) ++ Seq.fill(5)(Seq("b", "b"))
+    val learned = BpeLearn.learn(corpus.toDF("toks"), 3)
+      .map(m => (m.a, m.b, m.count))
+    assert(learned === referenceLearn(corpus, 3))
+    assert(learned === Seq(("a", "z", 5L), ("az", "q", 5L), ("b", "b", 5L)))
+  }
+
+  test("batch collision stop: an output equal to a pre-existing token halts the batch") {
+    import spark.implicits._
+    // merging (a,b) manufactures "ab" tokens that feed the PRE-EXISTING
+    // (ab,s) pair: its count jumps 3 -> 8, overtaking the disjoint
+    // (w,x):7 that naive batching would have accepted alongside (a,b)
+    val corpus: Seq[Seq[String]] =
+      Seq.fill(5)(Seq("q", "a", "b", "s")) ++
+        Seq.fill(5)(Seq("r", "a", "b", "t")) ++
+        Seq.fill(3)(Seq("ab", "s")) ++
+        Seq.fill(7)(Seq("w", "x"))
+    val learned = BpeLearn.learn(corpus.toDF("toks"), 8)
+      .map(m => (m.a, m.b, m.count))
+    assert(learned === referenceLearn(corpus, 8))
+    assert(learned.take(3) ===
+      Seq(("a", "b", 10L), ("ab", "s", 8L), ("w", "x", 7L)))
+  }
+
+  test("randomized differential: batched learn ≡ reference on adversarial corpora") {
+    import spark.implicits._
+    // small alphabets maximize pair interaction; including "ab" next to
+    // "a"/"b" makes merge outputs collide with live tokens constantly
+    val alphabets = Seq(
+      Seq("a", "b", "c"), Seq("a", "b", "ab"), Seq("x", "y"),
+      Seq("a", "b", "c", "d", "ab", "cd"))
+    for (seed <- 0 until 8; alpha <- alphabets) {
+      val rnd = new scala.util.Random(seed * 31 + alpha.length)
+      val base = Seq.fill(12 + rnd.nextInt(18))(
+        Seq.fill(rnd.nextInt(9))(alpha(rnd.nextInt(alpha.length))))
+      // duplicate some sequences so the weighted collapse is exercised
+      val corpus = base ++ Seq.fill(rnd.nextInt(10))(
+        base(rnd.nextInt(base.length)))
+      val learned = BpeLearn.learn(corpus.toDF("toks"), 15)
+        .map(m => (m.a, m.b, m.count))
+      val expected = referenceLearn(corpus, 15)
+      assert(learned === expected,
+        s"seed=$seed alpha=$alpha corpus=$corpus")
+    }
+  }
+
+  test("the corpus is read exactly once regardless of the merge budget") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("bpe-docs-rows-read")
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(split(lower(col("text")), " ").as("toks"))
+      .as[Seq[String]].collect().toSeq
+    val instrumented = corpus.toDF("toks").as[Seq[String]]
+      .mapPartitions(it => it.map { s => acc.add(1); s })
+      .toDF("toks")
+    val k = 32
+    val (merges, stats) = BpeLearn.learnWithStats(instrumented, k)
+    assert(merges.map(m => (m.a, m.b, m.count)) === referenceLearn(corpus, k))
+    assert(merges.size === k, "corpus must support the full merge budget")
+    // the scale gate: learning k merges must NOT cost k corpus passes.
+    // The weighted collapse reads the corpus ONCE — every learn round
+    // after that touches only the collapsed frame.
+    val passes = acc.value.toDouble / corpus.size
+    assert(passes <= 1.0, s"corpus rows read ${acc.value} of ${corpus.size}")
+    assert(passes <= k / 8.0)
+    assert(stats.rounds <= k && stats.batchSizes.sum === k)
+    info(s"k=$k rounds=${stats.rounds} batches=${stats.batchSizes} " +
+      s"collapsed=${stats.collapsedRows}/${corpus.size} corpusPasses=$passes")
+  }
+
+  test("batching compresses rounds on a disjoint-pair corpus") {
+    import spark.implicits._
+    // 40 pairwise-disjoint pairs with strictly descending counts: the
+    // exact-safe rule accepts a long prefix every round
+    val corpus: Seq[Seq[String]] = (0 until 40).flatMap { i =>
+      Seq.fill(50 - i)(Seq(s"l$i", s"r$i"))
+    }
+    val (merges, stats) = BpeLearn.learnWithStats(corpus.toDF("toks"), 40)
+    assert(merges.map(m => (m.a, m.b, m.count)) === referenceLearn(corpus, 40))
+    assert(stats.rounds <= 40 / 8,
+      s"disjoint pairs must batch: rounds=${stats.rounds}")
+  }
+
   test("applyMerges replays the table in order; re-learning finds nothing new") {
     import spark.implicits._
     val corpus: Seq[Seq[String]] = Seq(
