@@ -16,20 +16,25 @@ import org.apache.spark.sql.types._
   *     order-preserving IEEE-754 transform
   *     ([[graft.functions.SortableDoubleBits]]) — data-independent, so no
   *     prior min/max scan — and `groupBy(group, bin).count` collapses the
-  *     table to O(groups·occupied bins) counters. Cumulating them on the
-  *     driver locates the bin holding each target rank AND the exact
-  *     number of rows those bins contain.
-  *  2. ONE refinement pass over only the target bins (~n/bins rows each):
-  *     if the histogram proves the subset is small it is collected and
-  *     ranked on the driver; otherwise each bin is ranked with a
-  *     `row_number` window partitioned by (group, bin) — per-task state
-  *     is one bin, spillable, never the whole group.
+  *     table to O(groups·occupied bins) counters. The cumulation that
+  *     locates each target rank's bin is DISTRIBUTED too: a per-group
+  *     running-sum window over the bin counters plus a per-group total,
+  *     with the target-rank containment test evaluated per bin row. Only
+  *     the LOCATED rows — O(groups·percentiles), the operator's own
+  *     output order — ever reach the driver; the full groups×bins map
+  *     never does, so a per-user grouping (millions of groups) leaves
+  *     driver memory flat.
+  *  2. ONE refinement pass over only the target bins (~n/bins rows each),
+  *     selected by broadcast-joining the located-bin metadata (no
+  *     O(groups) literal predicate in the plan): if the histogram proves
+  *     the subset is small it is collected and ranked on the driver;
+  *     otherwise each bin is ranked with a `row_number` window
+  *     partitioned by (group, bin) — per-task state is one bin,
+  *     spillable, never the whole group.
   *
-  * The histogram is bounded driver metadata — O(groups·bins), set by
-  * configuration, never by row count (the same contract as AQE map-output
-  * statistics or RangePartitioner samples). Inlining it as literal
-  * predicates keeps each pass one self-contained job. The operator
-  * targets modest group counts (its output is one row per group).
+  * Driver state is therefore bounded by the RESULT size (one row per
+  * group and percentile), the same contract as any collect()ed report;
+  * per-task state is bounded by O(bins) via the hash aggregate.
   *
   * The (group, value) projection feeding both passes is persisted once
   * per `cacheKey` via [[graft.PlanCache]], repartitioned to the session's
@@ -87,72 +92,64 @@ object Percentiles {
     val binE = shiftrightunsigned(
       call_function("graft_sortable_bits", col("v")), 64 - binBits)
 
-    // pass 1: one histogram pass — per-partition counter maps merged
-    // associatively (the aggregation-state contract: O(groups·bins) per
-    // task). Up to a few hundred partitions the partials merge on the
-    // driver in a SINGLE stage; beyond that treeAggregate adds a combine
-    // level so the driver never sees more than ~sqrt(partitions) maps.
-    val binnedRdd = base.select(col("g"), binE.as("bin")).rdd
-    def seqOp(m: scala.collection.mutable.HashMap[(Any, Long), Long],
-        r: Row): scala.collection.mutable.HashMap[(Any, Long), Long] = {
-      val k = (r.get(0), r.getLong(1))
-      m.update(k, m.getOrElse(k, 0L) + 1L); m
-    }
-    def combOp(a: scala.collection.mutable.HashMap[(Any, Long), Long],
-        b: scala.collection.mutable.HashMap[(Any, Long), Long]) = {
-      b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }; a
-    }
-    val merged =
-      if (binnedRdd.getNumPartitions <= 256)
-        binnedRdd.mapPartitions { it =>
-          val m = scala.collection.mutable.HashMap.empty[(Any, Long), Long]
-          it.foreach(seqOp(m, _))
-          Iterator.single(m)
-        }.collect().foldLeft(
-          scala.collection.mutable.HashMap.empty[(Any, Long), Long])(combOp)
-      else
-        binnedRdd.treeAggregate(
-          scala.collection.mutable.HashMap.empty[(Any, Long), Long])(
-          seqOp, combOp, depth = 2)
-    val histogram: Map[Any, Seq[(Long, Long)]] = merged.toSeq
-      .groupBy(_._1._1)
-      .map { case (g, rows) =>
-        g -> rows.map { case ((_, b), c) => b -> c }.sortBy(_._1)
-      }
+    // pass 1: histogram + cumulation, all distributed. groupBy(g, bin)
+    // is a codegen'd hash aggregate with map-side partials (per-task
+    // state O(bins)); the per-group running sum and total are windows
+    // over the COLLAPSED bin counters (O(groups·bins) rows total, one
+    // shuffle by g); each bin row then tests target-rank containment
+    // for every percentile slot and only the located rows — one per
+    // (group, percentile bound) — are collected.
+    val slotArr = array(ps.flatMap { case (p, nm) => Seq(
+      struct(lit(s"$nm:lo").as("slot"), lit(p).as("p"), lit(false).as("hi")),
+      struct(lit(s"$nm:hi").as("slot"), lit(p).as("p"), lit(true).as("hi")))
+    }: _*)
+    val wBefore = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGroup = Window.partitionBy("g")
+    val locatedRows = base.select(col("g"), binE.as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("before", coalesce(sum(col("cnt")).over(wBefore), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wGroup))
+      .select(col("g"), col("bin"), col("cnt"), col("before"), col("n"),
+        explode(slotArr).as("s"))
+      // pos must be the same IEEE expression the driver interpolates
+      // with below: p * (n-1), both double
+      .withColumn("pos", col("s.p") * (col("n") - lit(1L)).cast("double"))
+      .withColumn("tRank",
+        when(col("s.hi"), ceil(col("pos"))).otherwise(floor(col("pos")))
+          .cast("long"))
+      .filter(col("tRank") >= col("before") &&
+        col("tRank") < col("before") + col("cnt"))
+      .select(col("g"), col("s.slot").as("slot"), col("bin"), col("cnt"),
+        (col("tRank") - col("before") + lit(1L)).as("k"), col("n"))
+      .collect()
     val outSchema = StructType(groupField.copy(name = group) +:
       StructField("n", LongType) +:
       ps.map { case (_, nm) => StructField(nm, DoubleType) })
-    if (histogram.isEmpty) {
+    if (locatedRows.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     }
-    val counts: Map[Any, Long] = histogram.map { case (g, bs) => g -> bs.map(_._2).sum }
     // (group, slot) → (bin holding target rank, 1-indexed rank k in bin)
-    val located: Seq[(Any, String, Long, Long)] =
-      histogram.toSeq.flatMap { case (g, cum) =>
-        val n = counts(g)
-        ps.flatMap { case (p, nm) =>
-          val pos = p * (n - 1)
-          Seq(s"$nm:lo" -> math.floor(pos).toLong,
-            s"$nm:hi" -> math.ceil(pos).toLong)
-        }.map { case (slot, tRank) =>
-          var before = 0L
-          val (bin, _) = cum.find { case (_, c) =>
-            if (tRank < before + c) true else { before += c; false }
-          }.get
-          (g, slot, bin, tRank - before + 1)
-        }
-      }
-    val hotBins: Seq[(Any, Long)] = located.map { case (g, _, b, _) => (g, b) }.distinct
-    val subsetSize = hotBins.map { case (g, b) =>
-      histogram(g).collectFirst { case (`b`, c) => c }.get
-    }.sum
-    // null-safe group equality: SQL GROUP BY emits a NULL group, and a
-    // plain === against lit(null) would silently drop it from the
-    // refinement subset (then crash the k-th-value lookup)
-    val hotPred = hotBins.map { case (g, b) =>
-      (col("g") <=> lit(g)) && col("bin") === lit(b)
-    }.reduce(_ || _)
-    val subset = base.withColumn("bin", binE).filter(hotPred)
+    val located: Seq[(Any, String, Long, Long)] = locatedRows.toSeq
+      .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val counts: Map[Any, Long] = locatedRows.toSeq
+      .map(r => r.get(0) -> r.getLong(5)).toMap
+    val hotBins: Seq[(Any, Long, Long)] = locatedRows.toSeq
+      .map(r => (r.get(0), r.getLong(2), r.getLong(3))).distinct
+    val subsetSize = hotBins.map(_._3).sum
+    // the refinement subset is selected by a BROADCAST JOIN against the
+    // located-bin metadata — null-safe on the group (SQL GROUP BY emits
+    // a NULL group) and free of O(groups) literal predicates, so a
+    // million-group call plans the same as a three-group one
+    val hotSchema = StructType(Seq(groupField.copy(name = "hg"),
+      StructField("hbin", LongType)))
+    val hotDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        hotBins.map { case (g, b, _) => Row(g, b) }, 1), hotSchema)
+    val subset = base.withColumn("bin", binE)
+      .join(broadcast(hotDf),
+        (col("g") <=> col("hg")) && col("bin") === col("hbin"), "inner")
+      .drop("hg", "hbin")
 
     // pass 2: k-th value per located bin — driver-side when the histogram
     // proves the subset small, distributed window otherwise
@@ -165,13 +162,18 @@ object Percentiles {
           (g, b, k) -> byBin((g, b))(k.toInt - 1)
         }.toMap
       } else {
-        val wantPred = located.map { case (g, _, b, k) =>
-          (col("g") <=> lit(g)) && col("bin") === lit(b) && col("r") === lit(k)
-        }.distinct.reduce(_ || _)
+        val wantSchema = StructType(Seq(groupField.copy(name = "wg"),
+          StructField("wbin", LongType), StructField("wk", LongType)))
+        val wantDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            located.map { case (g, _, b, k) => Row(g, b, k) }.distinct, 1),
+          wantSchema)
         subset
           .withColumn("r", row_number().over(
             Window.partitionBy("g", "bin").orderBy("v")))
-          .filter(wantPred)
+          .join(broadcast(wantDf),
+            (col("g") <=> col("wg")) && col("bin") === col("wbin") &&
+              col("r").cast("long") === col("wk"), "inner")
           .select("g", "bin", "r", "v")
           .collect()
           .map(r => (r.get(0), r.getLong(1), r.getInt(2).toLong) -> r.getDouble(3))

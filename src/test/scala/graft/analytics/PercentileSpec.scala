@@ -78,6 +78,51 @@ class PercentileSpec extends SparkSpec {
     assert(!out.contains(Some("allnull")))
   }
 
+  test("20k groups: exact selection scales without a full-histogram collect") {
+    import spark.implicits._
+    // per-user-style grouping: the full groups×bins histogram would be
+    // ~1M boxed driver map entries; the distributed cumulation must
+    // deliver only located-bin metadata (groups × percentile bounds).
+    // Pinned by task-result bytes: everything collected across the whole
+    // call must stay ~located+subset-sized.
+    val nGroups = 20000
+    val rnd = new scala.util.Random(20260813L)
+    val data = (0 until nGroups).flatMap { g =>
+      (0 until 50).map(_ => (s"u$g", rnd.nextDouble() * 1e9 - 5e8))
+    }
+    val df = data.toDF("g", "v").repartition(32)
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) resultBytes.addAndGet(te.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val r = graft.operators.Percentiles
+          .exact(df, "g", "v", Seq(0.5 -> "p50", 0.95 -> "p95"))
+          .collect()
+        Thread.sleep(2000) // listener bus is async; let task-end events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out.length === nGroups)
+    // ground truth on a deterministic sample of groups
+    val sample = (0 until nGroups by 997).map(g => s"u$g").toSet
+    val builtin = df.filter(col("g").isin(sample.toSeq: _*)).groupBy("g")
+      .agg(expr("percentile(v, array(0.5, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    out.filter(r => sample(r.getString(0))).foreach { r =>
+      val q = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(2) - q(0)) < 1e-6 &&
+        math.abs(r.getDouble(3) - q(1)) < 1e-6, s"group ${r.getString(0)}")
+    }
+    // driver-received bytes across ALL jobs of the call: located rows
+    // (20k×4) + refinement subset (~1 row/bin × hot bins) + result —
+    // far below the ~1M-entry histogram a driver-side fold would ship
+    val mb = resultBytes.get / 1e6
+    assert(mb < 40.0, f"driver result bytes $mb%.1f MB — histogram leak?")
+  }
+
   test("percentile_approx lands within 1% of exact on every group") {
     val verdicts = RelationalQueries.a13bPercentilesApprox.run(spark, sfDir)
       .collect()
