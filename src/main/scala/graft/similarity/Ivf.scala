@@ -158,4 +158,46 @@ object Ivf {
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= k)
   }
+
+  /** Sweep [[topK]] over several `nprobe` settings in ONE index pass:
+    * probe at the LARGEST nprobe, score each (query, vector) candidate
+    * once, then attach every sweep point whose nprobe covers the
+    * candidate's probe rank (smaller-nprobe candidate sets are prefixes
+    * of the probe ranking) and rank per (nprobe, query). The expensive
+    * parts — the index join and the cosine kernel — are paid once, not
+    * once per sweep point; only the tiny ranked rows multiply.
+    * Output adds an `nprobe` column; each slice equals
+    * `topK(..., nprobe, k)` ([[IvfSpec]] pins the equivalence).
+    */
+  def topKSweep(index: DataFrame, cents: DataFrame, queries: DataFrame,
+      nprobes: Seq[Int], k: Int): DataFrame = {
+    val spark = index.sparkSession
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val qc = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cid"))
+    val probes = qc.crossJoin(broadcast(cents))
+      .withColumn("dist", distSq(col("q_emb")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobes.max)
+      .select(col("q_id"), col("q_emb"), col("cid"), col("prn"))
+    val dot = call_function("graft_dot", col("q_emb"), col("embedding"))
+    val nq = call_function("graft_dot", col("q_emb"), col("q_emb"))
+    val nv = call_function("graft_dot", col("embedding"), col("embedding"))
+    val scored = probes.join(index, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("prn"),
+        (dot.cast("double") /
+          (sqrt(nq.cast("double")) * sqrt(nv.cast("double")))).as("cos_sim"))
+    val npDf = nprobes.toDF("nprobe")
+    val rankW = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.join(broadcast(npDf), col("prn") <= col("nprobe"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("nprobe"), col("q_id"), col("vec_id"), col("cos_sim"),
+        col("rk"))
+  }
 }

@@ -333,7 +333,118 @@ object SimilarityQueries {
             |FROM ranked WHERE rk <= 5
             |ORDER BY q_id, rk""".stripMargin))
 
+  /** X39 — ANN quality audit: recall@10 of the IVF index vs the exact
+    * brute-force top-10, swept over nprobe ∈ {1,2,4,8} — the first
+    * number a user of an approximate index asks for. Counts are exact
+    * integers; `recall` is ONE IEEE division of them (portable).
+    *
+    * The sweep pays the index join and cosine kernel once
+    * ([[Ivf.topKSweep]]), not once per sweep point. Because the approx
+    * and exact paths rank by the same metric, a true top-10 member
+    * inside the probed lists always survives the approx top-10 window —
+    * so hits = |exactTop10 ∩ probed lists|, which is monotone in nprobe
+    * (candidate lists only grow); `IvfSpec` pins the monotonicity.
+    */
+  val x39AnnRecall = QueryDef(
+    "x39_ann_recall",
+    "IVF recall@10 vs exact top-10 across nprobe in {1,2,4,8}",
+    (s, d) => {
+      import s.implicits._
+      val (index, cents) = ivfIndex(s, d)
+      val sweep = Ivf.topKSweep(index, cents,
+        emb(s, d).filter(col("vec_id") < 8), Seq(1, 2, 4, 8), k = 10)
+      val v = withNorm(emb(s, d))
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      // exact ground truth, cached: referenced by both the hit join and
+      // the total count — static planning would otherwise re-scan the
+      // corpus per branch
+      val exactT = graft.PlanCache.persisted(s, s"x39/exact/$d")(
+        v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(dotFix(col("q_emb"), col("embedding")),
+              col("q_nrm"), col("nrm")).as("cos_sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id")))
+      val hits = sweep.select("nprobe", "q_id", "vec_id")
+        .join(exactT, Seq("q_id", "vec_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+      val total = exactT.agg(count(lit(1)).as("total"))
+      Seq(1, 2, 4, 8).toDF("nprobe")
+        .crossJoin(broadcast(total))
+        .join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"), coalesce(col("hits"), lit(0L)).as("hits"),
+          col("total"),
+          (coalesce(col("hits"), lit(0L)).cast("double") /
+            col("total").cast("double")).as("recall"))
+        .orderBy("nprobe")
+    },
+    Some {
+      def centSql(src: String): String = {
+        val sums = (1 to DIM).map(i =>
+          s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0 AS c$i")
+          .mkString(", ")
+        s"SELECT cid, $sums FROM $src GROUP BY cid"
+      }
+      def distSql(e: String): String =
+        (1 to DIM).map(i =>
+          s"(CAST($e[$i] AS DOUBLE) - c.c$i) * (CAST($e[$i] AS DOUBLE) - c.c$i)")
+          .mkString(" + ")
+      s"""WITH $normSql,
+         |a0 AS (SELECT vec_id, embedding, vec_id % 16 AS cid FROM embeddings),
+         |c0 AS (${centSql("a0")}),
+         |d1 AS (SELECT v.vec_id, v.embedding, c.cid,
+         |         ${distSql("v.embedding")} AS dist
+         |       FROM embeddings v CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, embedding, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |c1 AS (${centSql("a1")}),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |pr AS (SELECT q_id, q_emb, cid, prn FROM
+         |        (SELECT q.q_id, q.q_emb, c.cid,
+         |                row_number() OVER (PARTITION BY q.q_id ORDER BY ${distSql("q.q_emb")}, c.cid) AS prn
+         |         FROM q CROSS JOIN c1 c)
+         |      WHERE prn <= 8),
+         |scored AS (
+         |  SELECT pr.q_id, v.vec_id, pr.prn,
+         |         CAST(${dotSql("pr", "v").replace("pr.embedding", "pr.q_emb")} AS DOUBLE) /
+         |           (sqrt(CAST(${dotSql("pr", "pr").replace("pr.embedding", "pr.q_emb")} AS DOUBLE)) *
+         |            sqrt(CAST(${dotSql("v", "v")} AS DOUBLE))) AS cos_sim
+         |  FROM pr JOIN a1 v ON pr.cid = v.cid AND v.vec_id <> pr.q_id),
+         |np AS (SELECT nprobe FROM (VALUES (1),(2),(4),(8)) t(nprobe)),
+         |approx AS (SELECT nprobe, q_id, vec_id FROM
+         |            (SELECT np.nprobe, s2.q_id, s2.vec_id,
+         |                    row_number() OVER (PARTITION BY np.nprobe, s2.q_id
+         |                                       ORDER BY s2.cos_sim DESC, s2.vec_id) AS rk
+         |             FROM scored s2 JOIN np ON s2.prn <= np.nprobe)
+         |           WHERE rk <= 10),
+         |qn AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |       FROM normed WHERE vec_id < 8),
+         |exact_scored AS (
+         |  SELECT q.q_id, v.vec_id,
+         |         CAST(${qdotSql} AS DOUBLE) /
+         |           (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos_sim
+         |  FROM normed v, qn q WHERE v.vec_id <> q.q_id),
+         |exact_t AS (SELECT q_id, vec_id FROM
+         |             (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |              FROM exact_scored)
+         |            WHERE rk <= 10),
+         |tot AS (SELECT count(*) AS total FROM exact_t),
+         |h AS (SELECT a.nprobe, count(*) AS hits
+         |      FROM approx a JOIN exact_t e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |      GROUP BY a.nprobe)
+         |SELECT np.nprobe, COALESCE(h.hits, 0) AS hits, tot.total AS total,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS recall
+         |FROM np CROSS JOIN tot LEFT JOIN h ON np.nprobe = h.nprobe
+         |ORDER BY np.nprobe""".stripMargin
+    })
+
   val defs: Seq[QueryDef] =
     Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf,
-      x31HardNegatives)
+      x31HardNegatives, x39AnnRecall)
 }

@@ -80,4 +80,33 @@ class IvfSpec extends SparkSpec {
     assert(recallWide >= 0.5, s"nprobe=4/10 recall too low: $recallWide")
     assert(exact.size === 20 * 5)
   }
+
+  test("topKSweep slices equal topK per nprobe; recall@k is monotone in nprobe") {
+    val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 1)
+    val queries = vectors.filter(col("vec_id") < 12)
+    val nprobes = Seq(1, 2, 4, 8)
+    val sweep = Ivf.topKSweep(idx, cents, queries, nprobes, k = 5)
+      .select("nprobe", "q_id", "vec_id", "rk").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    nprobes.foreach { np =>
+      val single = Ivf.topK(idx, cents, queries, np, 5)
+        .select("q_id", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      assert(sweep(np) === single,
+        s"sweep slice nprobe=$np diverges from the single probe")
+    }
+    // the quality-audit invariant x39 reports on: candidate lists only
+    // grow with nprobe, and a true top-k member inside the probed lists
+    // always survives the approx window — so recall never decreases
+    val exact = Ivf.topK(idx, cents, queries, nprobe = 10, k = 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = nprobes.map { np =>
+      sweep(np).map(t => (t._1, t._2)).toSet.intersect(exact).size
+    }
+    assert(recalls === recalls.sorted,
+      s"recall@5 must be monotone in nprobe: $recalls")
+    Seq(idx, cents).foreach(Ivf.dropCheckpoint)
+  }
 }
