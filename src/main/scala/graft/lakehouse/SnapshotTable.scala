@@ -91,13 +91,14 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
   /** Write `df` into a fresh commit dir and return the manifest entries it
     * produced: the dir itself, or its partition subdirs when partitioned.
     */
-  private def writeData(df: DataFrame, v: Int): Seq[String] = {
+  private def writeData(df: DataFrame, v: Int,
+      writeOptions: Map[String, String] = Map.empty): Seq[String] = {
     val dir = dataDir(v)
     if (partitionCols.isEmpty) {
-      df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+      df.write.mode(SaveMode.ErrorIfExists).options(writeOptions).parquet(dir)
       Seq(dir)
     } else {
-      df.write.mode(SaveMode.ErrorIfExists)
+      df.write.mode(SaveMode.ErrorIfExists).options(writeOptions)
         .partitionBy(partitionCols: _*).parquet(dir)
       listPartitionDirs(dir)
     }
@@ -194,9 +195,10 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     } finally src.unpersist()
   }
 
-  private def overwriteAs(df: DataFrame, op: String): Int = {
+  private def overwriteAs(df: DataFrame, op: String,
+      writeOptions: Map[String, String] = Map.empty): Int = {
     val v = currentVersion + 1
-    val entries = writeData(df, v)
+    val entries = writeData(df, v, writeOptions)
     commit(v, Manifest(v, op, entries, System.currentTimeMillis()))
     v
   }
@@ -321,12 +323,21 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
             val stats = chunks.map(_.getStatistics).filter(_ != null)
             val mins = stats.filter(_.hasNonNullValue).map(_.genericGetMin)
             val maxs = stats.filter(_.hasNonNullValue).map(_.genericGetMax)
+            // BINARY/UTF8 stats surface as the string they encode, not
+            // Binary's debug toString; their min/max reduction must use
+            // parquet's UNSIGNED lexicographic comparator (Binary's own
+            // compareTo), which Comparable dispatch already does
+            def render(v: Comparable[_]): String = v match {
+              case b: org.apache.parquet.io.api.Binary =>
+                new String(b.getBytes,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              case other => other.toString
+            }
             def s(vs: Seq[Comparable[_]], takeMax: Boolean): String =
               if (vs.isEmpty) null
-              else vs.map(_.asInstanceOf[Comparable[Any]])
+              else render(vs.map(_.asInstanceOf[Comparable[Any]])
                 .reduce((a, b) =>
-                  if ((a.compareTo(b) > 0) == takeMax) a else b)
-                .toString
+                  if ((a.compareTo(b) > 0) == takeMax) a else b))
             (d, f.getFileName.toString, c,
               s(mins.toSeq, takeMax = false), s(maxs.toSeq, takeMax = true),
               stats.map(_.getNumNulls).sum)
@@ -370,11 +381,104 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     * and touching the few files a z-ordered/clustered layout confines the
     * range to.
     */
-  def readSkipping(column: String, lo: Double, hi: Double): DataFrame = {
-    val files = skippingFiles(column, lo, hi)
+  def readSkipping(column: String, lo: Double, hi: Double): DataFrame =
+    readFilesOrEmpty(skippingFiles(column, lo, hi))
+
+  private def readFilesOrEmpty(files: Seq[String]): DataFrame =
     if (files.isEmpty) read().filter(org.apache.spark.sql.functions.lit(false))
     else spark.read.parquet(files: _*)
+
+  /** Unsigned UTF-8 byte comparison — parquet's comparator for
+    * BINARY/UTF8 statistics. Java's String.compareTo (UTF-16 code units)
+    * disagrees beyond the BMP, and a wrong collation here turns "skip"
+    * into "wrong answer"; stat TRUNCATION is already safe (parquet only
+    * widens truncated bounds).
+    */
+  private def u8cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** [[skippingFiles]] for STRING columns (Iceberg skips on string
+    * min/max too — the reference clusters tables on category/status
+    * columns): keep files whose footer [min, max] can intersect
+    * [lo, hi] under the unsigned-byte collation. Missing/unusable stats
+    * keep the file — skipping may only drop proven-irrelevant files.
+    */
+  def skippingFilesString(column: String, lo: String, hi: String): Seq[String] = {
+    val statsByFile = filesStats(Seq(column)).collect()
+      .map(r => (s"${r.getAs[String]("dir")}/${r.getAs[String]("file")}",
+        (r.getAs[String]("min"), r.getAs[String]("max")))).toMap
+    filesMetadata().collect()
+      .map(r => s"${r.getAs[String]("dir")}/${r.getAs[String]("file")}")
+      .filter { path =>
+        statsByFile.get(path) match {
+          case Some((mn, mx)) =>
+            mn == null || mx == null ||
+              !(u8cmp(mx, lo) < 0 || u8cmp(mn, hi) > 0)
+          case None => true
+        }
+      }.toSeq
   }
+
+  def readSkippingString(column: String, lo: String, hi: String): DataFrame =
+    readFilesOrEmpty(skippingFilesString(column, lo, hi))
+
+  /** Equality skipping for a STRING column: footer range check PLUS a
+    * parquet bloom-filter probe per row group (written by
+    * [[compactClustered]]). A file is dropped only when EVERY row group
+    * proves the value absent — out of its [min, max], or its bloom
+    * filter (when present) reports definitely-absent. Stats-only
+    * skipping keeps a wide-range file that never contains the value;
+    * the bloom closes exactly that gap, which is why Iceberg wires
+    * blooms to its cluster columns. Numeric equality is
+    * `skippingFiles(v, v)`.
+    */
+  def skippingFilesEq(column: String, value: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = Binary.fromString(value)
+    filesMetadata().collect()
+      .map(r => s"${r.getAs[String]("dir")}/${r.getAs[String]("file")}")
+      .filter { path =>
+        try scala.util.Using.resource(ParquetFileReader.open(
+          HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(
+              Paths.get(path).toUri), conf))) { reader =>
+          val blocks = reader.getFooter.getBlocks.asScala
+          // keep unless every row group proves absence
+          blocks.isEmpty || blocks.exists { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column) match {
+              case None => true // column absent from this file: no proof
+              case Some(chunk) =>
+                val st = chunk.getStatistics
+                val inRange =
+                  st == null || !st.hasNonNullValue || {
+                    (st.genericGetMin, st.genericGetMax) match {
+                      case (mn: Binary, mx: Binary) =>
+                        mn.compareTo(target) <= 0 && target.compareTo(mx) <= 0
+                      case _ => true // non-binary stats: not this API's type
+                    }
+                  }
+                if (!inRange) false
+                else {
+                  val bloom =
+                    try reader.getBloomFilterDataReader(block)
+                      .readBloomFilter(chunk)
+                    catch { case _: Exception => null }
+                  bloom == null || bloom.findHash(bloom.hash(target))
+                }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => true }
+      }.toSeq
+  }
+
+  def readSkippingEq(column: String, value: String): DataFrame =
+    readFilesOrEmpty(skippingFilesEq(column, value))
 
   /** Small-file compaction for UNPARTITIONED tables: rewrite the current
     * snapshot into `targetFiles` files as a new commit. Partitioned
@@ -406,6 +510,32 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
         "is not supported yet — unpartitioned tables only")
     if (manifest(currentVersion).dirs.isEmpty) currentVersion
     else overwriteAs(ZOrder.layout(read(), cols, bits, targetFiles), "zorder")
+  }
+
+  /** Iceberg sort-order rewrite analog for unpartitioned tables: cluster
+    * the current snapshot by a RANGE repartition + in-partition sort on
+    * `cols` (the linear-clustering counterpart to [[compactZOrdered]] —
+    * the right layout for string dimension columns like category/status,
+    * which the Morton bucketizer cannot interleave), and write parquet
+    * BLOOM FILTERS for the cluster columns so [[skippingFilesEq]] can
+    * drop files the min/max range alone cannot prove irrelevant.
+    * One shuffle + sort, COW like every maintenance op.
+    */
+  def compactClustered(cols: Seq[String], targetFiles: Int,
+      writeOptions: Map[String, String] = Map.empty): Int = {
+    require(cols.nonEmpty, "compactClustered needs at least one column")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(partitionCols.isEmpty,
+      "partitioned table: cluster within partitions via compactPartitions")
+    if (manifest(currentVersion).dirs.isEmpty) currentVersion
+    else {
+      val blooms = cols.map(c =>
+        s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+      val clustered = read()
+        .repartitionByRange(targetFiles, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+      overwriteAs(clustered, "cluster", blooms ++ writeOptions)
+    }
   }
 
   /** Iceberg `rewrite_data_files` semantics for partitioned tables:

@@ -164,4 +164,66 @@ class ZOrderSpec extends SparkSpec {
     // about must keep EVERY file, not silently return an empty scan
     assert(t.skippingFiles("no_such_column", 0, 1).length === all)
   }
+
+  private def categories: DataFrame =
+    spark.range(0, 4000).select(
+      concat(lit("cat"), lpad((col("id") % 20).cast("string"), 2, "0"))
+        .as("category"),
+      col("id").as("payload"))
+
+  test("string equality skipping: clustered files prune, results match full scan") {
+    val base = Files.createTempDirectory("graft-skip-str").toString
+    val t = SnapshotTable.create(spark, s"$base/t")
+    t.append(categories)
+    t.compactClustered(Seq("category"), targetFiles = 10)
+
+    val all = t.filesStats(Seq("category")).collect()
+    assert(all.length === 10)
+    // footer stats now render UTF-8 strings, not Binary debug junk
+    assert(all.forall(r => r.getAs[String]("min").startsWith("cat")))
+
+    val kept = t.skippingFilesEq("category", "cat07")
+    assert(kept.nonEmpty && kept.length * 2 <= all.length,
+      s"equality kept ${kept.length} of ${all.length} files")
+    val viaSkip = t.readSkippingEq("category", "cat07")
+      .filter(col("category") === "cat07")
+      .agg(count(lit(1)), sum(col("payload"))).collect().head
+    val viaFull = t.read().filter(col("category") === "cat07")
+      .agg(count(lit(1)), sum(col("payload"))).collect().head
+    assert(viaSkip === viaFull)
+    assert(t.skippingFilesEq("category", "zzz").isEmpty)
+
+    // string RANGE skipping under the same layout
+    val keptRange = t.skippingFilesString("category", "cat03", "cat05")
+    assert(keptRange.nonEmpty && keptRange.length * 2 <= all.length)
+    val rSkip = t.readSkippingString("category", "cat03", "cat05")
+      .filter(col("category").between("cat03", "cat05"))
+      .agg(count(lit(1)), sum(col("payload"))).collect().head
+    val rFull = t.read().filter(col("category").between("cat03", "cat05"))
+      .agg(count(lit(1)), sum(col("payload"))).collect().head
+    assert(rSkip === rFull)
+  }
+
+  test("bloom filter proves absence inside a wide min/max range") {
+    val base = Files.createTempDirectory("graft-skip-bloom").toString
+    val t = SnapshotTable.create(spark, s"$base/t")
+    import spark.implicits._
+    // one file spanning [aaa, zzz] but CONTAINING only the endpoints:
+    // range stats keep it for "mmm"; only the bloom can prove absence.
+    // Dictionary encoding off — parquet omits blooms for fully
+    // dictionary-encoded chunks, which would void the proof.
+    t.append(Seq.fill(500)("aaa").map(c => (c, 1L))
+      .++(Seq.fill(500)("zzz").map(c => (c, 2L))).toDF("category", "payload")
+      .coalesce(1))
+    t.compactClustered(Seq("category"), targetFiles = 1,
+      writeOptions = Map("parquet.enable.dictionary" -> "false"))
+    assert(t.skippingFilesString("category", "mmm", "mmm").nonEmpty,
+      "range stats alone cannot prove mmm absent")
+    assert(t.skippingFilesEq("category", "mmm").isEmpty,
+      "the bloom filter must prove mmm absent")
+    // present values are of course kept and read back intact
+    assert(t.skippingFilesEq("category", "zzz").nonEmpty)
+    assert(t.readSkippingEq("category", "zzz")
+      .filter(col("category") === "zzz").count() === 500L)
+  }
 }
