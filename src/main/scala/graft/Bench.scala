@@ -17,8 +17,16 @@ object Bench {
     // v2 committer: the bench's ingest section writes ~600 bronze hour
     // dirs and discards the whole tree on failure — the v2 atomicity
     // tradeoff (see GraftSession.builder doc) doesn't apply here
-    val spark = GraftSession.create(s"local[$cpus]", "graft-bench",
+    // FAIR scheduler: concurrent sections give each query its own pool,
+    // so an 8-way burst round-robins tasks across queries instead of
+    // FIFO-draining whichever job submitted first — that FIFO head-of-
+    // line blocking, not plan execution, was the recorded 2.8-22x
+    // worst-slowdown. Jobs that set no pool land in the default pool
+    // (FIFO, the old behavior), so sequential numbers are unaffected.
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-bench",
       shufflePartitions = cpus.toInt, v2Committer = true)
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -98,43 +106,15 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(48)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    // best-of-2 rounds, same methodology as the sequential loop; a query
-    // failure records -1.0 (like the sequential loop) instead of
-    // aborting the whole benchmark
-    def concurrentRound(): Map[String, Double] = {
-      val futures = concNames.map { n =>
-        scala.concurrent.Future {
-          val t0 = System.nanoTime()
-          try { force(SparkEntry.queries(n)(spark, sfDir)); n -> (System.nanoTime() - t0) / 1e9 }
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] concurrent $n failed: ${e.getMessage}")
-            n -> -1.0
-          }
-        }
-      }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration(10, "min")).toMap
-    }
-    val conc = Seq(concurrentRound(), concurrentRound())
-      .flatten.groupMapReduce(_._1)(_._2) { (a, b) =>
-        if (a < 0) b else if (b < 0) a else math.min(a, b)
-      }
-
-    // sustained wave: 48 query executions in flight at once (6 copies of
-    // each of the 8), matching the reference's 50-concurrent-dashboards
-    // target; reports the latency distribution under full contention.
-    // Each execution is split into queue time (submit -> its first Spark
-    // task launching, i.e. waiting for cores behind other jobs) and exec
-    // time (the rest) via a job-group-tagged listener, so scheduler
-    // queueing and actual plan execution are distinguishable in the JSON.
+    // queue/exec split instrumentation, shared by the 8-way rounds and
+    // the waves below: job-group-tagged first-task launch times
     val groupFirstTask = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
     val waveListener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val g = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
-        if (g != null && g.startsWith("wave-"))
+        if (g != null && (g.startsWith("wave-") || g.startsWith("conc-")))
           js.stageInfos.foreach(si => stageToGroup.put(si.stageId, g))
       }
       override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
@@ -147,6 +127,56 @@ object Bench {
       }
     }
     spark.sparkContext.addSparkListener(waveListener)
+    // best-of-2 rounds, same methodology as the sequential loop; a query
+    // failure records -1.0 (like the sequential loop) instead of
+    // aborting the whole benchmark. Each query runs in ITS OWN fair pool
+    // and job group, so the scheduler shares cores across all 8 and the
+    // JSON records how much of each wall time was queueing vs executing.
+    def concurrentRound(r: Int): Map[String, (Double, Option[Double])] = {
+      val futures = concNames.map { n =>
+        scala.concurrent.Future {
+          val group = s"conc-$n-$r"
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"q-$n")
+          spark.sparkContext.setJobGroup(group, "conc", interruptOnCancel = false)
+          val t0 = System.nanoTime()
+          val t0Ms = System.currentTimeMillis()
+          try {
+            force(SparkEntry.queries(n)(spark, sfDir))
+            val total = (System.nanoTime() - t0) / 1e9
+            val queue = Option(groupFirstTask.get(group))
+              .map(lt => math.min(total, math.max(0.0, (lt - t0Ms) / 1e3)))
+            n -> (total, queue)
+          }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] concurrent $n failed: ${e.getMessage}")
+            n -> (-1.0, None: Option[Double])
+          } finally {
+            spark.sparkContext.clearJobGroup()
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(10, "min")).toMap
+    }
+    val concRounds = Seq(concurrentRound(0), concurrentRound(1))
+    // per query: the better round's (time, queue) pair
+    val concFull: Map[String, (Double, Option[Double])] = concNames.map { n =>
+      val best = concRounds.map(_(n)).filter(_._1 >= 0)
+        .sortBy(_._1).headOption.getOrElse((-1.0, None: Option[Double]))
+      n -> best
+    }.toMap
+    val conc: Map[String, Double] = concFull.view.mapValues(_._1).toMap
+
+    // sustained wave: 48 query executions in flight at once (6 copies of
+    // each of the 8), matching the reference's 50-concurrent-dashboards
+    // target; reports the latency distribution under full contention.
+    // Each execution is split into queue time (submit -> its first Spark
+    // task launching, i.e. waiting for cores behind other jobs) and exec
+    // time (the rest) via the job-group-tagged listener registered above,
+    // so scheduler queueing and actual plan execution are distinguishable
+    // in the JSON.
     def runWave(queries: Seq[() => org.apache.spark.sql.DataFrame],
         tag: String): Seq[(Double, Option[Double])] = {
       val futures = queries.zipWithIndex.map { case (mk, i) =>
@@ -272,6 +302,11 @@ object Bench {
     val worstSlowdown = if (slowdowns.nonEmpty) slowdowns.max else -1.0
     val cq = concNames.map(n => "\"" + n + "\":" + conc(n))
       .mkString("{", ",", "}")
+    // queue-vs-exec split per concurrent query (FAIR pools): -1 = the
+    // first-task event never arrived for the recorded round
+    val cqQueue = concNames.map { n =>
+      "\"" + n + "\":" + concFull(n)._2.fold(-1.0)(identity)
+    }.mkString("{", ",", "}")
 
     // full-precision record, written to a file: long stdout lines have been
     // truncated by log captures before (BENCH_r02-r04 arrived unparseable);
@@ -280,6 +315,7 @@ object Bench {
       s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
       s""""queries":$qs,""" +
       s""""concurrent":{"parallelism":${concNames.size},"queries":$cq,""" +
+      s""""queue_sec":$cqQueue,"scheduler":"fair-pool-per-query",""" +
       s""""worst_slowdown_vs_sequential":$worstSlowdown,""" +
       s""""wave":${waveJson(wave)},""" +
       s""""mv_build_sec":$mvBuildSec,""" +
