@@ -1,0 +1,272 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Sustained-throughput harness for the assembled speed layer: drive a
+  * constant event rate for a fixed window through the REAL pipeline —
+  * JSON parse → validation split (DLQ) → watermarked dedup → {funnel MV
+  * merge, sessionization} — and measure achieved events/sec plus the
+  * end-to-end landed→dashboard-visible latency distribution under that
+  * load.
+  *
+  * The reference's speed-layer acceptance is 10k events/s sustained with
+  * < 5 s ingestion-to-dashboard (`realtime-analytics-speed-layer/
+  * requirements.md:18,31`; ingestion `tasks.md:182,218`). [[Freshness]]
+  * measures the latency of an *idle* pipeline per arriving batch; this
+  * harness measures it while the pipeline is saturated, which is the
+  * number a capacity plan actually needs.
+  *
+  * Method: all event files are pre-staged to a sibling directory BEFORE
+  * the clock starts, and the producer loop only `Files.move`s one file
+  * per tick into the source dir — an atomic rename costs microseconds, so
+  * the offered rate is exact and "landed" timestamps are sharp (writing
+  * parquet inline would make the producer the bottleneck and measure the
+  * generator, not the pipeline). Three concurrent queries consume the
+  * same source, exactly like the production topology where each is an
+  * independent consumer group on one topic:
+  *   1. funnel aggregation (update mode) → [[PinnedMv]] merge — the
+  *      measured dashboard path;
+  *   2. sessionization (`flatMapGroupsWithState`, event-time timeout) →
+  *      parquet session sink;
+  *   3. DLQ split → parquet dead-letter sink.
+  * Visibility is detected by polling the pinned MV's served event count
+  * (pure memory, the real dashboard point-read) and recording when it
+  * crosses each file's cumulative valid-event threshold.
+  *
+  * Event shape: ids are globally unique (dedup state is exercised, drops
+  * nothing); a fixed 2% carry an unknown event_type and must exit via the
+  * DLQ; event time advances ~2 s per file so watermarks move and sessions
+  * actually close during the run (users rotate in blocks, so a block's
+  * sessions expire once its users stop appearing).
+  */
+object SustainedLoad {
+
+  final case class Result(
+      offeredEps: Double,
+      achievedEps: Double,
+      producedEvents: Long,
+      validEvents: Long,
+      dlqRows: Long,
+      sessionRows: Long,
+      files: Int,
+      produceSec: Double, // actual producer window (scheduled = files * interval)
+      producerMaxLagSec: Double, // worst tick-schedule slip; ~0 = offered rate is real
+      caughtUp: Boolean, // every file's events became visible before the deadline
+      catchupSec: Double, // last-visible - last-landed
+      e2e: Seq[Double]) { // per-file landed -> MV-visible seconds
+    private def pct(p: Double): Double = {
+      val s = e2e.sorted
+      if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
+    }
+    def p50: Double = pct(0.5)
+    def p95: Double = pct(0.95)
+    def max: Double = if (e2e.isEmpty) -1.0 else e2e.max
+    def toJson: String =
+      s"""{"offered_eps":${offeredEps.round},"achieved_eps":${achievedEps.round},""" +
+        s""""produced_events":$producedEvents,"valid_events":$validEvents,""" +
+        s""""dlq_rows":$dlqRows,"session_rows":$sessionRows,"files":$files,""" +
+        s""""produce_sec":$produceSec,"producer_max_lag_sec":$producerMaxLagSec,""" +
+        s""""caught_up":$caughtUp,"catchup_sec":$catchupSec,""" +
+        s""""e2e_p50_sec":$p50,"e2e_p95_sec":$p95,"e2e_max_sec":$max}"""
+  }
+
+  /** JSON event payloads for files [0, nFiles): one row per event, column
+    * `f` = file index, `value` = the wire JSON. Pure column expressions —
+    * one distributed job stages the whole corpus.
+    */
+  private def payloads(spark: SparkSession, nFiles: Int, eventsPerFile: Int,
+      usersPerBlock: Int, eventsPerBlock: Long): DataFrame = {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime / 1000
+    val types = typedlit(Events.eventTypes.toArray)
+    val tiers = typedlit(Array("free", "basic", "premium", "enterprise"))
+    val i = col("id")
+    val fileIdx = (i / eventsPerFile).cast("long")
+    val user = (i / eventsPerBlock) * usersPerBlock + i % usersPerBlock
+    // 2% invalid: unknown event_type, must exit via the DLQ branch
+    val etype = when(i % 50 === 0, lit("bogus"))
+      .otherwise(element_at(types, (i % Events.eventTypes.size).cast("int") + 1))
+    // event time advances 2 s per file; ms jitter inside the file
+    val ts = timestamp_millis(
+      lit(base * 1000) + fileIdx * 2000 + i % 1000)
+    spark.range(nFiles.toLong * eventsPerFile).select(
+      fileIdx.as("f"),
+      to_json(struct(
+        concat(lit("se-"), i).as("event_id"),
+        user.as("user_id"),
+        concat(lit("s"), user).as("session_id"),
+        etype.as("event_type"),
+        date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS").as("ts"),
+        element_at(tiers, (i % 4).cast("int") + 1).as("user_tier"),
+        concat(lit("""{"amount": """), (i % 90) + 10, lit("}")).as("properties")
+      )).as("value"))
+  }
+
+  /** Run the sustained load. `baseDir` must be fresh. Defaults drive 5× the
+    * reference's 10k ev/s acceptance for 60 s (the bench asks for more).
+    */
+  def run(spark: SparkSession, baseDir: String,
+      targetEps: Int = 50000, durationSec: Int = 60,
+      eventsPerFile: Int = 5000, triggerMs: Long = 1000,
+      catchupTimeoutSec: Int = 120): Result = {
+    require(eventsPerFile % 50 == 0, "eventsPerFile must be a multiple of 50 (2% DLQ rate)")
+    val nFiles = math.max(1, (targetEps.toLong * durationSec / eventsPerFile).toInt)
+    val intervalNs = eventsPerFile.toLong * 1000000000L / targetEps
+    val validPerFile = eventsPerFile - eventsPerFile / 50
+    // users rotate in blocks of ~40 files so sessions close during the run
+    val usersPerBlock = math.max(10, eventsPerFile * 2)
+    val eventsPerBlock = eventsPerFile.toLong * 40
+
+    val stageDir = java.nio.file.Paths.get(baseDir, "stage")
+    val inDir = java.nio.file.Paths.get(baseDir, "in")
+    java.nio.file.Files.createDirectories(inDir)
+
+    // ---- pre-stage: one file per file-index, harvested to flat paths ----
+    payloads(spark, nFiles, eventsPerFile, usersPerBlock, eventsPerBlock)
+      .repartition(nFiles, col("f"))
+      .write.partitionBy("f").mode("overwrite").parquet(stageDir.toString)
+    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala.toVector
+      finally s.close()
+    }
+    val staged: Map[Int, java.nio.file.Path] = listDir(stageDir).collect {
+      case d if d.getFileName.toString.startsWith("f=") =>
+        val part = listDir(d).find(_.getFileName.toString.endsWith(".parquet"))
+        require(part.isDefined, s"no parquet part under $d")
+        d.getFileName.toString.drop(2).toInt -> part.get
+    }.toMap
+    require(staged.size == nFiles, s"staged ${staged.size} of $nFiles files")
+
+    // ---- pipeline: parse -> validate -> dedup -> {funnel MV, sessions, DLQ} ----
+    val mv = new PinnedMv(Seq("window", "user_tier"), Some(s"$baseDir/mv"))
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    def parsed = Events.parse(
+      spark.readStream.schema(rawSchema).parquet(inDir.toString))
+    // state partitioning sized to the stream (see Freshness): restore after
+    // start — streams clone the session conf at start
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val queries =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val funnelQ = StreamingAggs
+          .funnel(Events.deduped(Events.valid(parsed)), watermark = None)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) => mv.update(b, id) }
+          .option("checkpointLocation", s"$baseDir/ckpt/funnel")
+          .outputMode("update")
+          .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+          .start()
+        val sessionQ = Sessionization
+          .sessionize(Events.deduped(Events.valid(parsed)),
+            timeoutMs = 60000, watermark = None,
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Append)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$baseDir/sessions")
+          .option("checkpointLocation", s"$baseDir/ckpt/sessions")
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+          .start()
+        val dlqQ = Events.invalid(parsed)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$baseDir/dlq")
+          .option("checkpointLocation", s"$baseDir/ckpt/dlq")
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+          .start()
+        Seq(funnelQ, sessionQ, dlqQ)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+
+    val landedNs = new Array[Long](nFiles)
+    val visibleNs = new Array[Long](nFiles)
+    java.util.Arrays.fill(visibleNs, -1L)
+
+    try {
+      // ---- warmup: file 0 untimed (stream startup + state init + codegen) ----
+      java.nio.file.Files.move(staged(0), inDir.resolve("00000.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val warmDeadline = System.nanoTime() + 60L * 1000000000L
+      while (mv.sumLong("n_events") < validPerFile && System.nanoTime() < warmDeadline)
+        Thread.sleep(5)
+      landedNs(0) = System.nanoTime(); visibleNs(0) = landedNs(0) // excluded below
+
+      // ---- monitor: record MV-visibility crossings for files 1..n-1 ----
+      @volatile var monitorStop = false
+      val monitor = new Thread(() => {
+        var next = 1
+        while (!monitorStop && next < nFiles) {
+          val seen = mv.sumLong("n_events")
+          val now = System.nanoTime()
+          while (next < nFiles && seen >= (next + 1).toLong * validPerFile) {
+            visibleNs(next) = now; next += 1
+          }
+          if (next < nFiles) Thread.sleep(2)
+        }
+      }, "sustained-load-monitor")
+      monitor.setDaemon(true)
+      monitor.start()
+
+      // ---- producer: one atomic move per tick ----
+      val t0 = System.nanoTime()
+      var maxLagNs = 0L
+      for (k <- 1 until nFiles) {
+        val due = t0 + (k - 1).toLong * intervalNs
+        val wait = due - System.nanoTime()
+        if (wait > 0) {
+          val ms = wait / 1000000
+          Thread.sleep(ms, (wait - ms * 1000000).toInt)
+        } else maxLagNs = math.max(maxLagNs, -wait)
+        java.nio.file.Files.move(staged(k), inDir.resolve(f"$k%05d.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        landedNs(k) = System.nanoTime()
+      }
+      val produceSec = (System.nanoTime() - t0) / 1e9
+
+      // ---- drain: wait for full visibility, then let the side sinks finish ----
+      val deadline = System.nanoTime() + catchupTimeoutSec * 1000000000L
+      while (visibleNs(nFiles - 1) < 0 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      monitorStop = true
+      monitor.join(2000)
+      val caughtUp = visibleNs.forall(_ >= 0)
+      queries.tail.foreach(_.processAllAvailable()) // sessions + DLQ drain
+
+      val e2e = (1 until nFiles).collect {
+        case k if visibleNs(k) >= 0 => (visibleNs(k) - landedNs(k)) / 1e9
+      }
+      val lastVisible =
+        if (caughtUp) visibleNs.max
+        else System.nanoTime() // timed out: charge the full window
+      val validTotal = nFiles.toLong * validPerFile
+      val dlqRows =
+        try spark.read.parquet(s"$baseDir/dlq").count()
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      val sessionRows =
+        try spark.read.parquet(s"$baseDir/sessions").count()
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      Result(
+        offeredEps = eventsPerFile.toLong * 1000000000L / intervalNs.toDouble,
+        achievedEps = validTotal / ((lastVisible - landedNs(0)) / 1e9),
+        producedEvents = nFiles.toLong * eventsPerFile,
+        validEvents = validTotal,
+        dlqRows = dlqRows,
+        sessionRows = sessionRows,
+        files = nFiles,
+        produceSec = produceSec,
+        producerMaxLagSec = maxLagNs / 1e9,
+        caughtUp = caughtUp,
+        catchupSec = math.max(0.0, (lastVisible - landedNs(nFiles - 1)) / 1e9),
+        e2e = e2e)
+    } finally {
+      queries.foreach(q => try q.stop() catch {
+        case scala.util.control.NonFatal(_) => ()
+      })
+      mv.close()
+    }
+  }
+}
