@@ -32,6 +32,20 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // scratch-dir cleanup for the heavyweight sections (speed layer stage
+    // + soak corpus): this box has run out of disk mid-round before
+    def rmTree(dir: String): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root)) {
+          val s = java.nio.file.Files.walk(root)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally s.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+
     // host-I/O health, sampled before and after the run: the I/O-sensitive
     // sections (ingest/wave/freshness) are only trustworthy when the probe
     // is in the healthy band (thresholds in NOTES). A degraded probe tells
@@ -286,6 +300,93 @@ object Bench {
       if (freshRetryJson == null) fresh1Json
       else s"""{"attempt1":$fresh1Json,"io_probe_between":${ioMid.toJsonCompact},""" +
         s""""retry":$freshRetryJson}"""
+
+    // Speed-layer sustained throughput: the reference's acceptance is
+    // 10k events/s sustained with < 5 s ingestion-to-dashboard; drive 5×
+    // that rate for 60 s through the REAL parse→DLQ→dedup→{funnel MV,
+    // sessions} pipeline and record achieved eps + landed→visible p95.
+    // Skippable for fast local iteration (SPARK_GRAFT_SKIP_SPEED=1).
+    val (speedJson, speedEps, speedP95) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SPEED"))
+        ("""{"skipped":true}""", -1.0, -1.0)
+      else try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-speed").toString
+        val r = streaming.SustainedLoad.run(spark, dir,
+          targetEps = 50000, durationSec = 60)
+        rmTree(dir)
+        (r.toJson, r.achievedEps, r.p95)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] speed_layer failed: ${e.getMessage}")
+        (s"""{"error":true}""", -1.0, -1.0)
+      }
+
+    // Scale soak: generate a 10×-sf corpus (self-consistent key-shifted
+    // replicas, decorrelated shingles — tools/ScaleCorpus) and run the
+    // dedup/cluster/curation chain plus the most expensive inventory
+    // queries against it. factor = sf1 wall / this run's recorded sf0.1
+    // median; near-linear (≤ ~12×) is the pass shape. Shuffle-write and
+    // spill bytes per query come from a taskEnd listener so a plan that
+    // "scales" by spilling shows up in the artifact.
+    val soakJson =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SOAK")) """{"skipped":true}"""
+      else try {
+        val soakReplicas = 10
+        val soakDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
+        val tGen = System.nanoTime()
+        tools.ScaleCorpus.generate(spark, sfDir, soakDir, replicas = soakReplicas)
+        val genSec = (System.nanoTime() - tGen) / 1e9
+        val shuffleW = new java.util.concurrent.atomic.LongAdder
+        val spill = new java.util.concurrent.atomic.LongAdder
+        val soakListener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              shuffleW.add(m.shuffleWriteMetrics.bytesWritten)
+              spill.add(m.diskBytesSpilled)
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(soakListener)
+        // chain (x1→x3→x15→x25) + the top-expense queries of this round
+        val soakNames = Seq("x1_dedup_exact", "x3_dedup_simhash",
+          "x15_dedup_clusters", "x25_corpus_curation",
+          "x28_unigram_surprisal", "x29_quality_weighted_sample",
+          "x21_split_leakage", "x23_split_cluster_safe",
+          "j4_daily_business_metrics")
+        val soakRows = soakNames.map { n =>
+          val sw0 = shuffleW.sum(); val sp0 = spill.sum()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            try { force(SparkEntry.queries(n)(spark, soakDir))
+              (System.nanoTime() - t0) / 1e9 }
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] soak $n failed: ${e.getMessage}")
+              -1.0
+            }
+          }
+          // cold = first execution at 10× (pays any per-dir PlanCache
+          // build, e.g. x15's label propagation); warm = second. The
+          // sequential sf0.1 median above is PlanCache-warm (median of 3
+          // same-session runs), so the apples-to-apples scaling factor
+          // uses warm; cold is recorded next to it, not hidden.
+          val cold = once()
+          val warm = if (cold < 0) -1.0 else once()
+          val base = results.toMap.getOrElse(n, -1.0)
+          val factor = if (warm > 0 && base > 0) warm / base else -1.0
+          s""""$n":{"sf1_cold_sec":$cold,"sf1_warm_sec":$warm,""" +
+            s""""sf01_sec":$base,"factor_warm":$factor,""" +
+            s""""shuffle_write_mb":${(shuffleW.sum() - sw0) / 1048576},""" +
+            s""""spill_mb":${(spill.sum() - sp0) / 1048576}}"""
+        }
+        spark.sparkContext.removeSparkListener(soakListener)
+        rmTree(soakDir)
+        s"""{"replicas":$soakReplicas,"gen_sec":$genSec,""" +
+          s""""queries":{${soakRows.mkString(",")}}}"""
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] scale_soak failed: ${e.getMessage}")
+        """{"error":true}"""
+      }
+
     val ioPost = IoProbe.run()
 
     // the wave instrumentation is scoped to the two waves above — drop the
@@ -321,6 +422,8 @@ object Bench {
       s""""mv_build_sec":$mvBuildSec,""" +
       s""""wave_mv_served":${waveJson(mvWave)}},""" +
       s""""freshness":$freshJson,""" +
+      s""""speed_layer":$speedJson,""" +
+      s""""scale_soak":$soakJson,""" +
       s""""io_probe":{"pre":${ioPre.toJson},"post":${ioPost.toJson}},""" +
       s""""sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
@@ -350,6 +453,8 @@ object Bench {
       s""""worst_slowdown":${r3(worstSlowdown)},""" +
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
       s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))}},""" +
+      s""""speed_layer_eps":${if (speedEps < 0) "-1" else speedEps.round.toString},""" +
+      s""""speed_layer_e2e_p95_sec":${r3(speedP95)},""" +
       s""""freshness_p95_sec":${r3(freshP95)},""" +
       // adjudication visibility: when the freshness section was retried
       // under a confirmed-degraded probe, say so HERE (not only in the

@@ -66,16 +66,27 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** On-disk schema: `ts` is TIMESTAMP(NANOS) which Spark has no native type
-    * for — with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as
-    * epoch-nanos LongType. The reader keeps the raw nanos (`ts_ns`, exact
-    * ordering parity with ns-native engines) and derives a microsecond
-    * TimestampType `ts` via integer division (no double round-trip — a
-    * double mantissa cannot hold 1.7e18).
+  /** Events `ts` on-disk unit varies by generator version: TIMESTAMP(NANOS)
+    * (which Spark has no native type for — with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as epoch-nanos
+    * LongType) or plain TIMESTAMP(MICROS). [[load]] probes the footer once
+    * per path and normalizes either encoding to the same logical shape:
+    * a microsecond TimestampType `ts` plus the raw epoch-nanos LongType
+    * `ts_ns` (exact ordering parity with ns-native engines; integer
+    * arithmetic only — a double mantissa cannot hold 1.7e18).
     */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Declared read schema for events files whose `ts` is TIMESTAMP(MICROS). */
+  val eventsMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -99,15 +110,38 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** Footer-probed `ts` encoding per events path, cached so a session pays
+    * one footer read per distinct path (no repeated driver-side listing).
+    */
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True when the events file(s) at `path` store `ts` as TIMESTAMP(NANOS)
+    * (surfaced as LongType under the nanosAsLong legacy flag); false for
+    * native TIMESTAMP(MICROS). Defaults to micros when the path has no
+    * readable footer yet (e.g. a streaming input dir that is still empty).
+    */
+  def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, _ =>
+      try spark.read.parquet(path).schema("ts").dataType == LongType
+      catch { case _: Exception => java.lang.Boolean.FALSE })
+
   /** Read one canonical table from `dir` with its declared schema. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.schema(all(name)).parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      raw
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-    } else raw
+      val normalized =
+        if (eventsTsIsNanos(spark, path))
+          spark.read.schema(events).parquet(path)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        else
+          spark.read.schema(eventsMicros).parquet(path)
+            .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      normalized.select("event_id", "ts_ns", "user_id", "event_type",
+        "value", "props", "ts")
+    } else spark.read.schema(all(name)).parquet(path)
   }
 
   /** Register every canonical table as a temp view so the whole corpus is

@@ -33,8 +33,15 @@ object SpeedLayer {
   def adapt(src: org.apache.spark.sql.DataFrame): Dataset[Event] = {
     val spark = src.sparkSession
     import spark.implicits._
+    // `ts` arrives as epoch-nanos LongType (legacy TIMESTAMP(NANOS) files)
+    // or native TimestampType (micros files) — normalize here so the rest
+    // of the speed layer sees one shape.
+    val tsCol = src.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts")
+    }
     src
-      .withColumnRenamed("ts", "ts_ns")
       .select(
         col("event_id").cast("string").as("event_id"),
         col("user_id"),
@@ -43,14 +50,17 @@ object SpeedLayer {
           .when(col("event_type") === "click", "product_view")
           .when(col("event_type") === "error", "login")
           .otherwise(col("event_type")).as("event_type"),
-        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+        tsCol.as("ts"),
         lit("unknown").as("user_tier"),
         concat(lit("""{"amount": """), col("value"), lit("}")).as("properties"))
       .as[Event]
   }
 
   def eventStream(spark: SparkSession, cfg: Config): Dataset[Event] = {
-    val reader = spark.readStream.schema(Tables.events)
+    val schema =
+      if (Tables.eventsTsIsNanos(spark, cfg.eventsPath)) Tables.events
+      else Tables.eventsMicros
+    val reader = spark.readStream.schema(schema)
     val src = cfg.maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(cfg.eventsPath)

@@ -82,8 +82,11 @@ object SustainedLoad {
     val types = typedlit(Events.eventTypes.toArray)
     val tiers = typedlit(Array("free", "basic", "premium", "enterprise"))
     val i = col("id")
-    val fileIdx = (i / eventsPerFile).cast("long")
-    val user = (i / eventsPerBlock) * usersPerBlock + i % usersPerBlock
+    // Column./ is FLOATING division — a double user_id would serialize as
+    // "1.05" and from_json's LongType field would null the value straight
+    // into the DLQ. DIV keeps the arithmetic exact on longs.
+    val fileIdx = expr(s"id DIV $eventsPerFile")
+    val user = expr(s"id DIV $eventsPerBlock") * usersPerBlock + i % usersPerBlock
     // 2% invalid: unknown event_type, must exit via the DLQ branch
     val etype = when(i % 50 === 0, lit("bogus"))
       .otherwise(element_at(types, (i % Events.eventTypes.size).cast("int") + 1))

@@ -78,9 +78,17 @@ object ScaleCorpus {
       "embeddings" -> Seq("vec_id"))
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    for ((name, schema) <- Tables.all) {
+    for ((name, declared) <- Tables.all) {
       // raw read (no events ts derivation): the output must round-trip the
-      // exact on-disk shape so Tables.load works on the scaled dir
+      // exact on-disk shape so Tables.load works on the scaled dir. Events
+      // `ts` varies by generator version (nanos-as-long vs native micros) —
+      // probe like Tables.load does, so the scaled copy keeps an encoding
+      // the loader will classify the same way.
+      val schema =
+        if (name == "events" &&
+            !Tables.eventsTsIsNanos(spark, s"$srcDir/$name.parquet"))
+          Tables.eventsMicros
+        else declared
       val src = spark.read.schema(schema).parquet(s"$srcDir/$name.parquet")
       val scaled = keyCols.get(name) match {
         case None => src // fixed dims: region, nation

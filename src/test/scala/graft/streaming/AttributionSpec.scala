@@ -28,8 +28,11 @@ class AttributionSpec extends SparkSpec {
       .start()
     try q.awaitTermination(120000) finally q.stop()
 
+    val batchSchema =
+      if (Tables.eventsTsIsNanos(spark, inDir.toString)) Tables.events
+      else Tables.eventsMicros
     val batch = Attribution.viewPurchasePairs(
-      SpeedLayer.adapt(spark.read.schema(Tables.events)
+      SpeedLayer.adapt(spark.read.schema(batchSchema)
         .parquet(inDir.toString)))
 
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =

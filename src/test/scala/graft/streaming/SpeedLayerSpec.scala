@@ -73,12 +73,16 @@ class SpeedLayerSpec extends SparkSpec {
   test("session state survives restart: new files continue existing sessions") {
     val base = Files.createTempDirectory("graft-speed3").toString
     val inDir = Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
-    val src = spark.read.parquet(s"$sfDir/events.parquet")
+    // Tables.load normalizes the on-disk ts encoding (nanos-long vs native
+    // micros) to one TimestampType `ts`; re-writing through it gives the
+    // stream input files a shape eventStream's unit probe classifies
+    val src = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
     // split on EVENT TIME (not id): batch2 rows older than the recovered
     // watermark would be legitimately dropped as late and fail the count
-    val tsMedian = src.select("ts").orderBy("ts")
+    val tsMedian = src.select(unix_micros(col("ts")).as("us")).orderBy("us")
       .collect()(src.count().toInt / 2).getLong(0)
-    src.filter(col("ts") < tsMedian).write.parquet(s"$inDir/batch1")
+    src.filter(unix_micros(col("ts")) < tsMedian).write.parquet(s"$inDir/batch1")
     // huge inactivity window: every user keeps ONE session, so continuity
     // across the restart is assertable for the whole population
     val timeoutMs = 365L * 24 * 3600 * 1000
@@ -87,7 +91,7 @@ class SpeedLayerSpec extends SparkSpec {
     val q1 = SpeedLayer.run(spark, cfg)
     try q1.foreach(_.awaitTermination(120000)) finally q1.foreach(_.stop())
     // second half arrives while the query is down
-    src.filter(col("ts") >= tsMedian).write.parquet(s"$inDir/batch2")
+    src.filter(unix_micros(col("ts")) >= tsMedian).write.parquet(s"$inDir/batch2")
     val q2 = SpeedLayer.run(spark, cfg)
     try q2.foreach(_.awaitTermination(120000)) finally q2.foreach(_.stop())
     val sessions = spark.read.parquet(s"$base/out/sessions")

@@ -82,10 +82,31 @@ class ScaleCorpusSpec extends SparkSpec {
   }
 
   test("within-replica exact-duplicate structure is preserved") {
+    // The driver corpus is not guaranteed to contain exact duplicates
+    // (the current regeneration has none), so synthesize them: clone 5
+    // docs under fresh ids, then scale that corpus. The permutation is a
+    // pure function of (text, replica), so identical texts must stay
+    // identical within a replica — and distinct replicas stay disjoint.
+    val dupSrc = java.nio.file.Files.createTempDirectory("graft-scale-dupsrc")
+    for (t <- Tables.all.keys)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+        dupSrc.resolve(s"$t.parquet"))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val clones = docs.orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + 50000L)
+    docs.unionByName(clones).write.mode("overwrite")
+      .parquet(s"$dupSrc/documents.parquet")
+
     def dupGroups(df: org.apache.spark.sql.DataFrame): Long =
       df.groupBy("text").count().filter(col("count") >= 2).count()
-    val n0 = dupGroups(Tables.load(spark, sfDir, "documents"))
-    val perReplica = Tables.load(spark, outDir, "documents")
+    val n0 = dupGroups(Tables.load(spark, dupSrc.toString, "documents"))
+    assert(n0 >= 5L, s"synthesized corpus must contain dup groups, got $n0")
+
+    val dupOut = java.nio.file.Files.createTempDirectory("graft-scale-dupout")
+    ScaleCorpus.generate(spark, dupSrc.toString, dupOut.toString,
+      replicas = replicas, spread = 2)
+    val perReplica = Tables.load(spark, dupOut.toString, "documents")
       .withColumn("r", (col("doc_id") / ScaleCorpus.KeyOffset).cast("int"))
       .groupBy("r", "text").count().filter(col("count") >= 2)
       .groupBy("r").count().collect()
