@@ -84,30 +84,45 @@ object QuantileMonitor {
       lo: Double, hi: Double)
 
   /** Bracket each quantile from a merged histogram frame `(g, bin, n)`.
-    * The histogram is bounded serve-side metadata (groups · occupied
-    * bins), so the cumulation is a driver fold — same contract as the
-    * Percentiles driver pass.
+    *
+    * The cumulation is DISTRIBUTED (per-group cumsum window over the
+    * bin-sorted histogram + rank-containment filter), and only located
+    * bins come back to the driver: ≤ groups · |ps| · 2 rows regardless
+    * of bin occupancy. The earlier driver fold collected the whole
+    * groups × bins map — bounded for dashboard grains, but a per-user
+    * monitor (groups ~ users) would have made the driver the ceiling;
+    * this is the same shape Percentiles' cumulation moved to.
     */
   def brackets(hist: DataFrame, ps: Seq[Double],
       binBits: Int = 16): Seq[Bracket] = {
-    val byGroup = hist.select(col("g").cast("string"), col("bin"), col("n"))
+    import org.apache.spark.sql.expressions.Window
+    val byBin = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("g")
+    val located = hist
+      .select(col("g").cast("string").as("g"), col("bin"), col("n"))
+      .withColumn("cum", sum(col("n")).over(byBin))
+      .withColumn("total", sum(col("n")).over(whole))
+      .withColumn("before", col("cum") - col("n"))
+      .select(col("g"), col("bin"), col("total"), col("before"), col("cum"),
+        explode(typedlit(ps.toArray)).as("p"))
+      .withColumn("pos", col("p") * (col("total") - 1).cast("double"))
+      .withColumn("rfloor", floor(col("pos")).cast("long"))
+      .withColumn("rceil", ceil(col("pos")).cast("long"))
+      .withColumn("holds_floor",
+        col("rfloor") >= col("before") && col("rfloor") < col("cum"))
+      .withColumn("holds_ceil",
+        col("rceil") >= col("before") && col("rceil") < col("cum"))
+      .filter(col("holds_floor") || col("holds_ceil"))
+      .select("g", "p", "total", "bin", "holds_floor", "holds_ceil")
       .collect()
-      .groupBy(_.getString(0))
-    byGroup.toSeq.flatMap { case (g, rows) =>
-      val bins = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-      val n = bins.map(_._2).sum
-      ps.map { p =>
-        val pos = p * (n - 1)
-        def binAt(rank: Long): Long = {
-          var before = 0L
-          bins.find { case (_, c) =>
-            if (rank < before + c) true else { before += c; false }
-          }.get._1
-        }
-        val (lo, _) = binBounds(binAt(math.floor(pos).toLong), binBits)
-        val (_, hi) = binBounds(binAt(math.ceil(pos).toLong), binBits)
-        Bracket(g, p, n, lo, hi)
-      }
-    }.sortBy(b => (b.group, b.quantile))
+    located.groupBy(r => (r.getString(0), r.getDouble(1))).toSeq
+      .map { case ((g, p), rows) =>
+        val n = rows.head.getLong(2)
+        val loBin = rows.find(_.getBoolean(4)).get.getLong(3)
+        val hiBin = rows.find(_.getBoolean(5)).get.getLong(3)
+        Bracket(g, p, n, binBounds(loBin, binBits)._1,
+          binBounds(hiBin, binBits)._2)
+      }.sortBy(b => (b.group, b.quantile))
   }
 }

@@ -67,6 +67,45 @@ class QuantileMonitorSpec extends SparkSpec {
     }
   }
 
+  test("distributed brackets equal a reference driver fold at 5k groups") {
+    // the cumulation must scale past dashboard grains: 5,000 groups of
+    // deterministic values, new distributed path vs the plain driver fold
+    // it replaced, exact equality on every bracket
+    val hist = QuantileMonitor.binned(
+      spark.range(100000).selectExpr(
+        "concat('g', id % 5000) AS flag",
+        "CAST((id DIV 5000) * 7 % 97 AS DOUBLE) - 31.0 AS price"),
+      "flag", "price")
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+      .cache()
+    try {
+      val ps = Seq(0.5, 0.95, 0.99)
+      val got = QuantileMonitor.brackets(hist, ps)
+      // reference: per-group sort + linear scan on the driver
+      val ref = hist.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+          val bins = rows.map(r => (r._2, r._3)).sortBy(_._1)
+          val n = bins.map(_._2).sum
+          ps.map { p =>
+            val pos = p * (n - 1)
+            def binAt(rank: Long): Long = {
+              var before = 0L
+              bins.find { case (_, c) =>
+                if (rank < before + c) true else { before += c; false }
+              }.get._1
+            }
+            val lo = QuantileMonitor.binBounds(binAt(math.floor(pos).toLong), 16)._1
+            val hi = QuantileMonitor.binBounds(binAt(math.ceil(pos).toLong), 16)._2
+            QuantileMonitor.Bracket(g, p, n, lo, hi)
+          }
+        }.sortBy(b => (b.group, b.quantile))
+      assert(got.size === 15000)
+      assert(got === ref,
+        "distributed bracket cumulation must equal the driver fold")
+    } finally { hist.unpersist(); () }
+  }
+
   test("monitor survives a restart: checkpointed source + idempotent partials") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft-qrestart").toString
