@@ -76,6 +76,61 @@ class BpeLearnSpec extends SparkSpec {
     assert(learned === expected, s"learned=$learned expected=$expected")
   }
 
+  test("scale round-trip: merges learned on a 3x corpus apply exactly to the originals") {
+    import spark.implicits._
+    // learn on a ScaleCorpus-replicated corpus (replica permutations
+    // change adjacency, so this is a genuinely different — larger —
+    // training distribution), then run inference on the ORIGINAL docs
+    val scaled = java.nio.file.Files.createTempDirectory("graft-bpe-scale").toString
+    graft.tools.ScaleCorpus.generate(spark, sfDir, scaled, replicas = 3, spread = 2)
+    val scaledToks = Tables.load(spark, scaled, "documents")
+      .select(split(lower(col("text")), " ").as("toks"))
+
+    // learning at scale stays exact: merge-for-merge vs the reference
+    val learned = BpeLearn.learn(scaledToks, 8)
+    val expected = referenceLearn(
+      scaledToks.as[Seq[String]].collect().toSeq, 8)
+    assert(learned.map(m => (m.a, m.b, m.count)) === expected)
+    assert(learned.nonEmpty)
+
+    // inference round-trip on the 1x originals: every output token must
+    // be the concatenation of a run of consecutive whitespace tokens
+    // (t22's tokenizer definition), so character mass is conserved and
+    // the token-count drop equals exactly the number of glue operations
+    val orig = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val applied = BpeLearn.applyMerges(orig, learned)
+      .as[(Long, Seq[String])].collect().toMap
+    val before = orig.as[(Long, Seq[String])].collect().toMap
+    assert(applied.keySet === before.keySet)
+    var totalGlue = 0L
+    before.foreach { case (id, ws) =>
+      val merged = applied(id)
+      // re-derive the merged sequence as runs of the whitespace tokens
+      var i = 0
+      var glue = 0L
+      merged.foreach { tok =>
+        val acc = new StringBuilder
+        val start = i
+        while (acc.length < tok.length && i < ws.length) {
+          acc ++= ws(i); i += 1
+        }
+        assert(acc.toString === tok,
+          s"doc $id: token '$tok' is not a run of whitespace tokens at $start")
+        glue += (i - start) - 1
+      }
+      assert(i === ws.length, s"doc $id: merged tokens must cover the doc")
+      assert(ws.map(_.length).sum === merged.map(_.length).sum,
+        s"doc $id: character mass must be conserved")
+      assert(ws.length - merged.length === glue,
+        s"doc $id: token-count drop must equal the glue operations")
+      totalGlue += glue
+    }
+    // the learned table must actually fire on the shared distribution
+    assert(totalGlue > 0, "scale-learned merges must apply to the originals")
+  }
+
   test("empty and single-token sequences are pair-free, not a crash") {
     import spark.implicits._
     val corpus: Seq[Seq[String]] = Seq(
