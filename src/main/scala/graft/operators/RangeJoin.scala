@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join without a cartesian.
+  *
+  * Spark compiles a bare non-equi join (`p BETWEEN lo AND hi`) to
+  * BroadcastNestedLoopJoin when one side is small and to a cartesian
+  * product + filter otherwise — O(|points| · |intervals|) compared rows,
+  * the canonical scale killer for range lookups (IP→range, ts→session,
+  * date→campaign window). The reference's ad-hoc SQL surface exposes
+  * exactly this shape for date-window rollups; OSS Spark has no range-join
+  * optimization (the hint is a proprietary extension), so the engine
+  * provides the standard bucketization rewrite as a composed operator:
+  *
+  *  - points land in bucket `floorDiv(p, w)` — one row each;
+  *  - an interval [lo, hi] is replicated to every bucket it overlaps
+  *    (`sequence(floorDiv(lo,w), floorDiv(hi,w))` exploded);
+  *  - an ordinary EQUI-join on the bucket + the residual BETWEEN filter
+  *    compares each point only against intervals overlapping its bucket.
+  *
+  * One shuffle keyed by bucket (co-partitioned hash/SMJ — never BNLJ or
+  * cartesian, whatever the side sizes); interval-side inflation is
+  * `avg(span)/w + 1` rows, so pick `w` near the median interval span.
+  * A hot bucket (many points under one popular interval region) rides
+  * the same AQE skew-split path as any equi-join; extreme interval skew
+  * (one interval spanning everything) degrades gracefully to that
+  * interval being present in every bucket — still never a cartesian
+  * against the other intervals.
+  *
+  * Arithmetic is exact integer floor-division (negative coordinates
+  * bucket correctly; no double rounding), so results equal the naive
+  * non-equi join bit for bit ([[graft.operators.RangeJoinSpec]] pins a
+  * seeded differential).
+  */
+object RangeJoin {
+
+  /** Exact floor division on long columns (Spark's `DIV` truncates toward
+    * zero, which mis-buckets negatives; `pmod` makes the remainder
+    * nonnegative so the subtraction divides exactly).
+    */
+  private[operators] def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Inner-join `points` to every interval containing them.
+    *
+    * @param points      frame with a long point column `point`
+    * @param intervals   frame with long interval columns `lo`, `hi`
+    *                    (inclusive both ends; rows with lo > hi match
+    *                    nothing and are dropped before the explode)
+    * @param bucketWidth bucket size in point units (≈ median span)
+    */
+  def pointInInterval(points: DataFrame, point: String,
+      intervals: DataFrame, lo: String, hi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val p = points.withColumn("__rjb", floorDiv(col(point), bucketWidth))
+    val iv = intervals
+      .filter(col(lo) <= col(hi))
+      .withColumn("__rjb",
+        explode(sequence(floorDiv(col(lo), bucketWidth),
+          floorDiv(col(hi), bucketWidth))))
+    p.join(iv, Seq("__rjb"))
+      .filter(col(point) >= col(lo) && col(point) <= col(hi))
+      .drop("__rjb")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[RangeJoin]] semantics: bit-equal to the naive non-equi join on
+  * seeded adversarial inputs (overlaps, containment, negatives, empty
+  * and degenerate intervals), with a plan that never degrades to
+  * BroadcastNestedLoop or a cartesian product.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  private def naive(points: org.apache.spark.sql.DataFrame,
+      intervals: org.apache.spark.sql.DataFrame) =
+    points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+
+  test("differential vs naive non-equi join (500 points x 60 intervals, seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    // points straddle zero so floor-division bucketing of negatives is hit
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextLong(4000) - 2000))
+      .toDF("pid", "p")
+    // spans 0 (degenerate single-point), tiny, typical, huge (bucket-storm),
+    // plus inverted lo > hi rows that must match nothing
+    val intervals = (1 to 60).map { i =>
+      val lo = rnd.nextLong(4200) - 2100
+      val span = i % 6 match {
+        case 0 => 0L
+        case 1 => rnd.nextLong(3)
+        case 2 | 3 => rnd.nextLong(200)
+        case 4 => rnd.nextLong(1500)
+        case 5 => -(rnd.nextLong(50) + 1) // inverted: empty
+      }
+      (i.toLong, lo, lo + span)
+    }.toDF("iid", "lo", "hi")
+
+    for (w <- Seq(1L, 7L, 64L, 5000L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val want = naive(points, intervals)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(want.nonEmpty, "fixture must produce matches")
+      assert(got === want, s"bucketWidth=$w diverges from the naive join")
+    }
+  }
+
+  test("bounds are inclusive on both ends; duplicates of a matching point are kept") {
+    import spark.implicits._
+    val points = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 21L))
+      .toDF("pid", "p")
+    val intervals = Seq((1L, 10L, 20L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 8L)
+      .select("pid").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("plan is an equi-join on the bucket: no BNLJ, no cartesian") {
+    import spark.implicits._
+    val points = spark.range(10000).select(col("id").as("pid"),
+      (col("id") * 13 % 5000).as("p"))
+    val intervals = (1 to 400).map(i => (i.toLong, i * 12L, i * 12L + 150L))
+      .toDF("iid", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 128L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degraded to BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"range join degraded to cartesian:\n$plan")
+  }
+
+  test("floorDiv buckets negatives correctly (DIV truncation would not)") {
+    import spark.implicits._
+    val got = Seq(-21L, -20L, -1L, 0L, 1L, 19L, 20L).toDF("v")
+      .select(RangeJoin.floorDiv(col("v"), 20L).as("b"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(-2L, -1L, -1L, 0L, 0L, 0L, 1L))
+  }
+}
