@@ -98,5 +98,86 @@ object AsOfQueries {
          |GROUP BY w.promo ORDER BY w.promo""".stripMargin
     })
 
-  val defs: Seq[QueryDef] = Seq(j8AsOfJoin, j9RangeJoin)
+  /** Maintenance windows for J10 in UTC epoch micros — two of them
+    * overlap each other (the 09–15 window contains the 10–12 one), so
+    * one session can hit both and pair-dedup correctness is exercised.
+    */
+  private val maintWindows: Seq[(String, String, String)] = Seq(
+    ("wk1_patch", "2024-01-03T02:00:00", "2024-01-03T08:00:00"),
+    ("wk2_patch", "2024-01-10T02:00:00", "2024-01-10T08:00:00"),
+    ("audit_long", "2024-01-15T09:00:00", "2024-01-15T15:00:00"),
+    ("audit_spot", "2024-01-15T10:00:00", "2024-01-15T12:00:00"),
+    ("wk3_patch", "2024-01-17T02:00:00", "2024-01-17T08:00:00"),
+    ("month_end", "2024-01-29T20:00:00", "2024-01-30T04:00:00"))
+
+  private def epochUs(iso: String): Long =
+    java.time.LocalDateTime.parse(iso).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+
+  /** J10 — interval-overlap range join ([[RangeJoin.intervalOverlap]]):
+    * st1's 30-minute inactivity sessions, as [first, last]-event
+    * intervals, matched to maintenance windows they overlap; per window,
+    * how many sessions and distinct users were active. The overlapping
+    * window pair exercises the exactly-one-bucket pair-dedup rule; the
+    * DuckDB oracle evaluates the same join as a bare overlap predicate.
+    */
+  val j10IntervalOverlap = QueryDef(
+    "j10_interval_overlap",
+    "user sessions overlap-joined to maintenance windows (bucketized interval join)",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(cum))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("s_lo"), max(col("us")).as("s_hi"))
+      val windows = maintWindows
+        .map { case (n, lo, hi) => (n, epochUs(lo), epochUs(hi)) }
+        .toDF("maint", "w_lo", "w_hi")
+      // 1 h buckets over micros: windows span 6-10 buckets, sessions ~1-2
+      graft.operators.RangeJoin.intervalOverlap(
+          sessions, "s_lo", "s_hi", windows, "w_lo", "w_hi",
+          bucketWidth = 3600000000L)
+        .groupBy("maint")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("maint")
+    },
+    Some {
+      val values = maintWindows.map { case (n, lo, hi) =>
+        s"('$n', ${epochUs(lo)}, ${epochUs(hi)})"
+      }.mkString(",\n              ")
+      s"""WITH base AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |flagged AS (
+         |  SELECT user_id, us, event_id,
+         |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+         |              WHEN us - lag(us) OVER w > 1800000000 THEN 1
+         |              ELSE 0 END AS new_s
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         |  SELECT user_id, us,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged),
+         |intervals AS (
+         |  SELECT user_id, sid, min(us) AS s_lo, max(us) AS s_hi
+         |  FROM sess GROUP BY 1, 2)
+         |SELECT w.maint,
+         |       CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+         |FROM intervals s
+         |JOIN (VALUES $values) AS w(maint, w_lo, w_hi)
+         |  ON s.s_lo <= w.w_hi AND w.w_lo <= s.s_hi
+         |GROUP BY w.maint ORDER BY w.maint""".stripMargin
+    })
+
+  val defs: Seq[QueryDef] = Seq(j8AsOfJoin, j9RangeJoin, j10IntervalOverlap)
 }

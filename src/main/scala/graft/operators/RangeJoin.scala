@@ -65,4 +65,29 @@ object RangeJoin {
       .filter(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("__rjb")
   }
+
+  /** Inner-join interval frames on overlap: `[aLo, aHi] ∩ [bLo, bHi] ≠ ∅`
+    * (inclusive ends, touching counts). Both sides replicate to their
+    * overlapped buckets; a candidate pair meets in EVERY bucket their
+    * spans share, so the join additionally requires the bucket to be the
+    * one containing the OVERLAP START (`max(aLo, bLo)`) — each matching
+    * pair survives in exactly one bucket, no distinct pass, no row
+    * explosion past the bucket replication itself.
+    */
+  def intervalOverlap(left: DataFrame, aLo: String, aHi: String,
+      right: DataFrame, bLo: String, bHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def exploded(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("__rjb",
+        explode(sequence(floorDiv(col(lo), bucketWidth),
+          floorDiv(col(hi), bucketWidth))))
+    exploded(left, aLo, aHi)
+      .join(exploded(right, bLo, bHi), Seq("__rjb"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__rjb") ===
+        floorDiv(greatest(col(aLo), col(bLo)), bucketWidth))
+      .drop("__rjb")
+  }
 }

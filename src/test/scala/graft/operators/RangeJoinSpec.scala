@@ -69,6 +69,34 @@ class RangeJoinSpec extends SparkSpec {
       s"range join degraded to cartesian:\n$plan")
   }
 
+  test("intervalOverlap differential: each pair exactly once, any width (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242)
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextLong(3000) - 1500
+      val span = i % 5 match {
+        case 0 => 0L
+        case 1 => rnd.nextLong(5)
+        case 2 | 3 => rnd.nextLong(300)
+        case 4 => rnd.nextLong(1200)
+      }
+      (i.toLong, lo, lo + span)
+    }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
+    val a = mk(120, "a")
+    val b = mk(80, "b")
+    val want = a.crossJoin(b)
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    for (w <- Seq(1L, 16L, 250L, 10000L)) {
+      val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+      // sorted WITH duplicates: a pair surviving in two buckets would
+      // differ from `want` even though the distinct sets agree
+      assert(got === want, s"bucketWidth=$w diverges (or duplicates pairs)")
+    }
+  }
+
   test("floorDiv buckets negatives correctly (DIV truncation would not)") {
     import spark.implicits._
     val got = Seq(-21L, -20L, -1L, 0L, 1L, 19L, 20L).toDF("v")
