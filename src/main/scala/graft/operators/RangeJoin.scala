@@ -66,6 +66,23 @@ object RangeJoin {
       .drop("__rjb")
   }
 
+  /** Left-outer form of [[pointInInterval]]: points contained in no
+    * interval survive with the interval columns null (the "orders outside
+    * every campaign" audit shape). `pointKey` must be unique per point
+    * row — the unmatched set is the key anti-join against the inner
+    * result (two hash joins total, still no cartesian anywhere).
+    */
+  def pointInIntervalLeft(points: DataFrame, pointKey: String, point: String,
+      intervals: DataFrame, lo: String, hi: String,
+      bucketWidth: Long): DataFrame = {
+    val inner = pointInInterval(points, point, intervals, lo, hi, bucketWidth)
+    val unmatched = points.join(
+      inner.select(col(pointKey)).distinct(), Seq(pointKey), "left_anti")
+    val nullIv = intervals.columns.foldLeft(unmatched)((df, c) =>
+      df.withColumn(c, lit(null).cast(intervals.schema(c).dataType)))
+    inner.unionByName(nullIv.select(inner.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Inner-join interval frames on overlap: `[aLo, aHi] ∩ [bLo, bHi] ≠ ∅`
     * (inclusive ends, touching counts). Both sides replicate to their
     * overlapped buckets; a candidate pair meets in EVERY bucket their

@@ -97,6 +97,21 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("left-outer points survive with null intervals; matched rows identical to inner") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 15L), (3L, 100L), (4L, 15L))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, 10L, 20L), (11L, 12L, 16L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin
+      .pointInIntervalLeft(points, "pid", "p", intervals, "lo", "hi", 8L)
+      .select(col("pid"), col("iid"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(got === Seq(
+      (1L, None), (2L, Some(10L)), (2L, Some(11L)),
+      (3L, None), (4L, Some(10L)), (4L, Some(11L))))
+  }
+
   test("floorDiv buckets negatives correctly (DIV truncation would not)") {
     import spark.implicits._
     val got = Seq(-21L, -20L, -1L, 0L, 1L, 19L, 20L).toDF("v")
