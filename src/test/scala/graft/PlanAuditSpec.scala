@@ -38,6 +38,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("j9/j10 range joins plan bucket equi-joins, never BroadcastNestedLoop") {
+    // the failure mode for a non-equi join is BNLJ (small side) or a
+    // cartesian (checked inventory-wide above): the bucketized rewrite
+    // must keep both out of the plan even though the predicates are ranges
+    for (q <- Seq("j9_range_join", "j10_interval_overlap")) {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+
   test("j1 pre-aggregated rollup plans no Expand (no dual-distinct blowup)") {
     val plan = planOf("j1_customer_orders_items")
     assert(!plan.contains("Expand"),
