@@ -76,10 +76,11 @@ object AsOfQueries {
       val points = Tables.load(s, d, "orders")
         .select(col("o_totalprice"),
           unix_date(to_date(col("o_orderdate"))).as("day"))
-      // 61-day buckets ≈ the 92-day median window span: each window lands
-      // in 2-8 buckets, each order in exactly one
+      // width = in-plan median window span (92 days here): each window
+      // lands in ~2 buckets, each order in exactly one
+      val w = graft.operators.RangeJoin.bucketWidthFor(iv, "lo_day", "hi_day")
       graft.operators.RangeJoin
-        .pointInInterval(points, "day", iv, "lo_day", "hi_day", 61L)
+        .pointInInterval(points, "day", iv, "lo_day", "hi_day", w)
         .groupBy("promo")
         .agg(count(lit(1)).as("n_orders"),
           graft.Parity.moneySum(col("o_totalprice")).as("revenue"))
@@ -96,6 +97,49 @@ object AsOfQueries {
          |JOIN (VALUES $values) AS w(promo, lo, hi)
          |  ON CAST(o.o_orderdate AS DATE) BETWEEN w.lo AND w.hi
          |GROUP BY w.promo ORDER BY w.promo""".stripMargin
+    })
+
+  /** J11 — left-outer form of J9 ([[graft.operators.RangeJoin
+    * .pointInIntervalLeft]]): every order keeps a row, orders inside no
+    * campaign window land in a 'no_campaign' bucket — the audit shape
+    * ("revenue NOT attributable to any promo") a plain inner range join
+    * cannot answer. Two hash joins (bucketized inner + key anti-join),
+    * never BNLJ; the DuckDB oracle evaluates the same thing as a bare
+    * `LEFT JOIN … ON BETWEEN`. The label is coalesced on both sides
+    * because the two engines disagree on NULL rendering, not semantics.
+    */
+  val j11RangeJoinLeft = QueryDef(
+    "j11_range_join_left",
+    "orders left-joined to campaign windows; no-campaign orders kept (bucketized outer range join)",
+    (s, d) => {
+      import s.implicits._
+      val iv = promoWindows.map { case (name, lo, hi) =>
+        (name, java.time.LocalDate.parse(lo).toEpochDay,
+          java.time.LocalDate.parse(hi).toEpochDay)
+      }.toDF("promo", "lo_day", "hi_day")
+      val points = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          unix_date(to_date(col("o_orderdate"))).as("day"))
+      val w = graft.operators.RangeJoin.bucketWidthFor(iv, "lo_day", "hi_day")
+      graft.operators.RangeJoin
+        .pointInIntervalLeft(points, "o_orderkey", "day", iv,
+          "lo_day", "hi_day", w)
+        .groupBy(coalesce(col("promo"), lit("no_campaign")).as("promo"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Parity.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("promo")
+    },
+    Some {
+      val values = promoWindows.map { case (name, lo, hi) =>
+        s"('$name', DATE '$lo', DATE '$hi')"
+      }.mkString(",\n              ")
+      s"""SELECT COALESCE(w.promo, 'no_campaign') AS promo,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         |FROM orders o
+         |LEFT JOIN (VALUES $values) AS w(promo, lo, hi)
+         |  ON CAST(o.o_orderdate AS DATE) BETWEEN w.lo AND w.hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
   /** Maintenance windows for J10 in UTC epoch micros — two of them
@@ -140,10 +184,11 @@ object AsOfQueries {
       val windows = maintWindows
         .map { case (n, lo, hi) => (n, epochUs(lo), epochUs(hi)) }
         .toDF("maint", "w_lo", "w_hi")
-      // 1 h buckets over micros: windows span 6-10 buckets, sessions ~1-2
+      // width = in-plan median span of the WIDE side (the 6 h maintenance
+      // windows): windows replicate ~2x, the narrower sessions ~1x
+      val bw = graft.operators.RangeJoin.bucketWidthFor(windows, "w_lo", "w_hi")
       graft.operators.RangeJoin.intervalOverlap(
-          sessions, "s_lo", "s_hi", windows, "w_lo", "w_hi",
-          bucketWidth = 3600000000L)
+          sessions, "s_lo", "s_hi", windows, "w_lo", "w_hi", bw)
         .groupBy("maint")
         .agg(count(lit(1)).as("n_sessions"),
           countDistinct(col("user_id")).as("n_users"))
@@ -179,5 +224,6 @@ object AsOfQueries {
          |GROUP BY w.maint ORDER BY w.maint""".stripMargin
     })
 
-  val defs: Seq[QueryDef] = Seq(j8AsOfJoin, j9RangeJoin, j10IntervalOverlap)
+  val defs: Seq[QueryDef] =
+    Seq(j8AsOfJoin, j9RangeJoin, j10IntervalOverlap, j11RangeJoinLeft)
 }

@@ -43,6 +43,25 @@ object RangeJoin {
   private[operators] def floorDiv(c: Column, w: Long): Column =
     ((c - pmod(c, lit(w))) / lit(w)).cast("long")
 
+  /** Data-driven bucket width: the median interval span, computed in-plan
+    * with `percentile_approx` (one aggregate over the interval frame — no
+    * interval rows reach the driver, only the single scalar). At
+    * `w = median span` the median interval replicates to `span/w + 1 ≤ 2`
+    * buckets, so total interval-side inflation stays ≈ 2× however the
+    * span distribution drifts — a hard-coded width on a 100× corpus with
+    * drifted spans silently over-replicates instead. Degenerate inputs
+    * (empty frame, all-inverted, all-zero-span) fall back to width 1,
+    * which is always correct (buckets = exact points).
+    */
+  def bucketWidthFor(intervals: DataFrame, lo: String, hi: String): Long = {
+    val row = intervals
+      .filter(col(lo) <= col(hi))
+      .agg(percentile_approx((col(hi) - col(lo) + 1).cast("double"),
+        lit(0.5), lit(10000)).as("w"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getDouble(0).toLong)
+  }
+
   /** Inner-join `points` to every interval containing them.
     *
     * @param points      frame with a long point column `point`

@@ -38,11 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("j9/j10 range joins plan bucket equi-joins, never BroadcastNestedLoop") {
+  test("j9/j10/j11 range joins plan bucket equi-joins, never BroadcastNestedLoop") {
     // the failure mode for a non-equi join is BNLJ (small side) or a
     // cartesian (checked inventory-wide above): the bucketized rewrite
     // must keep both out of the plan even though the predicates are ranges
-    for (q <- Seq("j9_range_join", "j10_interval_overlap")) {
+    for (q <- Seq("j9_range_join", "j10_interval_overlap",
+        "j11_range_join_left")) {
       val plan = planOf(q)
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q degraded to BroadcastNestedLoopJoin:\n$plan")

@@ -112,6 +112,50 @@ class RangeJoinSpec extends SparkSpec {
       (3L, None), (4L, Some(10L)), (4L, Some(11L))))
   }
 
+  test("bucketWidthFor picks the median span; replication stays <= ~2x") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1207)
+    // span mix around a median near 100 with a 5% long tail (the
+    // realistic shape), plus inverted rows that bucketWidthFor must ignore
+    val intervals = (1 to 2000).map { i =>
+      val lo = rnd.nextLong(1000000)
+      val span = i % 20 match {
+        case 19 => -5L // inverted: excluded from both width and join
+        case 18 => 40L + rnd.nextLong(1000) // tail
+        case _ => 40L + rnd.nextLong(120)
+      }
+      (i.toLong, lo, lo + span)
+    }.toDF("iid", "lo", "hi")
+    val w = RangeJoin.bucketWidthFor(intervals, "lo", "hi")
+    val spans = intervals.filter(col("lo") <= col("hi"))
+      .select((col("hi") - col("lo") + 1).as("s")).as[Long].collect().sorted
+    val median = spans(spans.length / 2)
+    assert(math.abs(w - median) <= math.max(2L, median / 20),
+      s"width $w far from exact median $median")
+    // replication factor = exploded interval rows / valid interval rows:
+    // at w = median span the median interval covers <= 2 buckets, so the
+    // corpus-wide factor must stay ~2x (the operator doc's contract)
+    val valid = intervals.filter(col("lo") <= col("hi"))
+    val exploded = valid.select(explode(sequence(
+      RangeJoin.floorDiv(col("lo"), w),
+      RangeJoin.floorDiv(col("hi"), w)))).count()
+    val factor = exploded.toDouble / valid.count()
+    assert(factor <= 2.5, f"interval replication $factor%.2f exceeds ~2x at median-span width $w")
+    // and the median interval itself covers at most 2 buckets — the
+    // per-interval form of the same contract, tail-independent
+    assert(median / w + 1 <= 2, s"median-span interval covers ${median / w + 1} buckets at width $w")
+  }
+
+  test("bucketWidthFor degenerate inputs fall back to width 1") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("lo", "hi")
+    assert(RangeJoin.bucketWidthFor(empty, "lo", "hi") === 1L)
+    val inverted = Seq((10L, 5L), (20L, 0L)).toDF("lo", "hi")
+    assert(RangeJoin.bucketWidthFor(inverted, "lo", "hi") === 1L)
+    val points = Seq((7L, 7L), (9L, 9L)).toDF("lo", "hi")
+    assert(RangeJoin.bucketWidthFor(points, "lo", "hi") === 1L)
+  }
+
   test("floorDiv buckets negatives correctly (DIV truncation would not)") {
     import spark.implicits._
     val got = Seq(-21L, -20L, -1L, 0L, 1L, 19L, 20L).toDF("v")
