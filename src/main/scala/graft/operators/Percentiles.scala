@@ -17,24 +17,24 @@ import org.apache.spark.sql.types._
   *     ([[graft.functions.SortableDoubleBits]]) — data-independent, so no
   *     prior min/max scan — and `groupBy(group, bin).count` collapses the
   *     table to O(groups·occupied bins) counters. The cumulation that
-  *     locates each target rank's bin is DISTRIBUTED too: a per-group
+  *     locates each target rank's bin is DISTRIBUTED: a per-group
   *     running-sum window over the bin counters plus a per-group total,
-  *     with the target-rank containment test evaluated per bin row. Only
-  *     the LOCATED rows — O(groups·percentiles), the operator's own
-  *     output order — ever reach the driver; the full groups×bins map
-  *     never does, so a per-user grouping (millions of groups) leaves
-  *     driver memory flat.
+  *     with the target-rank containment test evaluated per bin row. The
+  *     located rows — O(groups·percentiles) — are PERSISTED as a
+  *     DataFrame, never collected.
   *  2. ONE refinement pass over only the target bins (~n/bins rows each),
-  *     selected by broadcast-joining the located-bin metadata (no
-  *     O(groups) literal predicate in the plan): if the histogram proves
-  *     the subset is small it is collected and ranked on the driver;
-  *     otherwise each bin is ranked with a `row_number` window
-  *     partitioned by (group, bin) — per-task state is one bin,
-  *     spillable, never the whole group.
+  *     selected by joining the located-bin metadata (AQE broadcasts it
+  *     when small; no O(groups) literal predicate in the plan): each bin
+  *     is ranked with a `row_number` window partitioned by (group, bin) —
+  *     per-task state is one bin, spillable, never the whole group — and
+  *     the k-th values join back to the located slots.
   *
-  * Driver state is therefore bounded by the RESULT size (one row per
-  * group and percentile), the same contract as any collect()ed report;
-  * per-task state is bounded by O(bins) via the hash aggregate.
+  * The OUTPUT is join-built too: slot values pivot to lo/hi columns with
+  * a conditional aggregate and interpolate in-plan, so the result
+  * materializes as a persisted distributed DataFrame. NOTHING O(groups)
+  * ever reaches the driver — a per-user percentile table (10⁶+ groups)
+  * runs with flat driver memory; per-task state is bounded by O(bins)
+  * via the hash aggregate.
   *
   * The (group, value) projection feeding both passes is persisted once
   * per `cacheKey` via [[graft.PlanCache]], repartitioned to the session's
@@ -63,8 +63,10 @@ object Percentiles {
       projection(df, group, value)
         .repartition(df.sparkSession.sparkContext.defaultParallelism))
 
-  /** (group, n, <name per percentile>) — unrounded doubles. Runs its two
-    * pass jobs eagerly (the result is a small literal DataFrame).
+  /** (group, n, <name per percentile>) — unrounded doubles. Runs its
+    * jobs eagerly; the result is a persisted DISTRIBUTED DataFrame (one
+    * row per group), so a 10⁶-group call never funnels through the
+    * driver.
     *
     * NULL semantics: NULL values are ignored (like SQL quantile
     * aggregates), so `n` is the NON-NULL value count per group — callers
@@ -75,13 +77,10 @@ object Percentiles {
     * @param binBits   histogram bucket = top `binBits` bits of the
     *                  sortable double transform (16 ⇒ ≤65,536 buckets:
     *                  sign + exponent + 4 mantissa bits)
-    * @param maxDriverRows refinement subsets up to this size (known
-    *                  exactly from the histogram) are ranked driver-side;
-    *                  larger ones use the distributed window path
     */
   def exact(df: DataFrame, group: String, value: String,
       ps: Seq[(Double, String)], binBits: Int = 16,
-      maxDriverRows: Long = 2000000, cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     graft.GraftExtensions.ensure(spark)
     val groupField = df.schema(group)
@@ -97,8 +96,10 @@ object Percentiles {
     // state O(bins)); the per-group running sum and total are windows
     // over the COLLAPSED bin counters (O(groups·bins) rows total, one
     // shuffle by g); each bin row then tests target-rank containment
-    // for every percentile slot and only the located rows — one per
-    // (group, percentile bound) — are collected.
+    // for every percentile slot. The located rows — one per (group,
+    // percentile bound) — are PERSISTED, not collected: the count()
+    // below materializes pass 1 exactly once and is the only thing the
+    // driver receives (a scalar).
     val slotArr = array(ps.flatMap { case (p, nm) => Seq(
       struct(lit(s"$nm:lo").as("slot"), lit(p).as("p"), lit(false).as("hi")),
       struct(lit(s"$nm:hi").as("slot"), lit(p).as("p"), lit(true).as("hi")))
@@ -106,13 +107,13 @@ object Percentiles {
     val wBefore = Window.partitionBy("g").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wGroup = Window.partitionBy("g")
-    val locatedRows = base.select(col("g"), binE.as("bin"))
+    val located = base.select(col("g"), binE.as("bin"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
       .withColumn("before", coalesce(sum(col("cnt")).over(wBefore), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(wGroup))
       .select(col("g"), col("bin"), col("cnt"), col("before"), col("n"),
         explode(slotArr).as("s"))
-      // pos must be the same IEEE expression the driver interpolates
+      // pos must be the same IEEE expression the output interpolates
       // with below: p * (n-1), both double
       .withColumn("pos", col("s.p") * (col("n") - lit(1L)).cast("double"))
       .withColumn("tRank",
@@ -120,77 +121,61 @@ object Percentiles {
           .cast("long"))
       .filter(col("tRank") >= col("before") &&
         col("tRank") < col("before") + col("cnt"))
-      .select(col("g"), col("s.slot").as("slot"), col("bin"), col("cnt"),
+      .select(col("g"), col("s.slot").as("slot"), col("bin"),
         (col("tRank") - col("before") + lit(1L)).as("k"), col("n"))
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outSchema = StructType(groupField.copy(name = group) +:
       StructField("n", LongType) +:
       ps.map { case (_, nm) => StructField(nm, DoubleType) })
-    if (locatedRows.isEmpty) {
+    if (located.count() == 0) {
+      located.unpersist(false)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     }
-    // (group, slot) → (bin holding target rank, 1-indexed rank k in bin)
-    val located: Seq[(Any, String, Long, Long)] = locatedRows.toSeq
-      .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getLong(4)))
-    val counts: Map[Any, Long] = locatedRows.toSeq
-      .map(r => r.get(0) -> r.getLong(5)).toMap
-    val hotBins: Seq[(Any, Long, Long)] = locatedRows.toSeq
-      .map(r => (r.get(0), r.getLong(2), r.getLong(3))).distinct
-    val subsetSize = hotBins.map(_._3).sum
-    // the refinement subset is selected by a BROADCAST JOIN against the
-    // located-bin metadata — null-safe on the group (SQL GROUP BY emits
-    // a NULL group) and free of O(groups) literal predicates, so a
-    // million-group call plans the same as a three-group one
-    val hotSchema = StructType(Seq(groupField.copy(name = "hg"),
-      StructField("hbin", LongType)))
-    val hotDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        hotBins.map { case (g, b, _) => Row(g, b) }, 1), hotSchema)
+
+    // pass 2: the refinement subset is selected by joining the hot-bin
+    // metadata — null-safe on the group (SQL GROUP BY emits a NULL
+    // group), free of O(groups) literal predicates, and AQE broadcasts
+    // the located side when it is small, so a million-group call plans
+    // the same shuffle-join shape any equi-join would. Each hot bin is
+    // ranked with a row_number window partitioned by (group, bin):
+    // per-task state is one bin's rows, spillable, never a whole group.
+    val hot = located.select(col("g").as("hg"), col("bin").as("hbin")).distinct()
     val subset = base.withColumn("bin", binE)
-      .join(broadcast(hotDf),
-        (col("g") <=> col("hg")) && col("bin") === col("hbin"), "inner")
+      .join(hot, (col("g") <=> col("hg")) && col("bin") === col("hbin"), "inner")
       .drop("hg", "hbin")
+    val want = located
+      .select(col("g").as("wg"), col("bin").as("wbin"), col("k").as("wk"))
+      .distinct()
+    val picked = subset
+      .withColumn("r", row_number().over(
+        Window.partitionBy("g", "bin").orderBy("v")).cast("long"))
+      .join(want, (col("g") <=> col("wg")) && col("bin") === col("wbin") &&
+        col("r") === col("wk"), "inner")
+      .select(col("g").as("pg"), col("bin").as("pbin"),
+        col("r").as("pk"), col("v").as("pv"))
 
-    // pass 2: k-th value per located bin — driver-side when the histogram
-    // proves the subset small, distributed window otherwise
-    val picked: Map[(Any, Long, Long), Double] =
-      if (subsetSize <= maxDriverRows) {
-        val byBin = subset.select("g", "bin", "v").collect()
-          .groupBy(r => (r.get(0), r.getLong(1)))
-          .map { case (k, rows) => k -> rows.map(_.getDouble(2)).sorted }
-        located.map { case (g, _, b, k) =>
-          (g, b, k) -> byBin((g, b))(k.toInt - 1)
-        }.toMap
-      } else {
-        val wantSchema = StructType(Seq(groupField.copy(name = "wg"),
-          StructField("wbin", LongType), StructField("wk", LongType)))
-        val wantDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            located.map { case (g, _, b, k) => Row(g, b, k) }.distinct, 1),
-          wantSchema)
-        subset
-          .withColumn("r", row_number().over(
-            Window.partitionBy("g", "bin").orderBy("v")))
-          .join(broadcast(wantDf),
-            (col("g") <=> col("wg")) && col("bin") === col("wbin") &&
-              col("r").cast("long") === col("wk"), "inner")
-          .select("g", "bin", "r", "v")
-          .collect()
-          .map(r => (r.get(0), r.getLong(1), r.getInt(2).toLong) -> r.getDouble(3))
-          .toMap
-      }
-    val slotValues = located.map { case (g, slot, b, k) =>
-      (g, slot) -> picked((g, b, k))
-    }.toMap
-
-    val out = counts.toSeq.map { case (g, n) =>
-      Row.fromSeq(g +: n +: ps.map { case (p, nm) =>
-        val pos = p * (n - 1)
-        val lo = slotValues((g, s"$nm:lo"))
-        val hi = slotValues((g, s"$nm:hi"))
-        lo + (hi - lo) * (pos - math.floor(pos))
-      })
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
+    // output assembly, join-built: located slots pick up their k-th
+    // values, pivot to lo/hi columns via conditional aggregates, and
+    // interpolate in-plan — double arithmetic identical to the former
+    // driver loop (lo + (hi-lo)·(pos - floor(pos))). The result persists
+    // distributed; the driver only triggers the materializing count.
+    val slotVals = located
+      .join(picked, (col("g") <=> col("pg")) && col("bin") === col("pbin") &&
+        col("k") === col("pk"), "inner")
+      .select(col("g"), col("n"), col("slot"), col("pv").as("v"))
+    val aggCols = ps.flatMap { case (_, nm) => Seq(
+      max(when(col("slot") === s"$nm:lo", col("v"))).as(s"__lo_$nm"),
+      max(when(col("slot") === s"$nm:hi", col("v"))).as(s"__hi_$nm")) }
+    val out = slotVals.groupBy(col("g"), col("n"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("g").as(group) +: col("n") +: ps.map { case (p, nm) =>
+        val pos = lit(p) * (col("n") - lit(1L)).cast("double")
+        (col(s"__lo_$nm") + (col(s"__hi_$nm") - col(s"__lo_$nm")) *
+          (pos - floor(pos).cast("double"))).as(nm)
+      }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize both passes; located cache served them once
+    located.unpersist(false)
+    out
   }
 }

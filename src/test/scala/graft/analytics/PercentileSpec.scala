@@ -97,15 +97,25 @@ class PercentileSpec extends SparkSpec {
         if (te.taskMetrics != null) resultBytes.addAndGet(te.taskMetrics.resultSize)
     }
     spark.sparkContext.addSparkListener(listener)
-    val out =
+    val (out, outPlan) =
       try {
-        val r = graft.operators.Percentiles
+        val res = graft.operators.Percentiles
           .exact(df, "g", "v", Seq(0.5 -> "p50", 0.95 -> "p95"))
-          .collect()
+        val r = res.collect()
         Thread.sleep(2000) // listener bus is async; let task-end events drain
-        r
+        (r, res.queryExecution.executedPlan.toString)
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(out.length === nGroups)
+    // the result must be a DISTRIBUTED frame, not a driver-built literal:
+    // a parallelize(rows) output (the old assembly) plans as a
+    // `Scan ExistingRDD` of driver memory — O(groups) Rows held on the
+    // driver before any action runs. The fixture's own LocalTableScan
+    // (test data from a local Seq) sits deeper in the cached lineage and
+    // is fine; the OUTPUT must come from the persisted distributed
+    // assembly (InMemoryTableScan), with no ExistingRDD anywhere.
+    assert(outPlan.contains("InMemoryTableScan") &&
+      !outPlan.contains("Scan ExistingRDD"),
+      s"percentile output is a driver-materialized literal:\n$outPlan")
     // ground truth on a deterministic sample of groups
     val sample = (0 until nGroups by 997).map(g => s"u$g").toSet
     val builtin = df.filter(col("g").isin(sample.toSeq: _*)).groupBy("g")
