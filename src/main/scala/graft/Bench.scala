@@ -301,32 +301,65 @@ object Bench {
       else s"""{"attempt1":$fresh1Json,"io_probe_between":${ioMid.toJsonCompact},""" +
         s""""retry":$freshRetryJson}"""
 
-    // Speed-layer sustained throughput: the reference's acceptance is
-    // 10k events/s sustained with < 5 s ingestion-to-dashboard; drive 5×
-    // that rate for 60 s through the REAL parse→DLQ→dedup→{funnel MV,
-    // sessions} pipeline and record achieved eps + landed→visible p95.
+    // Speed-layer capacity + acceptance record. The reference's acceptance
+    // is 10k events/s sustained with < 5 s ingestion-to-dashboard
+    // (`realtime-analytics-speed-layer/requirements.md:18,31`): the sweep
+    // probes a rate ladder through the REAL parse→DLQ→dedup→{funnel MV,
+    // sessions} pipeline, finds the max offered rate where every file is
+    // MV-visible < 5 s after landing, and makes the 60 s acceptance record
+    // AT that rate — latency at a sustainable rate, not backlog queue time
+    // at an over-saturated one (the r11 mistake). The 50k overload run
+    // stays as a separate stress stat (catch-up behavior past saturation).
     // Skippable for fast local iteration (SPARK_GRAFT_SKIP_SPEED=1).
-    val (speedJson, speedEps, speedP95) =
+    def speedOnce(): (String, Double, Double, Int) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-speed").toString
+      try {
+        // ladder past 50k: the r12 healthy-box overload run achieved 48k
+        // with p95 4.1 s, so the ceiling is near or above the old stress
+        // rate — probing to 70k lets the record state it instead of
+        // clipping at the stress figure
+        val s = streaming.SustainedLoad.sweep(spark, dir,
+          ladderEps = Seq(10000, 25000, 40000, 55000, 70000))
+        (s.toJson, s.record.achievedEps, s.record.p95, s.maxSustainableEps)
+      } finally rmTree(dir)
+    }
+    val (speedJson, speedEps, speedP95, speedMaxEps) =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SPEED"))
-        ("""{"skipped":true}""", -1.0, -1.0)
+        ("""{"skipped":true}""", -1.0, -1.0, -1)
       else try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-speed").toString
-        val r = streaming.SustainedLoad.run(spark, dir,
-          targetEps = 50000, durationSec = 60)
-        rmTree(dir)
-        (r.toJson, r.achievedEps, r.p95)
+        val (j1, eps1, p95a, max1) = speedOnce()
+        // same adjudication as freshness: when the acceptance (>= 10k
+        // sustainable with p95 < 5 s) is missed AND the scratch mount is
+        // confirmed degraded, re-run ONCE and record both attempts
+        if (max1 < 10000) {
+          val ioSpeed = IoProbe.run()
+          val speedDegraded =
+            ioSpeed.seqWriteMBps < 60.0 || ioSpeed.smallCreatePerSec < 800.0
+          if (speedDegraded) {
+            val (j2, eps2, p952, max2) = speedOnce()
+            (s"""{"attempt1":$j1,"io_probe_between":${ioSpeed.toJsonCompact},""" +
+              s""""retry":$j2}""", eps2, p952, max2)
+          } else (j1, eps1, p95a, max1)
+        } else (j1, eps1, p95a, max1)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] speed_layer failed: ${e.getMessage}")
-        (s"""{"error":true}""", -1.0, -1.0)
+        (s"""{"error":true}""", -1.0, -1.0, -1)
       }
 
     // Scale soak: generate a 10×-sf corpus (self-consistent key-shifted
     // replicas, decorrelated shingles — tools/ScaleCorpus) and run the
     // dedup/cluster/curation chain plus the most expensive inventory
-    // queries against it. factor = sf1 wall / this run's recorded sf0.1
-    // median; near-linear (≤ ~12×) is the pass shape. Shuffle-write and
-    // spill bytes per query come from a taskEnd listener so a plan that
-    // "scales" by spilling shows up in the artifact.
+    // queries against it. factor = sf1 wall / sf0.1 wall; near-linear
+    // (≤ ~12×) is the pass shape. Two r11-verdict fixes:
+    //  - DENOMINATOR: besides the sequential-loop median (a different
+    //    phase of the run — an unusually fast median there inflated x1's
+    //    r11 factor to 15.3×), each query is re-quoted at sf0.1 HERE,
+    //    back-to-back with the sf1 runs, and factor_requote uses that.
+    //  - WORK DECOMPOSITION: per run, rows read at the scans (rows_in),
+    //    rows leaving the plan (rows_out), and shuffle RECORDS — so
+    //    "work grew ~linearly in input, wall amortized fixed overhead"
+    //    is shown by ratios, not asserted. Shuffle-write/spill bytes
+    //    stay from the taskEnd listener.
     val soakJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SOAK")) """{"skipped":true}"""
       else try {
@@ -336,17 +369,70 @@ object Bench {
         tools.ScaleCorpus.generate(spark, sfDir, soakDir, replicas = soakReplicas)
         val genSec = (System.nanoTime() - tGen) / 1e9
         val shuffleW = new java.util.concurrent.atomic.LongAdder
+        val shuffleRec = new java.util.concurrent.atomic.LongAdder
         val spill = new java.util.concurrent.atomic.LongAdder
         val soakListener = new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
             val m = te.taskMetrics
             if (m != null) {
               shuffleW.add(m.shuffleWriteMetrics.bytesWritten)
+              shuffleRec.add(m.shuffleWriteMetrics.recordsWritten)
               spill.add(m.diskBytesSpilled)
             }
           }
         }
         spark.sparkContext.addSparkListener(soakListener)
+        // rows_in/rows_out come from the executed plan of the noop write,
+        // delivered via QueryExecutionListener (async bus — polled)
+        @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+        val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = lastQe = qe
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        }
+        spark.listenerManager.register(qeListener)
+        // unwrap AQE/query-stage wrappers so scan leaves are reachable
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allNodes(q.plan)
+          case other => other +: other.children.flatMap(allNodes)
+        }
+        final case class SoakRun(sec: Double, rowsIn: Long, rowsOut: Long,
+          shufRecords: Long, shufMb: Long, spillMb: Long)
+        def runMeasured(n: String, dir: String): SoakRun = {
+          val sw0 = shuffleW.sum(); val sr0 = shuffleRec.sum(); val sp0 = spill.sum()
+          lastQe = null
+          val t0 = System.nanoTime()
+          val ok =
+            try { force(SparkEntry.queries(n)(spark, dir)); true }
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] soak $n failed: ${e.getMessage}")
+              false
+            }
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (!ok) SoakRun(-1.0, -1, -1, -1, -1, -1)
+          else {
+            val qeDeadline = System.nanoTime() + 2000000000L
+            while (lastQe == null && System.nanoTime() < qeDeadline) Thread.sleep(10)
+            val (rowsIn, rowsOut) = Option(lastQe).map { qe =>
+              val nodes = allNodes(qe.executedPlan)
+              val in = nodes.filter(_.children.isEmpty)
+                .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+              // first node root-ward with a row metric = plan output rows
+              val out = nodes.iterator.flatMap(_.metrics.get("numOutputRows"))
+                .map(_.value).nextOption().getOrElse(-1L)
+              (in, out)
+            }.getOrElse((-1L, -1L))
+            SoakRun(sec, rowsIn, rowsOut, shuffleRec.sum() - sr0,
+              (shuffleW.sum() - sw0) / 1048576, (spill.sum() - sp0) / 1048576)
+          }
+        }
         // chain (x1→x3→x15→x25) + the top-expense queries of this round
         val soakNames = Seq("x1_dedup_exact", "x3_dedup_simhash",
           "x15_dedup_clusters", "x25_corpus_curation",
@@ -354,30 +440,30 @@ object Bench {
           "x21_split_leakage", "x23_split_cluster_safe",
           "j4_daily_business_metrics")
         val soakRows = soakNames.map { n =>
-          val sw0 = shuffleW.sum(); val sp0 = spill.sum()
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            try { force(SparkEntry.queries(n)(spark, soakDir))
-              (System.nanoTime() - t0) / 1e9 }
-            catch { case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] soak $n failed: ${e.getMessage}")
-              -1.0
-            }
-          }
+          // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
+          val rq = runMeasured(n, sfDir)
           // cold = first execution at 10× (pays any per-dir PlanCache
-          // build, e.g. x15's label propagation); warm = second. The
-          // sequential sf0.1 median above is PlanCache-warm (median of 3
-          // same-session runs), so the apples-to-apples scaling factor
-          // uses warm; cold is recorded next to it, not hidden.
-          val cold = once()
-          val warm = if (cold < 0) -1.0 else once()
+          // build, e.g. x15's label propagation); warm = second. Factors
+          // use warm; cold is recorded next to it, not hidden.
+          val cold = runMeasured(n, soakDir)
+          val warm = if (cold.sec < 0) cold else runMeasured(n, soakDir)
           val base = results.toMap.getOrElse(n, -1.0)
-          val factor = if (warm > 0 && base > 0) warm / base else -1.0
-          s""""$n":{"sf1_cold_sec":$cold,"sf1_warm_sec":$warm,""" +
-            s""""sf01_sec":$base,"factor_warm":$factor,""" +
-            s""""shuffle_write_mb":${(shuffleW.sum() - sw0) / 1048576},""" +
-            s""""spill_mb":${(spill.sum() - sp0) / 1048576}}"""
+          def ratio(a: Double, b: Double): Double =
+            if (a > 0 && b > 0) math.round(a / b * 1000) / 1000.0 else -1.0
+          s""""$n":{"sf1_cold_sec":${cold.sec},"sf1_warm_sec":${warm.sec},""" +
+            s""""sf01_sec":$base,"sf01_requote_sec":${rq.sec},""" +
+            s""""factor_warm":${ratio(warm.sec, base)},""" +
+            s""""factor_requote":${ratio(warm.sec, rq.sec)},""" +
+            s""""rows_in_sf01":${rq.rowsIn},"rows_in_sf1":${warm.rowsIn},""" +
+            s""""rows_in_ratio":${ratio(warm.rowsIn.toDouble, rq.rowsIn.toDouble)},""" +
+            s""""rows_out_sf01":${rq.rowsOut},"rows_out_sf1":${warm.rowsOut},""" +
+            s""""shuffle_records_sf01":${rq.shufRecords},""" +
+            s""""shuffle_records_sf1":${warm.shufRecords},""" +
+            s""""shuffle_records_ratio":${
+              ratio(warm.shufRecords.toDouble, rq.shufRecords.toDouble)},""" +
+            s""""shuffle_write_mb":${warm.shufMb},"spill_mb":${warm.spillMb}}"""
         }
+        spark.listenerManager.unregister(qeListener)
         spark.sparkContext.removeSparkListener(soakListener)
         rmTree(soakDir)
         s"""{"replicas":$soakReplicas,"gen_sec":$genSec,""" +
@@ -453,6 +539,7 @@ object Bench {
       s""""worst_slowdown":${r3(worstSlowdown)},""" +
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
       s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))}},""" +
+      s""""speed_layer_max_sustainable_eps":$speedMaxEps,""" +
       s""""speed_layer_eps":${if (speedEps < 0) "-1" else speedEps.round.toString},""" +
       s""""speed_layer_e2e_p95_sec":${r3(speedP95)},""" +
       s""""freshness_p95_sec":${r3(freshP95)},""" +

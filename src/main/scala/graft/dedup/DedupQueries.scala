@@ -179,7 +179,11 @@ object DedupQueries {
     * corpus scans. The only shuffles are the signature groupBy (keyed by
     * doc_id) and the band join (keyed by band signature).
     */
-  def minHashLshPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+  /** Uncapped band rows (doc_id, band, sig, m0..m15) behind X2 — shared
+    * by the pair join and [[lshOccupancy]] so the diagnostic measures the
+    * exact frame the join consumes.
+    */
+  private[graft] def minHashBandsUncapped(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(docsWide(s, d))
     val u60 = md5u60(col("shingle"))
     val hashed = sh.select(col("doc_id"),
@@ -204,12 +208,14 @@ object DedupQueries {
           (0 until 4).map(j => col(s"m${4 * b + j}").cast("string")): _*))
           .as("sig"))
     }
-    val bands = dfCap(
-      sig.select(col("doc_id") +: explode(array(bandCols: _*)).as("bs") +:
-        (0 until K).map(k => col(s"m$k")): _*)
-        .select(col("doc_id") +: col("bs.band").as("band") +:
-          col("bs.sig").as("sig") +: (0 until K).map(k => col(s"m$k")): _*),
-      Seq("band", "sig"), cap)
+    sig.select(col("doc_id") +: explode(array(bandCols: _*)).as("bs") +:
+      (0 until K).map(k => col(s"m$k")): _*)
+      .select(col("doc_id") +: col("bs.band").as("band") +:
+        col("bs.sig").as("sig") +: (0 until K).map(k => col(s"m$k")): _*)
+  }
+
+  def minHashLshPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val bands = dfCap(minHashBandsUncapped(s, d), Seq("band", "sig"), cap)
     val matches = (0 until K)
       .map(k => when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
       .reduce(_ + _)
@@ -266,7 +272,10 @@ object DedupQueries {
     * shuffle carries one 60-counter record per doc regardless of corpus
     * size (Catalyst computes all 60 partials map-side in a single pass).
     */
-  def simHashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+  /** Cached 4×15-bit simhash signature table behind X3 (one corpus pass,
+    * three consumers: bands + both Hamming sides).
+    */
+  private[graft] def simSignature(s: SparkSession, d: String): DataFrame = {
     val toks = docsWide(s, d)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
     val bitSums = toks
@@ -276,8 +285,7 @@ object DedupQueries {
         sum(expr("CAST((h >> 0) & 1 AS INT) * 2 - 1")).as("sv0"),
         (1 until 60).map(b =>
           sum(expr(s"CAST((h >> $b) & 1 AS INT) * 2 - 1")).as(s"sv$b")): _*)
-    // three consumers (bands + both hamming sides): one corpus pass
-    val sim = graft.PlanCache.persisted(s, s"x3_sim/$d") {
+    graft.PlanCache.persisted(s, s"x3_sim/$d") {
       bitSums.select(
         col("doc_id") +:
           (0 until 4).map { j =>
@@ -286,17 +294,26 @@ object DedupQueries {
               .reduce(_ + _).as(s"s$j")
           }: _*)
     }
+  }
+
+  /** Uncapped band rows (doc_id, band, bv, s0..s3) behind X3 — shared by
+    * the pair join and [[lshOccupancy]].
+    */
+  private[graft] def simHashBandsUncapped(s: SparkSession, d: String): DataFrame = {
+    val sim = simSignature(s, d)
+    val bandCols = (0 until 4).map(j =>
+      struct(lit(j).as("band"), col(s"s$j").as("bv")))
+    sim.select(col("doc_id") +: explode(array(bandCols: _*)).as("bs") +:
+      (0 until 4).map(j => col(s"s$j")): _*)
+      .select(col("doc_id") +: col("bs.band").as("band") +:
+        col("bs.bv").as("bv") +: (0 until 4).map(j => col(s"s$j")): _*)
+  }
+
+  def simHashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
     // fused like x2: each band row carries the full 4-word simhash, so the
     // band join computes the exact Hamming distance directly and pairs
     // dedup through a groupBy — no joins back to the signature table
-    val bandCols = (0 until 4).map(j =>
-      struct(lit(j).as("band"), col(s"s$j").as("bv")))
-    val bands = dfCap(
-      sim.select(col("doc_id") +: explode(array(bandCols: _*)).as("bs") +:
-        (0 until 4).map(j => col(s"s$j")): _*)
-        .select(col("doc_id") +: col("bs.band").as("band") +:
-          col("bs.bv").as("bv") +: (0 until 4).map(j => col(s"s$j")): _*),
-      Seq("band", "bv"), cap)
+    val bands = dfCap(simHashBandsUncapped(s, d), Seq("band", "bv"), cap)
     val hamming = (0 until 4)
       .map(j => expr(s"bit_count(a.s$j ^ b.s$j)"))
       .reduce(_ + _)
@@ -309,6 +326,34 @@ object DedupQueries {
       .filter(col("ham") <= 2)
       .groupBy("doc_a", "doc_b")
       .agg(max(col("ham")).as("hamming"))
+  }
+
+  /** Band-bucket occupancy + candidate-pair volume for both LSH families
+    * — the adjudication numbers behind x2/x21 wall-time swings: when a
+    * regenerated corpus changes these, the join cost moved because the
+    * DATA moved, not the plan. One row per family:
+    * bucket count, max/p99 occupancy, Σc·(c−1)/2 within-bucket candidate
+    * pairs before and after the df-cap, and how many buckets the cap
+    * drops. (`pairs_*` counts the JOIN's candidate volume — a pair
+    * surviving in several buckets counts once per bucket, exactly what
+    * the shuffle pays.)
+    */
+  def lshOccupancy(s: SparkSession, d: String): DataFrame = {
+    def stats(bands: DataFrame, keys: Seq[String], family: String) =
+      bands.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("buckets"),
+          max(col("c")).as("max_occupancy"),
+          expr("CAST(percentile_approx(c, 0.99) AS BIGINT)").as("p99_occupancy"),
+          sum(expr("c * (c - 1) DIV 2")).as("pairs_uncapped"),
+          sum(when(col("c") <= BAND_DF_CAP, expr("c * (c - 1) DIV 2"))
+            .otherwise(0L)).as("pairs_capped"),
+          sum(when(col("c") > BAND_DF_CAP, 1L).otherwise(0L))
+            .as("buckets_capped"))
+        .select(lit(family).as("family"), col("*"))
+    stats(minHashBandsUncapped(s, d), Seq("band", "sig"), "minhash_x2")
+      .unionByName(stats(simHashBandsUncapped(s, d), Seq("band", "bv"),
+        "simhash_x3_x21"))
   }
 
   /** DuckDB CTE chain replaying [[simHashPairs]]; ends in `sim_pairs
