@@ -314,12 +314,12 @@ object Bench {
     def speedOnce(): (String, Double, Double, Int) = {
       val dir = java.nio.file.Files.createTempDirectory("graft-speed").toString
       try {
-        // ladder past 50k: the r12 healthy-box overload run achieved 48k
-        // with p95 4.1 s, so the ceiling is near or above the old stress
-        // rate — probing to 70k lets the record state it instead of
-        // clipping at the stress figure
+        // ladder past 50k: healthy-box probes sustained 70k (heap state
+        // store) and 100k×30 s (RocksDB, now the session default), so the
+        // climb goes to 100k; the first failing rung stops it, so a
+        // degraded box pays only for what it can actually hold
         val s = streaming.SustainedLoad.sweep(spark, dir,
-          ladderEps = Seq(10000, 25000, 40000, 55000, 70000))
+          ladderEps = Seq(10000, 25000, 40000, 55000, 70000, 85000, 100000))
         (s.toJson, s.record.achievedEps, s.record.p95, s.maxSustainableEps)
       } finally rmTree(dir)
     }

@@ -52,6 +52,15 @@ object GraftSession {
       // testdata events.parquet carries TIMESTAMP(NANOS) which Spark cannot
       // represent natively; read as epoch-nanos long and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB streaming state store: the HDFS-backed default keeps state
+      // on the JVM heap and its maintenance snapshots pause the stream —
+      // measured on the speed-layer harness at 85k ev/s × 45 s, e2e
+      // p95/max went 3.37/4.72 s (heap store) → 2.44/2.87 s (RocksDB),
+      // and at 100 TB a dedup/session state of 10⁷+ keys cannot live on
+      // the heap at all. Off-heap, incremental-checkpointing RocksDB is
+      // the posture-correct default for every streaming query here.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         if (v2Committer) "2" else "1")
       .config("spark.ui.enabled", "false")

@@ -17,13 +17,18 @@ object SpeedProbe {
     val spark = GraftSession.create(s"local[$cpus]", "graft-speed-probe",
       shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // experiment knob: SPARK_GRAFT_STATESTORE=rocksdb swaps the streaming
+    // state store provider for A/B capacity comparisons
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val dir = java.nio.file.Files.createTempDirectory("graft-speed-probe").toString
     val json = args.headOption match {
       case Some("sweep") =>
         val probeSec = args.lift(1).map(_.toInt).getOrElse(10)
         val recordSec = args.lift(2).map(_.toInt).getOrElse(30)
         graft.streaming.SustainedLoad.sweep(spark, dir,
-          ladderEps = Seq(10000, 25000, 40000, 55000, 70000),
+          ladderEps = Seq(10000, 25000, 40000, 55000, 70000, 85000, 100000),
           probeSec = probeSec, recordSec = recordSec,
           overloadEps = 0).toJson
       case Some(eps) =>
