@@ -363,7 +363,10 @@ object Bench {
     val soakJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SOAK")) """{"skipped":true}"""
       else try {
-        val soakReplicas = 10
+        // default 10×; SPARK_GRAFT_SOAK_REPLICAS overrides for manual
+        // deeper soaks (e.g. 30×) without touching the recorded shape
+        val soakReplicas =
+          sys.env.getOrElse("SPARK_GRAFT_SOAK_REPLICAS", "10").toInt
         val soakDir = java.nio.file.Files.createTempDirectory("graft-soak").toString
         val tGen = System.nanoTime()
         tools.ScaleCorpus.generate(spark, sfDir, soakDir, replicas = soakReplicas)
