@@ -437,11 +437,15 @@ object Bench {
           }
         }
         // chain (x1→x3→x15→x25) + the top-expense queries of this round
+        // x40 is deliberately absent: SemDeDup's scale contract is that
+        // CLUSTER COUNT grows with the corpus (bounded list sizes); at
+        // the soak's fixed k=16 its pair volume is quadratic by
+        // construction and would record a misleading factor.
         val soakNames = Seq("x1_dedup_exact", "x3_dedup_simhash",
           "x15_dedup_clusters", "x25_corpus_curation",
           "x28_unigram_surprisal", "x29_quality_weighted_sample",
           "x21_split_leakage", "x23_split_cluster_safe",
-          "j4_daily_business_metrics")
+          "x41_dedup_segments", "j4_daily_business_metrics")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)

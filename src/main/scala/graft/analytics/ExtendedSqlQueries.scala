@@ -612,8 +612,96 @@ object ExtendedSqlQueries {
            |FROM sess GROUP BY user_id, sid
            |ORDER BY user_id, start_us""".stripMargin))
 
+  /** Q8 — k-anonymity generalization-lattice audit (k = 5): for each
+    * full-domain generalization level of the quasi-identifier set
+    * (nation, segment, account-balance band) → (region, segment, band) →
+    * (region, segment) → (segment), the released-vs-suppressed row split
+    * if every group smaller than k is suppressed (Sweeney's k-anonymity
+    * with record suppression). This is the decision table a curator
+    * reads to pick the minimal generalization before releasing
+    * customer-joined training data — the structured-data counterpart of
+    * t26's PII redaction. `meets_5pct` marks levels whose suppression
+    * cost is within the conventional 5% budget.
+    *
+    * Exactness: suppression rate in exact integer basis points; each
+    * level is one combinable groupBy + one bounded re-agg (groups, never
+    * rows, reach the second stage). The 4 levels union over the SAME
+    * PlanCache'd joined projection — at corpus scale that's one scan of
+    * the fact side feeding four group-bounded aggregates. The balance
+    * band is `floor(acctbal / 2000)` — one IEEE division + floor,
+    * portable.
+    */
+  val q8KAnonymity = QueryDef(
+    "q8_k_anonymity",
+    "k=5 anonymity audit per generalization level: groups, released/suppressed, bp",
+    (s, d) => {
+      val joined = graft.PlanCache.persisted(s, s"q8-joined:$d") {
+        Tables.load(s, d, "customer")
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_name").as("nation"), col("r_name").as("region"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      }
+      val levels: Seq[(Int, Seq[org.apache.spark.sql.Column])] = Seq(
+        0 -> Seq(col("nation"), col("segment"), col("bal_band")),
+        1 -> Seq(col("region"), col("segment"), col("bal_band")),
+        2 -> Seq(col("region"), col("segment")),
+        3 -> Seq(col("segment")))
+      levels.map { case (lvl, qi) =>
+        joined.groupBy(qi: _*).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n") >= 5, col("n")).otherwise(0L)).as("released"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L)).as("suppressed"))
+          .select(lit(lvl).as("level") +: Seq(
+            col("n_groups"), col("released"), col("suppressed"),
+            expr("suppressed * 10000 div (released + suppressed)")
+              .as("suppression_bp")): _*)
+      }.reduce(_.unionAll(_))
+        .withColumn("meets_5pct", col("suppression_bp") <= 500)
+        .orderBy("level")
+    },
+    Some("""WITH j AS (
+           |  SELECT n_name AS nation, r_name AS region,
+           |         c_mktsegment AS segment,
+           |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+           |  FROM customer
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey),
+           |l0 AS (SELECT nation, segment, bal_band, count(*) AS n FROM j GROUP BY 1, 2, 3),
+           |l1 AS (SELECT region, segment, bal_band, count(*) AS n FROM j GROUP BY 1, 2, 3),
+           |l2 AS (SELECT region, segment, count(*) AS n FROM j GROUP BY 1, 2),
+           |l3 AS (SELECT segment, count(*) AS n FROM j GROUP BY 1),
+           |a AS (
+           |  SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_groups,
+           |         CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT) AS released,
+           |         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS suppressed
+           |  FROM l0
+           |  UNION ALL
+           |  SELECT 1, CAST(count(*) AS BIGINT),
+           |         CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT),
+           |         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           |  FROM l1
+           |  UNION ALL
+           |  SELECT 2, CAST(count(*) AS BIGINT),
+           |         CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT),
+           |         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           |  FROM l2
+           |  UNION ALL
+           |  SELECT 3, CAST(count(*) AS BIGINT),
+           |         CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT),
+           |         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           |  FROM l3)
+           |SELECT level, n_groups, released, suppressed,
+           |       suppressed * 10000 // (released + suppressed) AS suppression_bp,
+           |       suppressed * 10000 // (released + suppressed) <= 500 AS meets_5pct
+           |FROM a ORDER BY level""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
-    e7GroupingSets, w9FirstLast, q7OutlierDays, e8OrderedListagg,
-    e9RecursiveMonthSpine, st1SessionsBatch, st10SessionWindow)
+    e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
+    e8OrderedListagg, e9RecursiveMonthSpine, st1SessionsBatch,
+    st10SessionWindow)
 }

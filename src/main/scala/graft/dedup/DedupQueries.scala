@@ -558,6 +558,151 @@ object DedupQueries {
             |FROM p WHERE i * 5 >= least(sza, szb) * 4
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Fixed segment grid width for X41 (words per segment). Real substring
+    * dedup runs 50-token windows; 8 keeps the demo corpus's drop path
+    * exercised (175/3,609 segments recur at sf0.01) at the same shape.
+    */
+  val SEGMENT_WORDS = 8
+
+  /** X41 — segment-level exact dedup: substring-granular deduplication on
+    * a fixed word grid (the within-document counterpart of x1's doc-level
+    * hash dedup, after the exact-substring dedup of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed as a grid approximation Spark can run as joins/aggs
+    * instead of a distributed suffix array). Each document is cut into
+    * consecutive [[SEGMENT_WORDS]]-word segments; a segment whose text
+    * already occurred earlier in the corpus (global first-occurrence
+    * order = (doc_id, seg_idx)) is DROPPED; survivors are reassembled in
+    * order into the deduplicated text. This removes repeated boilerplate
+    * *inside* otherwise-unique documents — the dominant duplication mode
+    * doc-level dedup cannot touch.
+    *
+    * Scale posture: the first-occurrence decision is a map-side-combinable
+    * `min` groupBy over the segment's md5 (segment TEXT never shuffles in
+    * the decision path — 32-byte fingerprints do); survivors are a
+    * semi-join on (fp, first_key); reassembly sorts each doc's OWN
+    * bounded segment list (`array_sort`, ≤ words/SEGMENT_WORDS elements)
+    * — a per-row expression, not a corpus window. Nothing is O(corpus²).
+    * First-occurrence keys encode as `doc_id·100000 + seg_idx` (exact
+    * while doc_id < 9.2e13 and docs < 100k·SEGMENT_WORDS words — both
+    * hold with huge margin at 100 TB).
+    */
+  val x41SegmentDedup = QueryDef(
+    "x41_dedup_segments",
+    s"drop corpus-duplicated $SEGMENT_WORDS-word segments, rebuild docs (substring-granular dedup)",
+    (s, d) => {
+      val segs = docsWide(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, cast(ceil(size(toks) / ${SEGMENT_WORDS}.0) as int) - 1)"))
+            .as("seg_idx"))
+        .select(col("doc_id"), col("seg_idx"),
+          array_join(
+            slice(col("toks"), col("seg_idx") * SEGMENT_WORDS + 1, lit(SEGMENT_WORDS)),
+            " ").as("seg"))
+      val keyed = segs
+        .withColumn("fp", md5(col("seg")))
+        .withColumn("k", col("doc_id") * 100000L + col("seg_idx"))
+      val first = keyed.groupBy("fp").agg(min(col("k")).as("k"))
+      val kept = keyed.join(first, Seq("fp", "k"), "left_semi")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("kept_segs"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+              x => x.getField("seg")), " ").as("dedup_text"))
+      docs(s, d)
+        .select(col("doc_id"),
+          ceil(size(split(col("text"), " ")).cast("double") / SEGMENT_WORDS)
+            .cast("long").as("n_segs"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+          coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+          (coalesce(col("kept_segs"), lit(0L)).cast("double") / col("n_segs"))
+            .as("retention"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            |segs AS (SELECT doc_id, i AS seg_idx,
+            |           array_to_string(list_slice(t, i*$SEGMENT_WORDS+1, i*$SEGMENT_WORDS+$SEGMENT_WORDS), ' ') AS seg
+            |         FROM w, UNNEST(generate_series(0, CAST(ceil(len(t)/$SEGMENT_WORDS.0) AS INT) - 1)) AS u(i)),
+            |keyed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS fp,
+            |                 doc_id*100000 + seg_idx AS k FROM segs),
+            |firsts AS (SELECT fp, min(k) AS k FROM keyed GROUP BY fp),
+            |kept AS (SELECT keyed.* FROM keyed JOIN firsts USING (fp, k)),
+            |rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_segs,
+            |                   string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+            |            FROM kept GROUP BY doc_id),
+            |n AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' '))/$SEGMENT_WORDS.0) AS BIGINT) AS n_segs
+            |      FROM documents)
+            |SELECT n.doc_id, n.n_segs,
+            |       COALESCE(kept_segs, 0) AS kept_segs,
+            |       COALESCE(dedup_text, '') AS dedup_text,
+            |       CAST(COALESCE(kept_segs, 0) AS DOUBLE) / n.n_segs AS retention
+            |FROM n LEFT JOIN rebuilt USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** X42 — cross-source overlap matrix: which sources mirror which. The
+    * corpus-curation triage view over the near-dup pair set — mirrored/
+    * scraped-twice sources show up as off-diagonal cells, templated
+    * sources as heavy diagonals — that decides which SOURCE to drop
+    * before any per-document dedup runs. Cells aggregate the SAME
+    * cached x4/x27/x35 inverted-index pair frame (marginal cost ≈ one
+    * tiny join + agg); overlap strength is Σinter/Σunion in EXACT
+    * integers with one final division (a mean of per-pair Jaccard
+    * doubles would depend on partial-agg order).
+    */
+  val x42SourceOverlap = QueryDef(
+    "x42_source_overlap",
+    "source x source near-dup matrix: pair counts + weighted Jaccard (>= 0.5 pairs)",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      ngramPairCounts(s, d, SHINGLE_DF_CAP)
+        .filter(col("inter") * 2 >= col("sza") + col("szb") - col("inter"))
+        // no broadcast hint: the doc→source map is corpus-sized at scale
+        // while the ≥τ pair set is small — AQE broadcasts the PAIR side
+        // at runtime when it is, and shuffles otherwise
+        .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(
+          least(col("sa.source"), col("sb.source")).as("source_a"),
+          greatest(col("sa.source"), col("sb.source")).as("source_b"),
+          col("inter"),
+          (col("sza") + col("szb") - col("inter")).as("un"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("inter")).as("sum_inter"),
+          sum(col("un")).as("sum_union"))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          col("sum_inter"), col("sum_union"),
+          (col("sum_inter").cast("double") / col("sum_union"))
+            .as("weighted_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH $shinglesSql,
+            |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+            |capped AS ${dfCapSql("sh", Seq("shingle"), SHINGLE_DF_CAP)},
+            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+            |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |          GROUP BY 1, 2),
+            |p AS (SELECT doc_a, doc_b, i, sa.sz + sb.sz - i AS un
+            |      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+            |                 JOIN sizes sb ON doc_b = sb.doc_id
+            |      WHERE i * 2 >= sa.sz + sb.sz - i),
+            |lab AS (SELECT least(da.source, db.source) AS source_a,
+            |               greatest(da.source, db.source) AS source_b, i, un
+            |        FROM p JOIN documents da ON doc_a = da.doc_id
+            |               JOIN documents db ON doc_b = db.doc_id)
+            |SELECT source_a, source_b,
+            |       CAST(count(*) AS BIGINT) AS n_pairs,
+            |       CAST(sum(i) AS BIGINT) AS sum_inter,
+            |       CAST(sum(un) AS BIGINT) AS sum_union,
+            |       CAST(sum(i) AS DOUBLE) / sum(un) AS weighted_jaccard
+            |FROM lab GROUP BY 1, 2
+            |ORDER BY source_a, source_b""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(x1DedupExact, x2MinHashLsh, x3SimHash,
-    x4NgramJaccard, x27DedupSweep, x35Containment)
+    x4NgramJaccard, x27DedupSweep, x35Containment, x41SegmentDedup,
+    x42SourceOverlap)
 }

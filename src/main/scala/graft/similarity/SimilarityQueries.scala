@@ -444,7 +444,98 @@ object SimilarityQueries {
          |ORDER BY np.nprobe""".stripMargin
     })
 
+  /** Cosine threshold above which a vector is a semantic duplicate of an
+    * earlier one in its cluster (x40). Corpus-calibrated: the synthetic
+    * embeddings are near-orthogonal (within-cluster p99 cos ≈ 0.33, max
+    * 0.45 at sf0.01), so 0.35 exercises the drop path; on real text
+    * embeddings this knob sits at 0.9+.
+    */
+  private val SEMDEDUP_TAU = 0.35
+
+  /** X40 — semantic dedup, the SemDeDup shape (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus with k-means, then compare pairs
+    * only WITHIN a cluster and drop every vector that has an
+    * earlier-kept near-duplicate above τ. Complements x5 (static
+    * sign-bucket LSH blocking): the blocking key here is LEARNED — the
+    * same deterministic IVF index x9/x39 build (seed `vec_id % 16`,
+    * exact fixed-point centroids, 1 Lloyd round), so the index cost is
+    * shared with ANN serving and the oracle replays the whole build.
+    *
+    * Keep rule: a vector is dropped iff some LOWER-id vector in its
+    * cluster has cosine ≥ τ (deterministic greedy keep-first — the
+    * streaming-friendly variant of SemDeDup's keep-one-per-group; every
+    * emitted row records its keeper `dup_of` and its nearest earlier
+    * neighbor's similarity `nn_sim`).
+    *
+    * Scale posture: all-pairs never happens — the self-join is an
+    * equi-join on `cid` (k-means lists ≈ corpus/k each, and a skewed
+    * cluster is AQE-splittable); the per-vector verdict is one
+    * map-side-combinable groupBy over the pair stream. At 100 TB this is
+    * the published SemDeDup recipe: cluster count scales with the corpus
+    * so list sizes stay bounded.
+    */
+  val x40SemanticDedup = QueryDef(
+    "x40_semantic_dedup",
+    s"SemDeDup: within-k-means-cluster cosine >= $SEMDEDUP_TAU keep-first dedup verdict per vector",
+    (s, d) => {
+      val (index, _) = ivfIndex(s, d)
+      val v = index.withColumn("nrm", dotFix(col("embedding"), col("embedding")))
+      val pairs = v.as("a")
+        .join(v.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("cand"),
+          cosine(dotFix(col("a.embedding"), col("b.embedding")),
+            col("a.nrm"), col("b.nrm")).as("cos_sim"))
+      val verdict = pairs.groupBy("vec_id")
+        .agg(max(col("cos_sim")).as("nn_sim"),
+          min(when(col("cos_sim") >= SEMDEDUP_TAU, col("cand"))).as("dup_of"))
+      index.select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .join(verdict, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          col("dup_of").isNotNull.as("is_dup"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("nn_sim"), lit(-2.0)).as("nn_sim"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def centSql(src: String): String = {
+        val sums = (1 to DIM).map(i =>
+          s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0 AS c$i")
+          .mkString(", ")
+        s"SELECT cid, $sums FROM $src GROUP BY cid"
+      }
+      def distSql(e: String): String =
+        (1 to DIM).map(i =>
+          s"(CAST($e[$i] AS DOUBLE) - c.c$i) * (CAST($e[$i] AS DOUBLE) - c.c$i)")
+          .mkString(" + ")
+      s"""WITH a0 AS (SELECT vec_id, embedding, vec_id % 16 AS cid FROM embeddings),
+         |c0 AS (${centSql("a0")}),
+         |d1 AS (SELECT v.vec_id, v.embedding, c.cid,
+         |         ${distSql("v.embedding")} AS dist
+         |       FROM embeddings v CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, embedding, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |n AS (SELECT a1.*, ${dotSql("a1", "a1").replace("a1.embedding", "embedding")} AS nrm FROM a1),
+         |pairs AS (
+         |  SELECT b.vec_id AS vec_id, a.vec_id AS cand,
+         |         CAST(${dotSql("a", "b")} AS DOUBLE) /
+         |           (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos_sim
+         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |verdict AS (
+         |  SELECT vec_id, max(cos_sim) AS nn_sim,
+         |         min(CASE WHEN cos_sim >= $SEMDEDUP_TAU THEN cand END) AS dup_of
+         |  FROM pairs GROUP BY vec_id)
+         |SELECT a1.vec_id, CAST(a1.cid AS BIGINT) AS cid,
+         |       v.dup_of IS NOT NULL AS is_dup,
+         |       COALESCE(v.dup_of, -1) AS dup_of,
+         |       COALESCE(v.nn_sim, -2.0) AS nn_sim
+         |FROM a1 LEFT JOIN verdict v ON a1.vec_id = v.vec_id
+         |ORDER BY a1.vec_id""".stripMargin
+    })
+
   val defs: Seq[QueryDef] =
     Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf,
-      x31HardNegatives, x39AnnRecall)
+      x31HardNegatives, x39AnnRecall, x40SemanticDedup)
 }

@@ -710,8 +710,85 @@ object TextQueries {
            |FROM tot t LEFT JOIN cov ON t.source = cov.csource
            |ORDER BY source""".stripMargin))
 
+  /** Curated-seed sources for the T28 model-based scorer (stand-in for
+    * "known-good corpus" — Wikipedia/books in the published recipes).
+    */
+  private val CURATED_SOURCES = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** T28 — MODEL-BASED quality scoring: train a linear scorer that
+    * contrasts a curated seed corpus against the background, then score
+    * every document with it — the GPT-3/CCNet data-filtering pattern
+    * (classifier trained "curated vs web", documents kept by score),
+    * complementing t21/t27's hand-written heuristics with a LEARNED
+    * signal. The model is a Rocchio/class-centroid contrast: per token,
+    * weight = rate_ppm(curated) − rate_ppm(background) (class-conditional
+    * token rates in exact integer ppm); a document's score is its mean
+    * token weight. Positive score ⇒ the doc's unigram profile sits closer
+    * to the curated centroid ⇒ selected.
+    *
+    * Training is ONE distributed pass (token explode → two
+    * map-side-combinable groupBys); the model is vocabulary-bounded and
+    * broadcast for scoring, so scoring is a map-side join at any corpus
+    * size. Exactness: weights and per-doc sums are integer ppm all the
+    * way (no transcendental log-likelihoods, which quantize differently
+    * across engines); the emitted `score_ppm` is ONE IEEE division of
+    * identical integers.
+    */
+  val t28QualityModel = QueryDef(
+    "t28_quality_model",
+    "learned quality score per doc: curated-vs-background token-rate contrast (ppm)",
+    (s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      val labeled = toks.withColumn("cls",
+        col("source").isInCollection(CURATED_SOURCES).cast("int"))
+      val counts = labeled.groupBy("tok", "cls").agg(count(lit(1)).as("c"))
+      val totals = labeled.groupBy("cls").agg(count(lit(1)).as("tot"))
+      val rates = counts.join(broadcast(totals), "cls")
+        .withColumn("rate_ppm", expr("(c * 1000000) div tot"))
+      val weights = rates.groupBy("tok")
+        .agg((coalesce(max(when(col("cls") === 1, col("rate_ppm"))), lit(0L)) -
+          coalesce(max(when(col("cls") === 0, col("rate_ppm"))), lit(0L)))
+          .as("w_ppm"))
+      labeled.join(broadcast(weights), Seq("tok"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("w_ppm")).as("wsum"), count(lit(1)).as("n_toks"))
+        .select(col("doc_id"), col("source"),
+          col("source").isInCollection(CURATED_SOURCES).as("is_curated"),
+          col("n_toks"), col("wsum"),
+          (col("wsum").cast("double") / col("n_toks")).as("score_ppm"),
+          (col("wsum") > 0).as("selected"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val curatedIn = CURATED_SOURCES.map(x => s"'$x'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |lab AS (SELECT doc_id, source, tok,
+         |          CASE WHEN source IN ($curatedIn) THEN 1 ELSE 0 END AS cls
+         |        FROM toks),
+         |counts AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+         |totals AS (SELECT cls, CAST(count(*) AS BIGINT) AS tot FROM lab GROUP BY 1),
+         |r AS (SELECT tok, cls, (c * 1000000) // tot AS rate_ppm
+         |      FROM counts JOIN totals USING (cls)),
+         |w AS (SELECT tok,
+         |        COALESCE(max(CASE WHEN cls = 1 THEN rate_ppm END), 0) -
+         |        COALESCE(max(CASE WHEN cls = 0 THEN rate_ppm END), 0) AS w_ppm
+         |      FROM r GROUP BY tok),
+         |sc AS (SELECT doc_id, source, CAST(sum(w_ppm) AS BIGINT) AS wsum,
+         |              CAST(count(*) AS BIGINT) AS n_toks
+         |       FROM lab JOIN w USING (tok) GROUP BY 1, 2)
+         |SELECT doc_id, source,
+         |       source IN ($curatedIn) AS is_curated,
+         |       n_toks, wsum,
+         |       CAST(wsum AS DOUBLE) / n_toks AS score_ppm,
+         |       wsum > 0 AS selected
+         |FROM sc ORDER BY doc_id""".stripMargin
+    })
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
-    t27QualityRules, x20SalientTerms, x24VocabDrift, x26Chunking,
-    x28UnigramSurprisal, x36VocabCoverage)
+    t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
+    x26Chunking, x28UnigramSurprisal, x36VocabCoverage)
 }
