@@ -117,6 +117,29 @@ object Ivf {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incrementally add a batch of vectors to a [[save]]d index WITHOUT a
+    * Lloyd rebuild: the batch is assigned against the index's EXISTING
+    * centroids (one broadcast-argmin pass over the batch only — the
+    * stored lists are untouched and never read) and appended into the
+    * `partitionBy(cid)` list layout, so only the touched cid directories
+    * gain files. This is the operational growth path at 100 TB: daily
+    * vector arrivals are a batch-assign + append, while centroid drift
+    * is a separate, independently-schedulable policy (periodic re-Lloyd
+    * + rewrite) — the standard serving-vs-training split for production
+    * IVF indexes.
+    *
+    * Contract ([[IvfSpec]]): after append, [[load]] returns lists equal
+    * to the old lists UNION `assign(batch, centroids)` — probes see the
+    * appended vectors exactly as a from-scratch assignment against the
+    * same centroids would place them.
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assign(batch, cents)
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
   /** Load a [[save]]d index: (inverted lists, centroids) — drop-in for
     * the pair [[buildIndex]] returns. `cid` comes back from the partition
     * directories as an inferred int in the same (last) column position

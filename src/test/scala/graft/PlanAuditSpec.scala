@@ -117,6 +117,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"chunking grew a shuffle:\n$plan")
   }
 
+  test("x41 segment dedup decides first-occurrence without a corpus window") {
+    val plan = planOf("x41_dedup_segments")
+    // the decision is a combinable min-groupBy + semi-join on the
+    // fingerprint; a Window over the corpus-wide segment stream would
+    // sort every segment per key and not partial-aggregate
+    assert(!plan.contains("Window"), s"x41 grew a corpus window:\n$plan")
+    assert(plan.contains("LeftSemi"), s"survivors must semi-join:\n$plan")
+  }
+
+  test("x40 semantic dedup blocks on the cluster id (equi-join, never BNLJ)") {
+    val plan = planOf("x40_semantic_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"x40 must equi-join on cid:\n$plan")
+  }
+
+  test("q8 lattice levels reuse ONE cached joined projection") {
+    val plan = planOf("q8_k_anonymity")
+    // four generalization levels over the same PlanCache'd frame: each
+    // level's aggregate must read the cache (the FileScan lines in the
+    // plan string are the InMemoryRelation's rendered BUILD plan, which
+    // runs once — every level leaf is an InMemoryTableScan)
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+      s"q8 levels must read the cached projection:\n$plan")
+  }
+
   test("x28 surprisal broadcasts the scalar total (no cartesian, no extra shuffle)") {
     val plan = planOf("x28_unigram_surprisal")
     assert(plan.contains("Broadcast"),

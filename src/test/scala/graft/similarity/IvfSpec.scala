@@ -63,6 +63,39 @@ class IvfSpec extends SparkSpec {
     Seq(idx, cents).foreach(Ivf.dropCheckpoint)
   }
 
+  test("append grows a saved index without rebuild, probing as if assigned fresh") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val base = vectors.filter(col("vec_id") < 400)
+    val batch = vectors.filter(col("vec_id") >= 400)
+    val (idx, cents) = Ivf.buildIndex(base, pmod(col("vec_id"), lit(10)), 1)
+    Ivf.save(idx, cents, dir)
+    Ivf.append(spark, dir, batch)
+    val (grown, gCents) = Ivf.load(spark, dir)
+    // lists == old lists UNION assign(batch, centroids), nothing lost
+    assert(grown.count() === vectors.count())
+    val expected = idx.select("vec_id", "cid")
+      .unionAll(Ivf.assign(batch, cents).select("vec_id", "cid"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toLong)).toSeq.sorted
+    val got = grown.select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === expected)
+    // probes on the grown index rank appended vectors identically to a
+    // from-scratch assignment against the same centroids
+    val queries = vectors.filter(col("vec_id") < 5)
+    val fresh = idx.select("vec_id", "embedding", "cid")
+      .unionAll(Ivf.assign(batch, cents).select("vec_id", "embedding", "cid"))
+    def probe(i: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      Ivf.topK(i.withColumn("cid", col("cid").cast("long")), cents, queries,
+        nprobe = 3, k = 5)
+        .select("q_id", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(probe(grown) === probe(fresh))
+    val appendedInTopK = Ivf.topK(grown, gCents, queries, nprobe = 10, k = 5)
+      .filter(col("vec_id") >= 400).count()
+    assert(appendedInTopK > 0, "appended vectors must be probe-visible")
+    Seq(idx, cents).foreach(Ivf.dropCheckpoint)
+  }
+
   test("probing more lists improves recall vs brute force") {
     val (idx, cents) = Ivf.buildIndex(vectors, pmod(col("vec_id"), lit(10)), 1)
     val queries = vectors.filter(col("vec_id") < 20)
