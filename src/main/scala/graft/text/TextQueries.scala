@@ -734,22 +734,33 @@ object TextQueries {
     * across engines); the emitted `score_ppm` is ONE IEEE division of
     * identical integers.
     */
+  /** The trained t28 model as data: (tok, w_ppm) — one distributed pass.
+    * Shared by the batch query below and the streaming
+    * [[graft.streaming.QualityGate]] (which snapshots the top-M weights
+    * as its scoring map).
+    */
+  private[graft] def qualityWeights(s: SparkSession, d: String) = {
+    val labeled = docs(s, d).select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("cls",
+        col("source").isInCollection(CURATED_SOURCES).cast("int"))
+    val counts = labeled.groupBy("tok", "cls").agg(count(lit(1)).as("c"))
+    val totals = labeled.groupBy("cls").agg(count(lit(1)).as("tot"))
+    val rates = counts.join(broadcast(totals), "cls")
+      .withColumn("rate_ppm", expr("(c * 1000000) div tot"))
+    rates.groupBy("tok")
+      .agg((coalesce(max(when(col("cls") === 1, col("rate_ppm"))), lit(0L)) -
+        coalesce(max(when(col("cls") === 0, col("rate_ppm"))), lit(0L)))
+        .as("w_ppm"))
+  }
+
   val t28QualityModel = QueryDef(
     "t28_quality_model",
     "learned quality score per doc: curated-vs-background token-rate contrast (ppm)",
     (s, d) => {
-      val toks = docs(s, d).select(col("doc_id"), col("source"),
+      val labeled = docs(s, d).select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
-      val labeled = toks.withColumn("cls",
-        col("source").isInCollection(CURATED_SOURCES).cast("int"))
-      val counts = labeled.groupBy("tok", "cls").agg(count(lit(1)).as("c"))
-      val totals = labeled.groupBy("cls").agg(count(lit(1)).as("tot"))
-      val rates = counts.join(broadcast(totals), "cls")
-        .withColumn("rate_ppm", expr("(c * 1000000) div tot"))
-      val weights = rates.groupBy("tok")
-        .agg((coalesce(max(when(col("cls") === 1, col("rate_ppm"))), lit(0L)) -
-          coalesce(max(when(col("cls") === 0, col("rate_ppm"))), lit(0L)))
-          .as("w_ppm"))
+      val weights = qualityWeights(s, d)
       labeled.join(broadcast(weights), Seq("tok"))
         .groupBy("doc_id", "source")
         .agg(sum(col("w_ppm")).as("wsum"), count(lit(1)).as("n_toks"))
@@ -787,8 +798,74 @@ object TextQueries {
          |FROM sc ORDER BY doc_id""".stripMargin
     })
 
+  /** X43 — hashed TF-IDF document vectors: the classical text featurizer
+    * (feature hashing / "hashing trick", Weinberger et al. 2009) as one
+    * distributed plan — every document becomes a fixed-width sparse
+    * vector regardless of vocabulary size, the bridge from the text
+    * surface to the similarity surface (ANN/semantic dedup over REAL
+    * text-derived vectors instead of a pre-supplied embedding column).
+    *
+    * Pipeline: token bag → per-token df → integer idf (floor-log2 of
+    * `16·n_docs/df` via binary-string length — the x28 no-libm trick;
+    * the ×16 smoothing keeps ubiquitous tokens at idf 4 instead of 0) →
+    * tf·idf summed into `md5u60(tok) % 64` buckets → L2-normalized
+    * (`sqrt` is correctly-rounded IEEE, portable). Everything before
+    * the final normalization is exact integer math.
+    *
+    * Scale posture: two combinable groupBys over the token stream (df,
+    * tf) + a vocabulary-bounded broadcast of the idf table; output is
+    * O(docs·64), never vocabulary-shaped. Emitted flattened
+    * (doc_id, bucket, weight) — the layout a bucketed ANN join consumes
+    * directly.
+    */
+  val x43HashedVectors = QueryDef(
+    "x43_hashed_doc_vectors",
+    "feature-hashed tf-idf doc vectors: 64 buckets, integer weights, L2-normalized",
+    (s, d) => {
+      graft.GraftExtensions.ensure(s)
+      val t = docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val idf = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(nd))
+        .select(col("tok"),
+          (length(bin(expr("(n_docs * 16) div df"))) - 1).cast("long").as("idf"))
+      val w = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .join(broadcast(idf), Seq("tok"))
+        .withColumn("bucket",
+          pmod(call_function("graft_md5u60", col("tok")), lit(64L)))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("tf") * col("idf")).as("wsum"))
+      val norm = w.groupBy("doc_id")
+        .agg(sum(col("wsum") * col("wsum")).as("ss"))
+      w.join(norm, Seq("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("wsum"),
+          (col("wsum").cast("double") / sqrt(col("ss").cast("double")))
+            .as("unit_weight"))
+        .orderBy("doc_id", "bucket")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+           |idf AS (
+           |  SELECT tok, CAST(len(bin((n_docs * 16) // df)) - 1 AS BIGINT) AS idf
+           |  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |        FROM t GROUP BY tok) CROSS JOIN nd),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           |       FROM t GROUP BY 1, 2),
+           |w AS (SELECT doc_id,
+           |             CAST(md5_number_lower(tok) >> 4 AS BIGINT) % 64 AS bucket,
+           |             CAST(sum(tf * idf) AS BIGINT) AS wsum
+           |      FROM tf JOIN idf USING (tok) GROUP BY 1, 2),
+           |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
+           |        FROM w GROUP BY 1)
+           |SELECT w.doc_id, w.bucket, w.wsum,
+           |       CAST(w.wsum AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS unit_weight
+           |FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+           |ORDER BY w.doc_id, w.bucket""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
-    x26Chunking, x28UnigramSurprisal, x36VocabCoverage)
+    x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors)
 }
