@@ -699,9 +699,96 @@ object ExtendedSqlQueries {
            |       suppressed * 10000 // (released + suppressed) <= 500 AS meets_5pct
            |FROM a ORDER BY level""".stripMargin))
 
+  /** Q9 — k-anonymous RELEASE: q8's audit turned into the enforced
+    * output. The release level is chosen IN-PLAN — the minimal
+    * generalization whose suppression cost fits the 5% budget (computed
+    * from the same lattice counts q8 reports) — and the released table
+    * is that level's ≥k groups with unified quasi-identifier columns
+    * (`geo` = nation / region / '*', `bal_band` = band / '*'), so the
+    * schema is level-independent and the policy knob never changes the
+    * shape downstream consumers read. Rows in <k groups are suppressed
+    * (never emitted); each released row is a GROUP with its size, which
+    * is exactly what a k-anonymous view may reveal.
+    *
+    * All four candidate levels aggregate the same PlanCache'd joined
+    * projection (one fact-side scan); the chosen-level scalar broadcasts
+    * back onto the 4-level union — group-bounded end to end.
+    */
+  val q9KAnonymousRelease = QueryDef(
+    "q9_k_anonymous_release",
+    "k=5 anonymous release at the minimal level within the 5% suppression budget",
+    (s, d) => {
+      val joined = graft.PlanCache.persisted(s, s"q8-joined:$d") {
+        Tables.load(s, d, "customer")
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_name").as("nation"), col("r_name").as("region"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      }
+      val star = lit("*")
+      val levels: Seq[(Int, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+        Seq(
+          (0, col("nation"), col("bal_band").cast("string")),
+          (1, col("region"), col("bal_band").cast("string")),
+          (2, col("region"), star),
+          (3, star, star))
+      val grouped = levels.map { case (lvl, geo, band) =>
+        joined.groupBy(geo.as("geo"), col("segment"), band.as("bal_band"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(lvl).as("level"), col("geo"), col("segment"),
+            col("bal_band"), col("n"))
+      }.reduce(_.unionAll(_))
+      val chosen = grouped.groupBy("level")
+        .agg(sum(when(col("n") < 5, col("n")).otherwise(0L)).as("sup"),
+          sum(col("n")).as("tot"))
+        .filter(col("sup") * 10000 <= col("tot") * 500)
+        .agg(min(col("level")).as("chosen_level"))
+      grouped.join(broadcast(chosen), col("level") === col("chosen_level"))
+        .filter(col("n") >= 5)
+        .select(col("chosen_level"), col("geo"), col("segment"),
+          col("bal_band"), col("n"))
+        .orderBy("geo", "segment", "bal_band")
+    },
+    Some("""WITH j AS (
+           |  SELECT n_name AS nation, r_name AS region,
+           |         c_mktsegment AS segment,
+           |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+           |  FROM customer
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey),
+           |g AS (
+           |  SELECT 0 AS level, nation AS geo, segment,
+           |         CAST(bal_band AS VARCHAR) AS bal_band,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM j GROUP BY 1, 2, 3, 4
+           |  UNION ALL
+           |  SELECT 1, region, segment, CAST(bal_band AS VARCHAR),
+           |         CAST(count(*) AS BIGINT)
+           |  FROM j GROUP BY 1, 2, 3, 4
+           |  UNION ALL
+           |  SELECT 2, region, segment, '*', CAST(count(*) AS BIGINT)
+           |  FROM j GROUP BY 1, 2, 3, 4
+           |  UNION ALL
+           |  SELECT 3, '*', segment, '*', CAST(count(*) AS BIGINT)
+           |  FROM j GROUP BY 1, 2, 3, 4),
+           |audit AS (
+           |  SELECT level,
+           |         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS sup,
+           |         CAST(sum(n) AS BIGINT) AS tot
+           |  FROM g GROUP BY 1),
+           |chosen AS (SELECT CAST(min(level) AS INTEGER) AS chosen_level
+           |           FROM audit WHERE sup * 10000 <= tot * 500)
+           |SELECT chosen_level, geo, segment, bal_band, n
+           |FROM g JOIN chosen ON g.level = chosen.chosen_level
+           |WHERE n >= 5
+           |ORDER BY geo, segment, bal_band""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
-    e8OrderedListagg, e9RecursiveMonthSpine, st1SessionsBatch,
-    st10SessionWindow)
+    q9KAnonymousRelease, e8OrderedListagg, e9RecursiveMonthSpine,
+    st1SessionsBatch, st10SessionWindow)
 }

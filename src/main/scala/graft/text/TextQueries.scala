@@ -818,24 +818,48 @@ object TextQueries {
     * (doc_id, bucket, weight) — the layout a bucketed ANN join consumes
     * directly.
     */
+  /** The x43 integer weight frame (doc_id, bucket, wsum) — exact tf·idf
+    * sums into hashed buckets; shared by x43 (per-doc vectors) and x44
+    * (per-source centroids).
+    */
+  private def hashedWeights(s: SparkSession, d: String) = {
+    graft.GraftExtensions.ensure(s)
+    val t = docs(s, d).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val idf = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("tok"),
+        (length(bin(expr("(n_docs * 16) div df"))) - 1).cast("long").as("idf"))
+    t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), Seq("tok"))
+      .withColumn("bucket",
+        pmod(call_function("graft_md5u60", col("tok")), lit(64L)))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("tf") * col("idf")).as("wsum"))
+  }
+
+  /** DuckDB CTEs t/nd/idf/tf/w replicating [[hashedWeights]]. */
+  private val hashedWeightsSql =
+    """t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |idf AS (
+      |  SELECT tok, CAST(len(bin((n_docs * 16) // df)) - 1 AS BIGINT) AS idf
+      |  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM t GROUP BY tok) CROSS JOIN nd),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM t GROUP BY 1, 2),
+      |w AS (SELECT doc_id,
+      |             CAST(md5_number_lower(tok) >> 4 AS BIGINT) % 64 AS bucket,
+      |             CAST(sum(tf * idf) AS BIGINT) AS wsum
+      |      FROM tf JOIN idf USING (tok) GROUP BY 1, 2)""".stripMargin
+
   val x43HashedVectors = QueryDef(
     "x43_hashed_doc_vectors",
     "feature-hashed tf-idf doc vectors: 64 buckets, integer weights, L2-normalized",
     (s, d) => {
-      graft.GraftExtensions.ensure(s)
-      val t = docs(s, d).select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
-      val idf = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-        .crossJoin(broadcast(nd))
-        .select(col("tok"),
-          (length(bin(expr("(n_docs * 16) div df"))) - 1).cast("long").as("idf"))
-      val w = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .join(broadcast(idf), Seq("tok"))
-        .withColumn("bucket",
-          pmod(call_function("graft_md5u60", col("tok")), lit(64L)))
-        .groupBy("doc_id", "bucket")
-        .agg(sum(col("tf") * col("idf")).as("wsum"))
+      val w = hashedWeights(s, d)
       val norm = w.groupBy("doc_id")
         .agg(sum(col("wsum") * col("wsum")).as("ss"))
       w.join(norm, Seq("doc_id"))
@@ -844,19 +868,7 @@ object TextQueries {
             .as("unit_weight"))
         .orderBy("doc_id", "bucket")
     },
-    Some("""WITH t AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-           |idf AS (
-           |  SELECT tok, CAST(len(bin((n_docs * 16) // df)) - 1 AS BIGINT) AS idf
-           |  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-           |        FROM t GROUP BY tok) CROSS JOIN nd),
-           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-           |       FROM t GROUP BY 1, 2),
-           |w AS (SELECT doc_id,
-           |             CAST(md5_number_lower(tok) >> 4 AS BIGINT) % 64 AS bucket,
-           |             CAST(sum(tf * idf) AS BIGINT) AS wsum
-           |      FROM tf JOIN idf USING (tok) GROUP BY 1, 2),
+    Some(s"""WITH $hashedWeightsSql,
            |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
            |        FROM w GROUP BY 1)
            |SELECT w.doc_id, w.bucket, w.wsum,
@@ -864,8 +876,72 @@ object TextQueries {
            |FROM w JOIN nrm ON w.doc_id = nrm.doc_id
            |ORDER BY w.doc_id, w.bucket""".stripMargin))
 
+  /** X44 — source-similarity map: pairwise cosine between per-source
+    * CENTROID vectors in the x43 hashed feature space — the domain map
+    * that drives mixture design (x16/x33 reweight by source; this says
+    * which sources are distributionally interchangeable) and complements
+    * x42's near-dup overlap (shared CONTENT) with distributional
+    * similarity (shared VOCABULARY PROFILE).
+    *
+    * Scale-stable exactness: the centroid coordinate is the PER-DOC MEAN
+    * integer weight (`Σ wsum div n_docs`) — bounded by the per-document
+    * weight scale no matter how many documents a source has, so squares
+    * and dot products stay in long range at any corpus size; cosine is
+    * one dot over two portable sqrts. Source-pair space is
+    * sources²-bounded (the x11 contamination argument), never
+    * corpus-bounded.
+    */
+  val x44SourceSimilarity = QueryDef(
+    "x44_source_similarity",
+    "pairwise cosine of per-source centroid vectors in the hashed tf-idf space",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      val nSrc = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val cent = hashedWeights(s, d).join(src, Seq("doc_id"))
+        .groupBy("source", "bucket").agg(sum(col("wsum")).as("sw"))
+        .join(broadcast(nSrc), Seq("source"))
+        .select(col("source"), col("bucket"),
+          expr("sw div n_docs").as("mw"))
+        .filter(col("mw") > 0)
+      val norms = cent.groupBy("source")
+        .agg(sum(col("mw") * col("mw")).as("ss"))
+      cent.as("a")
+        .join(cent.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(sum(col("a.mw") * col("b.mw")).as("dot"))
+        .join(norms.select(col("source").as("source_a"), col("ss").as("ssa")), "source_a")
+        .join(norms.select(col("source").as("source_b"), col("ss").as("ssb")), "source_b")
+        .select(col("source_a"), col("source_b"), col("dot"),
+          (col("dot").cast("double") /
+            (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
+            .as("cos_sim"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH $hashedWeightsSql,
+           |src AS (SELECT doc_id, source FROM documents),
+           |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+           |cent AS (SELECT source, bucket, (sw // n_docs) AS mw FROM
+           |           (SELECT source, bucket, CAST(sum(wsum) AS BIGINT) AS sw
+           |            FROM w JOIN src USING (doc_id) GROUP BY 1, 2)
+           |         JOIN ns USING (source)
+           |         WHERE (sw // n_docs) > 0),
+           |nrm AS (SELECT source, CAST(sum(mw * mw) AS BIGINT) AS ss FROM cent GROUP BY 1),
+           |p AS (SELECT a.source AS source_a, b.source AS source_b,
+           |             CAST(sum(a.mw * b.mw) AS BIGINT) AS dot
+           |      FROM cent a JOIN cent b
+           |        ON a.bucket = b.bucket AND a.source < b.source
+           |      GROUP BY 1, 2)
+           |SELECT source_a, source_b, dot,
+           |       CAST(dot AS DOUBLE) /
+           |         (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cos_sim
+           |FROM p JOIN nrm na ON source_a = na.source
+           |       JOIN nrm nb ON source_b = nb.source
+           |ORDER BY source_a, source_b""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
-    x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors)
+    x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
+    x44SourceSimilarity)
 }

@@ -26,4 +26,19 @@ class FeatureHashSpec extends SparkSpec {
       assert(wsum > 0, "smoothed idf must keep every weight positive")
     }
   }
+
+  test("x44 source map covers every source pair with cosine in [0,1]") {
+    val rows = TextQueries.x44SourceSimilarity.run(spark, sf01).collect()
+    // 20 sources -> C(20,2) unordered pairs
+    assert(rows.length === 190)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val cos = r.getDouble(3)
+      // nonnegative weights => nonnegative cosine; same hashed space
+      assert(cos >= 0.0 && cos <= 1.0 + 1e-12, s"cosine $cos out of range")
+    }
+    // same-vocabulary synthetic sources should look highly similar —
+    // the map's job is the RELATIVE ordering, pin only the hard bounds
+    assert(rows.map(_.getDouble(3)).max > 0.5)
+  }
 }
