@@ -3,6 +3,7 @@ package graft.text
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -658,6 +659,89 @@ object TextQueries {
            |       CAST(sum(mean6) AS DOUBLE) / count(*) / 1000000.0 AS avg_surprisal
            |FROM m GROUP BY source ORDER BY source""".stripMargin))
 
+  /** X45 — bigram conditional-surprisal scoring: the CCNet/KenLM
+    * perplexity-filter shape (Wenzek et al. 2020 filter CommonCrawl by
+    * LM perplexity) with the n-gram LM trained ON the corpus in the same
+    * plan. Each bigram event's surprisal is the floor-log2 of the inverse
+    * CONDITIONAL frequency `count(prev,*) / count(prev,tok)` — how
+    * unpredictable each token is given its predecessor — averaged per
+    * document and rolled up per source. Complements x28 (unigram): a doc
+    * of common words in an incoherent ORDER scores low on x28 but high
+    * here, which is exactly the word-salad signal perplexity filtering
+    * exists to catch.
+    *
+    * Portability: same no-libm discipline as x28 — surprisal is
+    * `bitlen(cc div bc) − 1` in exact integers; per-doc means are 1e-6
+    * fixed-point; the only doubles are display divisions of exact longs.
+    *
+    * Scale posture: token positions come from one posexplode; the
+    * predecessor is a `lag` window PARTITIONED BY doc_id (state bounded
+    * by the longest document, never the corpus); the bigram model is two
+    * map-combinable aggs over the bigram stream (model size ≤ distinct
+    * bigrams ≪ corpus at 100 TB after the token join AQE-broadcasts when
+    * small); scoring is an equi-join of the event stream against the
+    * model. No all-pairs, no driver state.
+    */
+  val x45BigramSurprisal = QueryDef(
+    "x45_bigram_surprisal",
+    "per-source mean bigram conditional surprisal (integer floor-log2 LM proxy)",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("source"), col("pos"), col("col").as("tok"))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks
+        .withColumn("prev", lag(col("tok"), 1).over(wd))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("source"), col("prev"), col("tok"))
+      val bg = big.groupBy("prev", "tok").agg(count(lit(1)).as("bc"))
+      val ctx = bg.groupBy("prev").agg(sum(col("bc")).as("cc"))
+      big.join(bg, Seq("prev", "tok")).join(ctx, Seq("prev"))
+        .withColumn("surp",
+          (length(bin(expr("cc div bc"))) - 1).cast("long"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("surp")).as("ssum"), count(lit(1)).as("n"))
+        .withColumn("mean6", expr("(ssum * 1000000) div n"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("mean6")).as("sum_mean6"),
+          min(col("mean6")).as("min_mean6"),
+          max(col("mean6")).as("max_mean6"))
+        .withColumn("avg_surprisal",
+          col("sum_mean6").cast("double") / col("n_docs") / 1e6)
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source,
+           |         unnest(string_split(text, ' ')) AS tok,
+           |         generate_subscripts(string_split(text, ' '), 1) AS pos
+           |  FROM documents),
+           |b2 AS (
+           |  SELECT doc_id, source, tok, prev FROM (
+           |    SELECT doc_id, source, tok,
+           |           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |    FROM toks)
+           |  WHERE prev IS NOT NULL),
+           |bg AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS bc
+           |       FROM b2 GROUP BY 1, 2),
+           |ctx AS (SELECT prev, CAST(sum(bc) AS BIGINT) AS cc FROM bg GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id, source, CAST(len(bin(cc // bc)) - 1 AS BIGINT) AS surp
+           |  FROM b2 JOIN bg USING (prev, tok) JOIN ctx USING (prev)),
+           |per_doc AS (
+           |  SELECT doc_id, source, sum(surp) AS ssum, CAST(count(*) AS BIGINT) AS n
+           |  FROM scored GROUP BY 1, 2),
+           |m AS (SELECT source, (ssum * 1000000) // n AS mean6 FROM per_doc)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(mean6) AS BIGINT) AS sum_mean6,
+           |       CAST(min(mean6) AS BIGINT) AS min_mean6,
+           |       CAST(max(mean6) AS BIGINT) AS max_mean6,
+           |       CAST(sum(mean6) AS DOUBLE) / count(*) / 1000000.0 AS avg_surprisal
+           |FROM m GROUP BY source ORDER BY source""".stripMargin))
+
   /** X36 — vocabulary coverage: what fraction of each source's token
     * mass the GLOBAL top-100 vocabulary covers — the tokenizer-sizing
     * diagnostic (a vocab that covers 95% of tokens leaves 5% to subword
@@ -939,9 +1023,115 @@ object TextQueries {
            |       JOIN nrm nb ON source_b = nb.source
            |ORDER BY source_a, source_b""".stripMargin))
 
+  /** X46 — topic clustering of the corpus in the x43 hashed tf-idf
+    * space: deterministic k-means (seed assignment `doc_id % 8`, one
+    * exact-integer Lloyd round — the same recipe the x9/x40 IVF build
+    * uses on the embedding table, here on REAL text-derived vectors) →
+    * per-topic census. This is the domain-DISCOVERY complement to x44's
+    * source-similarity map: x44 asks "how similar are the labeled
+    * sources", x46 asks "what unlabeled clusters does the corpus
+    * actually contain" — the input to mixture design when source labels
+    * are missing or unreliable (the common case for web-scale crawls).
+    *
+    * Determinism/portability: centroids are per-doc MEAN integer
+    * weights (`Σ wsum div n_docs`, the x44 centroid — bounded by the
+    * per-document weight scale at any corpus size); assignment maximizes
+    * cosine via the surrogate `dot / ‖c‖` (the doc norm is common across
+    * candidates) — the dot is an exact long, and the final sqrt/division
+    * are correctly-rounded IEEE ops both engines evaluate identically,
+    * so the ranking is bit-identical; ties break to the lowest topic id
+    * in both engines. Docs sharing no bucket with any centroid keep
+    * their seed topic.
+    *
+    * Scale posture: the centroid table is K×64 rows (broadcast); the
+    * dot-product join is bucket-keyed against that broadcast, so the
+    * score stream is O(docs·K) — all-pairs never happens; everything
+    * else is map-combinable aggregation. The census output is K rows.
+    */
+  val x46TopicClusters = QueryDef(
+    "x46_topic_clusters",
+    "k-means topic census over hashed tf-idf doc vectors (1 exact Lloyd round, k=8)",
+    (s, d) => {
+      val k = 8L
+      val w = hashedWeights(s, d)
+      val dsrc = docs(s, d).select(col("doc_id"), col("source"))
+      val seed = dsrc.select(col("doc_id"), pmod(col("doc_id"), lit(k)).as("cid0"))
+      val cn = seed.groupBy("cid0").agg(count(lit(1)).as("n_docs0"))
+      val cent = w.join(seed, Seq("doc_id"))
+        .groupBy("cid0", "bucket").agg(sum(col("wsum")).as("sw"))
+        .join(broadcast(cn), Seq("cid0"))
+        .select(col("cid0").as("cid"), col("bucket"),
+          expr("sw div n_docs0").as("mw"))
+        .filter(col("mw") > 0)
+      val cnorm = cent.groupBy("cid").agg(sum(col("mw") * col("mw")).as("ss"))
+      val scores = w.join(broadcast(cent), Seq("bucket"))
+        .groupBy("doc_id", "cid").agg(sum(col("wsum") * col("mw")).as("dot"))
+        .join(broadcast(cnorm), Seq("cid"))
+        // dot/√ss, LINEAR in the document's weight scale (dot² would be
+        // quadratic and can leave long range on a concentrated
+        // multi-megatoken doc); both engines cast the same exact longs
+        // and apply correctly-rounded IEEE sqrt/division, so the ranking
+        // is bit-identical
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("ss").cast("double")))
+      val wa = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cid"))
+      val assign = scores.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") === 1).select(col("doc_id"), col("cid"))
+      val fin = dsrc.join(assign, Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(col("cid"), pmod(col("doc_id"), lit(k))).as("topic"))
+      val bySrc = fin.groupBy("topic", "source").agg(count(lit(1)).as("c"))
+      val wm = Window.partitionBy("topic").orderBy(col("c").desc, col("source"))
+      val top = bySrc.withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1)
+        .select(col("topic"), col("source").as("top_source"),
+          col("c").as("top_source_docs"))
+      fin.groupBy("topic")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .join(top, Seq("topic"))
+        .orderBy("topic")
+    },
+    Some(s"""WITH $hashedWeightsSql,
+           |dsrc AS (SELECT doc_id, source FROM documents),
+           |seed AS (SELECT doc_id, doc_id % 8 AS cid0 FROM dsrc),
+           |cn AS (SELECT cid0, CAST(count(*) AS BIGINT) AS n_docs0
+           |       FROM seed GROUP BY 1),
+           |cent AS (SELECT cid0 AS cid, bucket, (sw // n_docs0) AS mw FROM
+           |           (SELECT cid0, bucket, CAST(sum(wsum) AS BIGINT) AS sw
+           |            FROM w JOIN seed USING (doc_id) GROUP BY 1, 2)
+           |         JOIN cn USING (cid0)
+           |         WHERE (sw // n_docs0) > 0),
+           |cnorm AS (SELECT cid, CAST(sum(mw * mw) AS BIGINT) AS ss
+           |          FROM cent GROUP BY 1),
+           |dots AS (SELECT w.doc_id, cent.cid, CAST(sum(wsum * mw) AS BIGINT) AS dot
+           |         FROM w JOIN cent USING (bucket) GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, cid,
+           |              CAST(dot AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS score
+           |       FROM dots JOIN cnorm USING (cid)),
+           |assign AS (SELECT doc_id, cid FROM
+           |            (SELECT doc_id, cid,
+           |                    row_number() OVER (PARTITION BY doc_id
+           |                                       ORDER BY score DESC, cid) AS rn
+           |             FROM sc) WHERE rn = 1),
+           |fin AS (SELECT d.source, COALESCE(a.cid, d.doc_id % 8) AS topic
+           |        FROM dsrc d LEFT JOIN assign a USING (doc_id)),
+           |bysrc AS (SELECT topic, source, CAST(count(*) AS BIGINT) AS c
+           |          FROM fin GROUP BY 1, 2),
+           |top AS (SELECT topic, source AS top_source, c AS top_source_docs FROM
+           |         (SELECT *, row_number() OVER (PARTITION BY topic
+           |                                       ORDER BY c DESC, source) AS rn
+           |          FROM bysrc) WHERE rn = 1),
+           |st AS (SELECT topic, CAST(count(*) AS BIGINT) AS n_docs,
+           |              CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           |       FROM fin GROUP BY 1)
+           |SELECT st.topic, st.n_docs, st.n_sources,
+           |       top.top_source, top.top_source_docs
+           |FROM st JOIN top USING (topic) ORDER BY topic""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
-    x44SourceSimilarity)
+    x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters)
 }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Single-query timing harness for fast perf iteration: runs the named
+  * inventory queries against a sf dir with the same noop-write forcing
+  * and warmup discipline as [[graft.Bench]], without paying for the full
+  * inventory.
+  *
+  * Usage: runMain graft.tools.TimeQuery <sfDir> <name1,name2,...> [runs]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-timequery",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    force(SparkEntry.queries("j4_daily_business_metrics")(spark, sfDir)) // warmup
+    names.foreach { n =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(n)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timequery] $n: median ${times.sorted.apply(times.size / 2)}%.3f s " +
+        times.map(t => f"$t%.3f").mkString("(", ", ", ")"))
+    }
+    spark.stop()
+  }
+}
