@@ -183,13 +183,20 @@ object DedupQueries {
     * by the pair join and [[lshOccupancy]] so the diagnostic measures the
     * exact frame the join consumes.
     */
-  private[graft] def minHashBandsUncapped(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(docsWide(s, d))
+  private[graft] def minHashBandsUncapped(s: SparkSession, d: String): DataFrame =
+    minHashBandsOf(s, docsWide(s, d), s"x2_sig/$d")
+
+  /** The same band builder over an arbitrary `(doc_id, text)` frame —
+    * x2 feeds it the corpus; x48 feeds it the corpus + planted mutants.
+    */
+  private[graft] def minHashBandsOf(s: SparkSession, docFrame: DataFrame,
+      sigCacheKey: String): DataFrame = {
+    val sh = shingles(docFrame)
     val u60 = md5u60(col("shingle"))
     val hashed = sh.select(col("doc_id"),
       shiftright(u60, 30).as("h1"),
       u60.bitwiseAND(lit((1L << 30) - 1)).as("h2"))
-    val sig = graft.PlanCache.persisted(s, s"x2_sig/$d") {
+    val sig = graft.PlanCache.persisted(s, sigCacheKey) {
       hashed
         .groupBy("doc_id")
         .agg(min((col("h1") + col("h2") * 0) % MOD_P).as("m0"),
@@ -214,8 +221,13 @@ object DedupQueries {
         col("bs.sig").as("sig") +: (0 until K).map(k => col(s"m$k")): _*)
   }
 
-  def minHashLshPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val bands = dfCap(minHashBandsUncapped(s, d), Seq("band", "sig"), cap)
+  def minHashLshPairs(s: SparkSession, d: String, cap: Int): DataFrame =
+    pairsFromBands(dfCap(minHashBandsUncapped(s, d), Seq("band", "sig"), cap))
+
+  /** Candidate-pair join + signature scoring over a (possibly capped)
+    * band frame from [[minHashBandsOf]].
+    */
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
     val matches = (0 until K)
       .map(k => when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
       .reduce(_ + _)
@@ -778,7 +790,121 @@ object DedupQueries {
            |            greatest(len(ha), len(hb), 1) AS BIGINT) AS sim_bp
            |FROM p WHERE edit_dist <= 20 ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** X48 — detector-recall calibration: plant a LADDER of known near-dup
+    * mutations into the corpus IN-PLAN (every 5th doc gets a copy with
+    * every 25th / 13th / 7th token dropped — descending true Jaccard)
+    * and measure what fraction of the planted (original, mutant) pairs
+    * the x2 MinHash+LSH detector actually surfaces. This is the number a
+    * dedup rollout decision needs: x27 sweeps the THRESHOLD on found
+    * pairs, x48 measures what the bucketing NEVER FINDS (LSH recall is
+    * probabilistic in the signature: with 4 bands of 4, a pair at
+    * Jaccard J collides with probability 1−(1−J⁴)⁴, so the ladder traces
+    * the detector's sensitivity curve on this corpus's own text).
+    *
+    * Everything is deterministic — the mutation is a positional token
+    * filter (identical in both engines), the detector is the md5-based
+    * x2 chain — so recall itself is oracle-replayable bit-for-bit, not a
+    * sampled estimate.
+    *
+    * Scale posture: the augmented frame is ≤ 1.6× the corpus (3 mutant
+    * families × 20% of docs), the detector chain is the production x2
+    * plan (banded, df-capped), and the truth join is an equi-join on the
+    * planted pair keys — O(planted), never O(pairs²).
+    */
+  val x48DedupRecall = QueryDef(
+    "x48_dedup_recall",
+    "MinHash LSH recall against a planted mutation ladder (detector calibration)",
+    (s, d) => {
+      val levels = Seq((1L, 25), (2L, 13), (3L, 7))
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val aug = levels.map { case (lvl, p) =>
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(lvl * 1000000L)).as("doc_id"),
+            concat_ws(" ",
+              expr(s"filter(split(text, ' '), (t, i) -> (i + 1) % $p != 0)"))
+              .as("text"))
+      }.foldLeft(base)(_ unionByName _)
+      val bands = dfCap(
+        minHashBandsOf(s, aug.repartition(col("doc_id")), s"x48_sig/$d"),
+        Seq("band", "sig"), BAND_DF_CAP)
+      val pairs = pairsFromBands(bands)
+      val planted = levels.map { case (lvl, p) =>
+        base.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + lit(lvl * 1000000L)).as("doc_b"),
+            lit(lvl).as("level"), lit(p.toLong).as("drop_every"))
+      }.reduce(_ unionByName _)
+      planted.join(pairs, Seq("doc_a", "doc_b"), "left")
+        .groupBy("level", "drop_every")
+        .agg(
+          count(lit(1)).as("n_planted"),
+          sum(when(col("est_jaccard").isNotNull, 1L).otherwise(0L)).as("n_found"),
+          // est is an exact multiple of 1/16 → ×16 sums as exact longs
+          sum(when(col("est_jaccard").isNotNull,
+            (col("est_jaccard") * K).cast("long")).otherwise(0L))
+            .as("sum_sixteenths"))
+        .withColumn("recall_bp", expr("n_found * 10000 DIV n_planted"))
+        .orderBy("level")
+    },
+    Some {
+      val mins = (0 until K).map(k =>
+        s"min((h1 + $k * h2) % $MOD_P) AS m$k")
+        .mkString(",\n         ")
+      val bandSigs = (0 until BANDS).map { b =>
+        val parts = (0 until 4).map(j => s"CAST(m${4 * b + j} AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM mh"
+      }.mkString("\n       UNION ALL ")
+      val matchSum = (0 until K)
+        .map(k => s"(CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val mutant = (lvl: Int, p: Int) =>
+        s"""SELECT doc_id + ${lvl}000000 AS doc_id,
+           |  array_to_string(list_filter(string_split(text, ' '),
+           |                              (t, i) -> i % $p != 0), ' ') AS text
+           |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL ${mutant(1, 25)}
+         |  UNION ALL ${mutant(2, 13)}
+         |  UNION ALL ${mutant(3, 7)}),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug
+         |          WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+         |hashed AS (SELECT doc_id,
+         |             CAST((md5_number_lower(shingle) >> 4) >> 30 AS BIGINT) AS h1,
+         |             CAST((md5_number_lower(shingle) >> 4) & ${(1L << 30) - 1} AS BIGINT) AS h2
+         |           FROM sh),
+         |mh AS (SELECT doc_id,
+         |         $mins
+         |       FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSigs),
+         |capped AS ${dfCapSql("bands", Seq("band", "sig"), BAND_DF_CAP)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM capped a JOIN capped b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b, CAST($matchSum AS DOUBLE) / $K AS est_jaccard
+         |          FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id),
+         |planted AS (
+         |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+         |         CAST(1 AS BIGINT) AS level, CAST(25 AS BIGINT) AS drop_every
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 2000000, 2, 13 FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 3000000, 3, 7 FROM documents WHERE doc_id % 5 = 0)
+         |SELECT level, drop_every,
+         |       CAST(count(*) AS BIGINT) AS n_planted,
+         |       CAST(count(p.est_jaccard) AS BIGINT) AS n_found,
+         |       CAST(COALESCE(sum(CAST(p.est_jaccard * $K AS BIGINT)), 0) AS BIGINT)
+         |         AS sum_sixteenths,
+         |       (CAST(count(p.est_jaccard) AS BIGINT) * 10000) // count(*) AS recall_bp
+         |FROM planted t LEFT JOIN pairs p USING (doc_a, doc_b)
+         |GROUP BY level, drop_every ORDER BY level""".stripMargin
+    })
+
   val defs: Seq[QueryDef] = Seq(x1DedupExact, x2MinHashLsh, x3SimHash,
     x4NgramJaccard, x27DedupSweep, x35Containment, x41SegmentDedup,
-    x42SourceOverlap, x47DedupEdit)
+    x42SourceOverlap, x47DedupEdit, x48DedupRecall)
 }

@@ -254,6 +254,107 @@ object Multimodal {
       case e: Exception => Left(s"image decode failed: ${e.getMessage}")
     }
 
+  /** DCT-II basis for the 32-point transform, `basis(u)(x) =
+    * cos(π/32 · (x + ½) · u)`. `StrictMath.cos` (fdlibm, bit-identical
+    * on every JVM) so a hash computed on one executor image equals the
+    * same hash on any other — `Math.cos` is allowed to differ per
+    * platform and would make the fingerprint column machine-dependent.
+    */
+  private lazy val dctBasis32: Array[Array[Double]] =
+    Array.tabulate(32, 32)((u, x) =>
+      StrictMath.cos(StrictMath.PI / 32.0 * (x + 0.5) * u))
+
+  /** 64-bit DCT hash (pHash) — the frequency-domain perceptual
+    * fingerprint: average-pool the luminance to a 32×32 grid (same
+    * deterministic integer-block pooling as [[aHash]], no Graphics2D
+    * resampling), take the 2D DCT-II, keep the 63 lowest-frequency
+    * coefficients (top-left 8×8 minus the DC term, which only encodes
+    * global brightness), and set each bit by comparing against their
+    * median. Captures image STRUCTURE rather than local intensity, so
+    * rescaled/blurred/re-encoded variants stay within a few bits where
+    * aHash can drift; the DCT is computed partially (only the 8
+    * low-frequency rows/cols) so the per-image cost is 32·32·8 + 32·8·8
+    * multiplies, not a full 32×32 transform.
+    */
+  def pHash(payload: Array[Byte]): Either[String, Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Left("undecodable image")
+      else if (img.getWidth < 32 || img.getHeight < 32)
+        Left(s"image too small for pHash: ${img.getWidth}x${img.getHeight}")
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = new Array[Double](32 * 32)
+        var by = 0
+        while (by < 32) {
+          val y0 = by * h / 32; val y1 = (by + 1) * h / 32
+          var bx = 0
+          while (bx < 32) {
+            val x0 = bx * w / 32; val x1 = (bx + 1) * w / 32
+            var s = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += 0.2126 * ((rgb >> 16) & 0xff) +
+                  0.7152 * ((rgb >> 8) & 0xff) + 0.0722 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            cell(by * 32 + bx) = s / ((y1 - y0).toLong * (x1 - x0))
+            bx += 1
+          }
+          by += 1
+        }
+        // separable partial DCT: rows (32×8), then columns (8×8)
+        val rows = Array.ofDim[Double](32, 8)
+        var y = 0
+        while (y < 32) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var x = 0
+            while (x < 32) { s += cell(y * 32 + x) * dctBasis32(v)(x); x += 1 }
+            rows(y)(v) = s
+            v += 1
+          }
+          y += 1
+        }
+        val coef = new Array[Double](63)
+        var u = 0
+        var i = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if (u != 0 || v != 0) {
+              var s = 0.0
+              var yy = 0
+              while (yy < 32) { s += rows(yy)(v) * dctBasis32(u)(yy); yy += 1 }
+              coef(i) = s
+              i += 1
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val sorted = coef.clone()
+        java.util.Arrays.sort(sorted)
+        val median = sorted(31)
+        var hash = 0L
+        i = 0
+        while (i < 63) {
+          if (coef(i) > median) hash |= (1L << i)
+          i += 1
+        }
+        Right(hash)
+      }
+    } catch {
+      case e: Exception => Left(s"image decode failed: ${e.getMessage}")
+    }
+
   final case class ImageHash(media_id: Long, ahash: Long)
 
   /** Near-duplicate IMAGE pairs via aHash band blocking — the multimodal
@@ -264,14 +365,30 @@ object Multimodal {
     * [[extractFeatures]]).
     */
   def nearDupImagePairs(media: Dataset[MediaRow],
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6): DataFrame =
+    mineHashPairs(hashImages(media, aHash), maxHamming)
+
+  /** [[nearDupImagePairs]] with the DCT hash ([[pHash]]) — same band
+    * blocking and exact Hamming verify, but the candidate signature is
+    * frequency-domain, so rescaled/blurred re-encodes of the same image
+    * still collide.
+    */
+  def nearDupImagePairsDct(media: Dataset[MediaRow],
+      maxHamming: Int = 6): DataFrame =
+    mineHashPairs(hashImages(media, pHash), maxHamming)
+
+  private def hashImages(media: Dataset[MediaRow],
+      hashFn: Array[Byte] => Either[String, Long]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val hashed = media
+    media
       .filter(r => r.meta != null && r.meta.media_type == "image")
       .mapPartitions(_.flatMap(r =>
-        aHash(r.payload).toOption.map(ImageHash(r.media_id, _))))
+        hashFn(r.payload).toOption.map(ImageHash(r.media_id, _))))
       .toDF()
+  }
+
+  private def mineHashPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val bands = hashed.select(col("media_id"), col("ahash"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bits", expr("shiftright(ahash, band * 16) & 65535"))
