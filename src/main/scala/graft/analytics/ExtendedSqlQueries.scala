@@ -786,9 +786,85 @@ object ExtendedSqlQueries {
            |WHERE n >= 5
            |ORDER BY geo, segment, bal_band""".stripMargin))
 
+  /** Q10 — per-column table profile: the engine-side analog of the
+    * reference query tool's column/dtype summary surface
+    * (`utils-dev/s3_parquet_query.py:291-292` prints columns + dtypes;
+    * the pandas workflow it supports is `describe()`-style profiling),
+    * as a distributed plan: for every `orders` column — row count,
+    * non-null count, exact distinct count, and TYPED min/max rendered
+    * to strings (min/max computed on the native type and cast after
+    * aggregation — lexicographic min over stringified numerics would be
+    * wrong; doubles render through DECIMAL(12,2) because raw
+    * double→string formatting is not portable across engines).
+    *
+    * Scale posture: one map-combinable aggregation computes all
+    * count/min/max cells in a single scan (no Expand — plain
+    * aggregates only); distinct counts come from one stack + groupBy
+    * pass whose single distinct-aggregate per group avoids the
+    * multi-countDistinct Expand blowup; output is columns-bounded.
+    */
+  val q10ColumnProfile = QueryDef(
+    "q10_column_profile",
+    "per-column profile of orders: nulls, exact distincts, typed min/max",
+    (s, d) => {
+      val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      def castStr(n: String)(c: org.apache.spark.sql.Column) =
+        if (n == "o_totalprice")
+          c.cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("string")
+        else c.cast("string")
+      val o = Tables.load(s, d, "orders")
+      val aggs = count(lit(1)).as("n_rows") +: names.flatMap { n =>
+        Seq(count(col(n)).as(s"${n}_nn"),
+          castStr(n)(min(col(n))).as(s"${n}_min"),
+          castStr(n)(max(col(n))).as(s"${n}_max"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val perCol = wide.select(col("n_rows"),
+        explode(array(names.map(n => struct(
+          lit(n).as("column_name"),
+          col(s"${n}_nn").as("n_nonnull"),
+          col(s"${n}_min").as("min_val"),
+          col(s"${n}_max").as("max_val"))): _*)).as("e"))
+        .select(col("e.column_name"), col("n_rows"), col("e.n_nonnull"),
+          col("e.min_val"), col("e.max_val"))
+      // distinct pass: raw-value string cast is injective per column in
+      // both engines, so the COUNT matches even though the rendering of
+      // a raw double differs — only counts cross the engine boundary
+      val dist = o.select(explode(array(names.map(n => struct(
+          lit(n).as("column_name"),
+          col(n).cast("string").as("v"))): _*)).as("e"))
+        .select(col("e.column_name"), col("e.v"))
+        .groupBy("column_name")
+        .agg(countDistinct(col("v")).as("n_distinct"))
+      perCol.join(dist, Seq("column_name"))
+        .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy("column_name")
+    },
+    Some {
+      val cols = Seq(
+        ("o_orderkey", "CAST(%s AS VARCHAR)"),
+        ("o_custkey", "CAST(%s AS VARCHAR)"),
+        ("o_orderstatus", "CAST(%s AS VARCHAR)"),
+        ("o_totalprice", "CAST(CAST(%s AS DECIMAL(12,2)) AS VARCHAR)"),
+        ("o_orderdate", "CAST(%s AS VARCHAR)"),
+        ("o_orderpriority", "CAST(%s AS VARCHAR)"))
+      cols.map { case (n, fmt) =>
+        val mn = fmt.format(s"min($n)")
+        val mx = fmt.format(s"max($n)")
+        s"""SELECT '$n' AS column_name,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           |       CAST(count($n) AS BIGINT) AS n_nonnull,
+           |       CAST(count(DISTINCT $n) AS BIGINT) AS n_distinct,
+           |       $mn AS min_val, $mx AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
-    q9KAnonymousRelease, e8OrderedListagg, e9RecursiveMonthSpine,
-    st1SessionsBatch, st10SessionWindow)
+    q9KAnonymousRelease, q10ColumnProfile, e8OrderedListagg,
+    e9RecursiveMonthSpine, st1SessionsBatch, st10SessionWindow)
 }

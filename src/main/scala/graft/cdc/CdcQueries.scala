@@ -15,43 +15,39 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CdcQueries {
 
-  /** CDC1 — envelope synthesis → unwrap (string→decimal) → latest-by-LSN
-    * compaction → per-status current-state rollup.
+  /** The deterministic synthetic change stream both engines can build
+    * from `orders`: insert per order, update for fulfilled orders,
+    * delete for every 97th key — decimal-as-string money through the
+    * envelope, LSN-ordered. Shared by cdc1 (compaction) and cdc3 (SCD2
+    * history); `histSql` is the DuckDB mirror.
     */
-  val cdc1UnwrapCompact = QueryDef(
-    "cdc1_unwrap_compact",
-    "synthetic CDC stream -> unwrap -> latest-by-LSN compaction -> rollup",
-    (s, d) => {
-      val o = Tables.load(s, d, "orders")
-      // decimal-as-string envelope money (Debezium decimal.handling.mode)
-      val price = col("o_totalprice").cast(DecimalType(12, 2)).cast("string")
-      val ins = o.select(
-        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
-        price.as("total_price"), lit("c").as("__op"),
-        (col("o_orderkey") * 10).as("__source_lsn"))
-      val upd = o.filter(col("o_orderstatus") === "F").select(
-        col("o_orderkey").as("id"), lit("S").as("status"),
-        // additive bump: exact decimal math, no scale-2 rounding ties
-        // (a multiplicative bump hits half-cent ties where engines differ
-        // in rounding mode)
-        (col("o_totalprice").cast(DecimalType(12, 2)) + lit(1.05).cast(DecimalType(3, 2)))
-          .cast("string").as("total_price"),
-        lit("u").as("__op"), (col("o_orderkey") * 10 + 1).as("__source_lsn"))
-      val del = o.filter(col("o_orderkey") % 97 === 0).select(
-        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
-        price.as("total_price"), lit("d").as("__op"),
-        (col("o_orderkey") * 10 + 2).as("__source_lsn"))
-      val history = ins.unionByName(upd).unionByName(del)
-        .withColumn("total_price", col("total_price").cast(DecimalType(12, 2)))
-      Cdc.currentState(history)
-        .groupBy("status")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("total_price")).cast("double").as("sum_price"),
-          max(col("__source_lsn")).as("max_lsn"))
-        .orderBy("status")
-    },
-    Some("""WITH hist AS (
+  private def syntheticHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.load(s, d, "orders")
+    // decimal-as-string envelope money (Debezium decimal.handling.mode)
+    val price = col("o_totalprice").cast(DecimalType(12, 2)).cast("string")
+    val ins = o.select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+      price.as("total_price"), lit("c").as("__op"),
+      (col("o_orderkey") * 10).as("__source_lsn"))
+    val upd = o.filter(col("o_orderstatus") === "F").select(
+      col("o_orderkey").as("id"), lit("S").as("status"),
+      // additive bump: exact decimal math, no scale-2 rounding ties
+      // (a multiplicative bump hits half-cent ties where engines differ
+      // in rounding mode)
+      (col("o_totalprice").cast(DecimalType(12, 2)) + lit(1.05).cast(DecimalType(3, 2)))
+        .cast("string").as("total_price"),
+      lit("u").as("__op"), (col("o_orderkey") * 10 + 1).as("__source_lsn"))
+    val del = o.filter(col("o_orderkey") % 97 === 0).select(
+      col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+      price.as("total_price"), lit("d").as("__op"),
+      (col("o_orderkey") * 10 + 2).as("__source_lsn"))
+    ins.unionByName(upd).unionByName(del)
+      .withColumn("total_price", col("total_price").cast(DecimalType(12, 2)))
+  }
+
+  private val histSql =
+    """hist AS (
               SELECT o_orderkey AS id, o_orderstatus AS status,
                      CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)) AS total_price,
                      'c' AS op, o_orderkey * 10 AS lsn
@@ -65,7 +61,24 @@ object CdcQueries {
               SELECT o_orderkey, o_orderstatus,
                      CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)),
                      'd', o_orderkey * 10 + 2
-              FROM orders WHERE o_orderkey % 97 = 0),
+              FROM orders WHERE o_orderkey % 97 = 0)"""
+
+  /** CDC1 — envelope synthesis → unwrap (string→decimal) → latest-by-LSN
+    * compaction → per-status current-state rollup.
+    */
+  val cdc1UnwrapCompact = QueryDef(
+    "cdc1_unwrap_compact",
+    "synthetic CDC stream -> unwrap -> latest-by-LSN compaction -> rollup",
+    (s, d) => {
+      Cdc.currentState(syntheticHistory(s, d))
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("total_price")).cast("double").as("sum_price"),
+          max(col("__source_lsn")).as("max_lsn"))
+        .orderBy("status")
+    },
+    Some(s"""WITH $histSql,
             latest AS (
               SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
               FROM hist)
@@ -111,5 +124,53 @@ object CdcQueries {
             FROM lineitem WHERE l_partkey <= 200
             ORDER BY l_partkey, l_orderkey, l_linenumber"""))
 
-  val defs: Seq[QueryDef] = Seq(cdc1UnwrapCompact, cdc2RunningStock)
+  /** CDC3 — SCD type-2 dimension history from the change stream: every
+    * value-bearing event (`c`/`u`) becomes a VERSION row with an LSN
+    * validity interval `[valid_from_lsn, valid_to_lsn)`; the next event
+    * on the same key (including a delete) closes the previous version,
+    * and `is_current` marks versions no later event superseded — so a
+    * deleted key has history but no current row. This is the staging
+    * derivation the reference's warehouse implies: the raw layer keeps
+    * the APPEND-ONLY CDC rows (`.kiro/specs/batch-analytics-layer/
+    * design.md:304-330` — every `__op` retained with `__source_lsn`),
+    * and point-in-time queries need them folded into validity intervals
+    * rather than latest-only compaction (W4/cdc1's job).
+    *
+    * Scale posture: both windows (lead + version numbering) partition by
+    * the dimension KEY — state bounded by one key's change count, never
+    * the table; Catalyst plans them over one sort. A point-in-time
+    * lookup against the output is a range predicate on the interval —
+    * j9's bucketized range join applies when it must be a join.
+    */
+  val cdc3Scd2 = QueryDef(
+    "cdc3_scd2_history",
+    "SCD type-2 dimension history: LSN validity intervals + current flags",
+    (s, d) => {
+      val w = Window.partitionBy("id").orderBy("__source_lsn")
+      val versions = syntheticHistory(s, d)
+        .withColumn("next_lsn", lead(col("__source_lsn"), 1).over(w))
+        .filter(col("__op") =!= "d")
+      val wv = Window.partitionBy("id").orderBy("__source_lsn")
+      versions
+        .withColumn("version_no", row_number().over(wv).cast("long"))
+        .select(col("id"), col("status"),
+          col("total_price").cast("double").as("price"),
+          col("__source_lsn").as("valid_from_lsn"),
+          coalesce(col("next_lsn"), lit(-1L)).as("valid_to_lsn"),
+          col("next_lsn").isNull.as("is_current"),
+          col("version_no"))
+        .orderBy("id", "valid_from_lsn")
+    },
+    Some(s"""WITH $histSql,
+            v AS (SELECT *, lead(lsn) OVER (PARTITION BY id ORDER BY lsn) AS next_lsn
+                  FROM hist)
+            SELECT id, status, CAST(total_price AS DOUBLE) AS price,
+                   lsn AS valid_from_lsn,
+                   COALESCE(next_lsn, -1) AS valid_to_lsn,
+                   next_lsn IS NULL AS is_current,
+                   CAST(row_number() OVER (PARTITION BY id ORDER BY lsn) AS BIGINT) AS version_no
+            FROM v WHERE op <> 'd'
+            ORDER BY id, valid_from_lsn"""))
+
+  val defs: Seq[QueryDef] = Seq(cdc1UnwrapCompact, cdc2RunningStock, cdc3Scd2)
 }

@@ -83,6 +83,15 @@ object SustainedLoad {
     def sustained(targetSec: Double = 5.0): Boolean =
       caughtUp && e2e.nonEmpty && p95 >= 0 && p95 < targetSec &&
         producerMaxLagSec < 1.0
+    /** The PIPELINE held the rate but the producer thread slipped its
+      * own schedule (a driver-side stall while moving a file — GC or a
+      * host I/O hiccup): the latency acceptance passed and only the
+      * offered-rate-honesty guard failed. This is measurement noise,
+      * not pipeline capacity, so [[sweep]] retries such a probe once.
+      */
+    def lagOnlyFailure(targetSec: Double = 5.0): Boolean =
+      !sustained(targetSec) && caughtUp && e2e.nonEmpty && p95 >= 0 &&
+        p95 < targetSec && producerMaxLagSec >= 1.0
     def toJson: String =
       s"""{"offered_eps":${offeredEps.round},"achieved_eps":${achievedEps.round},""" +
         s""""produced_events":$producedEvents,"valid_events":$validEvents,""" +
@@ -379,22 +388,33 @@ object SustainedLoad {
     }
 
     // ---- ladder: climb until the first unsustainable rate ----
+    // a probe whose ONLY failure is producer-schedule slip (the pipeline
+    // held the latency target) is re-run once before the rung is scored:
+    // a single >1 s driver stall moving a file says nothing about
+    // pipeline capacity, and without the retry it silently truncates the
+    // climb (observed: a 32k rung with p95 2.7 s failed on lag 1.3 s and
+    // the sweep recorded 25k). Both attempts stay in `probes`.
     var probes = Vector.empty[Result]
+    def probeAt(eps: Int): Result = {
+      val r = runAt(eps, probeSec, catchupSec = 120)
+      probes :+= r
+      if (r.lagOnlyFailure(targetSec)) {
+        val retry = runAt(eps, probeSec, catchupSec = 120)
+        probes :+= retry
+        retry
+      } else r
+    }
     var lastPass = 0
     var firstFail = 0
     val it = ladderEps.iterator
     while (it.hasNext && firstFail == 0) {
       val eps = it.next()
-      val r = runAt(eps, probeSec, catchupSec = 120)
-      probes :+= r
-      if (r.sustained(targetSec)) lastPass = eps else firstFail = eps
+      if (probeAt(eps).sustained(targetSec)) lastPass = eps else firstFail = eps
     }
     // ---- one midpoint refinement between the bracketing rates ----
     if (lastPass > 0 && firstFail > lastPass + 5000) {
       val mid = (lastPass + firstFail) / 2 / 1000 * 1000
-      val r = runAt(mid, probeSec, catchupSec = 120)
-      probes :+= r
-      if (r.sustained(targetSec)) lastPass = mid
+      if (probeAt(mid).sustained(targetSec)) lastPass = mid
     }
 
     // ---- full-length record at the winner (fall back to the acceptance
@@ -402,7 +422,11 @@ object SustainedLoad {
     var recordEps = if (lastPass > 0) lastPass else ladderEps.head
     var record = runAt(recordEps, recordSec, catchupSec = 180)
     var attempts = 1
-    if (!record.sustained(targetSec) && lastPass > 0) {
+    if (record.lagOnlyFailure(targetSec)) {
+      // producer-side stall, pipeline held: retry at the SAME rate
+      record = runAt(recordEps, recordSec, catchupSec = 180)
+      attempts = 2
+    } else if (!record.sustained(targetSec) && lastPass > 0) {
       // the longer window exposed drift: step down 10% and retry once
       recordEps = recordEps * 9 / 10 / 1000 * 1000
       record = runAt(recordEps, recordSec, catchupSec = 180)

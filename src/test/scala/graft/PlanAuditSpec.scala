@@ -38,6 +38,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q10 profile: two scans, no Expand (plain aggregates, single-distinct stack)") {
+    val plan = planOf("q10_column_profile")
+    assert(!plan.contains("Expand"),
+      s"q10 grew an Expand (multi-distinct blowup):\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"q10 scans the table $scans times:\n$plan")
+  }
+
   test("j9/j10/j11 range joins plan bucket equi-joins, never BroadcastNestedLoop") {
     // the failure mode for a non-equi join is BNLJ (small side) or a
     // cartesian (checked inventory-wide above): the bucketized rewrite
