@@ -115,5 +115,60 @@ object CustomerQueries {
             FROM customer LEFT JOIN pc ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  val defs: Seq[QueryDef] = Seq(a10TierAnalytics, w7RepeatCustomers)
+  /** A18 — recency-decayed customer lifetime value: each order's
+    * contribution halves every 7 days of age relative to the fixed
+    * reference date (t13's anchor), so the score ranks customers by
+    * RECENT spend — the churn-weighted LTV marts feed retention
+    * campaigns with, vs a1's all-time totals.
+    *
+    * Exactness under parallel aggregation: the naive `price·2^{−k}`
+    * sums tiny doubles whose FP addition is ORDER-dependent — Spark's
+    * partial-aggregation tree and a single-threaded oracle would
+    * disagree in the last ulps. So the decay is integer fixed-point:
+    * `cents·10⁶ div 2^age_weeks` (exact long shift-division, age capped
+    * at 62 so the shift never overflows), summed exactly in any order;
+    * the only double is the final display division.
+    */
+  val a18DecayedLtv = QueryDef(
+    "a18_decayed_ltv",
+    "recency-decayed LTV per customer (7-day half-life, exact fixed-point)",
+    (s, d) => {
+      ord(s, d)
+        .withColumn("cents",
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long"))
+        // integer DIV, not Column./ — the latter is floating division
+        .withColumn("age_weeks",
+          least(
+            expr("CAST(datediff(DATE '2001-09-01', to_date(o_orderdate)) DIV 7 AS BIGINT)"),
+            lit(62L)))
+        .withColumn("decayed_micro",
+          expr("(cents * 1000000) DIV shiftleft(CAST(1 AS BIGINT), CAST(age_weeks AS INT))"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("decayed_micro")).as("decayed_micro"))
+        .withColumn("decayed_value",
+          col("decayed_micro").cast("double") / 1e6 / 100.0)
+        .orderBy("c_custkey")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey,
+           |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           |         least(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') // 7,
+           |               62) AS age_weeks
+           |  FROM orders),
+           |dm AS (SELECT o_custkey,
+           |              cents,
+           |              (cents * 1000000) // (CAST(1 AS BIGINT) << age_weeks) AS decayed_micro
+           |       FROM o)
+           |SELECT o_custkey AS c_custkey,
+           |       CAST(count(*) AS BIGINT) AS n_orders,
+           |       CAST(sum(cents) AS BIGINT) AS total_cents,
+           |       CAST(sum(decayed_micro) AS BIGINT) AS decayed_micro,
+           |       CAST(sum(decayed_micro) AS DOUBLE) / 1000000.0 / 100.0 AS decayed_value
+           |FROM dm GROUP BY 1 ORDER BY c_custkey""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(a10TierAnalytics, w7RepeatCustomers,
+    a18DecayedLtv)
 }

@@ -394,7 +394,52 @@ object EventQueries {
            |       CAST(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
+  /** W10 — event-type transition matrix: per user, each event's
+    * successor (ordered by event time, event_id tiebreak — both engines
+    * compare the same epoch-µs longs and the same strings), rolled up to
+    * `from_type → to_type` counts and per-from shares. This is the
+    * behavioral-flow complement of a7's fixed funnel: the funnel counts
+    * a HAND-PICKED path, the transition matrix discovers which paths
+    * exist (and feeds Markov-chain session models / next-event
+    * prediction features).
+    *
+    * Scale posture: one `lag` window partitioned by user (state bounded
+    * by one user's event count), then two map-combinable aggs; output
+    * is event-types² rows regardless of volume.
+    */
+  val w10EventTransitions = QueryDef(
+    "w10_event_transitions",
+    "per-user event-type transition matrix with per-source-type shares",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val trans = ev(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = trans.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      trans.join(fromTot, Seq("from_type"))
+        .withColumn("share_bp", expr("n * 10000 DIV n_from"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+           |t AS (SELECT event_type AS to_type,
+           |             lag(event_type) OVER (PARTITION BY user_id
+           |                                   ORDER BY us, event_id) AS from_type
+           |      FROM base),
+           |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+           |SELECT from_type, to_type, n, n_from, n * 10000 // n_from AS share_bp
+           |FROM c JOIN f USING (from_type)
+           |ORDER BY from_type, to_type""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
     t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
-    a15CohortRetention, a16HoppingWindows, a17VariantExtract)
+    a15CohortRetention, a16HoppingWindows, a17VariantExtract,
+    w10EventTransitions)
 }

@@ -840,11 +840,54 @@ object RelationalQueries {
            |       abs((n_early * 10000) // t_early - (n_late * 10000) // t_late) AS drift_bp
            |FROM counts CROSS JOIN totals ORDER BY bin""".stripMargin))
 
+  /** Q11 — functional-dependency audit: for each candidate `X → Y`, how
+    * many X-groups carry more than one Y value. FDs are the contract
+    * behind dimensional modeling (a dimension key must determine its
+    * attributes — cdc3's SCD2 build and the warehouse staging layer
+    * assume it) and behind dedup survivorship (x34 merges on the
+    * premise that cluster → canonical is a function); this audit says
+    * which assumed dependencies actually hold in the data. Each
+    * candidate is one groupBy + one single-distinct aggregate
+    * (map-combinable, no Expand); output is candidates-bounded.
+    */
+  val q11FunctionalDeps = QueryDef(
+    "q11_functional_deps",
+    "functional-dependency audit: violating group counts per candidate X→Y",
+    (s, d) => {
+      def fd(df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String) =
+        df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating_groups"))
+          .select(lit(s"$lhs->$rhs").as("fd"), col("n_groups"),
+            col("violating_groups"),
+            (col("violating_groups") === 0).as("holds"))
+      fd(ord(s, d), "o_orderkey", "o_custkey")
+        .unionByName(fd(ord(s, d), "o_custkey", "o_orderstatus"))
+        .unionByName(fd(li(s, d), "l_orderkey", "l_suppkey"))
+        .unionByName(fd(li(s, d), "l_partkey", "l_suppkey"))
+        .orderBy("fd")
+    },
+    Some {
+      def fdSql(table: String, lhs: String, rhs: String) =
+        s"""SELECT '$lhs->$rhs' AS fd,
+           |       CAST(count(*) AS BIGINT) AS n_groups,
+           |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+           |       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd FROM $table GROUP BY $lhs)""".stripMargin
+      Seq(
+        fdSql("orders", "o_orderkey", "o_custkey"),
+        fdSql("orders", "o_custkey", "o_orderstatus"),
+        fdSql("lineitem", "l_orderkey", "l_suppkey"),
+        fdSql("lineitem", "l_partkey", "l_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    })
+
   val defs: Seq[QueryDef] = Seq(q0TableCensus,
     t4FilterProject, t6DecodeMap, t9DerivedFlags, t12Bucketize, t13DateArith,
     t14LineDerivations, j1ThreeWay, j2Enrich, j3NewVsReturning,
     j4DailyBusinessMetrics, a1CustomerMetrics, a2DailyOrderKpis, a6OpSummary,
     a13Percentiles, a13bPercentilesApprox, w1RankInCategory, w3OrderGaps, w4LatestByKey,
     w6FavoriteCategory, u1RuleViolations, q2Uniqueness,
-    q4ReferentialIntegrity, j6Reconciliation, q6DistributionDrift)
+    q4ReferentialIntegrity, j6Reconciliation, q6DistributionDrift,
+    q11FunctionalDeps)
 }

@@ -908,19 +908,79 @@ object TextQueries {
     */
   private def hashedWeights(s: SparkSession, d: String) = {
     graft.GraftExtensions.ensure(s)
-    val t = docs(s, d).select(col("doc_id"),
+    val dd = docs(s, d)
+    hashedWeightsOf(dd, idfOf(dd))
+  }
+
+  /** The x43 integer idf table of a `(doc_id, text)` frame — separated
+    * from the featurizer so a STREAMING consumer ([[graft.streaming
+    * .TopicDrift]]) can freeze the idf of a trusted baseline and
+    * featurize live batches against it (a live batch must not re-derive
+    * document frequencies from itself: the feature space would move).
+    */
+  private[graft] def idfOf(docFrame: org.apache.spark.sql.DataFrame) = {
+    val t = docFrame.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-    val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    val idf = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val nd = docFrame.agg(count(lit(1)).as("n_docs"))
+    t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nd))
       .select(col("tok"),
         (length(bin(expr("(n_docs * 16) div df"))) - 1).cast("long").as("idf"))
-    t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The x43 featurizer against a GIVEN idf table (tokens absent from it
+    * drop out, the standard frozen-vocabulary behavior). Callers ensure
+    * [[graft.GraftExtensions]] is registered.
+    */
+  private[graft] def hashedWeightsOf(docFrame: org.apache.spark.sql.DataFrame,
+      idf: org.apache.spark.sql.DataFrame) =
+    docFrame.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .join(broadcast(idf), Seq("tok"))
       .withColumn("bucket",
         pmod(call_function("graft_md5u60", col("tok")), lit(64L)))
       .groupBy("doc_id", "bucket")
       .agg(sum(col("tf") * col("idf")).as("wsum"))
+
+  /** The x46 centroid build over a weight frame: per-(seed, bucket) mean
+    * integer weights + squared norms. Returns (centroids, norms).
+    */
+  private[graft] def topicCentroids(w: org.apache.spark.sql.DataFrame,
+      seed: org.apache.spark.sql.DataFrame) = {
+    val cn = seed.groupBy("cid0").agg(count(lit(1)).as("n_docs0"))
+    val cent = w.join(seed, Seq("doc_id"))
+      .groupBy("cid0", "bucket").agg(sum(col("wsum")).as("sw"))
+      .join(broadcast(cn), Seq("cid0"))
+      .select(col("cid0").as("cid"), col("bucket"),
+        expr("sw div n_docs0").as("mw"))
+      .filter(col("mw") > 0)
+    (cent, cent.groupBy("cid").agg(sum(col("mw") * col("mw")).as("ss")))
+  }
+
+  /** The x46 cosine-argmax assignment of every doc in `docIds` against
+    * broadcast centroids; docs sharing no bucket with any centroid keep
+    * their seed topic `doc_id % k`.
+    */
+  private[graft] def topicAssign(w: org.apache.spark.sql.DataFrame,
+      docIds: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      cnorm: org.apache.spark.sql.DataFrame, k: Long) = {
+    val scores = w.join(broadcast(cent), Seq("bucket"))
+      .groupBy("doc_id", "cid").agg(sum(col("wsum") * col("mw")).as("dot"))
+      .join(broadcast(cnorm), Seq("cid"))
+      // dot/√ss, LINEAR in the document's weight scale (dot² would be
+      // quadratic and can leave long range on a concentrated
+      // multi-megatoken doc); both engines cast the same exact longs
+      // and apply correctly-rounded IEEE sqrt/division, so the ranking
+      // is bit-identical
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("ss").cast("double")))
+    val wa = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cid"))
+    val assign = scores.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1).select(col("doc_id"), col("cid"))
+    docIds.join(assign, Seq("doc_id"), "left")
+      .withColumn("topic", coalesce(col("cid"), pmod(col("doc_id"), lit(k))))
+      .drop("cid")
   }
 
   /** DuckDB CTEs t/nd/idf/tf/w replicating [[hashedWeights]]. */
@@ -1056,30 +1116,9 @@ object TextQueries {
       val w = hashedWeights(s, d)
       val dsrc = docs(s, d).select(col("doc_id"), col("source"))
       val seed = dsrc.select(col("doc_id"), pmod(col("doc_id"), lit(k)).as("cid0"))
-      val cn = seed.groupBy("cid0").agg(count(lit(1)).as("n_docs0"))
-      val cent = w.join(seed, Seq("doc_id"))
-        .groupBy("cid0", "bucket").agg(sum(col("wsum")).as("sw"))
-        .join(broadcast(cn), Seq("cid0"))
-        .select(col("cid0").as("cid"), col("bucket"),
-          expr("sw div n_docs0").as("mw"))
-        .filter(col("mw") > 0)
-      val cnorm = cent.groupBy("cid").agg(sum(col("mw") * col("mw")).as("ss"))
-      val scores = w.join(broadcast(cent), Seq("bucket"))
-        .groupBy("doc_id", "cid").agg(sum(col("wsum") * col("mw")).as("dot"))
-        .join(broadcast(cnorm), Seq("cid"))
-        // dot/√ss, LINEAR in the document's weight scale (dot² would be
-        // quadratic and can leave long range on a concentrated
-        // multi-megatoken doc); both engines cast the same exact longs
-        // and apply correctly-rounded IEEE sqrt/division, so the ranking
-        // is bit-identical
-        .withColumn("score",
-          col("dot").cast("double") / sqrt(col("ss").cast("double")))
-      val wa = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cid"))
-      val assign = scores.withColumn("rn", row_number().over(wa))
-        .filter(col("rn") === 1).select(col("doc_id"), col("cid"))
-      val fin = dsrc.join(assign, Seq("doc_id"), "left")
-        .select(col("source"),
-          coalesce(col("cid"), pmod(col("doc_id"), lit(k))).as("topic"))
+      val (cent, cnorm) = topicCentroids(w, seed)
+      val fin = topicAssign(w, dsrc, cent, cnorm, k)
+        .select(col("source"), col("topic"))
       val bySrc = fin.groupBy("topic", "source").agg(count(lit(1)).as("c"))
       val wm = Window.partitionBy("topic").orderBy(col("c").desc, col("source"))
       val top = bySrc.withColumn("rn", row_number().over(wm))
