@@ -441,11 +441,16 @@ object Bench {
         // CLUSTER COUNT grows with the corpus (bounded list sizes); at
         // the soak's fixed k=16 its pair volume is quadratic by
         // construction and would record a misleading factor.
+        // x45/x46 joined in r12: the bigram LM's model table and the
+        // topic census' centroid scoring are the two newest plans whose
+        // scale behavior is worth recording (x47/x49 are pair- and
+        // query-bounded by construction)
         val soakNames = Seq("x1_dedup_exact", "x3_dedup_simhash",
           "x15_dedup_clusters", "x25_corpus_curation",
           "x28_unigram_surprisal", "x29_quality_weighted_sample",
           "x21_split_leakage", "x23_split_cluster_safe",
-          "x41_dedup_segments", "j4_daily_business_metrics")
+          "x41_dedup_segments", "j4_daily_business_metrics",
+          "x45_bigram_surprisal", "x46_topic_clusters")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)

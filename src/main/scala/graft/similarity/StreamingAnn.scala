@@ -20,9 +20,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * from ONE immutable index snapshot — vectors added via [[Ivf.append]]
   * become query-visible at the next TTL expiry, never mid-snapshot
   * (ragged results from a half-seen append cannot happen). Serving is
-  * stateless per batch — no streaming state store, so ST15 restarts are
-  * trivially exactly-once from the sink's perspective (foreachBatch +
-  * idempotent writer).
+  * stateless per batch — no streaming state store — and the sink is
+  * replay-idempotent: each batch overwrites its own `batch_id=<id>`
+  * directory, so a foreachBatch re-delivery after restart replaces
+  * rather than duplicates ([[writeBatch]]).
   *
   * Scale posture: the centroid table (k rows) broadcasts inside
   * [[Ivf.topK]]; the batch×list join is an equi-join on `cid`; per-batch
@@ -63,16 +64,25 @@ final class StreamingAnn(
     Ivf.topK(index, cents, batch, nprobe, k)
   }
 
+  /** Serve + persist one batch into `outDir/batch_id=<id>` with
+    * OVERWRITE: foreachBatch can re-deliver a batch id after a restart,
+    * and a plain append would duplicate that batch's result rows — the
+    * per-batch-directory overwrite makes replay idempotent (the retried
+    * batch replaces itself). Reading `outDir` discovers `batch_id` as a
+    * partition column.
+    */
+  def writeBatch(batch: DataFrame, id: Long, outDir: String): Unit =
+    serveBatch(batch).write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
   /** Wire a streaming query frame through per-batch serving into a
-    * parquet result log (`q_id, vec_id, cos_sim, rk, batch_id`).
+    * partitioned result log (`q_id, vec_id, cos_sim, rk` + `batch_id`
+    * partition).
     */
   def start(queries: DataFrame, outDir: String, checkpointDir: String,
       triggerMs: Long = 500): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        serveBatch(batch)
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outDir)
+        writeBatch(batch, id, outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))

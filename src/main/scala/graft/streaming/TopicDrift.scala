@@ -70,17 +70,27 @@ object TopicDrift {
       batch.select(col("doc_id")), m.cent, m.cnorm, m.k)
   }
 
-  /** Wire a `(doc_id, text)` stream through per-batch assignment into an
-    * append-only count log `(batch_id, topic, n)`.
+  /** Assign + persist one batch's topic counts into
+    * `outDir/batch_id=<id>` with OVERWRITE: these rows are per-batch
+    * DELTAS (unlike the cumulative update-mode partials
+    * [[StreamingAggs.mergeOnRead]] dedups at read time), so a
+    * foreachBatch re-delivery after restart would double-count under a
+    * plain append — the per-batch-directory overwrite makes replay
+    * idempotent.
+    */
+  def writeCounts(batch: DataFrame, m: Model, id: Long, outDir: String): Unit =
+    assignBatch(batch, m)
+      .groupBy("topic").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  /** Wire a `(doc_id, text)` stream through per-batch assignment into
+    * the partitioned count log `(topic, n)` + `batch_id` partition.
     */
   def start(docs: DataFrame, m: Model, outDir: String, checkpointDir: String,
       triggerMs: Long = 500): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        assignBatch(batch, m)
-          .groupBy("topic").agg(count(lit(1)).as("n"))
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outDir)
+        writeCounts(batch, m, id, outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))

@@ -1168,9 +1168,117 @@ object TextQueries {
            |       top.top_source, top.top_source_docs
            |FROM st JOIN top USING (topic) ORDER BY topic""".stripMargin))
 
+  /** X49 — chunk-level retrieval (the RAG-prep query): the corpus is
+    * chunked with the x26 rule (32-token windows, 24-token stride), every
+    * CHUNK becomes an x43 hashed tf-idf vector (idf over the chunk
+    * corpus), and each query chunk retrieves its top-5 most-similar
+    * chunks from OTHER documents by exact cosine. This closes the
+    * retrieval loop at the granularity RAG actually serves — x6/x9
+    * retrieve whole pre-embedded vectors, x49 retrieves passages derived
+    * from the text surface itself.
+    *
+    * Chunk key: `doc_id·1000 + chunk_id` (corpus max is 100 tokens → ≤ 4
+    * chunks per doc, 250× headroom). Exactness: integer dots + portable
+    * sqrt/division, ties broken by chunk key — bit-identical in both
+    * engines (the x44/x46 discipline).
+    *
+    * Scale posture: chunking is map-only fan-out; the featurizer is two
+    * combinable aggs; the query weight table (queries·64 rows) joins
+    * BROADCAST against the chunk weights on `bucket`, so the score
+    * stream is O(chunks · queries · overlap) — all-pairs over chunks
+    * never happens, and top-5 is a per-query bounded window. With many
+    * queries the same plan runs through the x9 IVF index instead
+    * (cluster the chunk vectors; [[graft.similarity.StreamingAnn]] is
+    * the serving path).
+    */
+  val x49ChunkRetrieval = QueryDef(
+    "x49_chunk_retrieval",
+    "top-5 cross-document chunk retrieval in hashed tf-idf space (RAG prep)",
+    (s, d) => {
+      graft.GraftExtensions.ensure(s)
+      val C = 32
+      val S = 24
+      val cd = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nc",
+          when(col("n") <= C, lit(1L))
+            .otherwise(expr(s"1 + (n - $C + ${S - 1}) div $S")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr("sequence(0L, nc - 1)")).as("chunk_id"))
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("ckey"),
+          col("doc_id").as("src_doc"), col("chunk_id"),
+          array_join(
+            expr(s"slice(toks, chunk_id * $S + 1, least($C, n - chunk_id * $S))"),
+            " ").as("text"))
+      val asDocs = cd.select(col("ckey").as("doc_id"), col("text"))
+      val w = hashedWeightsOf(asDocs, idfOf(asDocs))
+        .withColumnRenamed("doc_id", "ckey")
+      val norms = w.groupBy("ckey").agg(sum(col("wsum") * col("wsum")).as("ss"))
+      val qk = cd.filter(col("chunk_id") === 0 && col("src_doc") < 4)
+        .select(col("ckey").as("qkey"), col("src_doc").as("q_doc"))
+      val wq = w.join(qk, col("ckey") === col("qkey"))
+        .select(col("qkey"), col("q_doc"), col("bucket"), col("wsum").as("qw"))
+      val dots = w.join(broadcast(wq), Seq("bucket"))
+        .filter(expr("ckey DIV 1000 <> qkey DIV 1000"))
+        .groupBy("qkey", "q_doc", "ckey")
+        .agg(sum(col("wsum") * col("qw")).as("dot"))
+      val scored = dots.join(norms, Seq("ckey"))
+        .join(norms.select(col("ckey").as("qkey"), col("ss").as("ssq")), Seq("qkey"))
+        .withColumn("cos_sim",
+          col("dot").cast("double") /
+            (sqrt(col("ss").cast("double")) * sqrt(col("ssq").cast("double"))))
+      val wr = Window.partitionBy("qkey").orderBy(col("cos_sim").desc, col("ckey"))
+      scored.withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("q_doc"), col("rk"),
+          expr("ckey DIV 1000").as("hit_doc"),
+          expr("ckey % 1000").as("hit_chunk"), col("cos_sim"))
+        .orderBy("q_doc", "rk")
+    },
+    Some(s"""WITH t0 AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           |  FROM documents),
+           |c0 AS (
+           |  SELECT doc_id, toks, n,
+           |         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+           |  FROM t0),
+           |cd AS (
+           |  SELECT doc_id * 1000 + i AS doc_id, doc_id AS src_doc,
+           |         CAST(i AS BIGINT) AS chunk_id,
+           |         array_to_string(
+           |           list_slice(toks, i * 24 + 1, i * 24 + least(32, n - i * 24)),
+           |           ' ') AS text
+           |  FROM c0, UNNEST(generate_series(0, nc - 1)) AS u(i)),
+           |${hashedWeightsSql.replace("FROM documents", "FROM cd")},
+           |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
+           |        FROM w GROUP BY 1),
+           |qk AS (SELECT doc_id AS qkey, src_doc AS q_doc FROM cd
+           |       WHERE chunk_id = 0 AND src_doc < 4),
+           |wq AS (SELECT qkey, q_doc, bucket, wsum AS qw
+           |       FROM w JOIN qk ON w.doc_id = qk.qkey),
+           |dots AS (SELECT qkey, q_doc, w.doc_id AS ckey,
+           |                CAST(sum(wsum * qw) AS BIGINT) AS dot
+           |         FROM w JOIN wq USING (bucket)
+           |         WHERE w.doc_id // 1000 <> qkey // 1000
+           |         GROUP BY 1, 2, 3),
+           |sc AS (SELECT qkey, q_doc, ckey,
+           |              CAST(dot AS DOUBLE) /
+           |                (sqrt(CAST(n1.ss AS DOUBLE)) * sqrt(CAST(n2.ss AS DOUBLE))) AS cos_sim
+           |       FROM dots JOIN nrm n1 ON ckey = n1.doc_id
+           |                 JOIN nrm n2 ON qkey = n2.doc_id)
+           |SELECT q_doc, CAST(rk AS BIGINT) AS rk,
+           |       ckey // 1000 AS hit_doc, ckey % 1000 AS hit_chunk, cos_sim
+           |FROM (SELECT *, row_number() OVER (PARTITION BY qkey
+           |                                   ORDER BY cos_sim DESC, ckey) AS rk
+           |      FROM sc)
+           |WHERE rk <= 5 ORDER BY q_doc, rk""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
-    x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters)
+    x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
+    x49ChunkRetrieval)
 }

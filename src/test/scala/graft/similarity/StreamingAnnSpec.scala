@@ -54,6 +54,21 @@ class StreamingAnnSpec extends SparkSpec {
     assert(ann.loadCount === 1L, "one snapshot served both batches")
   }
 
+  test("batch replay overwrites its own partition instead of duplicating") {
+    val root = java.nio.file.Files.createTempDirectory("graft-st15c").toString
+    buildIndex(s"$root/idx")
+    val ann = new StreamingAnn(s"$root/idx", ttlMs = Long.MaxValue)
+    val q = queriesOf(0L until 4L)
+    ann.writeBatch(q, 0L, s"$root/out")
+    val once = spark.read.parquet(s"$root/out").count()
+    ann.writeBatch(q, 0L, s"$root/out") // restart re-delivery of batch 0
+    assert(spark.read.parquet(s"$root/out").count() === once,
+      "a replayed batch must replace itself, not append")
+    ann.writeBatch(queriesOf(Seq(5L)), 1L, s"$root/out")
+    assert(spark.read.parquet(s"$root/out").count() > once,
+      "a NEW batch must still add rows")
+  }
+
   test("TTL snapshot isolates an append; zero TTL picks it up next batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-st15b").toString

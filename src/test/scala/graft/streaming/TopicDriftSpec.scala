@@ -48,6 +48,22 @@ class TopicDriftSpec extends SparkSpec {
     } finally TopicDrift.release(m)
   }
 
+  test("count-log replay overwrites its own partition (delta sink, no double count)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-st16c").toString
+    val m = TopicDrift.fit(corpus)
+    try {
+      val half = corpus.limit(250)
+      TopicDrift.writeCounts(half, m, 0L, s"$root/counts")
+      val once = spark.read.parquet(s"$root/counts")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      TopicDrift.writeCounts(half, m, 0L, s"$root/counts") // replay batch 0
+      val twice = spark.read.parquet(s"$root/counts")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      assert(once === 250L && twice === 250L,
+        s"replayed delta batch must not double-count: $once -> $twice")
+    } finally TopicDrift.release(m)
+  }
+
   test("a single-topic flood concentrates the live share to 10000 bp") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
