@@ -133,5 +133,76 @@ object SketchQueries {
            |LEFT JOIN exact x ON p.p_partkey = x.p_partkey
            |ORDER BY p.p_partkey""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x8HllMergeable, x22CountMin)
+  /** X50 — audience-overlap matrix via HLL inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) over the per-event-type user
+    * sketches. This is the question x8's union path cannot answer
+    * ("distinct users overall") and the reason stored sketches beat
+    * stored counts: overlap between any two segments comes from THREE
+    * sketch reads, no re-scan of events, no user-level join at serve
+    * time. The exact overlap (a user-keyed equi-join over the distinct
+    * (type, user) table — computed here as the audit truth) is what a
+    * 100 TB deployment precisely avoids recomputing per segment pair.
+    *
+    * Oracle interface follows x8: sketch binaries are engine-specific,
+    * so the compared columns are the exact counts plus a tolerance
+    * verdict. DataSketches HLL is exact in sparse mode at these
+    * cardinalities and deterministic on identical input, so the verdict
+    * (I-E estimate within 5% + slack of truth) is stable; if the union
+    * or subtraction path degrades, the verdict flips and the row
+    * hash-mismatches. Segment-pair space is types²-bounded.
+    */
+  val x50AudienceOverlap = QueryDef(
+    "x50_audience_overlap",
+    "pairwise event-type audience overlap: HLL inclusion-exclusion vs exact",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+          countDistinct(col("user_id")).as("exact_n"))
+        .withColumn("k", lit(1))
+      val pairs = sk.select(col("k"), col("event_type").as("type_a"),
+          col("sk").as("sk_a"), col("exact_n").as("exact_a"))
+        .join(sk.select(col("k"), col("event_type").as("type_b"),
+          col("sk").as("sk_b"), col("exact_n").as("exact_b")), Seq("k"))
+        .filter(col("type_a") < col("type_b"))
+        .withColumn("est_union",
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+        .withColumn("est_a", hll_sketch_estimate(col("sk_a")))
+        .withColumn("est_b", hll_sketch_estimate(col("sk_b")))
+        .withColumn("est_overlap",
+          col("est_a") + col("est_b") - col("est_union"))
+      val ut = ev.distinct()
+      val exactOv = ut.as("x")
+        .join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      pairs.join(exactOv, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+          col("exact_overlap"),
+          (abs(col("est_overlap") - col("exact_overlap")) <=
+            expr("exact_overlap DIV 20") + lit(8L)).cast("long")
+            .as("within_tol"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+           |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+           |      FROM ut GROUP BY 1),
+           |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+           |              CAST(count(*) AS BIGINT) AS exact_overlap
+           |       FROM ut x JOIN ut y
+           |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+           |       GROUP BY 1, 2)
+           |SELECT type_a, type_b,
+           |       na.n_users AS exact_a, nb.n_users AS exact_b,
+           |       exact_overlap, CAST(1 AS BIGINT) AS within_tol
+           |FROM ov JOIN n na ON type_a = na.event_type
+           |        JOIN n nb ON type_b = nb.event_type
+           |ORDER BY type_a, type_b""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x8HllMergeable, x22CountMin,
+    x50AudienceOverlap)
 }

@@ -214,45 +214,51 @@ object Multimodal {
       if (img == null) Left("undecodable image")
       else if (img.getWidth < 8 || img.getHeight < 8)
         Left(s"image too small for aHash: ${img.getWidth}x${img.getHeight}")
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val cell = new Array[Double](64)
-        var by = 0
-        while (by < 8) {
-          val y0 = by * h / 8; val y1 = (by + 1) * h / 8
-          var bx = 0
-          while (bx < 8) {
-            val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
-            var s = 0.0
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) {
-                val rgb = img.getRGB(x, y)
-                s += 0.2126 * ((rgb >> 16) & 0xff) +
-                  0.7152 * ((rgb >> 8) & 0xff) + 0.0722 * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            cell(by * 8 + bx) = s / ((y1 - y0).toLong * (x1 - x0))
-            bx += 1
-          }
-          by += 1
-        }
-        val mean = cell.sum / 64
-        var hash = 0L
-        var i = 0
-        while (i < 64) {
-          if (cell(i) > mean) hash |= (1L << i)
-          i += 1
-        }
-        Right(hash)
-      }
+      else Right(aHashImage(img))
     } catch {
       case e: Exception => Left(s"image decode failed: ${e.getMessage}")
     }
+
+  /** [[aHash]]'s pooling/threshold core on an already-decoded image
+    * (≥ 8×8) — shared with the video scene detector, which hashes
+    * decoded AVI frames directly instead of re-encoding them.
+    */
+  private[multimodal] def aHashImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cell = new Array[Double](64)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 0.2126 * ((rgb >> 16) & 0xff) +
+              0.7152 * ((rgb >> 8) & 0xff) + 0.0722 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        cell(by * 8 + bx) = s / ((y1 - y0).toLong * (x1 - x0))
+        bx += 1
+      }
+      by += 1
+    }
+    val mean = cell.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cell(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
 
   /** DCT-II basis for the 32-point transform, `basis(u)(x) =
     * cos(π/32 · (x + ½) · u)`. `StrictMath.cos` (fdlibm, bit-identical

@@ -417,20 +417,36 @@ object SustainedLoad {
       if (probeAt(mid).sustained(targetSec)) lastPass = mid
     }
 
-    // ---- full-length record at the winner (fall back to the acceptance
-    // floor if even that failed, so the miss is on the record) ----
-    var recordEps = if (lastPass > 0) lastPass else ladderEps.head
-    var record = runAt(recordEps, recordSec, catchupSec = 180)
-    var attempts = 1
-    if (record.lagOnlyFailure(targetSec)) {
-      // producer-side stall, pipeline held: retry at the SAME rate
-      record = runAt(recordEps, recordSec, catchupSec = 180)
-      attempts = 2
-    } else if (!record.sustained(targetSec) && lastPass > 0) {
-      // the longer window exposed drift: step down 10% and retry once
-      recordEps = recordEps * 9 / 10 / 1000 * 1000
-      record = runAt(recordEps, recordSec, catchupSec = 180)
-      attempts = 2
+    // ---- full-length records, descending the ladder until one holds ----
+    // Short probes over-estimate near the edge (a 12-15 s window hides
+    // slow backlog growth that a 60 s record exposes: observed — every
+    // probe to 92k green, the 92k record at p95 9 s). A single -10%
+    // retry then reported max_sustainable_eps = 0 even though 40k was
+    // trivially sustainable — "nothing sustainable" was false. So the
+    // record now DESCENDS: the probe winner first, then each ladder
+    // rung below it, until a full-length record holds (≤ 4 attempts;
+    // a lag-only failure re-runs the same rate instead of descending).
+    // Every failed record attempt is kept in `probes` — nothing is
+    // discarded, and the recorded rate is one a 60 s window actually
+    // proved.
+    val descent = {
+      val start = if (lastPass > 0) lastPass else ladderEps.head
+      start +: ladderEps.filter(_ < start).sorted(Ordering[Int].reverse)
+    }
+    var attempts = 0
+    var record: Result = null
+    val di = descent.iterator
+    while ((record == null || !record.sustained(targetSec)) &&
+        di.hasNext && attempts < 4) {
+      val eps = di.next()
+      if (record != null) probes :+= record // keep the failed attempt
+      record = runAt(eps, recordSec, catchupSec = 180)
+      attempts += 1
+      if (record.lagOnlyFailure(targetSec) && attempts < 4) {
+        probes :+= record
+        record = runAt(eps, recordSec, catchupSec = 180)
+        attempts += 1
+      }
     }
     val maxSustainable =
       if (record.sustained(targetSec)) record.offeredEps.round.toInt else 0
