@@ -221,6 +221,32 @@ object BpeLearn {
     if (batch.isEmpty && cands.nonEmpty) Seq(cands.head) else batch.toSeq
   }
 
+  /** Per-source tokenization census under a learned merge table: how
+    * much the trained tokenizer compresses each source relative to the
+    * whitespace baseline (`saved_bp`, exact integer basis points). The
+    * tokenizer-budget planning number — a source the vocabulary barely
+    * compresses is underserved by the merges (the per-source view of
+    * what x36 measures for coverage). Not an oracle query: merge
+    * application is inherently iterative and not SQL-expressible; the
+    * census is differentially spec-gated against a single-threaded
+    * apply instead ([[graft.text.BpeLearnSpec]]).
+    */
+  def census(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val before = docs.select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_before"))
+    val after = applyMerges(docs.select(col("doc_id"), col("toks")), merges)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_after"))
+    before.join(after, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_before")).as("tokens_before"),
+        sum(col("n_after")).as("tokens_after"))
+      .withColumn("saved_bp",
+        expr("(tokens_before - tokens_after) * 10000 DIV tokens_before"))
+      .orderBy("source")
+  }
+
   /** Apply a learned merge table to a token-sequence frame (inference
     * side): merges replay IN ORDER, each greedy left-to-right — one
     * partition-parallel pass per merge over arrays that only shrink.

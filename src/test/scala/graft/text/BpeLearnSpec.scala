@@ -270,4 +270,38 @@ class BpeLearnSpec extends SparkSpec {
     }
     assert(flat.contains("ab") || flat.contains("abab"))
   }
+
+  test("census matches a single-threaded apply on the real corpus") {
+    import spark.implicits._
+    val dd = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val merges = BpeLearn.learn(dd.select(col("toks")), 16)
+    assert(merges.nonEmpty)
+    val census = BpeLearn.census(dd, merges).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // single-threaded reference: fold the merge table over each doc
+    val table = merges.map(m => (m.a, m.b))
+    val ref = dd.select(col("doc_id"), col("source"), col("toks"))
+      .as[(Long, String, Seq[String])].collect()
+      .map { case (_, src, toks) =>
+        val after = table.foldLeft(toks.toIndexedSeq) { case (t, (a, b)) =>
+          BpeLearn.mergeOnce(t, a, b)
+        }
+        (src, toks.size.toLong, after.size.toLong)
+      }
+      .groupBy(_._1)
+      .map { case (src, xs) =>
+        val nb = xs.map(_._2).sum
+        val na = xs.map(_._3).sum
+        src -> (xs.length.toLong, nb, na, (nb - na) * 10000 / nb)
+      }
+    assert(census === ref, "census must equal the single-threaded apply")
+    // the merges actually compress: some source saves a nonzero share,
+    // and no source ever grows
+    assert(census.values.exists(_._4 > 0))
+    census.values.foreach { case (_, nb, na, bp) =>
+      assert(na <= nb && bp >= 0 && bp < 10000)
+    }
+  }
 }
