@@ -438,8 +438,81 @@ object EventQueries {
            |FROM c JOIN f USING (from_type)
            |ORDER BY from_type, to_type""".stripMargin))
 
+  /** A19 — ordered-step window funnel, the ClickHouse `windowFunnel`
+    * semantics the reference's speed-layer store is patterned on: per
+    * user, the deepest prefix of the step sequence view → click →
+    * purchase reachable with STRICTLY increasing timestamps where the
+    * whole chain fits in a 24-hour window anchored at the first step
+    * (this corpus's per-user event cadence is ~hours apart; a 1 h
+    * window left the level-3 stage empty — the window is the funnel's
+    * tuning knob, the semantics don't change).
+    * a7 counts step events independently (a user who purchased before
+    * ever viewing still counts at every stage); this measures ordered
+    * PROGRESSION, the number conversion analysis actually needs.
+    *
+    * Expressed as bounded interval joins, not a per-user scan: level ≥ 2
+    * users have some (view, click) with `0 < c−v ≤ T`; level ≥ 3 extends
+    * the surviving chains with a later purchase still inside the view's
+    * window — each join is user-keyed with the time bound as a residual
+    * filter (the st8 shape; join state bounded by per-user activity in
+    * one window, never history). Timestamps compare as epoch-µs longs.
+    */
+  val a19WindowFunnel = QueryDef(
+    "a19_window_funnel",
+    "ordered view->click->purchase funnel levels within a 24h window",
+    (s, d) => {
+      val T = 86400000000L // 24 h in µs
+      val base = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      def step(t: String, a: String) = base.filter(col("event_type") === t)
+        .select(col("user_id"), col("us").as(a))
+      val v = step("view", "v_us")
+      val c = step("click", "c_us")
+      val p = step("purchase", "p_us")
+      val chains2 = v.join(c, Seq("user_id"))
+        .filter(col("c_us") > col("v_us") && col("c_us") <= col("v_us") + T)
+      val l2 = chains2.select("user_id").distinct()
+        .withColumn("l2", lit(1))
+      val l3 = chains2.join(p, Seq("user_id"))
+        .filter(col("p_us") > col("c_us") && col("p_us") <= col("v_us") + T)
+        .select("user_id").distinct()
+        .withColumn("l3", lit(1))
+      val l1 = v.select("user_id").distinct().withColumn("l1", lit(1))
+      base.select("user_id").distinct()
+        .join(l1, Seq("user_id"), "left")
+        .join(l2, Seq("user_id"), "left")
+        .join(l3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (coalesce(col("l1"), lit(0)) + coalesce(col("l2"), lit(0)) +
+            coalesce(col("l3"), lit(0))).cast("long").as("level"))
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |v AS (SELECT user_id, us AS v_us FROM base WHERE event_type = 'view'),
+           |c AS (SELECT user_id, us AS c_us FROM base WHERE event_type = 'click'),
+           |p AS (SELECT user_id, us AS p_us FROM base WHERE event_type = 'purchase'),
+           |ch2 AS (SELECT v.user_id, v_us, c_us FROM v JOIN c USING (user_id)
+           |        WHERE c_us > v_us AND c_us <= v_us + 86400000000),
+           |l2 AS (SELECT DISTINCT user_id FROM ch2),
+           |l3 AS (SELECT DISTINCT ch2.user_id FROM ch2 JOIN p USING (user_id)
+           |       WHERE p_us > c_us AND p_us <= v_us + 86400000000),
+           |l1 AS (SELECT DISTINCT user_id FROM v),
+           |lv AS (SELECT b.user_id,
+           |              (CASE WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END +
+           |               CASE WHEN l2.user_id IS NOT NULL THEN 1 ELSE 0 END +
+           |               CASE WHEN l3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS level
+           |       FROM (SELECT DISTINCT user_id FROM base) b
+           |       LEFT JOIN l1 USING (user_id)
+           |       LEFT JOIN l2 USING (user_id)
+           |       LEFT JOIN l3 USING (user_id))
+           |SELECT CAST(level AS BIGINT) AS level,
+           |       CAST(count(*) AS BIGINT) AS n_users
+           |FROM lv GROUP BY 1 ORDER BY level""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
     t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
     a15CohortRetention, a16HoppingWindows, a17VariantExtract,
-    w10EventTransitions)
+    w10EventTransitions, a19WindowFunnel)
 }

@@ -862,9 +862,86 @@ object ExtendedSqlQueries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     })
 
+  /** E10 — time-series gap filling with linear interpolation: the daily
+    * revenue series of 'P'-status orders (a sparse slice — 2,119 of the
+    * 2,404 spine days have data at sf0.01) re-gridded onto the complete
+    * calendar spine, missing days linearly interpolated between the
+    * nearest known neighbors. This is the resample/asfreq primitive
+    * every dashboarding and forecasting pipeline needs between the raw
+    * facts and a model — without it a moving average (w8) silently
+    * treats a gap as "day didn't happen".
+    *
+    * Exactness: interpolation is integer-cent arithmetic —
+    * `prev + (next−prev)·Δ div span` (floor division both engines) —
+    * never a double ratio. Edge days with only one known neighbor carry
+    * it. Scale posture: the spine is calendar-bounded (O(days),
+    * data-independent — the e9 argument), so the single-partition
+    * ordered window over it is bounded regardless of fact volume; the
+    * daily aggregate underneath is the usual map-combinable shuffle.
+    */
+  val e10GapFill = QueryDef(
+    "e10_gap_fill",
+    "calendar-spine gap fill of sparse daily revenue, exact linear interpolation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, d, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      val spine = daily
+        .agg(min(col("date")).as("lo"), max(col("date")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("date"))
+      val w = Window.orderBy("date")
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("date"), "left")
+        .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wp))
+        .withColumn("pd", last(when(col("cents").isNotNull, col("date")),
+          ignoreNulls = true).over(wp))
+        .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when(col("cents").isNotNull, col("date")),
+          ignoreNulls = true).over(wf))
+        .withColumn("filled_cents",
+          when(col("cents").isNotNull, col("cents"))
+            .when(col("pc").isNotNull && col("nc").isNotNull,
+              expr("pc + ((nc - pc) * datediff(date, pd)) DIV datediff(nd, pd)"))
+            .otherwise(coalesce(col("pc"), col("nc"))))
+        .select(col("date"), col("filled_cents"),
+          col("cents").isNull.as("is_interpolated"))
+        .orderBy("date")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS date,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderstatus = 'P' GROUP BY 1),
+           |spine AS (
+           |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date
+           |  FROM (SELECT min(date) AS lo, max(date) AS hi FROM daily)),
+           |j AS (SELECT s.date, d.cents FROM spine s LEFT JOIN daily d USING (date)),
+           |x AS (SELECT date, cents,
+           |        last_value(cents IGNORE NULLS) OVER
+           |          (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+           |        last_value(CASE WHEN cents IS NOT NULL THEN date END IGNORE NULLS) OVER
+           |          (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           |        first_value(cents IGNORE NULLS) OVER
+           |          (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+           |        first_value(CASE WHEN cents IS NOT NULL THEN date END IGNORE NULLS) OVER
+           |          (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           |      FROM j)
+           |SELECT date,
+           |       CAST(CASE WHEN cents IS NOT NULL THEN cents
+           |                 WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+           |                   pc + ((nc - pc) * date_diff('day', pd, date))
+           |                        // date_diff('day', pd, nd)
+           |                 ELSE COALESCE(pc, nc) END AS BIGINT) AS filled_cents,
+           |       cents IS NULL AS is_interpolated
+           |FROM x ORDER BY date""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
     q9KAnonymousRelease, q10ColumnProfile, e8OrderedListagg,
-    e9RecursiveMonthSpine, st1SessionsBatch, st10SessionWindow)
+    e9RecursiveMonthSpine, e10GapFill, st1SessionsBatch, st10SessionWindow)
 }
