@@ -536,6 +536,81 @@ object ExtendedSqlQueries {
       .orderBy("user_id")
   }
 
+  /** W11 — top session paths: the most common ordered event-type
+    * sequences per session (truncated to the first 5 steps — the
+    * standard cap that keeps path cardinality bounded at any scale),
+    * ranked by session count. The product-analytics "what do users
+    * actually DO" view — w10 gives single-step transition rates, this
+    * gives whole journeys; a19 checks one hand-picked ordered funnel,
+    * this DISCOVERS the funnels worth checking. Reuses st1's
+    * gaps-and-islands sessionization verbatim (same 30-min rule, same
+    * deterministic (us, event_id) ordering).
+    *
+    * Scale posture: sessionization is the st1 user-partitioned window;
+    * the path build is one per-session aggregate (sorted struct
+    * collect bounded by session length); the rank is a top-10 over the
+    * paths-bounded aggregate (TakeOrdered, never a full sort of
+    * sessions).
+    */
+  val w11SessionPaths = QueryDef(
+    "w11_session_paths",
+    "top-10 ordered event-type paths (first 5 steps) across 30-min sessions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = base
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(w))
+      val paths = sess.groupBy("user_id", "sid")
+        .agg(array_join(
+          expr("slice(transform(array_sort(collect_list(struct(us, event_id, event_type))), x -> x.event_type), 1, 5)"),
+          ">").as("path"))
+      val ranked = paths.groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+      ranked.withColumn("rank",
+        row_number().over(Window.orderBy(col("n_sessions").desc, col("path")))
+          .cast("long"))
+        .select(col("rank"), col("path"), col("n_sessions"), col("n_users"))
+        .orderBy("rank")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+           |flagged AS (
+           |  SELECT user_id, us, event_id, event_type,
+           |         CASE WHEN lag(us) OVER w IS NULL THEN 1
+           |              WHEN us - lag(us) OVER w > 1800000000 THEN 1
+           |              ELSE 0 END AS new_s
+           |  FROM base
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |sess AS (
+           |  SELECT user_id, us, event_id, event_type,
+           |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |                          ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flagged),
+           |paths AS (
+           |  SELECT user_id, sid,
+           |         array_to_string(
+           |           list_slice(list(event_type ORDER BY us, event_id), 1, 5),
+           |           '>') AS path
+           |  FROM sess GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |  FROM paths GROUP BY 1
+           |  ORDER BY n_sessions DESC, path LIMIT 10)
+           |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank,
+           |       path, n_sessions, n_users
+           |FROM ranked ORDER BY rank""".stripMargin))
+
   val st1SessionsBatch = QueryDef(
     "st1_sessions_batch",
     "gaps-and-islands sessionization (30 min) rolled up per user",
@@ -943,5 +1018,6 @@ object ExtendedSqlQueries {
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
     q9KAnonymousRelease, q10ColumnProfile, e8OrderedListagg,
-    e9RecursiveMonthSpine, e10GapFill, st1SessionsBatch, st10SessionWindow)
+    e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
+    st1SessionsBatch, st10SessionWindow)
 }
