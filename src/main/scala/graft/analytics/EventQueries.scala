@@ -438,6 +438,51 @@ object EventQueries {
            |FROM c JOIN f USING (from_type)
            |ORDER BY from_type, to_type""".stripMargin))
 
+  /** Per-user ordered-funnel depth (view → click → purchase, chain within
+    * `T` µs of its anchoring view, strictly increasing timestamps) in
+    * LINEAR per-user work — the a19 core, shared with the streaming twin
+    * ([[graft.streaming.StreamingFunnel]]).
+    *
+    * The trick that removes the pair materialization: feasibility of a
+    * chain is monotone in how LATE its earlier steps are.
+    *   - level 2 — a click `c` completes a (v, c) chain iff some view
+    *     `v < c` has `c ≤ v + T`; the best candidate is the LATEST view
+    *     strictly before `c` (`prev_view_us`, a strictly-earlier
+    *     range-frame running max — `rangeBetween(-∞, -1)` over epoch-µs
+    *     is exactly `other.us < this.us`).
+    *   - level 3 — a purchase `p` completes (v, c, p) iff some click
+    *     `c < p` has its own anchor `prev_view_us(c) ≥ p − T` (the
+    *     chain's `c ≤ v + T` is implied by `c < p ≤ v + T`); the best
+    *     candidate is the MAX anchor over clicks strictly before `p`
+    *     (`best_anchor_us`, a second range-frame running max over the
+    *     first — same partitioning and ordering, so Catalyst plans ONE
+    *     exchange + ONE sort feeding both Window operators).
+    * The final groupBy(user_id) rides the window's hash partitioning
+    * (no second shuffle). Each event is touched O(1) times: work is
+    * linear in per-user event count, dense bot-grade keys included.
+    */
+  private[graft] def funnelLevels(events: org.apache.spark.sql.DataFrame,
+      T: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("prev_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(before))
+      .withColumn("best_anchor_us",
+        max(when(col("event_type") === "click", col("prev_view_us")))
+          .over(before))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+        max(when(col("event_type") === "click" &&
+          col("us") <= col("prev_view_us") + T, 1).otherwise(0)).as("l2"),
+        max(when(col("event_type") === "purchase" &&
+          col("us") <= col("best_anchor_us") + T, 1).otherwise(0)).as("l3"))
+      .select(col("user_id"),
+        (col("l1") + col("l2") + col("l3")).cast("long").as("level"))
+  }
+
   /** A19 — ordered-step window funnel, the ClickHouse `windowFunnel`
     * semantics the reference's speed-layer store is patterned on: per
     * user, the deepest prefix of the step sequence view → click →
@@ -450,41 +495,21 @@ object EventQueries {
     * ever viewing still counts at every stage); this measures ordered
     * PROGRESSION, the number conversion analysis actually needs.
     *
-    * Expressed as bounded interval joins, not a per-user scan: level ≥ 2
-    * users have some (view, click) with `0 < c−v ≤ T`; level ≥ 3 extends
-    * the surviving chains with a later purchase still inside the view's
-    * window — each join is user-keyed with the time bound as a residual
-    * filter (the st8 shape; join state bounded by per-user activity in
-    * one window, never history). Timestamps compare as epoch-µs longs.
+    * Linear per-user formulation (r13 — replaces the r12 interval-join
+    * plan whose |views|·|clicks| pair materialization was quadratic in
+    * per-key density, the one scale-killer-shaped plan the r12 audit
+    * found): ClickHouse's `windowFunnel` is a sorted per-user scan, and
+    * that is what two stacked range-frame window aggregates express —
+    * see [[funnelLevels]]. One shuffle by user, one sort, zero joins;
+    * work is O(events per user), never O(views·clicks).
     */
   val a19WindowFunnel = QueryDef(
     "a19_window_funnel",
     "ordered view->click->purchase funnel levels within a 24h window",
     (s, d) => {
-      val T = 86400000000L // 24 h in µs
       val base = ev(s, d).select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-      def step(t: String, a: String) = base.filter(col("event_type") === t)
-        .select(col("user_id"), col("us").as(a))
-      val v = step("view", "v_us")
-      val c = step("click", "c_us")
-      val p = step("purchase", "p_us")
-      val chains2 = v.join(c, Seq("user_id"))
-        .filter(col("c_us") > col("v_us") && col("c_us") <= col("v_us") + T)
-      val l2 = chains2.select("user_id").distinct()
-        .withColumn("l2", lit(1))
-      val l3 = chains2.join(p, Seq("user_id"))
-        .filter(col("p_us") > col("c_us") && col("p_us") <= col("v_us") + T)
-        .select("user_id").distinct()
-        .withColumn("l3", lit(1))
-      val l1 = v.select("user_id").distinct().withColumn("l1", lit(1))
-      base.select("user_id").distinct()
-        .join(l1, Seq("user_id"), "left")
-        .join(l2, Seq("user_id"), "left")
-        .join(l3, Seq("user_id"), "left")
-        .select(col("user_id"),
-          (coalesce(col("l1"), lit(0)) + coalesce(col("l2"), lit(0)) +
-            coalesce(col("l3"), lit(0))).cast("long").as("level"))
+      funnelLevels(base, 86400000000L) // 24 h in µs
         .groupBy("level").agg(count(lit(1)).as("n_users"))
         .orderBy("level")
     },

@@ -88,6 +88,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("a19 window funnel plans zero joins (linear per-user scan, not pairs)") {
+    // the r12 formulation materialized |views|·|clicks| pairs per user —
+    // quadratic in per-key density. The linear rewrite is two stacked
+    // range-frame window maxes + one user-keyed aggregate: any Join node
+    // reappearing here means the pair plan crept back.
+    val plan = planOf("a19_window_funnel")
+    assert(!plan.contains("Join"), s"a19 re-grew a join:\n$plan")
+    // one hash exchange for the user window (the groupBy rides it), one
+    // for the level histogram, one range exchange for the orderBy
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"a19 shuffles more than expected:\n$plan")
+    assert(plan.contains("Window"), s"a19 lost its window formulation:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // AQE finalizes the plan only on execution; codegen stages then show
     // as starred operators (*(n) HashAggregate...) in the final plan.
