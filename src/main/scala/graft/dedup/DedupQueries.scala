@@ -366,6 +366,13 @@ object DedupQueries {
     stats(minHashBandsUncapped(s, d), Seq("band", "sig"), "minhash_x2")
       .unionByName(stats(simHashBandsUncapped(s, d), Seq("band", "bv"),
         "simhash_x3_x21"))
+      // x11's source-keyed shingle index: "bucket" = shingle, occupancy =
+      // number of sources sharing it (bounded by source count, so
+      // pairs_uncapped here IS the self-join's exact pair volume — the
+      // number that adjudicates an x11 wall swing)
+      .unionByName(stats(
+        shingleSet(docsWide(s, d), "source"), Seq("shingle"),
+        "x11_source_shingles"))
   }
 
   /** DuckDB CTE chain replaying [[simHashPairs]]; ends in `sim_pairs
@@ -463,21 +470,29 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** DuckDB CTE chain replaying [[ngramJaccardPairs]] at τ = 0.5; ends in
+    * `jpairs(doc_a, doc_b, jaccard)`. Shared by x4's oracle and the x53
+    * quality-propagation oracle (same edge set, one definition).
+    */
+  private[graft] def ngramPairsSqlCtes: String =
+    s"""$shinglesSql,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+       |capped AS ${dfCapSql("sh", Seq("shingle"), SHINGLE_DF_CAP)},
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+       |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jpairs AS (SELECT doc_a, doc_b,
+       |                  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |           FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |                      JOIN sizes sb ON doc_b = sb.doc_id
+       |           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)""".stripMargin
+
   val x4NgramJaccard = QueryDef(
     "x4_dedup_ngram_jaccard",
     "exact 3-gram Jaccard >= 0.5 pairs via shingle inverted-index join",
     (s, d) => ngramJaccardPairs(s, d, SHINGLE_DF_CAP),
-    Some(s"""WITH $shinglesSql,
-            |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-            |capped AS ${dfCapSql("sh", Seq("shingle"), SHINGLE_DF_CAP)},
-            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
-            |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            |          GROUP BY 1, 2)
-            |SELECT doc_a, doc_b,
-            |       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-            |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-            |           JOIN sizes sb ON doc_b = sb.doc_id
-            |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    Some(s"""WITH $ngramPairsSqlCtes
+            |SELECT doc_a, doc_b, jaccard FROM jpairs
             |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** X27 — dedup-rate sensitivity sweep: for each Jaccard threshold τ ∈
@@ -599,19 +614,25 @@ object DedupQueries {
     * while doc_id < 9.2e13 and docs < 100k·SEGMENT_WORDS words — both
     * hold with huge margin at 100 TB).
     */
+  /** x41's fixed-grid cutter: consecutive [[SEGMENT_WORDS]]-word cells at
+    * position-determined offsets (position-aligned, NOT alignment-free —
+    * contrast [[anchoredSegments]]).
+    */
+  private[graft] def gridSegments(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, cast(ceil(size(toks) / ${SEGMENT_WORDS}.0) as int) - 1)"))
+          .as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(
+          slice(col("toks"), col("seg_idx") * SEGMENT_WORDS + 1, lit(SEGMENT_WORDS)),
+          " ").as("seg"))
+
   val x41SegmentDedup = QueryDef(
     "x41_dedup_segments",
     s"drop corpus-duplicated $SEGMENT_WORDS-word segments, rebuild docs (substring-granular dedup)",
     (s, d) => {
-      val segs = docsWide(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          explode(expr(s"sequence(0, cast(ceil(size(toks) / ${SEGMENT_WORDS}.0) as int) - 1)"))
-            .as("seg_idx"))
-        .select(col("doc_id"), col("seg_idx"),
-          array_join(
-            slice(col("toks"), col("seg_idx") * SEGMENT_WORDS + 1, lit(SEGMENT_WORDS)),
-            " ").as("seg"))
+      val segs = gridSegments(docsWide(s, d))
       val keyed = segs
         .withColumn("fp", md5(col("seg")))
         .withColumn("k", col("doc_id") * 100000L + col("seg_idx"))
@@ -654,6 +675,92 @@ object DedupQueries {
             |       CAST(COALESCE(kept_segs, 0) AS DOUBLE) / n.n_segs AS retention
             |FROM n LEFT JOIN rebuilt USING (doc_id)
             |ORDER BY doc_id""".stripMargin))
+
+  /** Content-defined segmentation (the rsync/CDC chunking rule, applied
+    * to tokens): token `i` (i ≥ 2) STARTS a new segment iff its 60-bit
+    * md5 ≡ 0 (mod 8); segment 1 starts at token 1. Expected segment
+    * length is the modulus (≈ [[SEGMENT_WORDS]]), but boundaries are a
+    * function of token CONTENT, not position — so a passage duplicated
+    * at ANY word offset chunks into identical interior segments, the
+    * alignment-freeness x41's fixed grid lacks (Lee et al. use suffix
+    * arrays for the same reason). Pure per-row array expressions
+    * (filter/transform/slice): map-only, nothing corpus-shaped.
+    */
+  private[graft] def anchoredSegments(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("bnd", expr(
+        "concat(array(1), filter(sequence(2, size(toks)), " +
+          "i -> graft_md5u60(element_at(toks, i)) % 8 = 0))"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(bnd)), j -> array_join(slice(toks, " +
+          "element_at(bnd, j), coalesce(try_element_at(bnd, j + 1), " +
+          "size(toks) + 1) - element_at(bnd, j)), ' '))")))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
+
+  /** Shared first-occurrence drop + reassembly over a (doc_id, seg_idx,
+    * seg) frame — x41's tail, factored so the fixed-grid and the
+    * content-defined segmenters report identically. Decision path
+    * shuffles 32-byte fingerprints (min-groupBy + semi-join); reassembly
+    * sorts each doc's OWN bounded list.
+    */
+  private[graft] def segmentDedupReport(segs: DataFrame): DataFrame = {
+    val keyed = segs
+      .withColumn("fp", md5(col("seg")))
+      .withColumn("k", col("doc_id") * 100000L + col("seg_idx"))
+    val first = keyed.groupBy("fp").agg(min(col("k")).as("k"))
+    val kept = keyed.join(first, Seq("fp", "k"), "left_semi")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("kept_segs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")), " ").as("dedup_text"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        (coalesce(col("kept_segs"), lit(0L)).cast("double") / col("n_segs"))
+          .as("retention"))
+      .orderBy("doc_id")
+  }
+
+  /** X52 — alignment-free segment dedup: x41 on content-defined anchors
+    * ([[anchoredSegments]]) instead of a fixed grid. Closes x41's known
+    * blindspot — a boilerplate passage duplicated at a word offset that
+    * straddles grid cells is invisible to the grid but chunks into the
+    * SAME segments here, so its interior drops corpus-wide. Same
+    * first-occurrence semantics, same joins/aggs shape, same 100 TB
+    * posture as x41 ([[segmentDedupReport]]).
+    */
+  val x52SegmentDedupAnchored = QueryDef(
+    "x52_dedup_segments_anchored",
+    "drop corpus-duplicated content-defined segments (alignment-free substring dedup)",
+    (s, d) => segmentDedupReport(anchoredSegments(docsWide(s, d))),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |b AS (SELECT doc_id, t,
+           |        list_prepend(1, list_filter(generate_series(2, len(t)),
+           |          i -> CAST(md5_number_lower(t[i]) >> 4 AS BIGINT) % 8 = 0)) AS bnd
+           |      FROM w),
+           |segs AS (SELECT doc_id, j - 1 AS seg_idx,
+           |           array_to_string(list_slice(t, bnd[j],
+           |             coalesce(bnd[j + 1], len(t) + 1) - 1), ' ') AS seg
+           |         FROM b, UNNEST(generate_series(1, len(bnd))) AS u(j)),
+           |keyed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS fp,
+           |                 doc_id * 100000 + seg_idx AS k FROM segs),
+           |firsts AS (SELECT fp, min(k) AS k FROM keyed GROUP BY fp),
+           |kept AS (SELECT keyed.* FROM keyed JOIN firsts USING (fp, k)),
+           |rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_segs,
+           |                   string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+           |            FROM kept GROUP BY doc_id),
+           |census AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+           |           FROM segs GROUP BY doc_id)
+           |SELECT census.doc_id, n_segs,
+           |       COALESCE(kept_segs, 0) AS kept_segs,
+           |       COALESCE(dedup_text, '') AS dedup_text,
+           |       CAST(COALESCE(kept_segs, 0) AS DOUBLE) / n_segs AS retention
+           |FROM census LEFT JOIN rebuilt USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
 
   /** X42 — cross-source overlap matrix: which sources mirror which. The
     * corpus-curation triage view over the near-dup pair set — mirrored/
@@ -906,5 +1013,6 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(x1DedupExact, x2MinHashLsh, x3SimHash,
     x4NgramJaccard, x27DedupSweep, x35Containment, x41SegmentDedup,
-    x42SourceOverlap, x47DedupEdit, x48DedupRecall)
+    x42SourceOverlap, x47DedupEdit, x48DedupRecall,
+    x52SegmentDedupAnchored)
 }
