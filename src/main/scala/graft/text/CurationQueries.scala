@@ -103,6 +103,98 @@ object CurationQueries {
            |            JOIN sizes sb ON source_b = sb.source
            |ORDER BY source_a, source_b""".stripMargin))
 
+  /** Distinct 13-gram set per key — the GPT-3/PaLM decontamination gram
+    * size (a 13-token verbatim run is long enough that random text never
+    * collides; any hit is a real quotation). Same whitespace tokenization
+    * contract as [[graft.dedup.DedupQueries.shingleRows]]. Map-only:
+    * explode + slice inside the scan's tasks, one distinct.
+    */
+  private[graft] def grams13(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(keyCols.map(col) :+ split(col("text"), " ").as("toks"): _*)
+      .where(size(col("toks")) >= 13)
+      .select(keyCols.map(col) ++ Seq(
+        explode(expr("sequence(1, size(toks) - 12)")).as("i"),
+        col("toks")): _*)
+      .select(keyCols.map(col) :+
+        expr("concat_ws(' ', slice(toks, i, 13))").as("g"): _*)
+      .distinct()
+
+  /** Docs sharing ≥1 13-gram with the benchmark: a gram-keyed LEFT SEMI
+    * join (corpus grams ⋉ benchmark grams). Work is corpus-linear on the
+    * probe side and benchmark-bounded on the build side — an eval set is
+    * tiny next to the corpus, so AQE broadcasts it; never corpus².
+    */
+  private[graft] def contaminatedDocs(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bg = grams13(benchmark, Seq("doc_id")).select("g").distinct()
+    grams13(corpus, Seq("doc_id", "source"))
+      .join(bg, Seq("g"), "left_semi")
+      .select("doc_id", "source").distinct()
+  }
+
+  /** X51 — eval-set decontamination screen: contamination of the TRAIN
+    * split against a NAMED held-out benchmark (the x10 deterministic
+    * test split), by the GPT-3/PaLM rule — any train document sharing a
+    * verbatim 13-gram with a benchmark document is contaminated and gets
+    * stripped before training. x11 measures diffuse source-pair overlap;
+    * this answers the sharper production question "is my eval set IN my
+    * training data?", reporting per-source contaminated-doc counts, the
+    * post-removal census, and the removal verdict.
+    *
+    * Scale: split is a pure per-row hash; gram extraction is map-only;
+    * the screen is one semi-join keyed by the gram, bounded by benchmark
+    * size ([[contaminatedDocs]]). Nothing is documents²-shaped.
+    */
+  val x51EvalDecontamination = QueryDef(
+    "x51_eval_decontamination",
+    "13-gram benchmark-overlap decontamination of the train split, per source",
+    (s, d) => {
+      val bucket = pmod(
+        call_function("graft_md5u60", col("doc_id").cast("string")), lit(100))
+      val base = docs(s, d).withColumn("bkt", bucket)
+      val train = base.filter(col("bkt") < 80)
+      val bench = base.filter(col("bkt") >= 90).select("doc_id", "text")
+      val hits = contaminatedDocs(train.select("doc_id", "source", "text"), bench)
+        .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+      train.groupBy("source").agg(count(lit(1)).as("n_train_docs"))
+        .join(hits, Seq("source"), "left")
+        .select(col("source"), col("n_train_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (col("n_train_docs") - coalesce(col("n_contaminated"), lit(0L)))
+            .as("n_kept"),
+          when(coalesce(col("n_contaminated"), lit(0L)) === 0, "clean")
+            .otherwise("strip").as("verdict"))
+        .orderBy("source")
+    },
+    Some("""WITH split AS (
+           |  SELECT doc_id, source, text,
+           |         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT) % 100 AS bkt
+           |  FROM documents),
+           |tr AS (SELECT doc_id, source, text FROM split WHERE bkt < 80),
+           |te AS (SELECT doc_id, text FROM split WHERE bkt >= 90),
+           |trg AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+12], ' ') AS g
+           |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM tr
+           |              WHERE len(string_split(text, ' ')) >= 13),
+           |             UNNEST(generate_series(1, len(t) - 12)) AS u(i)),
+           |teg AS (SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+           |        FROM (SELECT string_split(text, ' ') AS t FROM te
+           |              WHERE len(string_split(text, ' ')) >= 13),
+           |             UNNEST(generate_series(1, len(t) - 12)) AS u(i)),
+           |hit AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+           |        FROM (SELECT DISTINCT doc_id, source FROM trg
+           |              WHERE g IN (SELECT g FROM teg))
+           |        GROUP BY 1),
+           |census AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs
+           |           FROM tr GROUP BY 1)
+           |SELECT source, n_train_docs,
+           |       coalesce(n_contaminated, 0) AS n_contaminated,
+           |       n_train_docs - coalesce(n_contaminated, 0) AS n_kept,
+           |       CASE WHEN coalesce(n_contaminated, 0) = 0 THEN 'clean'
+           |            ELSE 'strip' END AS verdict
+           |FROM census LEFT JOIN hit USING (source)
+           |ORDER BY source""".stripMargin))
+
   /** Two-phase distributed prefix sum: cumulative `n_tokens` per source
     * in (source, doc_id) order, WITHOUT ever sorting a whole source in
     * one task. Docs block deterministically by `doc_id div blockSize`
@@ -815,5 +907,5 @@ object CurationQueries {
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
-      x33TemperatureMixture, x38CurriculumPhases)
+      x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination)
 }
