@@ -94,6 +94,119 @@ object ClusterQueries {
     (labels, iter)
   }
 
+  /** Damped quality propagation over an undirected doc graph — the
+    * PageRank-with-source-term recurrence in EXACT integers:
+    *
+    *   q₀(v)   = seed quality (ppm)
+    *   qₜ₊₁(v) = (15·q₀(v) + 85·Σ_{(u,v)∈E} (qₜ(u) div deg(u))) div 100
+    *
+    * `und` must carry both edge directions PLUS a self-loop per node: the
+    * self-loop gives every node an incoming term, and makes an isolated
+    * node an EXACT fixed point (deg = 1 ⇒ qₜ₊₁ = (15q₀ + 85qₜ) div 100 =
+    * q₀ at qₜ = q₀ — no drift, truncation cancels). Integer div truncates
+    * toward zero identically in Spark (`div`) and DuckDB (`//`), and all
+    * terms are non-negative, so the fixed-round result is bit-identical
+    * across engines and partitionings (the order-free-sum argument of
+    * Parity, applied to a graph recurrence).
+    *
+    * Scale posture: each round is one join against the (node-count-sized)
+    * quality frame + one map-combinable sum keyed by neighbor — x15's
+    * propagate() shape with a sum instead of a min; rounds are FIXED
+    * (data-independent), each round `localCheckpoint`s and evicts its
+    * predecessor so lineage stays constant-depth.
+    */
+  private[graft] def propagateQuality(und: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val undCk = und.localCheckpoint(true)
+    val deg = undCk.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var q = seeds.select(col("node"), col("q0").as("q")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val inc = undCk.join(q, Seq("node")).join(deg, Seq("node"))
+        .select(col("nbr"), expr("q div deg").as("c"))
+        .groupBy("nbr").agg(sum(col("c")).as("c"))
+        .withColumnRenamed("nbr", "node")
+      val next = seeds.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          expr("(15 * q0 + 85 * coalesce(c, 0L)) div 100").as("q"))
+      val prev = q
+      q = next.localCheckpoint(true)
+      graft.similarity.Ivf.dropCheckpoint(prev)
+    }
+    graft.similarity.Ivf.dropCheckpoint(undCk)
+    graft.similarity.Ivf.dropCheckpoint(deg)
+    q
+  }
+
+  /** X53 — link-graph quality propagation: t21's per-doc quality score
+    * diffused over the x4 near-dup graph (jaccard ≥ 0.5 edges) for 5
+    * damped rounds ([[propagateQuality]]) — the CommonCrawl-lineage
+    * recipe where a document's curation weight reflects its NEIGHBORS'
+    * quality, not just its own text: a low-scoring doc inside a
+    * high-quality template cluster is rescued, a high-scoring doc
+    * embedded in a spam mirror farm is demoted. t21/t28 score docs in
+    * isolation; this is the graph-structured signal the suite lacked.
+    *
+    * Output: per doc, its near-dup degree, the isolated t21 seed (ppm),
+    * and the propagated score — all exact integers, oracle-replayed by
+    * five unrolled join/agg rounds in DuckDB over the SAME edge CTEs as
+    * x4's oracle.
+    */
+  val x53QualityPropagation = QueryDef(
+    "x53_quality_propagation",
+    "damped quality propagation over the near-dup graph (5 exact-integer rounds)",
+    (s, d) => {
+      val pairs = DedupQueries
+        .ngramJaccardPairs(s, d, DedupQueries.SHINGLE_DF_CAP)
+        .select("doc_a", "doc_b")
+      val seeds = graft.sources.Tables.load(s, d, "documents")
+        .select(col("doc_id").as("node"),
+          graft.text.TextQueries.qualityScore6.as("q0"))
+      val nbrs = bothDirections(pairs)
+        .groupBy("node").agg(count(lit(1)).as("n_neighbors"))
+      val und = bothDirections(pairs)
+        .unionByName(seeds.select(col("node"), col("node").as("nbr")))
+      val q = propagateQuality(und, seeds, rounds = 5)
+      seeds.join(nbrs, Seq("node"), "left")
+        .join(q, Seq("node"))
+        .select(col("node").as("doc_id"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          col("q0").as("q_seed"), col("q").as("q_prop"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // CAST per round: DuckDB's sum(BIGINT) widens to HUGEINT, which
+      // would surface q as DOUBLE through pandas at the gate
+      val round = (t: Int) =>
+        s"""q$t AS (SELECT s.node, s.q0,
+           |         CAST((15 * s.q0 + 85 * coalesce(inc.c, 0)) // 100 AS BIGINT) AS q
+           |       FROM allq s LEFT JOIN (
+           |         SELECT u.nbr AS node, sum(p.q // d.deg) AS c
+           |         FROM q${t - 1} p JOIN deg d ON p.node = d.node
+           |                          JOIN und u ON p.node = u.node
+           |         GROUP BY u.nbr) inc ON s.node = inc.node)""".stripMargin
+      s"""WITH ${DedupQueries.ngramPairsSqlCtes},
+         |allq AS (SELECT doc_id AS node,
+         |           ${graft.text.TextQueries.qualityScore6Sql} AS q0
+         |         FROM documents),
+         |und AS (SELECT doc_a AS node, doc_b AS nbr FROM jpairs
+         |        UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM jpairs
+         |        UNION ALL SELECT node, node AS nbr FROM allq),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY node),
+         |nbrs AS (SELECT node, CAST(count(*) AS BIGINT) AS n_neighbors
+         |         FROM (SELECT doc_a AS node FROM jpairs
+         |               UNION ALL SELECT doc_b AS node FROM jpairs)
+         |         GROUP BY node),
+         |q0 AS (SELECT node, q0, q0 AS q FROM allq),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT s.node AS doc_id,
+         |       coalesce(nbrs.n_neighbors, 0) AS n_neighbors,
+         |       s.q0 AS q_seed, q5.q AS q_prop
+         |FROM allq s LEFT JOIN nbrs ON s.node = nbrs.node
+         |            JOIN q5 ON s.node = q5.node
+         |ORDER BY doc_id""".stripMargin
+    })
+
   private def bothDirections(edges: DataFrame): DataFrame =
     edges
       .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
@@ -417,6 +530,7 @@ object ClusterQueries {
             |FROM documents d LEFT JOIN sized ON d.doc_id = sized.doc_id
             |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x15DedupClusters, x18ClustersIncremental,
+  val defs: Seq[QueryDef] = Seq(x53QualityPropagation,
+    x15DedupClusters, x18ClustersIncremental,
     x34Survivorship, x37DedupWeights)
 }
