@@ -291,13 +291,20 @@ object Bench {
     // applies manually, with nothing discarded.
     val ioMid = IoProbe.run()
     val degraded = ioMid.seqWriteMBps < 60.0 || ioMid.smallCreatePerSec < 800.0
+    // retry at the 2.5 s healthy-window target, not only the 5 s
+    // acceptance line: a degraded-window 4.x s reading should carry its
+    // own adjudication instead of passing silently with an 11% margin
     val (freshRetryJson, freshP95) =
-      if (fresh1P95 >= 5.0 && degraded) {
+      if (fresh1P95 >= 2.5 && degraded) {
         val (j2, p2) = freshOnce()
         (j2, p2)
       } else (null, fresh1P95)
+    // the scratch-probe reading rides the section unconditionally (not
+    // just on retry): a 4.5 s-on-degraded-mount result must not read
+    // identically to 4.5 s-on-healthy in the driver artifact
     val freshJson =
-      if (freshRetryJson == null) fresh1Json
+      if (freshRetryJson == null)
+        s"""{"attempt1":$fresh1Json,"io_probe_after":${ioMid.toJsonCompact}}"""
       else s"""{"attempt1":$fresh1Json,"io_probe_between":${ioMid.toJsonCompact},""" +
         s""""retry":$freshRetryJson}"""
 
@@ -540,13 +547,25 @@ object Bench {
     // decimal separators on some JVMs, corrupting the JSON record
     def r3(v: Double): String =
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // the stdout line must fit the driver's ~2 KB tail capture WHOLE —
+    // BENCH_r11/r12 arrived with "parsed": null because the full
+    // 126-entry query map pushed the line past the window and clipped
+    // its head. Print only the slowest 10 (the ones a reader acts on);
+    // the full map lives in the detail sidecar referenced by "detail".
+    val qsCompact = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val mvWaveTotals = mvWave.map(_._1)
     val waveTotals = wave.map(_._1)
+    val sections = s"""{"ingest":${eps > 0},""" +
+      s""""concurrent":${worstSlowdown > 0},""" +
+      s""""freshness":${freshP95 > 0 && freshP95 < 5.0},""" +
+      s""""speed_layer":${speedP95 > 0 && speedP95 < 5.0},""" +
+      s""""scale_soak":${!soakJson.contains("\"failed\"")}}"""
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsN,""" +
       s""""ingest_events_per_sec":${eps.round},"ingest_events":$nWritten,""" +
-      s""""queries":$qsCompact,""" +
+      s""""n_queries":${results.size},"queries_slowest":$qsCompact,""" +
+      s""""sections_pass":$sections,""" +
       s""""concurrent":{"parallelism":${concNames.size},""" +
       s""""worst_slowdown":${r3(worstSlowdown)},""" +
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
