@@ -947,7 +947,9 @@ object ExtendedSqlQueries {
     * treats a gap as "day didn't happen".
     *
     * Exactness: interpolation is integer-cent arithmetic —
-    * `prev + (next−prev)·Δ div span` (floor division both engines) —
+    * `prev + (next−prev)·Δ div span` (truncating integer division,
+    * identical in both engines — Spark `DIV` and DuckDB `//` both
+    * truncate toward zero, verified including negative slopes) —
     * never a double ratio. Edge days with only one known neighbor carry
     * it. Scale posture: the spine is calendar-bounded (O(days),
     * data-independent — the e9 argument), so the single-partition

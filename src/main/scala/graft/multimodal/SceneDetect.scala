@@ -58,23 +58,30 @@ object SceneDetect {
 
   /** Scene segments per video: boundary list → [start, end] frame ranges
     * (a video with no boundaries is one segment; segment 0 starts at
-    * frame 0). Built from the bounded boundary set, not the frame set.
+    * frame 0). Single decode pass: boundaries, per-video last frame, and
+    * the synthetic frame-0 start all derive from ONE frame-hash frame —
+    * `last_frame` rides a per-video window max and the first surviving
+    * row stands in for the frame-0 start, so no second `frameHashes`
+    * subtree re-decodes every video.
     */
   def segments(media: Dataset[Multimodal.MediaRow],
       hammingThreshold: Int = 16): DataFrame = {
-    val frames = frameHashes(media).toDF()
-      .groupBy("media_id").agg(max(col("frame_idx")).as("last_frame"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
-    val bounds = sceneChanges(media, hammingThreshold)
-      .select(col("media_id"), col("frame_idx"))
-    val starts = frames.select(col("media_id"), lit(0).as("frame_idx"))
-      .unionByName(bounds)
+    val annotated = frameHashes(media).toDF()
+      .withColumn("last_frame", max(col("frame_idx"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("media_id")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .withColumn("hamming", expr("bit_count(ahash ^ prev)"))
+    val starts = annotated.filter(col("rn") === 1 ||
+        (col("prev").isNotNull && col("hamming") >= hammingThreshold))
       .withColumn("scene_no", row_number().over(w) - 1)
       .withColumn("next_start", lead(col("frame_idx"), 1).over(w))
-    starts.join(frames, Seq("media_id"))
-      .select(col("media_id"), col("scene_no").cast("long").as("scene_no"),
-        col("frame_idx").cast("long").as("start_frame"),
+    starts.select(col("media_id"),
+        col("scene_no").cast("long").as("scene_no"),
+        when(col("rn") === 1, lit(0)).otherwise(col("frame_idx"))
+          .cast("long").as("start_frame"),
         coalesce(col("next_start") - 1, col("last_frame")).cast("long")
           .as("end_frame"))
       .orderBy("media_id", "scene_no")

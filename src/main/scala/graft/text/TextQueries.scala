@@ -1204,6 +1204,15 @@ object TextQueries {
         .withColumn("nc",
           when(col("n") <= C, lit(1L))
             .otherwise(expr(s"1 + (n - $C + ${S - 1}) div $S")))
+        // ckey = doc_id·1000 + chunk_id aliases doc ids if a doc ever
+        // yields ≥ 1000 chunks (~24k+ tokens); fail loudly instead of
+        // silently corrupting the cross-doc filter / hit_doc attribution
+        .withColumn("nc",
+          when(col("nc") < 1000, col("nc")).otherwise(raise_error(concat(
+            lit("x49 ckey overflow: doc "), col("doc_id").cast("string"),
+            lit(" has "), col("nc").cast("string"),
+            lit(" chunks (>= 1000); widen the ckey multiplier")))
+            .cast("long")))
         .select(col("doc_id"), col("toks"), col("n"),
           explode(expr("sequence(0L, nc - 1)")).as("chunk_id"))
         .select((col("doc_id") * 1000 + col("chunk_id")).as("ckey"),
