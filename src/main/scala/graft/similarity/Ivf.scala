@@ -152,21 +152,31 @@ object Ivf {
       .withColumn("cid", col("cid").cast("long")),
       spark.read.parquet(s"$dir/centroids"))
 
+  /** Per-query probe targets: the `nprobe` nearest centroid ids, with the
+    * query embedding carried along — (q_id, q_emb, cid). The shared front
+    * half of [[topK]], and the candidate-list driver for the ADC path
+    * (x54), which scans PQ codes instead of full vectors.
+    */
+  private[graft] def probes(cents: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val qc = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist"), col("cid"))
+    qc.crossJoin(broadcast(cents))
+      .withColumn("dist", distSq(col("q_emb")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+  }
+
   /** Probe: per query, rank centroids, take `nprobe` lists, score only
     * those lists with exact fixed-point cosine, keep top `k`.
     */
   def topK(index: DataFrame, cents: DataFrame, queries: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     graft.GraftExtensions.ensure(index.sparkSession)
-    val qc = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist"), col("cid"))
-    val probes = qc.crossJoin(broadcast(cents))
-      .withColumn("dist", distSq(col("q_emb")))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cid"))
+    val probes = Ivf.probes(cents, queries, nprobe)
     val dot = call_function("graft_dot", col("q_emb"), col("embedding"))
     val nq = call_function("graft_dot", col("q_emb"), col("q_emb"))
     val nv = call_function("graft_dot", col("embedding"), col("embedding"))

@@ -144,42 +144,47 @@ object QuantizationQueries {
     (cents, assign)
   }
 
-  /** The oracle's replay of the same rounds as recursive-free CTEs. */
-  private def pqSqlCtes: String = {
+  /** The oracle's replay of the same rounds as recursive-free CTEs.
+    * `p` prefixes every CTE name so the block composes with other CTE
+    * families in one query (x54 embeds it next to the IVF build's
+    * a0/c0/d1/a1 names). Final codebook = `${p}c$PQ_ROUNDS`, final scored
+    * codes = `${p}afin`.
+    */
+  private[graft] def pqSqlCtes(p: String = ""): String = {
     val sb = new StringBuilder
-    sb.append(s"""elems AS (
+    sb.append(s"""${p}elems AS (
       |  SELECT vec_id, CAST((i-1)//$PQ_SUBDIM AS INTEGER) AS sub, i AS dim,
       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
-      |a0 AS (SELECT DISTINCT vec_id, sub, vec_id % $PQ_K AS cid FROM elems)""".stripMargin)
+      |${p}a0 AS (SELECT DISTINCT vec_id, sub, vec_id % $PQ_K AS cid FROM ${p}elems)""".stripMargin)
     for (r <- 1 to PQ_ROUNDS) {
       sb.append(s""",
-        |c$r AS (SELECT e.sub, a.cid, e.dim,
+        |${p}c$r AS (SELECT e.sub, a.cid, e.dim,
         |         CAST(floor(CAST(sum(e.qv) AS DOUBLE)/count(*)) AS BIGINT) AS cq
-        |       FROM elems e JOIN a${r - 1} a ON e.vec_id = a.vec_id AND e.sub = a.sub
+        |       FROM ${p}elems e JOIN ${p}a${r - 1} a ON e.vec_id = a.vec_id AND e.sub = a.sub
         |       GROUP BY e.sub, a.cid, e.dim)""".stripMargin)
       if (r < PQ_ROUNDS) sb.append(s""",
-        |d$r AS (SELECT e.vec_id, e.sub, c.cid,
+        |${p}d$r AS (SELECT e.vec_id, e.sub, c.cid,
         |         CAST(sum((e.qv-c.cq)*(e.qv-c.cq)) AS BIGINT) AS dist
-        |       FROM elems e JOIN c$r c ON e.sub = c.sub AND e.dim = c.dim
+        |       FROM ${p}elems e JOIN ${p}c$r c ON e.sub = c.sub AND e.dim = c.dim
         |       GROUP BY e.vec_id, e.sub, c.cid),
-        |a$r AS (SELECT vec_id, sub, cid FROM (
+        |${p}a$r AS (SELECT vec_id, sub, cid FROM (
         |         SELECT vec_id, sub, cid,
         |                row_number() OVER (PARTITION BY vec_id, sub
         |                                   ORDER BY dist, cid) AS rn
-        |         FROM d$r) WHERE rn = 1)""".stripMargin)
+        |         FROM ${p}d$r) WHERE rn = 1)""".stripMargin)
     }
     val fr = PQ_ROUNDS
     sb.append(s""",
-      |dfin AS (SELECT e.vec_id, e.sub, c.cid,
+      |${p}dfin AS (SELECT e.vec_id, e.sub, c.cid,
       |          CAST(sum((e.qv-c.cq)*(e.qv-c.cq)) AS BIGINT) AS dist
-      |        FROM elems e JOIN c$fr c ON e.sub = c.sub AND e.dim = c.dim
+      |        FROM ${p}elems e JOIN ${p}c$fr c ON e.sub = c.sub AND e.dim = c.dim
       |        GROUP BY e.vec_id, e.sub, c.cid),
-      |afin AS (SELECT vec_id, sub, cid, dist FROM (
+      |${p}afin AS (SELECT vec_id, sub, cid, dist FROM (
       |          SELECT vec_id, sub, cid, dist,
       |                 row_number() OVER (PARTITION BY vec_id, sub
       |                                    ORDER BY dist, cid) AS rn
-      |          FROM dfin) WHERE rn = 1)""".stripMargin)
+      |          FROM ${p}dfin) WHERE rn = 1)""".stripMargin)
     sb.toString
   }
 
@@ -207,7 +212,7 @@ object QuantizationQueries {
             (col("n_vecs") * lit(PQ_SUBDIM)) / lit(1e12))
         .orderBy("sub", "cid")
     },
-    Some(s"""WITH $pqSqlCtes
+    Some(s"""WITH ${pqSqlCtes()}
            |SELECT sub, cid, CAST(count(*) AS BIGINT) AS n_vecs,
            |       CAST(sum(dist) AS BIGINT) AS sum_sq_err_fp,
            |       CAST(sum(dist) AS DOUBLE) / (count(*) * $PQ_SUBDIM) / 1e12 AS mse

@@ -226,7 +226,7 @@ object SimilarityQueries {
     })
   }
 
-  private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[similarity] def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfMemo.synchronized {
       val m = Option(ivfMemo.get(s)).getOrElse(Map.empty)
       m.get(d) match {
@@ -535,7 +535,160 @@ object SimilarityQueries {
          |ORDER BY a1.vec_id""".stripMargin
     })
 
+  /** ADC re-rank depth: how many lookup-table-scored candidates per query
+    * get the exact-cosine second pass. The IVFADC+R accuracy/IO knob
+    * (Jégou et al. 2011 §V): full vectors are read for R·|Q| rows only.
+    */
+  private[graft] val ADC_R = 20
+
+  /** X54 — IVF-ADC with exact re-rank, the FAISS `IVFADC,R` serving recipe
+    * (Jégou, Douze, Schmid 2011, "Product quantization for nearest
+    * neighbor search"): probe the `nprobe=2` nearest IVF lists (x9's
+    * index), score every candidate from its PQ CODES via a per-query
+    * lookup table (asymmetric distance computation — the scan reads
+    * M=4 byte-sized codes per vector, NOT the 64-float vector), keep the
+    * best [[ADC_R]] by ADC distance, then re-rank just those with the
+    * exact fixed-point cosine. The no-residual PQ variant (FAISS
+    * `by_residual=false`) so the x19 codebook is reused verbatim.
+    *
+    * Scale posture — this is THE production ANN serving plan at 100 TB:
+    * the per-query LUT is |Q|·M·K = 256 integer rows (broadcast), the
+    * probed-list scan touches 32 bytes of codes per candidate instead of
+    * 256 bytes of floats (8× less IO than x9's exact-cosine probe), and
+    * full vectors are fetched for only R·|Q| rows. Every stage before the
+    * final cosine is exact integer math (LUT entries and ADC sums are
+    * fp²-unit longs), so ranking is bit-stable on any cluster layout and
+    * the oracle replays the whole pipeline: IVF build + PQ build + LUT +
+    * ADC + re-rank.
+    */
+  /** The IVFADC+R pipeline behind x54, parameterized so `AdcSpec` can
+    * pin the R-covers-everything limit: with `r` at least the largest
+    * probed-list candidate count, the output must equal `Ivf.topK` (same
+    * lists, exact re-rank over the full candidate set — the ADC stage can
+    * then only reorder the shortlist, never drop a winner).
+    */
+  private[graft] def adcTopK(s: SparkSession, d: String, queries: DataFrame,
+      nprobe: Int, r: Int, k: Int): DataFrame = {
+    val (index, cents) = ivfIndex(s, d)
+    val (pqCents, pqScored) = QuantizationQueries.pqBuild(s, d)
+    val codes = pqScored.select(col("vec_id"), col("sub"),
+      col("cid").as("code"))
+    // per-(query, sub, code) LUT: ||q_sub − codebook[sub][code]||² in
+    // fp² units — exact longs, |Q|·M·K rows, broadcast
+    val qElems = queries
+      .select(col("vec_id").as("q_id"), posexplode(col("embedding")))
+      .select(col("q_id"),
+        expr(s"CAST(pos div ${QuantizationQueries.PQ_SUBDIM} AS INT)").as("sub"),
+        (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * lit(1e6)).cast("long").as("qv"))
+    val lut = qElems.join(broadcast(pqCents), Seq("sub", "dim"))
+      .withColumn("dd", (col("qv") - col("cq")) * (col("qv") - col("cq")))
+      .groupBy("q_id", "sub", "cid")
+      .agg(sum(col("dd")).as("lut"))
+      .select(col("q_id"), col("sub"), col("cid").as("code"), col("lut"))
+    // candidate ids from the probed coarse lists — vectors NOT read here
+    val cand = Ivf.probes(cents, queries, nprobe)
+      .select("q_id", "cid")
+      .join(index.select("vec_id", "cid"), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("lut")).as("adc_dist"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val shortlist = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= r)
+    // exact re-rank: full vectors are read for the r·|Q| shortlist only
+    val v = withNorm(emb(s, d))
+    val qn = v.join(queries.select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val rer = shortlist.join(v, Seq("vec_id")).join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("adc_dist"),
+        cosine(dotFix(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    rer.withColumn("rk", row_number().over(wK)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("adc_dist"), col("cos_sim"),
+        col("rk"))
+  }
+
+  val x54AnnIvfAdc = QueryDef(
+    "x54_ann_ivf_adc",
+    s"IVF-ADC serving: PQ lookup-table scan over nprobe=2 lists, top-$ADC_R ADC shortlist, exact cosine re-rank top-3",
+    (s, d) =>
+      adcTopK(s, d, emb(s, d).filter(col("vec_id") < 8),
+        nprobe = 2, r = ADC_R, k = 3)
+        .orderBy("q_id", "rk"),
+    Some {
+      def centSql(src: String): String = {
+        val sums = (1 to DIM).map(i =>
+          s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 100000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0 AS c$i")
+          .mkString(", ")
+        s"SELECT cid, $sums FROM $src GROUP BY cid"
+      }
+      def distSql(e: String): String =
+        (1 to DIM).map(i =>
+          s"(CAST($e[$i] AS DOUBLE) - c.c$i) * (CAST($e[$i] AS DOUBLE) - c.c$i)")
+          .mkString(" + ")
+      val sd = QuantizationQueries.PQ_SUBDIM
+      s"""WITH $normSql,
+         |a0 AS (SELECT vec_id, embedding, vec_id % 16 AS cid FROM embeddings),
+         |c0 AS (${centSql("a0")}),
+         |d1 AS (SELECT v.vec_id, v.embedding, c.cid,
+         |         ${distSql("v.embedding")} AS dist
+         |       FROM embeddings v CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, embedding, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |c1 AS (${centSql("a1")}),
+         |${QuantizationQueries.pqSqlCtes("pq_")},
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |p AS (SELECT q_id, cid FROM
+         |        (SELECT q.q_id, c.cid,
+         |                row_number() OVER (PARTITION BY q.q_id ORDER BY ${distSql("q.q_emb")}, c.cid) AS rn
+         |         FROM q CROSS JOIN c1 c)
+         |      WHERE rn <= 2),
+         |qe AS (SELECT q_id, CAST((i-1)//$sd AS INTEGER) AS sub, i AS dim,
+         |              CAST(floor(CAST(q_emb[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+         |       FROM q, UNNEST(generate_series(1, len(q_emb))) AS u(i)),
+         |lut AS (SELECT qe.q_id, qe.sub, c.cid AS code,
+         |               CAST(sum((qe.qv - c.cq) * (qe.qv - c.cq)) AS BIGINT) AS lut
+         |        FROM qe JOIN pq_c${QuantizationQueries.PQ_ROUNDS} c
+         |          ON qe.sub = c.sub AND qe.dim = c.dim
+         |        GROUP BY qe.q_id, qe.sub, c.cid),
+         |cand AS (SELECT p.q_id, v.vec_id
+         |         FROM p JOIN a1 v ON p.cid = v.cid AND v.vec_id <> p.q_id),
+         |adc AS (SELECT cand.q_id, cand.vec_id,
+         |               CAST(sum(l.lut) AS BIGINT) AS adc_dist
+         |        FROM cand
+         |        JOIN pq_afin k ON cand.vec_id = k.vec_id
+         |        JOIN lut l ON l.q_id = cand.q_id AND l.sub = k.sub AND l.code = k.cid
+         |        GROUP BY cand.q_id, cand.vec_id),
+         |topr AS (SELECT q_id, vec_id, adc_dist FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                        ORDER BY adc_dist, vec_id) AS arn
+         |           FROM adc)
+         |         WHERE arn <= $ADC_R),
+         |qn AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |       FROM normed WHERE vec_id < 8),
+         |rer AS (SELECT t.q_id, t.vec_id, t.adc_dist,
+         |               CAST(${qdotSql} AS DOUBLE) /
+         |                 (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos_sim
+         |        FROM topr t
+         |        JOIN normed v ON t.vec_id = v.vec_id
+         |        JOIN qn q ON t.q_id = q.q_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                        ORDER BY cos_sim DESC, vec_id) AS rk
+         |           FROM rer)
+         |SELECT q_id, vec_id, adc_dist, cos_sim, rk FROM ranked WHERE rk <= 3
+         |ORDER BY q_id, rk""".stripMargin
+    })
+
   val defs: Seq[QueryDef] =
     Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf,
-      x31HardNegatives, x39AnnRecall, x40SemanticDedup)
+      x31HardNegatives, x39AnnRecall, x40SemanticDedup, x54AnnIvfAdc)
 }
