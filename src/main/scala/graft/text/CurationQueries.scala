@@ -195,6 +195,150 @@ object CurationQueries {
            |FROM census LEFT JOIN hit USING (source)
            |ORDER BY source""".stripMargin))
 
+  /** Number of hashed n-gram feature buckets for the x55 DSIR models.
+    * Published DSIR uses 10k; 256 keeps the sf-corpus buckets dense
+    * enough that the ±1-bit integer log2 stays meaningful (the bucket
+    * count is a quality knob, not a scale knob — the model is B×2 rows
+    * at ANY corpus size).
+    */
+  private[text] val DSIR_BUCKETS = 256L
+
+  /** X55 — DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): featurize every
+    * document as hashed unigram+bigram counts, fit bag-of-ngrams models
+    * on the TARGET corpus (the t28 curated seed) and the RAW pool, and
+    * weight each raw document by its importance under the target-vs-raw
+    * likelihood ratio — `log w(x) = Σ_b c_b(x)·(log p_target(b) −
+    * log p_raw(b))`. Documents with positive log-weight (importance
+    * ratio > 1: the doc looks more like the target than like the pool)
+    * are selected; the census reports per-source selection rates — the
+    * domain-composition shift DSIR exists to produce. Fixed-quota
+    * resampling instead of the ratio>1 rule is the same plan with the
+    * threshold drawn from the a13 distributed order-statistic machinery.
+    *
+    * Portability: per-bucket log-probabilities are floor-log2 of ppm
+    * rates (`bitlen(ppm)−1`, the x28/x45 no-libm discipline; +1
+    * Laplace smoothing on counts, `greatest(ppm,1)` so log2(0) cannot
+    * arise at any corpus/bucket ratio), so weights are exact longs and
+    * the selection verdict is bit-identical across engines.
+    *
+    * Scale posture: the feature stream is one posexplode + a per-doc lag
+    * window (state bounded by the longest document) feeding two
+    * map-combinable aggs; BOTH models together are B×2 = 512 rows —
+    * broadcast at any corpus size (DSIR's own design point: the
+    * importance model is deliberately tiny); scoring is one groupBy over
+    * (doc, bucket) + a broadcast join. Nothing vocabulary- or
+    * corpus²-shaped anywhere.
+    */
+  val x55DsirSelection = QueryDef(
+    "x55_dsir_selection",
+    "DSIR importance selection: hashed-ngram target/raw log2-ratio weights, per-source census",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = DSIR_BUCKETS
+      val base = docs(s, d).withColumn("cls",
+        col("source").isInCollection(TextQueries.CURATED_SOURCES).cast("int"))
+      val toks = base
+        .select(col("doc_id"), col("source"), col("cls"),
+          posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("source"), col("cls"), col("pos"),
+          col("col").as("tok"))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      // unigrams ∪ bigrams in one pass: explode a 2-array whose bigram
+      // slot is null at position 0, then drop the nulls
+      val fb = toks.withColumn("prev", lag(col("tok"), 1).over(wd))
+        .select(col("doc_id"), col("source"), col("cls"),
+          explode(array(col("tok"),
+            when(col("prev").isNotNull,
+              concat_ws(" ", col("prev"), col("tok"))))).as("f"))
+        .filter(col("f").isNotNull)
+        .withColumn("b", pmod(call_function("graft_md5u60", col("f")), lit(B)))
+      val counts = fb.groupBy("b", "cls").agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy("cls")
+        .agg((sum(col("c")) + B).as("tot1"))
+      val spine = s.range(0, B).select(col("id").as("b"),
+        explode(array(lit(0), lit(1))).as("cls"))
+      val model = spine.join(counts, Seq("b", "cls"), "left")
+        .join(broadcast(tot), Seq("cls"))
+        .withColumn("ppm",
+          greatest(expr("((coalesce(c, 0L) + 1) * 1000000) div tot1"), lit(1L)))
+      // w_b = floor-log2(target ppm) − floor-log2(raw ppm); every bucket
+      // has both class rows via the spine, so the maxes are never null
+      val wTbl = model.groupBy("b").agg(
+        (length(bin(max(when(col("cls") === 1, col("ppm"))))) -
+          length(bin(max(when(col("cls") === 0, col("ppm"))))))
+          .cast("long").as("wt"))
+      val scored = fb.filter(col("cls") === 0)
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("cb"))
+        .join(broadcast(wTbl), Seq("b"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("cb") * col("wt")).as("w_doc"))
+      scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("w_doc") > 0).cast("long")).as("n_selected"),
+        sum(when(col("w_doc") > 0, col("w_doc")).otherwise(lit(0L)))
+          .as("sum_w_selected"),
+        min(col("w_doc")).as("min_w"),
+        max(col("w_doc")).as("max_w"))
+        .withColumn("selected_bp", expr("n_selected * 10000 div n_docs"))
+        .select("source", "n_docs", "n_selected", "selected_bp",
+          "sum_w_selected", "min_w", "max_w")
+        .orderBy("source")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, source, text,
+           |         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+           |              THEN 1 ELSE 0 END AS cls
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, source, cls,
+           |         unnest(string_split(text, ' ')) AS tok,
+           |         generate_subscripts(string_split(text, ' '), 1) AS pos
+           |  FROM base),
+           |lagd AS (
+           |  SELECT doc_id, source, cls, tok,
+           |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |  FROM toks),
+           |feats AS (
+           |  SELECT doc_id, source, cls, tok AS f FROM lagd
+           |  UNION ALL
+           |  SELECT doc_id, source, cls, prev || ' ' || tok AS f
+           |  FROM lagd WHERE prev IS NOT NULL),
+           |fb AS (
+           |  SELECT doc_id, source, cls,
+           |         CAST(md5_number_lower(f) >> 4 AS BIGINT) % 256 AS b
+           |  FROM feats),
+           |counts AS (SELECT b, cls, CAST(count(*) AS BIGINT) AS c
+           |           FROM fb GROUP BY 1, 2),
+           |tot AS (SELECT cls, CAST(sum(c) AS BIGINT) + 256 AS tot1
+           |        FROM counts GROUP BY 1),
+           |spine AS (SELECT i AS b, cls
+           |          FROM UNNEST(generate_series(0, 255)) AS u(i),
+           |               (VALUES (0), (1)) AS v(cls)),
+           |model AS (
+           |  SELECT s.b, s.cls,
+           |         greatest((COALESCE(c, 0) + 1) * 1000000 // tot1, 1) AS ppm
+           |  FROM spine s LEFT JOIN counts ON s.b = counts.b AND s.cls = counts.cls
+           |       JOIN tot ON s.cls = tot.cls),
+           |w AS (
+           |  SELECT b,
+           |         CAST(len(bin(max(CASE WHEN cls = 1 THEN ppm END))) -
+           |              len(bin(max(CASE WHEN cls = 0 THEN ppm END))) AS BIGINT) AS wt
+           |  FROM model GROUP BY b),
+           |docf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS cb
+           |         FROM fb WHERE cls = 0 GROUP BY 1, 2, 3),
+           |scored AS (SELECT doc_id, source, CAST(sum(cb * wt) AS BIGINT) AS w_doc
+           |           FROM docf JOIN w USING (b) GROUP BY 1, 2)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN w_doc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           |       CAST(sum(CASE WHEN w_doc > 0 THEN 1 ELSE 0 END) * 10000 //
+           |            count(*) AS BIGINT) AS selected_bp,
+           |       CAST(sum(CASE WHEN w_doc > 0 THEN w_doc ELSE 0 END) AS BIGINT) AS sum_w_selected,
+           |       CAST(min(w_doc) AS BIGINT) AS min_w,
+           |       CAST(max(w_doc) AS BIGINT) AS max_w
+           |FROM scored GROUP BY source ORDER BY source""".stripMargin))
+
   /** Two-phase distributed prefix sum: cumulative `n_tokens` per source
     * in (source, doc_id) order, WITHOUT ever sorting a whole source in
     * one task. Docs block deterministically by `doc_id div blockSize`
@@ -907,5 +1051,6 @@ object CurationQueries {
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
-      x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination)
+      x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
+      x55DsirSelection)
 }

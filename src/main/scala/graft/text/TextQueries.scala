@@ -797,7 +797,7 @@ object TextQueries {
   /** Curated-seed sources for the T28 model-based scorer (stand-in for
     * "known-good corpus" — Wikipedia/books in the published recipes).
     */
-  private val CURATED_SOURCES = Seq("src0", "src1", "src2", "src3", "src4")
+  private[text] val CURATED_SOURCES = Seq("src0", "src1", "src2", "src3", "src4")
 
   /** T28 — MODEL-BASED quality scoring: train a linear scorer that
     * contrasts a curated seed corpus against the background, then score
@@ -1284,10 +1284,222 @@ object TextQueries {
            |      FROM sc)
            |WHERE rk <= 5 ORDER BY q_doc, rk""".stripMargin))
 
+  /** The x56 lexical leg: exact fixed-point BM25 scores for every
+    * (query, candidate-doc) pair sharing at least one query term.
+    * Shared by x56 (ranked directly) and x57 (fused with the dense leg).
+    *
+    * Okapi BM25 with k1=1.2, b=0.75 carried as exact integer rationals
+    * (thousandths for the length normalization, 1e-6 fixed point for the
+    * saturated tf component); idf is the x43 integer floor-log2
+    * convention `bitlen(16·N/df)−1`. Every operation is integer
+    * multiply/divide with truncation identical in both engines, so
+    * scores — and therefore ranks — are bit-stable on any cluster
+    * layout. The one libm-free deviation from textbook BM25 (floor-log2
+    * idf instead of ln) preserves the ranking structure: idf is still
+    * monotone-decreasing in df.
+    *
+    * Scale posture: the (doc, term) tf table is the only corpus-sized
+    * frame ([[graft.PlanCache]]'d — x56 and x57 both read it); the query
+    * term table (|Q|·32 rows) joins BROADCAST against it, so candidate
+    * volume is O(docs · matched query terms) — the inverted-index access
+    * path, never corpus × queries; idf then joins on the already
+    * query-pruned term stream (AQE broadcasts it). Top-k is a per-query
+    * bounded window.
+    */
+  private[graft] def bm25Scores(s: SparkSession, d: String) = {
+    val tf = graft.PlanCache.persisted(s, s"x56-tf/$d") {
+      docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    }
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val nt = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nt.select("n_docs")))
+      .select(col("term"),
+        (length(bin(expr("(n_docs * 16) div df"))) - 1).cast("long").as("idf"))
+    val q = docs(s, d).filter(col("doc_id") < 4)
+      .select(col("doc_id").as("q_doc"),
+        explode(expr("slice(split(text, ' '), 1, 32)")).as("term"))
+      .distinct()
+    tf.join(broadcast(q), Seq("term"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .join(idf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nt))
+      .withColumn("score_t", col("idf") * expr(
+        "(tf * 2200 * 1000000) div (tf * 1000 + " +
+          "(1200 * (250 + (750 * ((dl * 1000000) div " +
+          "((total_toks * 1000) div n_docs))) div 1000)) div 1000)"))
+      .groupBy(col("q_doc"), col("doc_id").as("hit_doc"))
+      .agg(sum(col("score_t")).as("score_fp"))
+  }
+
+  /** DuckDB CTEs b* replicating [[bm25Scores]] → `bsc(q_doc, hit_doc,
+    * score_fp)`. Names are b-prefixed so the block composes with
+    * [[hashedWeightsSql]]'s t/nd/idf/tf/w in one query (x57).
+    */
+  private val bm25Sql =
+    """btoks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |        FROM btoks GROUP BY 1, 2),
+      |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
+      |bnt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |               CAST(sum(dl) AS BIGINT) AS total_toks FROM bdl),
+      |bidf AS (SELECT term, CAST(len(bin((n_docs * 16) // df)) - 1 AS BIGINT) AS idf
+      |         FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |               FROM btf GROUP BY 1) CROSS JOIN bnt),
+      |bq AS (SELECT DISTINCT doc_id AS q_doc, unnest(t[1:32]) AS term
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |             FROM documents WHERE doc_id < 4)),
+      |bsc AS (
+      |  SELECT q.q_doc, f.doc_id AS hit_doc,
+      |         CAST(sum(i.idf * ((f.tf * 2200 * 1000000) //
+      |           (f.tf * 1000 + (1200 * (250 + (750 * ((l.dl * 1000000) //
+      |             ((n.total_toks * 1000) // n.n_docs))) // 1000)) // 1000)))
+      |           AS BIGINT) AS score_fp
+      |  FROM btf f JOIN bq q USING (term) JOIN bidf i ON f.term = i.term
+      |       JOIN bdl l ON f.doc_id = l.doc_id CROSS JOIN bnt n
+      |  WHERE f.doc_id <> q.q_doc
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** X56 — BM25 document retrieval: the LEXICAL retrieval leg the suite's
+    * RAG surface lacks — x49/x54 retrieve in vector spaces (hashed
+    * tf-idf, PQ codes), but production search stacks pair a dense leg
+    * with an exact-term BM25 leg precisely because embeddings miss rare
+    * literal identifiers (error codes, names, API symbols) that BM25's
+    * idf-weighted exact match nails. Queries are the x49 convention (the
+    * first 32 tokens of docs 0–3, distinct terms); candidates are scored
+    * over WHOLE documents with per-doc length normalization; top-5 per
+    * query. All-integer scoring: see [[bm25Scores]].
+    */
+  val x56Bm25Retrieval = QueryDef(
+    "x56_bm25_retrieval",
+    "top-5 BM25 document retrieval (exact fixed-point Okapi scoring)",
+    (s, d) => {
+      val wr = Window.partitionBy("q_doc")
+        .orderBy(col("score_fp").desc, col("hit_doc"))
+      bm25Scores(s, d)
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= 5)
+        .withColumn("score", col("score_fp").cast("double") / 1e6)
+        .select("q_doc", "rk", "hit_doc", "score_fp", "score")
+        .orderBy("q_doc", "rk")
+    },
+    Some(s"""WITH $bm25Sql
+           |SELECT q_doc, CAST(rk AS BIGINT) AS rk, hit_doc, score_fp,
+           |       CAST(score_fp AS DOUBLE) / 1e6 AS score
+           |FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+           |                                   ORDER BY score_fp DESC, hit_doc) AS rk
+           |      FROM bsc)
+           |WHERE rk <= 5 ORDER BY q_doc, rk""".stripMargin))
+
+  /** The x57 dense leg: whole-doc hashed tf-idf cosine (x43's vector
+    * space) for the same doc_id<4 query set — (q_doc, hit_doc, cos_sim).
+    * Query vectors and query norms broadcast; candidates come from the
+    * bucket join, never corpus×corpus.
+    */
+  private[graft] def denseCosineScores(s: SparkSession, d: String) = {
+    graft.GraftExtensions.ensure(s)
+    val w = hashedWeights(s, d)
+    val norms = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
+    val wq = w.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("q_doc"), col("bucket"), col("wsum").as("qw"))
+    w.join(broadcast(wq), Seq("bucket"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .groupBy("q_doc", "doc_id").agg(sum(col("wsum") * col("qw")).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .join(broadcast(norms.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("q_doc"), col("ss").as("ssq"))), Seq("q_doc"))
+      .withColumn("cos_sim", col("dot").cast("double") /
+        (sqrt(col("ss").cast("double")) * sqrt(col("ssq").cast("double"))))
+      .withColumnRenamed("doc_id", "hit_doc")
+      .select("q_doc", "hit_doc", "cos_sim")
+  }
+
+  /** X57 — hybrid retrieval with reciprocal-rank fusion: the production
+    * search-stack recipe (Cormack et al. 2009 RRF; the default fusion in
+    * OpenSearch/Elasticsearch hybrid query and every RAG framework) —
+    * run the SAME queries down the lexical leg (x56 BM25) and the dense
+    * leg (x43 hashed tf-idf cosine over whole docs), keep each leg's
+    * top-20, and fuse by `Σ 1/(60 + rank)` carried as exact integers
+    * (`1000000 div (60+rk)`), re-ranking by fused score. A doc surfaced
+    * by both legs (`n_legs = 2`) outranks single-leg hits of similar
+    * depth — the complementarity hybrid search exists for.
+    *
+    * Scale posture: each leg is its own bounded-candidate pipeline (the
+    * BM25 inverted-index path and the bucket-join cosine path — both
+    * broadcast the query side, never corpus×corpus); fusion touches only
+    * 2 legs × top-20 × |Q| rows. Ranks, not scores, cross the fusion
+    * boundary, so the legs' different score scales never need
+    * calibration — RRF's defining property.
+    */
+  val x57HybridRrf = QueryDef(
+    "x57_hybrid_rrf",
+    "hybrid BM25 + hashed-cosine retrieval fused by reciprocal-rank (top-5)",
+    (s, d) => {
+      val dense = denseCosineScores(s, d)
+      val wLex = Window.partitionBy("q_doc")
+        .orderBy(col("score_fp").desc, col("hit_doc"))
+      val wDen = Window.partitionBy("q_doc")
+        .orderBy(col("cos_sim").desc, col("hit_doc"))
+      val lex = bm25Scores(s, d)
+        .withColumn("rk", row_number().over(wLex)).filter(col("rk") <= 20)
+        .select(col("q_doc"), col("hit_doc"),
+          expr("1000000 div (60 + rk)").as("contrib"))
+      val den = dense
+        .withColumn("rk", row_number().over(wDen)).filter(col("rk") <= 20)
+        .select(col("q_doc"), col("hit_doc"),
+          expr("1000000 div (60 + rk)").as("contrib"))
+      val wF = Window.partitionBy("q_doc")
+        .orderBy(col("rrf_fp").desc, col("hit_doc"))
+      lex.union(den)
+        .groupBy("q_doc", "hit_doc")
+        .agg(sum(col("contrib")).as("rrf_fp"), count(lit(1)).as("n_legs"))
+        .withColumn("rk", row_number().over(wF).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_doc", "rk", "hit_doc", "rrf_fp", "n_legs")
+        .orderBy("q_doc", "rk")
+    },
+    Some(s"""WITH $bm25Sql,
+           |$hashedWeightsSql,
+           |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
+           |        FROM w GROUP BY 1),
+           |dq AS (SELECT doc_id AS q_doc, bucket, wsum AS qw
+           |       FROM w WHERE doc_id < 4),
+           |ddots AS (SELECT dq.q_doc, w.doc_id AS hit_doc,
+           |                 CAST(sum(w.wsum * dq.qw) AS BIGINT) AS dot
+           |          FROM w JOIN dq USING (bucket)
+           |          WHERE w.doc_id <> dq.q_doc GROUP BY 1, 2),
+           |dsc AS (SELECT q_doc, hit_doc,
+           |               CAST(dot AS DOUBLE) /
+           |                 (sqrt(CAST(n1.ss AS DOUBLE)) * sqrt(CAST(n2.ss AS DOUBLE))) AS cos_sim
+           |        FROM ddots JOIN nrm n1 ON hit_doc = n1.doc_id
+           |                   JOIN nrm n2 ON q_doc = n2.doc_id),
+           |lexr AS (SELECT q_doc, hit_doc, 1000000 // (60 + rk) AS contrib
+           |         FROM (SELECT q_doc, hit_doc,
+           |                      row_number() OVER (PARTITION BY q_doc
+           |                                         ORDER BY score_fp DESC, hit_doc) AS rk
+           |               FROM bsc) WHERE rk <= 20),
+           |denr AS (SELECT q_doc, hit_doc, 1000000 // (60 + rk) AS contrib
+           |         FROM (SELECT q_doc, hit_doc,
+           |                      row_number() OVER (PARTITION BY q_doc
+           |                                         ORDER BY cos_sim DESC, hit_doc) AS rk
+           |               FROM dsc) WHERE rk <= 20),
+           |fused AS (SELECT q_doc, hit_doc, CAST(sum(contrib) AS BIGINT) AS rrf_fp,
+           |                 CAST(count(*) AS BIGINT) AS n_legs
+           |          FROM (SELECT * FROM lexr UNION ALL SELECT * FROM denr)
+           |          GROUP BY 1, 2)
+           |SELECT q_doc, CAST(rk AS BIGINT) AS rk, hit_doc, rrf_fp, n_legs
+           |FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+           |                                   ORDER BY rrf_fp DESC, hit_doc) AS rk
+           |      FROM fused)
+           |WHERE rk <= 5 ORDER BY q_doc, rk""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
-    x49ChunkRetrieval)
+    x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf)
 }

@@ -155,6 +155,24 @@ class PlanAuditSpec extends SparkSpec {
       s"x40 must equi-join on cid:\n$plan")
   }
 
+  test("x55 scores through a broadcast model join, never a corpus window") {
+    val plan = planOf("x55_dsir_selection")
+    // the only window allowed is the per-doc bigram lag; the 512-row
+    // model and the scoring join must broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x55 model join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"x55 cartesian:\n$plan")
+  }
+
+  test("x56/x57 take the inverted-index path: query side broadcast, no corpus pairs") {
+    Seq("x56_bm25_retrieval", "x57_hybrid_rrf").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q query-term join must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+  }
+
   test("q8 lattice levels reuse ONE cached joined projection") {
     val plan = planOf("q8_k_anonymity")
     // four generalization levels over the same PlanCache'd frame: each
