@@ -230,50 +230,107 @@ object CurationQueries {
     * (doc, bucket) + a broadcast join. Nothing vocabulary- or
     * corpus²-shaped anywhere.
     */
+  /** DuckDB CTEs base..scored replicating [[dsirScores]] →
+    * `scored(doc_id, source, w_doc)`. Shared by x55 and x58.
+    */
+  private val dsirScoredSql =
+    """base AS (
+      |  SELECT doc_id, source, text,
+      |         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |              THEN 1 ELSE 0 END AS cls
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, source, cls,
+      |         unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM base),
+      |lagd AS (
+      |  SELECT doc_id, source, cls, tok,
+      |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks),
+      |feats AS (
+      |  SELECT doc_id, source, cls, tok AS f FROM lagd
+      |  UNION ALL
+      |  SELECT doc_id, source, cls, prev || ' ' || tok AS f
+      |  FROM lagd WHERE prev IS NOT NULL),
+      |fb AS (
+      |  SELECT doc_id, source, cls,
+      |         CAST(md5_number_lower(f) >> 4 AS BIGINT) % 256 AS b
+      |  FROM feats),
+      |counts AS (SELECT b, cls, CAST(count(*) AS BIGINT) AS c
+      |           FROM fb GROUP BY 1, 2),
+      |tot AS (SELECT cls, CAST(sum(c) AS BIGINT) + 256 AS tot1
+      |        FROM counts GROUP BY 1),
+      |spine AS (SELECT i AS b, cls
+      |          FROM UNNEST(generate_series(0, 255)) AS u(i),
+      |               (VALUES (0), (1)) AS v(cls)),
+      |model AS (
+      |  SELECT s.b, s.cls,
+      |         greatest((COALESCE(c, 0) + 1) * 1000000 // tot1, 1) AS ppm
+      |  FROM spine s LEFT JOIN counts ON s.b = counts.b AND s.cls = counts.cls
+      |       JOIN tot ON s.cls = tot.cls),
+      |w AS (
+      |  SELECT b,
+      |         CAST(len(bin(max(CASE WHEN cls = 1 THEN ppm END))) -
+      |              len(bin(max(CASE WHEN cls = 0 THEN ppm END))) AS BIGINT) AS wt
+      |  FROM model GROUP BY b),
+      |docf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS cb
+      |         FROM fb WHERE cls = 0 GROUP BY 1, 2, 3),
+      |scored AS (SELECT doc_id, source, CAST(sum(cb * wt) AS BIGINT) AS w_doc
+      |           FROM docf JOIN w USING (b) GROUP BY 1, 2)""".stripMargin
+
+  /** The x55/x58 importance-scoring stage: per raw-pool document, the
+    * exact-integer DSIR log2 importance weight — (doc_id, source, w_doc).
+    * See [[x55DsirSelection]] for the math and posture.
+    */
+  private[graft] def dsirScores(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = DSIR_BUCKETS
+    val base = docs(s, d).withColumn("cls",
+      col("source").isInCollection(TextQueries.CURATED_SOURCES).cast("int"))
+    val toks = base
+      .select(col("doc_id"), col("source"), col("cls"),
+        posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("source"), col("cls"), col("pos"),
+        col("col").as("tok"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    // unigrams ∪ bigrams in one pass: explode a 2-array whose bigram
+    // slot is null at position 0, then drop the nulls
+    val fb = toks.withColumn("prev", lag(col("tok"), 1).over(wd))
+      .select(col("doc_id"), col("source"), col("cls"),
+        explode(array(col("tok"),
+          when(col("prev").isNotNull,
+            concat_ws(" ", col("prev"), col("tok"))))).as("f"))
+      .filter(col("f").isNotNull)
+      .withColumn("b", pmod(call_function("graft_md5u60", col("f")), lit(B)))
+    val counts = fb.groupBy("b", "cls").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("cls")
+      .agg((sum(col("c")) + B).as("tot1"))
+    val spine = s.range(0, B).select(col("id").as("b"),
+      explode(array(lit(0), lit(1))).as("cls"))
+    val model = spine.join(counts, Seq("b", "cls"), "left")
+      .join(broadcast(tot), Seq("cls"))
+      .withColumn("ppm",
+        greatest(expr("((coalesce(c, 0L) + 1) * 1000000) div tot1"), lit(1L)))
+    // w_b = floor-log2(target ppm) − floor-log2(raw ppm); every bucket
+    // has both class rows via the spine, so the maxes are never null
+    val wTbl = model.groupBy("b").agg(
+      (length(bin(max(when(col("cls") === 1, col("ppm"))))) -
+        length(bin(max(when(col("cls") === 0, col("ppm"))))))
+        .cast("long").as("wt"))
+    fb.filter(col("cls") === 0)
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("cb"))
+      .join(broadcast(wTbl), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cb") * col("wt")).as("w_doc"))
+  }
+
   val x55DsirSelection = QueryDef(
     "x55_dsir_selection",
     "DSIR importance selection: hashed-ngram target/raw log2-ratio weights, per-source census",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val B = DSIR_BUCKETS
-      val base = docs(s, d).withColumn("cls",
-        col("source").isInCollection(TextQueries.CURATED_SOURCES).cast("int"))
-      val toks = base
-        .select(col("doc_id"), col("source"), col("cls"),
-          posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), col("source"), col("cls"), col("pos"),
-          col("col").as("tok"))
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      // unigrams ∪ bigrams in one pass: explode a 2-array whose bigram
-      // slot is null at position 0, then drop the nulls
-      val fb = toks.withColumn("prev", lag(col("tok"), 1).over(wd))
-        .select(col("doc_id"), col("source"), col("cls"),
-          explode(array(col("tok"),
-            when(col("prev").isNotNull,
-              concat_ws(" ", col("prev"), col("tok"))))).as("f"))
-        .filter(col("f").isNotNull)
-        .withColumn("b", pmod(call_function("graft_md5u60", col("f")), lit(B)))
-      val counts = fb.groupBy("b", "cls").agg(count(lit(1)).as("c"))
-      val tot = counts.groupBy("cls")
-        .agg((sum(col("c")) + B).as("tot1"))
-      val spine = s.range(0, B).select(col("id").as("b"),
-        explode(array(lit(0), lit(1))).as("cls"))
-      val model = spine.join(counts, Seq("b", "cls"), "left")
-        .join(broadcast(tot), Seq("cls"))
-        .withColumn("ppm",
-          greatest(expr("((coalesce(c, 0L) + 1) * 1000000) div tot1"), lit(1L)))
-      // w_b = floor-log2(target ppm) − floor-log2(raw ppm); every bucket
-      // has both class rows via the spine, so the maxes are never null
-      val wTbl = model.groupBy("b").agg(
-        (length(bin(max(when(col("cls") === 1, col("ppm"))))) -
-          length(bin(max(when(col("cls") === 0, col("ppm"))))))
-          .cast("long").as("wt"))
-      val scored = fb.filter(col("cls") === 0)
-        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("cb"))
-        .join(broadcast(wTbl), Seq("b"))
-        .groupBy("doc_id", "source")
-        .agg(sum(col("cb") * col("wt")).as("w_doc"))
-      scored.groupBy("source").agg(
+      dsirScores(s, d).groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum((col("w_doc") > 0).cast("long")).as("n_selected"),
         sum(when(col("w_doc") > 0, col("w_doc")).otherwise(lit(0L)))
@@ -285,50 +342,7 @@ object CurationQueries {
           "sum_w_selected", "min_w", "max_w")
         .orderBy("source")
     },
-    Some("""WITH base AS (
-           |  SELECT doc_id, source, text,
-           |         CASE WHEN source IN ('src0','src1','src2','src3','src4')
-           |              THEN 1 ELSE 0 END AS cls
-           |  FROM documents),
-           |toks AS (
-           |  SELECT doc_id, source, cls,
-           |         unnest(string_split(text, ' ')) AS tok,
-           |         generate_subscripts(string_split(text, ' '), 1) AS pos
-           |  FROM base),
-           |lagd AS (
-           |  SELECT doc_id, source, cls, tok,
-           |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-           |  FROM toks),
-           |feats AS (
-           |  SELECT doc_id, source, cls, tok AS f FROM lagd
-           |  UNION ALL
-           |  SELECT doc_id, source, cls, prev || ' ' || tok AS f
-           |  FROM lagd WHERE prev IS NOT NULL),
-           |fb AS (
-           |  SELECT doc_id, source, cls,
-           |         CAST(md5_number_lower(f) >> 4 AS BIGINT) % 256 AS b
-           |  FROM feats),
-           |counts AS (SELECT b, cls, CAST(count(*) AS BIGINT) AS c
-           |           FROM fb GROUP BY 1, 2),
-           |tot AS (SELECT cls, CAST(sum(c) AS BIGINT) + 256 AS tot1
-           |        FROM counts GROUP BY 1),
-           |spine AS (SELECT i AS b, cls
-           |          FROM UNNEST(generate_series(0, 255)) AS u(i),
-           |               (VALUES (0), (1)) AS v(cls)),
-           |model AS (
-           |  SELECT s.b, s.cls,
-           |         greatest((COALESCE(c, 0) + 1) * 1000000 // tot1, 1) AS ppm
-           |  FROM spine s LEFT JOIN counts ON s.b = counts.b AND s.cls = counts.cls
-           |       JOIN tot ON s.cls = tot.cls),
-           |w AS (
-           |  SELECT b,
-           |         CAST(len(bin(max(CASE WHEN cls = 1 THEN ppm END))) -
-           |              len(bin(max(CASE WHEN cls = 0 THEN ppm END))) AS BIGINT) AS wt
-           |  FROM model GROUP BY b),
-           |docf AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS cb
-           |         FROM fb WHERE cls = 0 GROUP BY 1, 2, 3),
-           |scored AS (SELECT doc_id, source, CAST(sum(cb * wt) AS BIGINT) AS w_doc
-           |           FROM docf JOIN w USING (b) GROUP BY 1, 2)
+    Some(s"""WITH $dsirScoredSql
            |SELECT source,
            |       CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(CASE WHEN w_doc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
@@ -338,6 +352,86 @@ object CurationQueries {
            |       CAST(min(w_doc) AS BIGINT) AS min_w,
            |       CAST(max(w_doc) AS BIGINT) AS max_w
            |FROM scored GROUP BY source ORDER BY source""".stripMargin))
+
+  /** X58 — fixed-quota DSIR selection: the resampling form of x55. The
+    * published recipe selects a FIXED token/document budget by
+    * importance, not "ratio > 1"; x58 selects the top quarter of the raw
+    * pool, `K = ceil(n_raw/4)`, by importance weight — making good on
+    * x55's claim that fixed-quota selection is the same plan plus a
+    * distributed order statistic.
+    *
+    * The K-th largest weight is found by radix-select — the a13
+    * histogram discipline, never a global sort: (1) bin every weight by
+    * the top 16 bits of its order-preserving sortable-double encoding
+    * (`w_doc` ≤ tokens·maxlog2 ≪ 2⁵³, so the double cast is exact);
+    * the histogram window runs over ≤ 2¹⁶ bin rows — BOUNDED BY THE
+    * ENCODING, independent of corpus size; (2) rank the distinct weights
+    * inside the one located bin (expected corpus/2¹⁶ of the mass; a
+    * second radix level would bound an adversarial single-bin pileup,
+    * same recursion). Selection is ties-inclusive at the threshold
+    * (`w ≥ w*`), so the quota can overshoot only by the w* tie class —
+    * the deterministic analogue of sampling's expected-size guarantee.
+    *
+    * Scale posture: x55's scoring stages plus two bounded windows, one
+    * broadcast 1-row threshold, one broadcast census join. No global
+    * sort, no driver-side order statistic.
+    */
+  val x58DsirQuota = QueryDef(
+    "x58_dsir_quota",
+    "fixed-quota DSIR: top-quarter of the raw pool by importance via radix-select threshold",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.ensure(s)
+      val scored = graft.PlanCache.persisted(s, s"x58-scored/$d") {
+        dsirScores(s, d)
+      }
+      val k = scored.agg(count(lit(1)).as("n_raw"))
+        .select(expr("(n_raw + 3) div 4").as("k"))
+      val binned = scored.withColumn("bin", shiftrightunsigned(
+        call_function("graft_sortable_bits", col("w_doc").cast("double")),
+        48))
+      val wBins = Window.partitionBy("g").orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bstar = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(1))
+        .withColumn("above", coalesce(sum(col("cnt")).over(wBins), lit(0L)))
+        .crossJoin(broadcast(k))
+        .filter(col("above") < col("k") && col("k") <= col("above") + col("cnt"))
+        .select(col("bin").as("bstar"), col("above").as("above_bins"), col("k"))
+      val wVals = Window.partitionBy("g").orderBy(col("w_doc").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wstar = binned.join(broadcast(bstar), col("bin") === col("bstar"))
+        .groupBy("w_doc", "above_bins", "k").agg(count(lit(1)).as("wc"))
+        .withColumn("g", lit(1))
+        .withColumn("abovew", coalesce(sum(col("wc")).over(wVals), lit(0L)))
+        .filter(col("above_bins") + col("abovew") < col("k") &&
+          col("k") <= col("above_bins") + col("abovew") + col("wc"))
+        .select(col("w_doc").as("w_star"), col("k").as("k_quota"))
+      scored.crossJoin(broadcast(wstar))
+        .groupBy("source", "w_star", "k_quota").agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("w_doc") >= col("w_star")).cast("long")).as("n_selected"))
+        .withColumn("selected_bp", expr("n_selected * 10000 div n_docs"))
+        .select("source", "n_docs", "n_selected", "selected_bp", "w_star",
+          "k_quota")
+        .orderBy("source")
+    },
+    Some(s"""WITH $dsirScoredSql,
+           |kq AS (SELECT (CAST(count(*) AS BIGINT) + 3) // 4 AS k FROM scored),
+           |ws AS (SELECT w_doc AS wstar, k FROM
+           |         (SELECT w_doc, row_number() OVER (ORDER BY w_doc DESC) AS rn
+           |          FROM scored) r, kq
+           |       WHERE rn = k)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN w_doc >= wstar THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_selected,
+           |       CAST(sum(CASE WHEN w_doc >= wstar THEN 1 ELSE 0 END) * 10000 //
+           |            count(*) AS BIGINT) AS selected_bp,
+           |       CAST(wstar AS BIGINT) AS w_star,
+           |       CAST(k AS BIGINT) AS k_quota
+           |FROM scored CROSS JOIN ws
+           |GROUP BY source, wstar, k ORDER BY source""".stripMargin))
 
   /** Two-phase distributed prefix sum: cumulative `n_tokens` per source
     * in (source, doc_id) order, WITHOUT ever sorting a whole source in
@@ -1052,5 +1146,5 @@ object CurationQueries {
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
-      x55DsirSelection)
+      x55DsirSelection, x58DsirQuota)
 }

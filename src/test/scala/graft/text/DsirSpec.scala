@@ -18,11 +18,11 @@ class DsirSpec extends SparkSpec {
 
   private def flog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
 
-  /** The query's math, single-threaded: per-source
-    * (n_docs, n_selected, selected_bp, sum_w_selected, min_w, max_w).
+  /** Per raw-pool doc importance weights, single-threaded — the query's
+    * math behind both x55 and x58.
     */
-  private def reference(docs: Seq[(Long, String, String)])
-      : Map[String, (Long, Long, Long, Long, Long, Long)] = {
+  private def docWeights(docs: Seq[(Long, String, String)])
+      : Seq[(Long, String, Long)] = {
     val cur = TextQueries.CURATED_SOURCES.toSet
     val feats = docs.flatMap { case (id, src, text) =>
       val t = text.split(" ").toSeq
@@ -36,12 +36,19 @@ class DsirSpec extends SparkSpec {
     def ppm(b: Long, cls: Int): Long =
       math.max((counts.getOrElse((b, cls), 0L) + 1) * 1000000L / tot(cls), 1L)
     val wt = (0L until 256L).map(b => b -> (flog2(ppm(b, 1)) - flog2(ppm(b, 0)))).toMap
-    val scored = feats.filter(_._3 == 0).groupBy(x => (x._1, x._2)).toSeq
-      .map { case ((_, src), fs) =>
-        (src, fs.groupBy(_._4).map { case (b, g) => g.size.toLong * wt(b) }.sum)
+    feats.filter(_._3 == 0).groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((id, src), fs) =>
+        (id, src, fs.groupBy(_._4).map { case (b, g) => g.size.toLong * wt(b) }.sum)
       }
-    scored.groupBy(_._1).map { case (src, ds) =>
-      val ws = ds.map(_._2)
+  }
+
+  /** The x55 census, single-threaded: per-source
+    * (n_docs, n_selected, selected_bp, sum_w_selected, min_w, max_w).
+    */
+  private def reference(docs: Seq[(Long, String, String)])
+      : Map[String, (Long, Long, Long, Long, Long, Long)] = {
+    docWeights(docs).groupBy(_._2).map { case (src, ds) =>
+      val ws = ds.map(_._3)
       val sel = ws.filter(_ > 0)
       src -> (ws.size.toLong, sel.size.toLong, sel.size.toLong * 10000 / ws.size,
         sel.sum, ws.min, ws.max)
@@ -63,6 +70,31 @@ class DsirSpec extends SparkSpec {
     exp.foreach { case (src, e) =>
       assert(got(src) === e, s"source $src diverged from the reference")
     }
+  }
+
+  test("x58 quota: radix-select threshold equals the sort-derived K-th largest") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val ws = docWeights(docs)
+    val k = (ws.size + 3) / 4
+    val wStar = ws.map(_._3).sorted(Ordering.Long.reverse)(k - 1)
+    val exp = ws.groupBy(_._2).map { case (src, ds) =>
+      val sel = ds.count(_._3 >= wStar).toLong
+      src -> (ds.size.toLong, sel, sel * 10000 / ds.size)
+    }
+    val got = CurationQueries.x58DsirQuota.run(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (src, (n, sel, bp)) =>
+      assert(got(src)._1 === n && got(src)._2 === sel && got(src)._3 === bp,
+        s"source $src census diverged: got ${got(src)}, want ($n, $sel, $bp)")
+      assert(got(src)._4 === wStar, s"threshold diverged for $src")
+      assert(got(src)._5 === k.toLong, s"quota diverged for $src")
+    }
+    // ties-inclusive: the selection covers the quota, never undershoots
+    assert(got.values.map(_._2).sum >= k.toLong)
   }
 
   test("target-like raw docs are selected; off-target docs are rejected; " +
