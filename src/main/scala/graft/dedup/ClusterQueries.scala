@@ -212,6 +212,99 @@ object ClusterQueries {
       .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
       .union(edges.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
 
+  /** X59 — triangle census of the near-dup graph: exact triangle count,
+    * wedge count, and global transitivity (3·triangles/wedges) over the
+    * same jaccard ≥ 0.5 edge set as x4/x53. The structural audit behind
+    * the cluster machinery: x15 says WHICH docs connect; transitivity
+    * says whether components are dense duplicate families (template
+    * farms — triangles everywhere, transitivity → 10000 bp) or fragile
+    * near-dup CHAINS (A≈B≈C with A̸≈C — transitivity → 0) that a single
+    * spurious edge glued together. Low transitivity on a big component
+    * is the signal to re-examine τ before survivorship collapses
+    * unrelated docs (x34's assumption).
+    *
+    * Scale posture: the textbook degree-ordered wedge join (each edge
+    * directed from lower (deg, id) rank to higher), so a node's
+    * out-degree — and therefore the wedge fan-out per node — is bounded
+    * by O(√E) REGARDLESS of raw degree skew: a hub of degree D
+    * contributes D wedges as the cheap endpoint, never C(D,2) as the
+    * center (the Ortmann/Cohen MapReduce-triangles bound). Triangles
+    * close with one equi-join back onto the directed edges; wedges are a
+    * map-combinable Σ C(deg,2). No node ever enumerates its full
+    * neighborhood square.
+    */
+  /** The x59 census over an arbitrary (doc_a, doc_b) edge frame —
+    * factored so specs can drive planted graph shapes (cliques, paths,
+    * stars) through the same degree-ordered plan.
+    */
+  private[graft] def triangleCensus(pairs: DataFrame): DataFrame = {
+      val deg = bothDirections(pairs)
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val e = pairs
+        .join(deg.select(col("node").as("doc_a"), col("deg").as("da")),
+          Seq("doc_a"))
+        .join(deg.select(col("node").as("doc_b"), col("deg").as("db")),
+          Seq("doc_b"))
+      val aLow = col("da") < col("db") ||
+        (col("da") === col("db") && col("doc_a") < col("doc_b"))
+      val dir = e.select(
+        when(aLow, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aLow, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(aLow, col("db")).otherwise(col("da")).as("ddst"))
+      val d1 = dir.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+      val d2 = dir.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+      val wedges = d1.join(d2, Seq("src"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+      // rank(v) < rank(w), so a {v,w} edge — if present — is directed v→w
+      val tri = wedges
+        .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val totals = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+      val ne = pairs.agg(count(lit(1)).as("n_edges"))
+      totals.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .withColumn("transitivity_bp",
+          expr("(3 * n_triangles * 10000) div greatest(n_wedges, 1L)"))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+          "transitivity_bp")
+  }
+
+  val x59DedupTriangles = QueryDef(
+    "x59_dedup_triangles",
+    "near-dup graph triangle census: exact triangles, wedges, transitivity (degree-ordered wedge join)",
+    (s, d) => triangleCensus(DedupQueries
+      .ngramJaccardPairs(s, d, DedupQueries.SHINGLE_DF_CAP)
+      .select("doc_a", "doc_b")),
+    Some(s"""WITH ${DedupQueries.ngramPairsSqlCtes},
+            |und AS (SELECT doc_a AS node FROM jpairs
+            |        UNION ALL SELECT doc_b AS node FROM jpairs),
+            |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+            |        FROM und GROUP BY node),
+            |dir AS (
+            |  SELECT CASE WHEN (a.deg, j.doc_a) < (b.deg, j.doc_b)
+            |              THEN j.doc_a ELSE j.doc_b END AS src,
+            |         CASE WHEN (a.deg, j.doc_a) < (b.deg, j.doc_b)
+            |              THEN j.doc_b ELSE j.doc_a END AS dst,
+            |         CASE WHEN (a.deg, j.doc_a) < (b.deg, j.doc_b)
+            |              THEN b.deg ELSE a.deg END AS ddst
+            |  FROM jpairs j JOIN deg a ON j.doc_a = a.node
+            |                JOIN deg b ON j.doc_b = b.node),
+            |tri AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            |  FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+            |       AND ((e1.ddst, e1.dst) < (e2.ddst, e2.dst))
+            |       JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+            |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+            |               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+            |        FROM deg),
+            |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM jpairs)
+            |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+            |       CAST(3 * n_triangles * 10000 // greatest(n_wedges, 1)
+            |            AS BIGINT) AS transitivity_bp
+            |FROM tot CROSS JOIN ne CROSS JOIN tri""".stripMargin))
+
   /** Connected components from scratch. `edges` is (doc_a, doc_b);
     * returns (node, lbl) with lbl = min doc_id of the node's component.
     */
@@ -530,7 +623,7 @@ object ClusterQueries {
             |FROM documents d LEFT JOIN sized ON d.doc_id = sized.doc_id
             |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(x53QualityPropagation,
+  val defs: Seq[QueryDef] = Seq(x53QualityPropagation, x59DedupTriangles,
     x15DedupClusters, x18ClustersIncremental,
     x34Survivorship, x37DedupWeights)
 }

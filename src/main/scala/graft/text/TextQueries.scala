@@ -682,27 +682,62 @@ object TextQueries {
     * small); scoring is an equi-join of the event stream against the
     * model. No all-pairs, no driver state.
     */
+  /** The x45 per-document surprisal stage — (doc_id, source, mean6),
+    * mean bigram conditional surprisal per doc in 1e-6 fixed point.
+    * Shared by x45 (per-source rollup) and x60 (domain proxy loss).
+    */
+  private[text] def bigramDocSurprisal(s: SparkSession, d: String) = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("source"), col("pos"), col("col").as("tok"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val big = toks
+      .withColumn("prev", lag(col("tok"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("source"), col("prev"), col("tok"))
+    val bg = big.groupBy("prev", "tok").agg(count(lit(1)).as("bc"))
+    val ctx = bg.groupBy("prev").agg(sum(col("bc")).as("cc"))
+    big.join(bg, Seq("prev", "tok")).join(ctx, Seq("prev"))
+      .withColumn("surp",
+        (length(bin(expr("cc div bc"))) - 1).cast("long"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("surp")).as("ssum"), count(lit(1)).as("n"))
+      .withColumn("mean6", expr("(ssum * 1000000) div n"))
+      .select("doc_id", "source", "mean6")
+  }
+
+  /** DuckDB CTEs toks/b2/bg/ctx/scored/per_doc/m replicating
+    * [[bigramDocSurprisal]] → `m(doc_id, source, mean6)`.
+    */
+  private[text] val bigramDocSurprisalSql =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |         unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, source, tok, prev FROM (
+      |    SELECT doc_id, source, tok,
+      |           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |    FROM toks)
+      |  WHERE prev IS NOT NULL),
+      |bg AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS bc
+      |       FROM b2 GROUP BY 1, 2),
+      |ctx AS (SELECT prev, CAST(sum(bc) AS BIGINT) AS cc FROM bg GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, source, CAST(len(bin(cc // bc)) - 1 AS BIGINT) AS surp
+      |  FROM b2 JOIN bg USING (prev, tok) JOIN ctx USING (prev)),
+      |per_doc AS (
+      |  SELECT doc_id, source, sum(surp) AS ssum, CAST(count(*) AS BIGINT) AS n
+      |  FROM scored GROUP BY 1, 2),
+      |m AS (SELECT doc_id, source, (ssum * 1000000) // n AS mean6 FROM per_doc)""".stripMargin
+
   val x45BigramSurprisal = QueryDef(
     "x45_bigram_surprisal",
     "per-source mean bigram conditional surprisal (integer floor-log2 LM proxy)",
     (s, d) => {
-      val toks = docs(s, d)
-        .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), col("source"), col("pos"), col("col").as("tok"))
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val big = toks
-        .withColumn("prev", lag(col("tok"), 1).over(wd))
-        .filter(col("prev").isNotNull)
-        .select(col("doc_id"), col("source"), col("prev"), col("tok"))
-      val bg = big.groupBy("prev", "tok").agg(count(lit(1)).as("bc"))
-      val ctx = bg.groupBy("prev").agg(sum(col("bc")).as("cc"))
-      big.join(bg, Seq("prev", "tok")).join(ctx, Seq("prev"))
-        .withColumn("surp",
-          (length(bin(expr("cc div bc"))) - 1).cast("long"))
-        .groupBy("doc_id", "source")
-        .agg(sum(col("surp")).as("ssum"), count(lit(1)).as("n"))
-        .withColumn("mean6", expr("(ssum * 1000000) div n"))
+      bigramDocSurprisal(s, d)
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -713,27 +748,7 @@ object TextQueries {
           col("sum_mean6").cast("double") / col("n_docs") / 1e6)
         .orderBy("source")
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, source,
-           |         unnest(string_split(text, ' ')) AS tok,
-           |         generate_subscripts(string_split(text, ' '), 1) AS pos
-           |  FROM documents),
-           |b2 AS (
-           |  SELECT doc_id, source, tok, prev FROM (
-           |    SELECT doc_id, source, tok,
-           |           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-           |    FROM toks)
-           |  WHERE prev IS NOT NULL),
-           |bg AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS bc
-           |       FROM b2 GROUP BY 1, 2),
-           |ctx AS (SELECT prev, CAST(sum(bc) AS BIGINT) AS cc FROM bg GROUP BY 1),
-           |scored AS (
-           |  SELECT doc_id, source, CAST(len(bin(cc // bc)) - 1 AS BIGINT) AS surp
-           |  FROM b2 JOIN bg USING (prev, tok) JOIN ctx USING (prev)),
-           |per_doc AS (
-           |  SELECT doc_id, source, sum(surp) AS ssum, CAST(count(*) AS BIGINT) AS n
-           |  FROM scored GROUP BY 1, 2),
-           |m AS (SELECT source, (ssum * 1000000) // n AS mean6 FROM per_doc)
+    Some(s"""WITH $bigramDocSurprisalSql
            |SELECT source,
            |       CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(mean6) AS BIGINT) AS sum_mean6,
@@ -1496,10 +1511,110 @@ object TextQueries {
            |      FROM fused)
            |WHERE rk <= 5 ORDER BY q_doc, rk""".stripMargin))
 
+  /** X60 — DoReMi-shaped domain-mixture reweighting (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): per training domain (= source), run T=5 rounds of
+    * multiplicative-weights updates that upweight domains with EXCESS
+    * loss over the reference — `αₜ₊₁(d) ∝ αₜ(d)·(1 + η·excesŝ(d))` —
+    * then emit the final mixture and each domain's token budget. The
+    * published recipe derives excess loss from proxy-vs-reference model
+    * training; the engine's contribution is the pipeline surface, with
+    * the x45 bigram-LM mean surprisal standing in as the proxy loss and
+    * the corpus-wide mean as the reference (a domain whose text is
+    * systematically less predictable than the corpus average gets
+    * upweighted — Group-DRO's worst-case-domain pressure).
+    *
+    * Exactness: the whole recurrence is integer — excess in 1e-6
+    * fixed-point, normalized against the max excess (`greatest(·,1)`
+    * guards the all-uniform corpus), update factor `1e6 + η·exn div 1e6`
+    * with η = 0.1 in ppm, renormalization to Σα ≈ 1e6 by integer
+    * division each round. Truncation is deterministic and identical in
+    * both engines, so the 5-round mixture is bit-stable.
+    *
+    * Scale posture: the corpus-sized work is the ONE x45 surprisal pass
+    * (shared stage); everything after is domain-count-sized (a mixture
+    * has tens of domains at any corpus size) — 5 unrolled tiny
+    * join/agg rounds, broadcast scalars, no iteration over data.
+    */
+  val x60DoremiMixture = QueryDef(
+    "x60_doremi_mixture",
+    "DoReMi multiplicative-weights domain mixture from excess bigram surprisal (5 exact rounds)",
+    (s, d) => {
+      val perDoc = bigramDocSurprisal(s, d)
+      val perSrc = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(mean6) div count(1)").as("src_mean6"))
+      val glob = perDoc.agg(expr("sum(mean6) div count(1)").as("glob6"))
+      val ex = perSrc.crossJoin(broadcast(glob))
+        .withColumn("excess6", greatest(col("src_mean6") - col("glob6"), lit(0L)))
+      val mx = ex.agg(greatest(max(col("excess6")), lit(1L)).as("mx"))
+      val ns = ex.agg(count(lit(1)).as("ns"))
+      var a = ex.crossJoin(broadcast(mx)).crossJoin(broadcast(ns))
+        .withColumn("exn", expr("(excess6 * 1000000) div mx"))
+        .withColumn("alpha", expr("1000000L div ns"))
+        .select("source", "n_docs", "src_mean6", "excess6", "exn", "alpha")
+      for (_ <- 1 to 5) {
+        val up = a.withColumn("ua",
+          expr("(alpha * (1000000 + (100000 * exn) div 1000000)) div 1000000"))
+        val tot = up.agg(sum(col("ua")).as("ta"))
+        a = up.crossJoin(broadcast(tot))
+          .withColumn("alpha", expr("(ua * 1000000) div ta"))
+          .select("source", "n_docs", "src_mean6", "excess6", "exn", "alpha")
+      }
+      val tk = docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+        .join(a.select("source"), Seq("source"))
+      val tt = tk.agg(sum(col("n_tokens")).as("tt"))
+      a.join(tk, Seq("source")).crossJoin(broadcast(tt))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("src_mean6"), col("excess6"),
+          col("alpha").as("alpha_ppm"),
+          expr("(alpha * tt) div 1000000").as("token_budget"))
+        .orderBy("source")
+    },
+    Some {
+      val round = (t: Int) =>
+        s"""u$t AS (SELECT *,
+           |        CAST((alpha * (1000000 + (100000 * exn) // 1000000)) // 1000000
+           |             AS BIGINT) AS ua
+           |        FROM a${t - 1}),
+           |a$t AS (SELECT source, n_docs, src_mean6, excess6, exn,
+           |        CAST((ua * 1000000) // (SELECT sum(ua) FROM u$t) AS BIGINT) AS alpha
+           |        FROM u$t)""".stripMargin
+      s"""WITH $bigramDocSurprisalSql,
+         |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(mean6) // count(*) AS BIGINT) AS src_mean6
+         |        FROM m GROUP BY 1),
+         |gl AS (SELECT CAST(sum(mean6) // count(*) AS BIGINT) AS glob6 FROM m),
+         |ex AS (SELECT source, n_docs, src_mean6,
+         |              greatest(src_mean6 - glob6, 0) AS excess6
+         |       FROM src CROSS JOIN gl),
+         |mxx AS (SELECT greatest(max(excess6), 1) AS mx FROM ex),
+         |nss AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM ex),
+         |a0 AS (SELECT source, n_docs, src_mean6, excess6,
+         |              CAST((excess6 * 1000000) // mx AS BIGINT) AS exn,
+         |              CAST(1000000 // ns AS BIGINT) AS alpha
+         |       FROM ex CROSS JOIN mxx CROSS JOIN nss),
+         |${(1 to 5).map(round).mkString(",\n")},
+         |tk AS (SELECT t.source, t.n_tokens
+         |       FROM (SELECT source,
+         |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |             FROM documents GROUP BY 1) t
+         |       JOIN src USING (source)),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM tk)
+         |SELECT a5.source, n_docs, n_tokens, src_mean6, excess6,
+         |       alpha AS alpha_ppm,
+         |       CAST((alpha * tt) // 1000000 AS BIGINT) AS token_budget
+         |FROM a5 JOIN tk USING (source) CROSS JOIN tt
+         |ORDER BY source""".stripMargin
+    })
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
-    x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf)
+    x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture)
 }
