@@ -878,6 +878,101 @@ object ExtendedSqlQueries {
     * pass whose single distinct-aggregate per group avoids the
     * multi-countDistinct Expand blowup; output is columns-bounded.
     */
+  /** Q12 — consistent keyed pseudonymization with a referential-integrity
+    * audit: replace the customer key with a salted keyed hash
+    * (`graft_md5u60('cust:' || key)` — in production the salt is a
+    * secret; the pipeline shape is identical) CONSISTENTLY across
+    * `customer` and `orders`, and audit the two properties a
+    * pseudonymized release must keep: (1) injectivity — distinct keys
+    * map to distinct pseudonyms (collisions = keys − pseudonyms, must
+    * be 0); (2) join preservation — the customer⋈orders pair count is
+    * unchanged when joining on pseudonyms instead of keys (a collision
+    * would silently MERGE two customers' order histories; `joined_post ≥
+    * joined_pre` detects exactly that). The privacy-engineering
+    * complement to q8/q9: k-anonymity generalizes quasi-identifiers,
+    * pseudonymization protects the direct identifier while keeping the
+    * schema joinable.
+    *
+    * Scale posture: pseudonymization is a pure per-row expression (no
+    * shuffle — re-derivable on any cluster, like the x10 split); the
+    * audit is two count-distinct aggregates and two equi-joins on
+    * key/pseudonym. Nothing beyond the joins the tables already do.
+    */
+  val q12Pseudonymization = QueryDef(
+    "q12_pseudonymization",
+    "salted keyed pseudonymization of custkey across customer/orders + injectivity and join-preservation audit",
+    (s, d) => {
+      def pseud(c: org.apache.spark.sql.Column) =
+        call_function("graft_md5u60", concat(lit("cust:"), c.cast("string")))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("k")).withColumn("p", pseud(col("k")))
+      val ords = Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("k")).withColumn("p", pseud(col("k")))
+      def tableAudit(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          countDistinct(col("p")).as("n_pseudonyms"))
+          .select(lit(name).as("entity"), col("n_rows"), col("n_keys"),
+            col("n_pseudonyms"),
+            (col("n_keys") - col("n_pseudonyms")).as("collisions"),
+            lit(0L).as("joined_pre"), lit(0L).as("joined_post"),
+            when(col("n_keys") === col("n_pseudonyms"), "ok")
+              .otherwise("collision").as("verdict"))
+      val pre = cust.select("k").distinct().join(ords, Seq("k"))
+        .agg(count(lit(1)).as("joined_pre"))
+      val post = cust.select("p").distinct().join(ords, Seq("p"))
+        .agg(count(lit(1)).as("joined_post"))
+      val joinAudit = pre.crossJoin(broadcast(post))
+        .select(lit("custkey_join").as("entity"), lit(0L).as("n_rows"),
+          lit(0L).as("n_keys"), lit(0L).as("n_pseudonyms"),
+          lit(0L).as("collisions"), col("joined_pre"), col("joined_post"),
+          when(col("joined_pre") === col("joined_post"), "ok")
+            .otherwise("merged").as("verdict"))
+      tableAudit(cust, "customer").unionByName(tableAudit(ords, "orders"))
+        .unionByName(joinAudit)
+        .orderBy("entity")
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey AS k,
+           |         CAST(md5_number_lower('cust:' || CAST(c_custkey AS VARCHAR)) >> 4
+           |              AS BIGINT) AS p
+           |  FROM customer),
+           |ords AS (
+           |  SELECT o_custkey AS k,
+           |         CAST(md5_number_lower('cust:' || CAST(o_custkey AS VARCHAR)) >> 4
+           |              AS BIGINT) AS p
+           |  FROM orders),
+           |ca AS (SELECT 'customer' AS entity,
+           |              CAST(count(*) AS BIGINT) AS n_rows,
+           |              CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           |              CAST(count(DISTINCT p) AS BIGINT) AS n_pseudonyms
+           |       FROM cust),
+           |oa AS (SELECT 'orders' AS entity,
+           |              CAST(count(*) AS BIGINT) AS n_rows,
+           |              CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           |              CAST(count(DISTINCT p) AS BIGINT) AS n_pseudonyms
+           |       FROM ords),
+           |pre AS (SELECT CAST(count(*) AS BIGINT) AS joined_pre
+           |        FROM (SELECT DISTINCT k FROM cust) c JOIN ords o ON c.k = o.k),
+           |post AS (SELECT CAST(count(*) AS BIGINT) AS joined_post
+           |         FROM (SELECT DISTINCT p FROM cust) c JOIN ords o ON c.p = o.p),
+           |tbl AS (
+           |  SELECT entity, n_rows, n_keys, n_pseudonyms,
+           |         n_keys - n_pseudonyms AS collisions,
+           |         CAST(0 AS BIGINT) AS joined_pre,
+           |         CAST(0 AS BIGINT) AS joined_post,
+           |         CASE WHEN n_keys = n_pseudonyms THEN 'ok'
+           |              ELSE 'collision' END AS verdict
+           |  FROM (SELECT * FROM ca UNION ALL SELECT * FROM oa)),
+           |jn AS (
+           |  SELECT 'custkey_join' AS entity, CAST(0 AS BIGINT) AS n_rows,
+           |         CAST(0 AS BIGINT) AS n_keys, CAST(0 AS BIGINT) AS n_pseudonyms,
+           |         CAST(0 AS BIGINT) AS collisions, joined_pre, joined_post,
+           |         CASE WHEN joined_pre = joined_post THEN 'ok'
+           |              ELSE 'merged' END AS verdict
+           |  FROM pre CROSS JOIN post)
+           |SELECT * FROM tbl UNION ALL SELECT * FROM jn ORDER BY entity""".stripMargin))
+
   val q10ColumnProfile = QueryDef(
     "q10_column_profile",
     "per-column profile of orders: nulls, exact distincts, typed min/max",
@@ -1019,7 +1114,7 @@ object ExtendedSqlQueries {
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
-    q9KAnonymousRelease, q10ColumnProfile, e8OrderedListagg,
+    q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization, e8OrderedListagg,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow)
 }

@@ -195,6 +195,74 @@ object CurationQueries {
            |FROM census LEFT JOIN hit USING (source)
            |ORDER BY source""".stripMargin))
 
+  /** X61 — NORMALIZED decontamination: x51 with the actual GPT-3
+    * normalization applied before gram extraction (Brown et al. 2020
+    * Appendix C lowercases and strips punctuation before the 13-gram
+    * check) — a benchmark quote that reaches the corpus re-cased,
+    * re-punctuated, or re-spaced ("The Answer Is: 42!" vs "the answer
+    * is 42") evades the verbatim screen but not this one. Normalization
+    * is a pure per-row expression (lowercase → non-alphanumerics to
+    * spaces → whitespace collapse; the regexes use only literal
+    * character classes, which Java regex and RE2 interpret identically),
+    * so the screen keeps x51's exact plan shape: map-only gram fan-out,
+    * one benchmark-bounded left-semi join, never corpus².
+    */
+  val x61NormalizedDecontamination = QueryDef(
+    "x61_normalized_decontamination",
+    "case/punctuation-normalized 13-gram decontamination of the train split",
+    (s, d) => {
+      val bucket = pmod(
+        call_function("graft_md5u60", col("doc_id").cast("string")), lit(100))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+      val base = docs(s, d).withColumn("bkt", bucket)
+        .withColumn("text", norm)
+      val train = base.filter(col("bkt") < 80)
+      val bench = base.filter(col("bkt") >= 90).select("doc_id", "text")
+      val hits = contaminatedDocs(train.select("doc_id", "source", "text"), bench)
+        .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+      train.groupBy("source").agg(count(lit(1)).as("n_train_docs"))
+        .join(hits, Seq("source"), "left")
+        .select(col("source"), col("n_train_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (col("n_train_docs") - coalesce(col("n_contaminated"), lit(0L)))
+            .as("n_kept"),
+          when(coalesce(col("n_contaminated"), lit(0L)) === 0, "clean")
+            .otherwise("strip").as("verdict"))
+        .orderBy("source")
+    },
+    Some("""WITH split AS (
+           |  SELECT doc_id, source,
+           |         trim(regexp_replace(
+           |           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           |           ' +', ' ', 'g')) AS text,
+           |         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT) % 100 AS bkt
+           |  FROM documents),
+           |tr AS (SELECT doc_id, source, text FROM split WHERE bkt < 80),
+           |te AS (SELECT doc_id, text FROM split WHERE bkt >= 90),
+           |trg AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+12], ' ') AS g
+           |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM tr
+           |              WHERE len(string_split(text, ' ')) >= 13),
+           |             UNNEST(generate_series(1, len(t) - 12)) AS u(i)),
+           |teg AS (SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+           |        FROM (SELECT string_split(text, ' ') AS t FROM te
+           |              WHERE len(string_split(text, ' ')) >= 13),
+           |             UNNEST(generate_series(1, len(t) - 12)) AS u(i)),
+           |hit AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+           |        FROM (SELECT DISTINCT doc_id, source FROM trg
+           |              WHERE g IN (SELECT g FROM teg))
+           |        GROUP BY 1),
+           |census AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs
+           |           FROM tr GROUP BY 1)
+           |SELECT source, n_train_docs,
+           |       coalesce(n_contaminated, 0) AS n_contaminated,
+           |       n_train_docs - coalesce(n_contaminated, 0) AS n_kept,
+           |       CASE WHEN coalesce(n_contaminated, 0) = 0 THEN 'clean'
+           |            ELSE 'strip' END AS verdict
+           |FROM census LEFT JOIN hit USING (source)
+           |ORDER BY source""".stripMargin))
+
   /** Number of hashed n-gram feature buckets for the x55 DSIR models.
     * Published DSIR uses 10k; 256 keeps the sf-corpus buckets dense
     * enough that the ±1-bit integer log2 stays meaningful (the bucket
@@ -1146,5 +1214,5 @@ object CurationQueries {
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
-      x55DsirSelection, x58DsirQuota)
+      x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination)
 }

@@ -40,6 +40,31 @@ class DecontaminationSpec extends SparkSpec {
     assert(hits.isEmpty)
   }
 
+  test("x61 catches a re-cased, re-punctuated quote that evades x51") {
+    // find doc ids landing in the train (<80) and bench (>=90) hash
+    // buckets — the split is a pure function of the id
+    def bkt(id: Long): Long = graft.functions.Md5U60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) % 100L
+    val trainId = (0L to 500L).find(bkt(_) < 80).get
+    val benchId = (0L to 500L).find(bkt(_) >= 90).get
+    val mangled = (1 to 13).map(i => if (i % 2 == 0) s"Q$i," else s"q$i.")
+      .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-x61").toString
+    import spark.implicits._
+    Seq(
+      (trainId, s"some Prefix; $mangled and a TAIL", "en", "srcA", 99L),
+      (benchId, s"benchmark stem $quote13 benchmark tail", "en", "srcB", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def contam(q: String): Long =
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(2)).sum
+    assert(contam("x51_eval_decontamination") === 0L,
+      "the verbatim screen must MISS the re-formatted quote (the gap x61 closes)")
+    assert(contam("x61_normalized_decontamination") === 1L,
+      "the normalized screen must catch it")
+  }
+
   test("removal verdict: flagged docs leave the kept census") {
     // run the inventory query end-to-end on the real corpus and check the
     // invariant the release depends on: kept + contaminated = train docs,
