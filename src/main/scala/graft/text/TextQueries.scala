@@ -1321,21 +1321,44 @@ object TextQueries {
     * query-pruned term stream (AQE broadcasts it). Top-k is a per-query
     * bounded window.
     */
-  private[graft] def bm25Scores(s: SparkSession, d: String) = {
-    val tf = graft.PlanCache.persisted(s, s"x56-tf/$d") {
-      docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    }
+  /** Query-independent BM25 corpus statistics — (tf, dl, nt, idf) as
+    * pure un-persisted plans, so batch callers can PlanCache them and
+    * the streaming server ([[graft.streaming.StreamingRetrieval]]) can
+    * persist its own TTL-pinned snapshot.
+    */
+  private[graft] def bm25Corpus(s: SparkSession, d: String,
+      cached: Boolean = true) = {
+    val tfPlan = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf =
+      if (cached) graft.PlanCache.persisted(s, s"x56-tf/$d")(tfPlan) else tfPlan
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val nt = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nt.select("n_docs")))
       .select(col("term"),
         (length(bin(expr("(n_docs * 16) div df"))) - 1).cast("long").as("idf"))
-    val q = docs(s, d).filter(col("doc_id") < 4)
-      .select(col("doc_id").as("q_doc"),
-        explode(expr("slice(split(text, ' '), 1, 32)")).as("term"))
+    (tf, dl, nt, idf)
+  }
+
+  /** Extract the query term frame `(q_doc, term)` from a `(q_doc, text)`
+    * frame by the x49/x56 convention: first 32 tokens, distinct.
+    */
+  private[graft] def queryTerms(q: org.apache.spark.sql.DataFrame) =
+    q.select(col("q_doc"),
+      explode(expr("slice(split(text, ' '), 1, 32)")).as("term"))
       .distinct()
+
+  /** BM25 scores of a query term frame against prebuilt corpus stats —
+    * (q_doc, hit_doc, score_fp). A candidate equal to its own query id
+    * is excluded (self-retrieval guard; external query ids simply never
+    * collide).
+    */
+  private[graft] def bm25Against(
+      tf: org.apache.spark.sql.DataFrame, dl: org.apache.spark.sql.DataFrame,
+      nt: org.apache.spark.sql.DataFrame, idf: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame) =
     tf.join(broadcast(q), Seq("term"))
       .filter(col("doc_id") =!= col("q_doc"))
       .join(idf, Seq("term"))
@@ -1347,6 +1370,12 @@ object TextQueries {
           "((total_toks * 1000) div n_docs))) div 1000)) div 1000)"))
       .groupBy(col("q_doc"), col("doc_id").as("hit_doc"))
       .agg(sum(col("score_t")).as("score_fp"))
+
+  private[graft] def bm25Scores(s: SparkSession, d: String) = {
+    val (tf, dl, nt, idf) = bm25Corpus(s, d)
+    val q = queryTerms(docs(s, d).filter(col("doc_id") < 4)
+      .select(col("doc_id").as("q_doc"), col("text")))
+    bm25Against(tf, dl, nt, idf, q)
   }
 
   /** DuckDB CTEs b* replicating [[bm25Scores]] → `bsc(q_doc, hit_doc,
@@ -1414,22 +1443,64 @@ object TextQueries {
     * Query vectors and query norms broadcast; candidates come from the
     * bucket join, never corpus×corpus.
     */
+  /** Dense cosine scores of a query weight frame `(q_doc, bucket, qw)`
+    * against prebuilt corpus vectors — (q_doc, hit_doc, cos_sim). Query
+    * norms derive from the query weights themselves, so external query
+    * text (the streaming path) and corpus-member queries (the batch
+    * path) go through the identical expression.
+    */
+  private[graft] def denseAgainst(w: org.apache.spark.sql.DataFrame,
+      norms: org.apache.spark.sql.DataFrame,
+      wq: org.apache.spark.sql.DataFrame) = {
+    val qn = wq.groupBy("q_doc").agg(sum(col("qw") * col("qw")).as("ssq"))
+    w.join(broadcast(wq), Seq("bucket"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .groupBy("q_doc", "doc_id").agg(sum(col("wsum") * col("qw")).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .join(broadcast(qn), Seq("q_doc"))
+      .withColumn("cos_sim", col("dot").cast("double") /
+        (sqrt(col("ss").cast("double")) * sqrt(col("ssq").cast("double"))))
+      .withColumnRenamed("doc_id", "hit_doc")
+      .select("q_doc", "hit_doc", "cos_sim")
+  }
+
   private[graft] def denseCosineScores(s: SparkSession, d: String) = {
     graft.GraftExtensions.ensure(s)
     val w = hashedWeights(s, d)
     val norms = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
     val wq = w.filter(col("doc_id") < 4)
       .select(col("doc_id").as("q_doc"), col("bucket"), col("wsum").as("qw"))
-    w.join(broadcast(wq), Seq("bucket"))
-      .filter(col("doc_id") =!= col("q_doc"))
-      .groupBy("q_doc", "doc_id").agg(sum(col("wsum") * col("qw")).as("dot"))
-      .join(norms, Seq("doc_id"))
-      .join(broadcast(norms.filter(col("doc_id") < 4)
-        .select(col("doc_id").as("q_doc"), col("ss").as("ssq"))), Seq("q_doc"))
-      .withColumn("cos_sim", col("dot").cast("double") /
-        (sqrt(col("ss").cast("double")) * sqrt(col("ssq").cast("double"))))
-      .withColumnRenamed("doc_id", "hit_doc")
-      .select("q_doc", "hit_doc", "cos_sim")
+    denseAgainst(w, norms, wq)
+  }
+
+  /** Reciprocal-rank fusion of a lexical score frame `(q_doc, hit_doc,
+    * score_fp)` and a dense score frame `(q_doc, hit_doc, cos_sim)`:
+    * top-20 per leg, exact-integer `1000000 div (60+rank)` contributions,
+    * fused top-5 — (q_doc, rk, hit_doc, rrf_fp, n_legs). Shared by the
+    * batch x57 and the streaming server.
+    */
+  private[graft] def fuseRrf(lexScores: org.apache.spark.sql.DataFrame,
+      denseScores: org.apache.spark.sql.DataFrame) = {
+    val wLex = Window.partitionBy("q_doc")
+      .orderBy(col("score_fp").desc, col("hit_doc"))
+    val wDen = Window.partitionBy("q_doc")
+      .orderBy(col("cos_sim").desc, col("hit_doc"))
+    val lex = lexScores
+      .withColumn("rk", row_number().over(wLex)).filter(col("rk") <= 20)
+      .select(col("q_doc"), col("hit_doc"),
+        expr("1000000 div (60 + rk)").as("contrib"))
+    val den = denseScores
+      .withColumn("rk", row_number().over(wDen)).filter(col("rk") <= 20)
+      .select(col("q_doc"), col("hit_doc"),
+        expr("1000000 div (60 + rk)").as("contrib"))
+    val wF = Window.partitionBy("q_doc")
+      .orderBy(col("rrf_fp").desc, col("hit_doc"))
+    lex.union(den)
+      .groupBy("q_doc", "hit_doc")
+      .agg(sum(col("contrib")).as("rrf_fp"), count(lit(1)).as("n_legs"))
+      .withColumn("rk", row_number().over(wF).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_doc", "rk", "hit_doc", "rrf_fp", "n_legs")
   }
 
   /** X57 — hybrid retrieval with reciprocal-rank fusion: the production
@@ -1452,30 +1523,8 @@ object TextQueries {
   val x57HybridRrf = QueryDef(
     "x57_hybrid_rrf",
     "hybrid BM25 + hashed-cosine retrieval fused by reciprocal-rank (top-5)",
-    (s, d) => {
-      val dense = denseCosineScores(s, d)
-      val wLex = Window.partitionBy("q_doc")
-        .orderBy(col("score_fp").desc, col("hit_doc"))
-      val wDen = Window.partitionBy("q_doc")
-        .orderBy(col("cos_sim").desc, col("hit_doc"))
-      val lex = bm25Scores(s, d)
-        .withColumn("rk", row_number().over(wLex)).filter(col("rk") <= 20)
-        .select(col("q_doc"), col("hit_doc"),
-          expr("1000000 div (60 + rk)").as("contrib"))
-      val den = dense
-        .withColumn("rk", row_number().over(wDen)).filter(col("rk") <= 20)
-        .select(col("q_doc"), col("hit_doc"),
-          expr("1000000 div (60 + rk)").as("contrib"))
-      val wF = Window.partitionBy("q_doc")
-        .orderBy(col("rrf_fp").desc, col("hit_doc"))
-      lex.union(den)
-        .groupBy("q_doc", "hit_doc")
-        .agg(sum(col("contrib")).as("rrf_fp"), count(lit(1)).as("n_legs"))
-        .withColumn("rk", row_number().over(wF).cast("long"))
-        .filter(col("rk") <= 5)
-        .select("q_doc", "rk", "hit_doc", "rrf_fp", "n_legs")
-        .orderBy("q_doc", "rk")
-    },
+    (s, d) => fuseRrf(bm25Scores(s, d), denseCosineScores(s, d))
+      .orderBy("q_doc", "rk"),
     Some(s"""WITH $bm25Sql,
            |$hashedWeightsSql,
            |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
