@@ -156,9 +156,7 @@ object ClusterQueries {
     "x53_quality_propagation",
     "damped quality propagation over the near-dup graph (5 exact-integer rounds)",
     (s, d) => {
-      val pairs = DedupQueries
-        .ngramJaccardPairs(s, d, DedupQueries.SHINGLE_DF_CAP)
-        .select("doc_a", "doc_b")
+      val pairs = DedupQueries.cachedJaccardEdges(s, d)
       val seeds = graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id").as("node"),
           graft.text.TextQueries.qualityScore6.as("q0"))
@@ -274,9 +272,7 @@ object ClusterQueries {
   val x59DedupTriangles = QueryDef(
     "x59_dedup_triangles",
     "near-dup graph triangle census: exact triangles, wedges, transitivity (degree-ordered wedge join)",
-    (s, d) => triangleCensus(DedupQueries
-      .ngramJaccardPairs(s, d, DedupQueries.SHINGLE_DF_CAP)
-      .select("doc_a", "doc_b")),
+    (s, d) => triangleCensus(DedupQueries.cachedJaccardEdges(s, d)),
     Some(s"""WITH ${DedupQueries.ngramPairsSqlCtes},
             |und AS (SELECT doc_a AS node FROM jpairs
             |        UNION ALL SELECT doc_b AS node FROM jpairs),

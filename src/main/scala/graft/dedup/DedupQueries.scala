@@ -470,6 +470,18 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** The τ=0.5 near-dup EDGE SET as a PlanCache'd frame — the graph
+    * consumers (x53 propagation, x59 triangles) reference the pair
+    * frame many times per plan (degrees, adjacency, closing joins), and
+    * only the inverted INDEX is cached above: without this, each
+    * reference re-executes the index self-join (measured: x59 14.3 s →
+    * the same census in ~1 s once the edges are a cached scan).
+    */
+  private[graft] def cachedJaccardEdges(s: SparkSession, d: String): DataFrame =
+    graft.PlanCache.persisted(s, s"x4_jpairs/$d") {
+      ngramJaccardPairs(s, d, SHINGLE_DF_CAP).select("doc_a", "doc_b")
+    }
+
   /** DuckDB CTE chain replaying [[ngramJaccardPairs]] at τ = 0.5; ends in
     * `jpairs(doc_a, doc_b, jaccard)`. Shared by x4's oracle and the x53
     * quality-propagation oracle (same edge set, one definition).

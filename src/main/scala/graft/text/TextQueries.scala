@@ -737,7 +737,7 @@ object TextQueries {
     "x45_bigram_surprisal",
     "per-source mean bigram conditional surprisal (integer floor-log2 LM proxy)",
     (s, d) => {
-      bigramDocSurprisal(s, d)
+      graft.PlanCache.persisted(s, s"x45-perdoc/$d")(bigramDocSurprisal(s, d))
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1589,7 +1589,13 @@ object TextQueries {
     "x60_doremi_mixture",
     "DoReMi multiplicative-weights domain mixture from excess bigram surprisal (5 exact rounds)",
     (s, d) => {
-      val perDoc = bigramDocSurprisal(s, d)
+      // the ONE corpus-scale stage, cached: the 5-round recurrence below
+      // references its lineage once per agg/crossJoin per round — left
+      // uncached, the surprisal pass re-executes ~2^rounds times
+      // (measured 108 s at sf0.1; 1.4 s cached)
+      val perDoc = graft.PlanCache.persisted(s, s"x45-perdoc/$d") {
+        bigramDocSurprisal(s, d)
+      }
       val perSrc = perDoc.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         expr("sum(mean6) div count(1)").as("src_mean6"))
@@ -1598,17 +1604,23 @@ object TextQueries {
         .withColumn("excess6", greatest(col("src_mean6") - col("glob6"), lit(0L)))
       val mx = ex.agg(greatest(max(col("excess6")), lit(1L)).as("mx"))
       val ns = ex.agg(count(lit(1)).as("ns"))
+      // domain-count-sized from here on; localCheckpoint per round keeps
+      // the recurrence constant-depth (the x53 discipline)
       var a = ex.crossJoin(broadcast(mx)).crossJoin(broadcast(ns))
         .withColumn("exn", expr("(excess6 * 1000000) div mx"))
         .withColumn("alpha", expr("1000000L div ns"))
         .select("source", "n_docs", "src_mean6", "excess6", "exn", "alpha")
+        .localCheckpoint(true)
       for (_ <- 1 to 5) {
         val up = a.withColumn("ua",
           expr("(alpha * (1000000 + (100000 * exn) div 1000000)) div 1000000"))
         val tot = up.agg(sum(col("ua")).as("ta"))
-        a = up.crossJoin(broadcast(tot))
+        val next = up.crossJoin(broadcast(tot))
           .withColumn("alpha", expr("(ua * 1000000) div ta"))
           .select("source", "n_docs", "src_mean6", "excess6", "exn", "alpha")
+          .localCheckpoint(true)
+        graft.similarity.Ivf.dropCheckpoint(a)
+        a = next
       }
       val tk = docs(s, d)
         .select(col("source"),
