@@ -923,8 +923,13 @@ object TextQueries {
     */
   private def hashedWeights(s: SparkSession, d: String) = {
     graft.GraftExtensions.ensure(s)
-    val dd = docs(s, d)
-    hashedWeightsOf(dd, idfOf(dd))
+    // PlanCache'd: x43/x44/x46/x57 all read this frame, and a single
+    // consumer's plan references it several times (norms + dots + query
+    // side) — uncached, each reference re-runs the explode/idf/agg chain
+    graft.PlanCache.persisted(s, s"x43-w/$d") {
+      val dd = docs(s, d)
+      hashedWeightsOf(dd, idfOf(dd))
+    }
   }
 
   /** The x43 integer idf table of a `(doc_id, text)` frame — separated
