@@ -269,7 +269,7 @@ object CurationQueries {
     * count is a quality knob, not a scale knob — the model is B×2 rows
     * at ANY corpus size).
     */
-  private[text] val DSIR_BUCKETS = 256L
+  private[graft] val DSIR_BUCKETS = 256L
 
   /** X55 — DSIR data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): featurize every
@@ -351,10 +351,13 @@ object CurationQueries {
     * exact-integer DSIR log2 importance weight — (doc_id, source, w_doc).
     * See [[x55DsirSelection]] for the math and posture.
     */
-  private[graft] def dsirScores(s: SparkSession,
+  /** The x55 hashed feature stream — (doc_id, source, cls, b): unigrams
+    * ∪ bigrams in one pass (a 2-array explode whose bigram slot is null
+    * at position 0), bucketed by portable md5.
+    */
+  private def dsirFeatures(s: SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = DSIR_BUCKETS
     val base = docs(s, d).withColumn("cls",
       col("source").isInCollection(TextQueries.CURATED_SOURCES).cast("int"))
     val toks = base
@@ -363,15 +366,25 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), col("cls"), col("pos"),
         col("col").as("tok"))
     val wd = Window.partitionBy("doc_id").orderBy("pos")
-    // unigrams ∪ bigrams in one pass: explode a 2-array whose bigram
-    // slot is null at position 0, then drop the nulls
-    val fb = toks.withColumn("prev", lag(col("tok"), 1).over(wd))
+    toks.withColumn("prev", lag(col("tok"), 1).over(wd))
       .select(col("doc_id"), col("source"), col("cls"),
         explode(array(col("tok"),
           when(col("prev").isNotNull,
             concat_ws(" ", col("prev"), col("tok"))))).as("f"))
       .filter(col("f").isNotNull)
-      .withColumn("b", pmod(call_function("graft_md5u60", col("f")), lit(B)))
+      .withColumn("b",
+        pmod(call_function("graft_md5u60", col("f")), lit(DSIR_BUCKETS)))
+  }
+
+  /** The trained x55 importance model as data — (b, wt), exactly
+    * [[DSIR_BUCKETS]] rows. Shared by the batch scorer below and the
+    * streaming [[graft.streaming.DsirGate]] (which snapshots it as its
+    * per-row scoring map — bounded BY CONSTRUCTION, unlike a vocabulary).
+    */
+  private[graft] def dsirModel(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val B = DSIR_BUCKETS
+    val fb = dsirFeatures(s, d)
     val counts = fb.groupBy("b", "cls").agg(count(lit(1)).as("c"))
     val tot = counts.groupBy("cls")
       .agg((sum(col("c")) + B).as("tot1"))
@@ -383,16 +396,19 @@ object CurationQueries {
         greatest(expr("((coalesce(c, 0L) + 1) * 1000000) div tot1"), lit(1L)))
     // w_b = floor-log2(target ppm) − floor-log2(raw ppm); every bucket
     // has both class rows via the spine, so the maxes are never null
-    val wTbl = model.groupBy("b").agg(
+    model.groupBy("b").agg(
       (length(bin(max(when(col("cls") === 1, col("ppm"))))) -
         length(bin(max(when(col("cls") === 0, col("ppm"))))))
         .cast("long").as("wt"))
-    fb.filter(col("cls") === 0)
+  }
+
+  private[graft] def dsirScores(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    dsirFeatures(s, d).filter(col("cls") === 0)
       .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("cb"))
-      .join(broadcast(wTbl), Seq("b"))
+      .join(broadcast(dsirModel(s, d)), Seq("b"))
       .groupBy("doc_id", "source")
       .agg(sum(col("cb") * col("wt")).as("w_doc"))
-  }
 
   val x55DsirSelection = QueryDef(
     "x55_dsir_selection",

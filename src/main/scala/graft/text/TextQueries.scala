@@ -812,7 +812,7 @@ object TextQueries {
   /** Curated-seed sources for the T28 model-based scorer (stand-in for
     * "known-good corpus" — Wikipedia/books in the published recipes).
     */
-  private[text] val CURATED_SOURCES = Seq("src0", "src1", "src2", "src3", "src4")
+  private[graft] val CURATED_SOURCES = Seq("src0", "src1", "src2", "src3", "src4")
 
   /** T28 — MODEL-BASED quality scoring: train a linear scorer that
     * contrasts a curated seed corpus against the background, then score
