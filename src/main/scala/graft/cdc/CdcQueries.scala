@@ -142,25 +142,32 @@ object CdcQueries {
     * lookup against the output is a range predicate on the interval —
     * j9's bucketized range join applies when it must be a join.
     */
+  /** The cdc3 SCD2 version frame: non-delete events with their validity
+    * interval (`next_lsn` null = open) and per-key version numbers —
+    * the lead window runs over ALL events (a delete closes the version
+    * before it), the numbering over the surviving versions. Shared by
+    * cdc3 (the history table) and cdc4 (point-in-time lookups).
+    */
+  private def scd2Versions(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("id").orderBy("__source_lsn")
+    syntheticHistory(s, d)
+      .withColumn("next_lsn", lead(col("__source_lsn"), 1).over(w))
+      .filter(col("__op") =!= "d")
+      .withColumn("version_no", row_number().over(w).cast("long"))
+  }
+
   val cdc3Scd2 = QueryDef(
     "cdc3_scd2_history",
     "SCD type-2 dimension history: LSN validity intervals + current flags",
-    (s, d) => {
-      val w = Window.partitionBy("id").orderBy("__source_lsn")
-      val versions = syntheticHistory(s, d)
-        .withColumn("next_lsn", lead(col("__source_lsn"), 1).over(w))
-        .filter(col("__op") =!= "d")
-      val wv = Window.partitionBy("id").orderBy("__source_lsn")
-      versions
-        .withColumn("version_no", row_number().over(wv).cast("long"))
-        .select(col("id"), col("status"),
-          col("total_price").cast("double").as("price"),
-          col("__source_lsn").as("valid_from_lsn"),
-          coalesce(col("next_lsn"), lit(-1L)).as("valid_to_lsn"),
-          col("next_lsn").isNull.as("is_current"),
-          col("version_no"))
-        .orderBy("id", "valid_from_lsn")
-    },
+    (s, d) => scd2Versions(s, d)
+      .select(col("id"), col("status"),
+        col("total_price").cast("double").as("price"),
+        col("__source_lsn").as("valid_from_lsn"),
+        coalesce(col("next_lsn"), lit(-1L)).as("valid_to_lsn"),
+        col("next_lsn").isNull.as("is_current"),
+        col("version_no"))
+      .orderBy("id", "valid_from_lsn"),
     Some(s"""WITH $histSql,
             v AS (SELECT *, lead(lsn) OVER (PARTITION BY id ORDER BY lsn) AS next_lsn
                   FROM hist)
@@ -172,5 +179,62 @@ object CdcQueries {
             FROM v WHERE op <> 'd'
             ORDER BY id, valid_from_lsn"""))
 
-  val defs: Seq[QueryDef] = Seq(cdc1UnwrapCompact, cdc2RunningStock, cdc3Scd2)
+  /** CDC4 — point-in-time dimension lookup against the cdc3 SCD2
+    * intervals: for each (key, probe_lsn), fetch the dimension version
+    * that was valid AT that LSN — the temporal-correctness primitive
+    * behind feature stores and training-data assembly (a feature joined
+    * at any other version leaks the future into the training example).
+    * Probes cover the four interesting positions per key: before birth
+    * (no version — the lookup must MISS, not fall forward), at the
+    * insert, at the update boundary (the new version is valid AT its
+    * own from-LSN — interval semantics `[from, to)`), and after a
+    * delete (history exists but no valid version — deleted keys must
+    * MISS, not serve stale attributes).
+    *
+    * Scale posture: the join is an EQUI-join on the dimension key with
+    * the interval test as a residual filter — per-key state is that
+    * key's version count (the cdc3 bound), never the table; at most one
+    * version matches any probe, so output = probe count. j9's
+    * bucketized range join applies if probes were keyless.
+    */
+  val cdc4PitLookup = QueryDef(
+    "cdc4_pit_lookup",
+    "point-in-time SCD2 lookup: the version valid at each (key, lsn) probe, misses stay null",
+    (s, d) => {
+      val v = scd2Versions(s, d).select(
+        col("id").as("vid"), col("status"),
+        col("total_price").cast("double").as("price"),
+        col("__source_lsn").as("vfrom"), col("next_lsn").as("vto"),
+        col("version_no"))
+      val probes = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("id"))
+        .select(col("id"),
+          explode(array(lit(-5L), lit(0L), lit(1L), lit(2L))).as("off"))
+        .select(col("id"), (col("id") * 10 + col("off")).as("probe_lsn"))
+      probes.join(v,
+          col("id") === col("vid") && col("vfrom") <= col("probe_lsn") &&
+            (col("vto").isNull || col("probe_lsn") < col("vto")),
+          "left")
+        .select(col("id"), col("probe_lsn"), col("status"), col("price"),
+          col("version_no"))
+        .orderBy("id", "probe_lsn")
+    },
+    Some(s"""WITH $histSql,
+            v AS (SELECT *, lead(lsn) OVER (PARTITION BY id ORDER BY lsn) AS next_lsn
+                  FROM hist),
+            ver AS (SELECT id AS vid, status,
+                           CAST(total_price AS DOUBLE) AS price,
+                           lsn AS vfrom, next_lsn AS vto,
+                           CAST(row_number() OVER (PARTITION BY id ORDER BY lsn) AS BIGINT) AS version_no
+                    FROM v WHERE op <> 'd'),
+            probes AS (SELECT o_orderkey AS id, o_orderkey * 10 + off AS probe_lsn
+                       FROM orders, UNNEST([-5, 0, 1, 2]) AS u(off))
+            SELECT p.id, p.probe_lsn, ver.status, ver.price, ver.version_no
+            FROM probes p LEFT JOIN ver ON p.id = ver.vid
+                 AND ver.vfrom <= p.probe_lsn
+                 AND (ver.vto IS NULL OR p.probe_lsn < ver.vto)
+            ORDER BY id, probe_lsn"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(cdc1UnwrapCompact, cdc2RunningStock, cdc3Scd2, cdc4PitLookup)
 }

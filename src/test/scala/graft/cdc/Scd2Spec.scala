@@ -9,6 +9,34 @@ import graft.SparkSpec
   */
 class Scd2Spec extends SparkSpec {
 
+  test("cdc4: probes hit the temporally correct version; pre-birth and " +
+    "post-delete probes miss") {
+    val rows = CdcQueries.cdc4PitLookup.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (Option(r.getString(2)), if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    val hist = CdcQueries.cdc3Scd2.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(6)))
+    hist.map(_._1).distinct.foreach { id =>
+      // before birth: MISS, never fall forward to version 1
+      assert(rows((id, id * 10 - 5)) === ((None, -1L)), s"id $id pre-birth")
+      // at the insert LSN: version 1 exactly
+      assert(rows((id, id * 10))._2 === 1L, s"id $id at insert")
+      // at the update boundary: the version whose interval CONTAINS the
+      // lsn ([from, to) semantics) — recompute from the history table
+      val atUpd = hist.filter(h => h._1 == id && h._3 <= id * 10 + 1 &&
+        (h._4 == -1L || id * 10 + 1 < h._4))
+      assert(atUpd.length === 1, s"id $id: probe must land in one interval")
+      assert(rows((id, id * 10 + 1))._2 === atUpd.head._5, s"id $id at update")
+      // after a delete: history exists but the probe must MISS
+      if (id % 97 == 0)
+        assert(rows((id, id * 10 + 2)) === ((None, -1L)),
+          s"id $id must not serve a deleted dimension")
+    }
+  }
+
   test("cdc3: version chains, current flags, delete closure") {
     val rows = CdcQueries.cdc3Scd2.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
