@@ -394,6 +394,28 @@ object Multimodal {
       .toDF()
   }
 
+  /** Image near-dup CLUSTERS: the x15 canonicalization carried to the
+    * image modality — DCT-pHash pair mining → connected components →
+    * per-cluster census with the min-media_id canonical (the same
+    * survivorship rule text dedup uses, so a mixed-modality pipeline
+    * keeps ONE convention). Output: (canonical_id, n_members, members).
+    *
+    * Scale posture: pair mining is band-blocked (never all-pairs of
+    * images), components are the x15 O(log D) label propagation, and
+    * the per-cluster member list is bounded by near-dup cluster size —
+    * the same contract as the text-side clusters.
+    */
+  def imageDupClusters(media: Dataset[MediaRow],
+      maxHamming: Int = 6): DataFrame = {
+    val edges = nearDupImagePairsDct(media, maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.dedup.ClusterQueries.connectedComponents(edges)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("node"))).as("members"))
+      .select(col("lbl").as("canonical_id"), col("n_members"), col("members"))
+      .orderBy("canonical_id")
+  }
+
   private def mineHashPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val bands = hashed.select(col("media_id"), col("ahash"),
         explode(expr("sequence(0, 3)")).as("band"))

@@ -151,6 +151,28 @@ class PerceptualHashSpec extends SparkSpec {
       s"unrelated image must not pair: ${pairs.toSeq}")
   }
 
+  test("image dup clusters: transitive family collapses to one canonical") {
+    import spark.implicits._
+    def row(id: Long, bytes: Array[Byte]) = Multimodal.MediaRow(id, bytes,
+      Multimodal.MediaMeta("image", "png", Some(64), Some(64), None,
+        bytes.length.toLong))
+    val media = spark.createDataset(Seq(
+      // one transitive family: original, perturbed, rescaled copy
+      row(1, png(textured(0))), row(2, png(texturedPerturbed(0))),
+      row(3, png(halved(textured(0)))),
+      // a second, separate pair
+      row(10, png(textured(40))), row(11, png(texturedPerturbed(40))),
+      // unrelated and undecodable: never enter any cluster
+      row(20, png(checker(8))), row(21, Array[Byte](9, 9, 9))))
+    val clusters = Multimodal.imageDupClusters(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    assert(clusters(1L) === List(1L, 2L, 3L),
+      s"family must collapse under canonical 1: $clusters")
+    assert(clusters(10L) === List(10L, 11L), s"second pair: $clusters")
+    assert(clusters.keySet === Set(1L, 10L),
+      s"unrelated/undecodable images must not cluster: $clusters")
+  }
+
   test("band-blocked pair mining finds exactly the planted near-dup pairs") {
     import spark.implicits._
     def row(id: Long, bytes: Array[Byte]) = Multimodal.MediaRow(id, bytes,
