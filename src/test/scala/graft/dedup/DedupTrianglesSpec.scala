@@ -28,6 +28,33 @@ class DedupTrianglesSpec extends SparkSpec {
     assert(census((1L to 4L).map((0L, _))) === ((5L, 4L, 6L, 0L, 0L)))
   }
 
+  test("randomized differential: 12 seeded G(n,p) graphs vs brute force") {
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(17) // 8..24 nodes
+      val p = 0.15 + rnd.nextDouble() * 0.35
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSet }
+        // yield the distinct triple: the inner generator is a Set, and
+        // `yield 1` would collapse an edge's multiple closing vertices
+        val tris = (for {
+          (a, b) <- edges
+          c <- adj(a) if c > b && adj(b)(c)
+        } yield (a, b, c)).size.toLong
+        val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+        val got = census(edges)
+        assert(got._4 === tris, s"seed $seed: triangles ${got._4} != $tris")
+        assert(got._3 === wedges, s"seed $seed: wedges ${got._3} != $wedges")
+        assert(got._1 === adj.size.toLong && got._2 === edges.size.toLong,
+          s"seed $seed census: $got")
+      }
+    }
+  }
+
   test("x59 equals a brute-force count on the sf0.01 near-dup graph") {
     val sf01 = "/root/testdata/sf0.01"
     val edges = DedupQueries
@@ -40,7 +67,7 @@ class DedupTrianglesSpec extends SparkSpec {
     val tris = (for {
       (a, b) <- eset.toSeq
       c <- adj(a) if c > b && adj(b)(c)
-    } yield 1).size.toLong
+    } yield (a, b, c)).size.toLong
     val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
     val got = ClusterQueries.x59DedupTriangles.run(spark, sf01).collect().head
     assert(got.getLong(0) === adj.size.toLong)
