@@ -878,6 +878,104 @@ object ExtendedSqlQueries {
     * pass whose single distinct-aggregate per group avoids the
     * multi-countDistinct Expand blowup; output is columns-bounded.
     */
+  /** W12 — RFM customer segmentation: the classic marketing-analytics
+    * operator — each customer scored 1–5 on Recency (days since last
+    * order), Frequency (order count), and Monetary (lifetime revenue),
+    * segments = the (r, f, m) census. "555" is the champions cell,
+    * "1xx" the churned tail.
+    *
+    * The quintile boundaries are VALUE-DETERMINISTIC, not `ntile`:
+    * ntile splits ties by physical row order (irreproducible across
+    * partitionings), so the scores here come from exact quintile
+    * THRESHOLDS — the (i·N/5)-th largest value per dimension via
+    * [[graft.operators.RadixSelect.kthLargest]] (one bounded-histogram
+    * pass per dimension, never a global sort — at 10⁹ customers a
+    * corpus-wide ntile window is a single-partition sort) — and ties at
+    * a boundary all land in the HIGHER tile. Scoring is then a pure
+    * per-row comparison against 12 broadcast thresholds.
+    */
+  val w12RfmSegments = QueryDef(
+    "w12_rfm_segments",
+    "RFM segmentation census: value-deterministic quintile scores via radix-select thresholds",
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val vals = graft.PlanCache.persisted(s, s"w12-vals/$d") {
+        val refd = o.agg(max(to_date(col("o_orderdate"))).as("ref"))
+        o.groupBy(col("o_custkey").as("cust"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+            count(lit(1)).as("vf"),
+            (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("vm"))
+          .crossJoin(broadcast(refd))
+          .withColumn("vr", -datediff(col("ref"), col("last_d")).cast("long"))
+          .select("cust", "vr", "vf", "vm")
+      }
+      val ranks = vals.agg(count(lit(1)).as("n"))
+        .select(explode(expr("array(1L, 2L, 3L, 4L)")).as("rank_id"), col("n"))
+        .select(col("rank_id"),
+          greatest(expr("(rank_id * n) div 5"), lit(1L)).as("k"))
+      def thresholds(vcol: String, p: String) =
+        graft.operators.RadixSelect
+          .kthLargest(vals.select(col(vcol).as("v")), "v", ranks)
+          .agg(
+            max(when(col("rank_id") === 1, col("kth"))).as(s"${p}1"),
+            max(when(col("rank_id") === 2, col("kth"))).as(s"${p}2"),
+            max(when(col("rank_id") === 3, col("kth"))).as(s"${p}3"),
+            max(when(col("rank_id") === 4, col("kth"))).as(s"${p}4"))
+      def score(v: String, p: String) =
+        (lit(5) - (col(v) < col(s"${p}1")).cast("int") -
+          (col(v) < col(s"${p}2")).cast("int") -
+          (col(v) < col(s"${p}3")).cast("int") -
+          (col(v) < col(s"${p}4")).cast("int")).cast("long")
+      vals
+        .crossJoin(broadcast(thresholds("vr", "r")))
+        .crossJoin(broadcast(thresholds("vf", "f")))
+        .crossJoin(broadcast(thresholds("vm", "m")))
+        .withColumn("r_score", score("vr", "r"))
+        .withColumn("f_score", score("vf", "f"))
+        .withColumn("m_score", score("vm", "m"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"), sum(col("vm")).as("total_cents"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some {
+      def trp(src: String, vcol: String, p: String) =
+        s"""${p}tr AS (SELECT i, $vcol AS t FROM ks
+           |        JOIN (SELECT $vcol, row_number() OVER (ORDER BY $vcol DESC) AS rn
+           |              FROM vals) q ON q.rn = ks.k),
+           |${p}p AS (SELECT max(CASE WHEN i = 1 THEN t END) AS ${p}1,
+           |              max(CASE WHEN i = 2 THEN t END) AS ${p}2,
+           |              max(CASE WHEN i = 3 THEN t END) AS ${p}3,
+           |              max(CASE WHEN i = 4 THEN t END) AS ${p}4 FROM ${p}tr)""".stripMargin
+      def sc(v: String, p: String) =
+        s"""CAST(5 - (CASE WHEN $v < ${p}1 THEN 1 ELSE 0 END)
+           |       - (CASE WHEN $v < ${p}2 THEN 1 ELSE 0 END)
+           |       - (CASE WHEN $v < ${p}3 THEN 1 ELSE 0 END)
+           |       - (CASE WHEN $v < ${p}4 THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin
+      s"""WITH custs AS (
+         |  SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE)) AS last_d,
+         |         CAST(count(*) AS BIGINT) AS vf,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS vm
+         |  FROM orders GROUP BY 1),
+         |refd AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
+         |vals AS (SELECT cust, -CAST(date_diff('day', last_d, ref) AS BIGINT) AS vr,
+         |                vf, vm
+         |         FROM custs CROSS JOIN refd),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+         |ks AS (SELECT CAST(i AS BIGINT) AS i, greatest((i * n) // 5, 1) AS k
+         |       FROM nn, UNNEST([1, 2, 3, 4]) AS u(i)),
+         |${trp("vals", "vr", "r")},
+         |${trp("vals", "vf", "f")},
+         |${trp("vals", "vm", "m")},
+         |scored AS (SELECT v.*, ${sc("vr", "r")} AS r_score,
+         |                  ${sc("vf", "f")} AS f_score,
+         |                  ${sc("vm", "m")} AS m_score
+         |           FROM vals v CROSS JOIN rp CROSS JOIN fp CROSS JOIN mp)
+         |SELECT r_score, f_score, m_score,
+         |       CAST(count(*) AS BIGINT) AS n_customers,
+         |       CAST(sum(vm) AS BIGINT) AS total_cents
+         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    })
+
   /** Q12 — consistent keyed pseudonymization with a referential-integrity
     * audit: replace the customer key with a salted keyed hash
     * (`graft_md5u60('cust:' || key)` — in production the salt is a
@@ -1114,7 +1212,8 @@ object ExtendedSqlQueries {
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
-    q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization, e8OrderedListagg,
+    q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization,
+    w12RfmSegments, e8OrderedListagg,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow)
 }

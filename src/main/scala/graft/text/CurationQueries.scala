@@ -464,33 +464,13 @@ object CurationQueries {
     "x58_dsir_quota",
     "fixed-quota DSIR: top-quarter of the raw pool by importance via radix-select threshold",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.GraftExtensions.ensure(s)
       val scored = graft.PlanCache.persisted(s, s"x58-scored/$d") {
         dsirScores(s, d)
       }
-      val k = scored.agg(count(lit(1)).as("n_raw"))
-        .select(expr("(n_raw + 3) div 4").as("k"))
-      val binned = scored.withColumn("bin", shiftrightunsigned(
-        call_function("graft_sortable_bits", col("w_doc").cast("double")),
-        48))
-      val wBins = Window.partitionBy("g").orderBy(col("bin").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bstar = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
-        .withColumn("g", lit(1))
-        .withColumn("above", coalesce(sum(col("cnt")).over(wBins), lit(0L)))
-        .crossJoin(broadcast(k))
-        .filter(col("above") < col("k") && col("k") <= col("above") + col("cnt"))
-        .select(col("bin").as("bstar"), col("above").as("above_bins"), col("k"))
-      val wVals = Window.partitionBy("g").orderBy(col("w_doc").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wstar = binned.join(broadcast(bstar), col("bin") === col("bstar"))
-        .groupBy("w_doc", "above_bins", "k").agg(count(lit(1)).as("wc"))
-        .withColumn("g", lit(1))
-        .withColumn("abovew", coalesce(sum(col("wc")).over(wVals), lit(0L)))
-        .filter(col("above_bins") + col("abovew") < col("k") &&
-          col("k") <= col("above_bins") + col("abovew") + col("wc"))
-        .select(col("w_doc").as("w_star"), col("k").as("k_quota"))
+      val ranks = scored.agg(count(lit(1)).as("n_raw"))
+        .select(lit(1).as("rank_id"), expr("(n_raw + 3) div 4").as("k"))
+      val wstar = graft.operators.RadixSelect.kthLargest(scored, "w_doc", ranks)
+        .select(col("kth").as("w_star"), col("k").as("k_quota"))
       scored.crossJoin(broadcast(wstar))
         .groupBy("source", "w_star", "k_quota").agg(
           count(lit(1)).as("n_docs"),
