@@ -1204,11 +1204,65 @@ object CurationQueries {
             |FROM scored CROSS JOIN th
             |GROUP BY 1, 2 ORDER BY phase, source""".stripMargin))
 
+  /** X62 — per-source token-budget curation (the FineWeb/quota recipe):
+    * keep each source's HIGHEST-quality documents until their token mass
+    * first reaches a per-source budget (25% of the source's tokens here;
+    * the fraction is the knob). The cut is a per-source WEIGHTED order
+    * statistic — the largest quality threshold whose ≥-threshold token
+    * mass reaches the budget; ties at the threshold are all kept, so the
+    * budget is a floor and the selection is value-deterministic
+    * (row-order-free, unlike a cumulative-sum-over-sorted-rows cut).
+    *
+    * Scale: [[graft.operators.RadixSelect.weightedThreshold]] — one
+    * bounded-histogram pass per source (window ≤ 2¹⁶ bin rows by the
+    * sortable-double encoding), never a per-source sort of the corpus;
+    * x58's quota is the unweighted single-group cousin.
+    */
+  val x62TokenBudget = QueryDef(
+    "x62_token_budget_selection",
+    "per-source token-budget curation: best docs by quality until 25% of source tokens",
+    (s, d) => {
+      val scored = docs(s, d).select(col("source"), col("doc_id"),
+        TextQueries.qualityScore6.as("score6"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val budgets = scored.groupBy("source")
+        .agg(expr("sum(toks) DIV 4").as("budget"))
+      val thr = graft.operators.RadixSelect
+        .weightedThreshold(scored, Seq("source"), "score6", "toks", budgets)
+      scored.join(thr, Seq("source"))
+        .filter(col("score6") >= col("thr"))
+        .groupBy(col("source"), col("budget").as("budget_tokens"), col("thr"))
+        .agg(count(lit(1)).as("n_docs_sel"), sum(col("toks")).as("sel_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH f AS (
+            |  SELECT source, doc_id,
+            |         ${TextQueries.qualityScore6Sql} AS score6,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            |  FROM documents),
+            |b AS (SELECT source, CAST(sum(toks) // 4 AS BIGINT) AS budget_tokens
+            |      FROM f GROUP BY 1),
+            |cw AS (SELECT source, score6,
+            |              sum(sum(toks)) OVER (PARTITION BY source
+            |                                   ORDER BY score6 DESC) AS cum
+            |       FROM f GROUP BY source, score6),
+            |thr AS (SELECT source, max(score6) AS thr
+            |        FROM cw JOIN b USING (source)
+            |        WHERE cum >= budget_tokens GROUP BY source)
+            |SELECT f.source, any_value(budget_tokens) AS budget_tokens,
+            |       any_value(thr) AS thr,
+            |       CAST(count(*) AS BIGINT) AS n_docs_sel,
+            |       CAST(sum(toks) AS BIGINT) AS sel_tokens
+            |FROM f JOIN thr USING (source) JOIN b USING (source)
+            |WHERE score6 >= thr
+            |GROUP BY f.source ORDER BY source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
       x21SplitLeakage, x23SplitClusterSafe, x25CorpusCuration,
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
-      x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination)
+      x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination,
+      x62TokenBudget)
 }

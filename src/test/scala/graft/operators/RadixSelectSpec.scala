@@ -39,6 +39,43 @@ class RadixSelectSpec extends SparkSpec {
     check(Seq(-3L), Seq(1L))
   }
 
+  test("weightedThreshold: randomized grouped differential vs brute force") {
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val groups = Seq("ga", "gb", "gc")
+      val rows = groups.flatMap { g =>
+        val n = 20 + rnd.nextInt(80)
+        Seq.fill(n)((g, rnd.nextInt(30).toLong * 100 - 1500,
+          1L + rnd.nextInt(9)))
+      }
+      // budgets: one undersized, one mid, one OVER total (clamp path)
+      val totals = rows.groupBy(_._1).map { case (g, v) => g -> v.map(_._3).sum }
+      val budgets = groups.zipWithIndex.map { case (g, i) =>
+        (g, i match {
+          case 0 => 1L + rnd.nextInt(5)
+          case 1 => 1L max (totals(g) / 2)
+          case 2 => totals(g) + 10
+        })
+      }
+      val got = RadixSelect.weightedThreshold(
+          rows.toDF("src", "v", "w"), Seq("src"), "v", "w",
+          budgets.toDF("src", "budget"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      budgets.foreach { case (g, b) =>
+        val eff = math.min(b, totals(g))
+        // brute force: distinct values desc, cumulative weight, first cross
+        val byV = rows.filter(_._1 == g).groupBy(_._2)
+          .map { case (v, rs) => v -> rs.map(_._3).sum }
+          .toSeq.sortBy(-_._1)
+        val cum = byV.scanLeft(0L)(_ + _._2).tail
+        val idx = cum.indexWhere(_ >= eff)
+        assert(got(g) === ((byV(idx)._1, cum(idx))),
+          s"seed $seed group $g budget $b")
+      }
+    }
+  }
+
   test("w12 census: scores span 1..5 and conserve the customer count") {
     val rows = graft.analytics.ExtendedSqlQueries.w12RfmSegments
       .run(spark, sfDir).collect()
