@@ -19,6 +19,7 @@ object SparkEntry {
       cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
       dedup.ClusterQueries.defs ++
+      dedup.LinkageQueries.defs ++
       similarity.SimilarityQueries.defs ++
       similarity.QuantizationQueries.defs ++
       text.TextQueries.defs ++

@@ -1,0 +1,150 @@
+package graft.dedup
+
+import graft.QueryDef
+import graft.Parity.dec2
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution — the STRUCTURED-record cousin of
+  * the text near-dup family: find pairs of records that describe the same
+  * real-world entity despite field-level noise (typos, balance drift),
+  * the dedup step every customer/user dimension needs before it feeds a
+  * feature store or a training join.
+  *
+  * Method (Fellegi–Sunter shape): multi-pass BLOCKING generates a bounded
+  * candidate set (union of cheap equi-join passes — a name-prefix block
+  * that survives trailing typos, and a (nation, $100-balance-band) block
+  * that survives name-destroying noise), then each candidate pair is
+  * scored by summed per-field agreement/disagreement weights
+  * (integer log-odds-ish), and thresholds split match / possible /
+  * nonmatch — the clerical-review triage every production linkage runs.
+  *
+  * Truth is PLANTED IN-PLAN (the x48 recall-calibration discipline):
+  * every 7th customer gains a perturbed duplicate (trailing name typo,
+  * +37¢ balance, same nation/segment) at rid+100000, so detector recall
+  * is a measured, oracle-replayed number — a planted pair is identified
+  * by rid arithmetic, an O(planted) flag, no truth join at all.
+  *
+  * Scale posture (100 TB): candidates come ONLY from blocked equi-joins
+  * with a hard block-size cap (`BLOCK_CAP`, mirrored in the oracle — an
+  * over-cap block is a templated pileup, exact dedup's job, and capping
+  * keeps the per-block pair space bounded); pair volume is
+  * Σ_block n_b², never records²; scoring is a pure per-row expression
+  * (codegen'd `levenshtein` on 18-char keys + integer compares); the
+  * final census is one map-combinable groupBy. Exact integer cents
+  * throughout (decimal snap) so both engines agree bit-for-bit.
+  */
+object LinkageQueries {
+
+  private val BLOCK_CAP = 512
+
+  /** Originals ∪ planted perturbed duplicates, exact integer cents. */
+  private def linkageRecords(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "customer").select(
+      col("c_custkey").cast("long").as("rid"),
+      col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nat"),
+      (dec2(col("c_acctbal")) * 100).cast("long").as("bal_c"),
+      col("c_mktsegment").as("seg"))
+    val planted = base.filter(col("rid") % 7 === 3).select(
+      (col("rid") + 100000L).as("rid"),
+      concat(expr("substring(name, 1, length(name) - 1)"), lit("x")).as("name"),
+      col("nat"),
+      (col("bal_c") + 37L).as("bal_c"),
+      col("seg"))
+    base.unionByName(planted)
+  }
+
+  /** One blocking pass: pairs (rid_a < rid_b) co-located by `bkey`,
+    * blocks over [[BLOCK_CAP]] records dropped (df-cap, broadcast
+    * anti-join — the hot-key set is ≤ n/cap keys by construction).
+    */
+  private def blockPairs(recs: DataFrame, bkey: Column): DataFrame = {
+    val idx = recs.withColumn("bkey", bkey)
+    val hot = idx.groupBy("bkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > BLOCK_CAP).select("bkey")
+    val cold = idx.join(broadcast(hot), Seq("bkey"), "left_anti")
+    def side(sfx: String) = cold.select(col("bkey") +:
+      Seq("rid", "name", "nat", "bal_c", "seg")
+        .map(c => col(c).as(s"${c}_$sfx")): _*)
+    side("a").join(side("b"), "bkey")
+      .filter(col("rid_a") < col("rid_b"))
+      .drop("bkey")
+  }
+
+  /** X63 — blocked record linkage with planted-truth recall: per-verdict
+    * pair census (match / possible / nonmatch) and how many planted
+    * duplicates land in each class.
+    */
+  val x63RecordLinkage = QueryDef(
+    "x63_record_linkage",
+    "Fellegi-Sunter record linkage: blocked candidates, field-weight scores, planted recall",
+    (s, d) => {
+      val recs = linkageRecords(s, d)
+      val candidates = blockPairs(recs,
+          expr("substring(name, 1, length(name) - 2)"))
+        .unionByName(blockPairs(recs,
+          concat(lit("n"), col("nat"), lit(":"), expr("bal_c DIV 10000"))))
+        .distinct()
+      candidates
+        .withColumn("score",
+          when(levenshtein(col("name_a"), col("name_b")) <= 2, 24).otherwise(-10) +
+          when(abs(col("bal_c_a") - col("bal_c_b")) <= 100, 16).otherwise(-8) +
+          when(col("seg_a") === col("seg_b"), 4).otherwise(-4) +
+          when(col("nat_a") === col("nat_b"), 3).otherwise(-3))
+        .withColumn("verdict",
+          when(col("score") >= 30, "match")
+            .when(col("score") >= 10, "possible")
+            .otherwise("nonmatch"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("rid_b") === col("rid_a") + 100000L).cast("long"))
+            .as("n_planted"))
+        .orderBy("verdict")
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name,
+           |         CAST(c_nationkey AS BIGINT) AS nat,
+           |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c,
+           |         c_mktsegment AS seg
+           |  FROM customer),
+           |recs AS (
+           |  SELECT * FROM base
+           |  UNION ALL
+           |  SELECT rid + 100000, substring(name, 1, len(name) - 1) || 'x',
+           |         nat, bal_c + 37, seg
+           |  FROM base WHERE rid % 7 = 3),
+           |ia AS (SELECT substring(name, 1, len(name) - 2) AS bkey, * FROM recs),
+           |ib AS (SELECT 'n' || nat || ':' || (bal_c // 10000) AS bkey, * FROM recs),
+           |ca AS (SELECT bkey FROM ia GROUP BY 1 HAVING count(*) <= 512),
+           |cb AS (SELECT bkey FROM ib GROUP BY 1 HAVING count(*) <= 512),
+           |pairs AS (
+           |  SELECT l.rid AS rid_a, l.name AS name_a, l.nat AS nat_a,
+           |         l.bal_c AS bal_a, l.seg AS seg_a,
+           |         r.rid AS rid_b, r.name AS name_b, r.nat AS nat_b,
+           |         r.bal_c AS bal_b, r.seg AS seg_b
+           |  FROM ia l JOIN ia r ON l.bkey = r.bkey AND l.rid < r.rid
+           |  JOIN ca ON ca.bkey = l.bkey
+           |  UNION
+           |  SELECT l.rid, l.name, l.nat, l.bal_c, l.seg,
+           |         r.rid, r.name, r.nat, r.bal_c, r.seg
+           |  FROM ib l JOIN ib r ON l.bkey = r.bkey AND l.rid < r.rid
+           |  JOIN cb ON cb.bkey = l.bkey),
+           |scored AS (
+           |  SELECT *,
+           |         (CASE WHEN levenshtein(name_a, name_b) <= 2 THEN 24 ELSE -10 END +
+           |          CASE WHEN abs(bal_a - bal_b) <= 100 THEN 16 ELSE -8 END +
+           |          CASE WHEN seg_a = seg_b THEN 4 ELSE -4 END +
+           |          CASE WHEN nat_a = nat_b THEN 3 ELSE -3 END) AS score
+           |  FROM pairs)
+           |SELECT CASE WHEN score >= 30 THEN 'match'
+           |            WHEN score >= 10 THEN 'possible'
+           |            ELSE 'nonmatch' END AS verdict,
+           |       CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(sum(CASE WHEN rid_b = rid_a + 100000 THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_planted
+           |FROM scored GROUP BY 1 ORDER BY verdict""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(x63RecordLinkage)
+}
