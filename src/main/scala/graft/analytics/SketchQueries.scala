@@ -203,6 +203,79 @@ object SketchQueries {
            |        JOIN n nb ON type_b = nb.event_type
            |ORDER BY type_a, type_b""".stripMargin))
 
+  /** X64 — join-size estimation from Count-Min sketches (the AMS/CM
+    * inner-product bound): |R ⋈ S| on a key = Σ_k f_R(k)·f_S(k), and the
+    * per-row CM estimate Σ_bucket cntR(r,b)·cntS(r,b) NEVER
+    * underestimates it (collisions only add); the estimate is the min
+    * over depth rows. This is the planner primitive a 100 TB engine
+    * runs BEFORE committing to a shuffle: events ⋈ orders on the user
+    * key is genuinely many-to-many (10k × 15k rows → 95,614 pairs at
+    * sf0.01), and the prediction costs two fixed-size sketches + one
+    * bounded cell join — no key-level distinct aggregation, no join
+    * execution, state O(1) in table size. The inner-product error is
+    * additive ≈ |R|·|S|/width, NOT relative — x22's 1024-wide profile
+    * sketch would drown this join's signal (measured +125%), so the
+    * join-size sketch uses width 65536 (4×64Ki cells ≈ 2 MB — still a
+    * planner-cheap constant; measured error ≈ 2%).
+    *
+    * Deterministic md5 buckets (x22's [[cmsBuckets]]) → both engines
+    * compute bit-identical estimates, so the gate is an exact hash
+    * compare, error reported in basis points. The exact size here is
+    * the audit truth (two per-key aggs + one join on ≤ |keys| rows —
+    * the thing the sketch path avoids at scale).
+    */
+  val x64JoinCardinality = QueryDef(
+    "x64_join_cardinality",
+    "CM-sketch inner-product join-size estimate (events x orders on user key) vs exact",
+    (s, d) => {
+      graft.GraftExtensions.ensure(s)
+      val ev = Tables.load(s, d, "events").select(col("user_id"))
+      val or = Tables.load(s, d, "orders").select(col("o_custkey"))
+      def cells(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.select(cmsBuckets(col(key), width = 65536))
+          .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+      val est = cells(ev, "user_id").withColumnRenamed("cnt", "cnt_e")
+        .join(cells(or, "o_custkey").withColumnRenamed("cnt", "cnt_o"),
+          Seq("r", "bucket"))
+        .groupBy("r").agg(sum(col("cnt_e") * col("cnt_o")).as("ip"))
+        .agg(min(col("ip")).as("est_size"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("ne"))
+        .join(or.groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("no")), Seq("user_id"))
+        .agg(sum(col("ne") * col("no")).as("exact_size"))
+      exact.join(est)
+        .select(col("exact_size"), col("est_size"),
+          (col("est_size") >= col("exact_size")).cast("long")
+            .as("no_underestimate"),
+          expr("(est_size - exact_size) * 10000 DIV exact_size")
+            .as("err_bp"))
+    },
+    Some("""WITH ce AS (
+           |  SELECT r, CAST(md5_number_lower(r || ':' || CAST(user_id AS VARCHAR)) >> 4 AS BIGINT) % 65536 AS bucket,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events, UNNEST(generate_series(0, 3)) AS u(r)
+           |  GROUP BY 1, 2),
+           |co AS (
+           |  SELECT r, CAST(md5_number_lower(r || ':' || CAST(o_custkey AS VARCHAR)) >> 4 AS BIGINT) % 65536 AS bucket,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM orders, UNNEST(generate_series(0, 3)) AS u(r)
+           |  GROUP BY 1, 2),
+           |ip AS (SELECT ce.r, sum(ce.cnt * co.cnt) AS ip
+           |       FROM ce JOIN co ON ce.r = co.r AND ce.bucket = co.bucket
+           |       GROUP BY 1),
+           |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_size FROM ip),
+           |exact AS (
+           |  SELECT CAST(sum(ne * no) AS BIGINT) AS exact_size
+           |  FROM (SELECT user_id, count(*) AS ne FROM events GROUP BY 1) e
+           |  JOIN (SELECT o_custkey AS user_id, count(*) AS no
+           |        FROM orders GROUP BY 1) o USING (user_id))
+           |SELECT exact_size, est_size,
+           |       CAST(CASE WHEN est_size >= exact_size THEN 1 ELSE 0 END
+           |            AS BIGINT) AS no_underestimate,
+           |       (est_size - exact_size) * 10000 // exact_size AS err_bp
+           |FROM exact CROSS JOIN est""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(x8HllMergeable, x22CountMin,
-    x50AudienceOverlap)
+    x50AudienceOverlap, x64JoinCardinality)
 }
