@@ -976,6 +976,127 @@ object ExtendedSqlQueries {
          |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     })
 
+  /** W13 — per-group winsorized robust statistics: order values clipped
+    * at the group's [p5, p95] boundaries before averaging — the outlier
+    * treatment every ML feature pipeline applies before normalization
+    * (a fat-finger order must not move the mean the model trains on).
+    *
+    * Both boundaries are tie-inclusive WEIGHTED order statistics from
+    * [[graft.operators.RadixSelect.weightedThreshold]] (weight ≡ 1):
+    * thr_hi = largest value whose ≥-count reaches n/20 (top-5% cut),
+    * thr_lo = largest value whose ≥-count reaches n − n/20 (bottom-5%
+    * cut) — value-deterministic, no per-group sort, one bounded
+    * histogram pass per boundary. Clipping and the winsorized mean are
+    * then pure per-row expressions + one agg, exact integer cents.
+    */
+  val w13WinsorizedStats = QueryDef(
+    "w13_winsorized_stats",
+    "per-priority winsorized [p5,p95] order-value means via radix-select boundaries",
+    (s, d) => {
+      val vals = graft.PlanCache.persisted(s, s"w13-vals/$d") {
+        Tables.load(s, d, "orders").select(
+          col("o_orderpriority").as("prio"),
+          (dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+          lit(1L).as("one"))
+      }
+      val n = vals.groupBy("prio").agg(count(lit(1)).as("n"))
+      def cut(budget: org.apache.spark.sql.Column, name: String) =
+        graft.operators.RadixSelect.weightedThreshold(
+            vals, Seq("prio"), "cents", "one",
+            n.select(col("prio"), greatest(budget, lit(1L)).as("budget")))
+          .select(col("prio"), col("thr").as(name))
+      vals
+        .join(cut(expr("n DIV 20"), "thr_hi"), Seq("prio"))
+        .join(cut(expr("n - n DIV 20"), "thr_lo"), Seq("prio"))
+        .withColumn("w", least(greatest(col("cents"), col("thr_lo")),
+          col("thr_hi")))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          min(col("thr_lo")).as("thr_lo"),
+          min(col("thr_hi")).as("thr_hi"),
+          sum((col("cents") < col("thr_lo")).cast("long")).as("n_clip_lo"),
+          sum((col("cents") > col("thr_hi")).cast("long")).as("n_clip_hi"),
+          expr("sum(cents) DIV count(1)").as("raw_mean_cents"),
+          expr("sum(w) DIV count(1)").as("wins_mean_cents"))
+        .orderBy("prio")
+    },
+    Some("""WITH vals AS (
+           |  SELECT o_orderpriority AS prio,
+           |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |           AS cents
+           |  FROM orders),
+           |nn AS (SELECT prio, CAST(count(*) AS BIGINT) AS n FROM vals
+           |       GROUP BY 1),
+           |cw AS (SELECT prio, cents AS v,
+           |              sum(count(*)) OVER (PARTITION BY prio
+           |                                  ORDER BY cents DESC) AS cum
+           |       FROM vals GROUP BY prio, cents),
+           |hi AS (SELECT prio, max(v) AS thr_hi
+           |       FROM cw JOIN nn USING (prio)
+           |       WHERE cum >= greatest(n // 20, 1) GROUP BY prio),
+           |lo AS (SELECT prio, max(v) AS thr_lo
+           |       FROM cw JOIN nn USING (prio)
+           |       WHERE cum >= greatest(n - n // 20, 1) GROUP BY prio)
+           |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           |       min(thr_lo) AS thr_lo, min(thr_hi) AS thr_hi,
+           |       CAST(sum(CASE WHEN cents < thr_lo THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_clip_lo,
+           |       CAST(sum(CASE WHEN cents > thr_hi THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_clip_hi,
+           |       CAST(sum(cents) // count(*) AS BIGINT) AS raw_mean_cents,
+           |       CAST(sum(least(greatest(cents, thr_lo), thr_hi)) // count(*)
+           |            AS BIGINT) AS wins_mean_cents
+           |FROM vals JOIN hi USING (prio) JOIN lo USING (prio)
+           |GROUP BY prio ORDER BY prio""".stripMargin))
+
+  /** Q13 — Benford first-digit audit: the classic fraud / data-quality
+    * screen — the first significant digit of order values against
+    * Benford's law P(d) = log₁₀(1 + 1/d), deviations in basis points.
+    * Synthetic uniform-ish prices are NOT Benford-distributed and the
+    * audit reports that honestly (large dev_bp) — the operator's job is
+    * the measurement, not a pass verdict; Σ dev_bp (the L1
+    * distance) is the alarm number a pipeline thresholds on.
+    * One scan, a 9-row census, expected shares as integer constants
+    * (⌊log₁₀(1+1/d)·10⁴⌋ — no floating point crosses the gate).
+    */
+  val q13BenfordAudit = QueryDef(
+    "q13_benford_audit",
+    "Benford first-digit distribution audit of order values, integer basis points",
+    (s, d) => {
+      import s.implicits._
+      // floor(log10(1+1/d) * 10000) for d = 1..9
+      val benford = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L,
+        457L)
+      val exp = benford.zipWithIndex
+        .map { case (bp, i) => (i + 1L, bp) }
+        .toDF("digit", "benford_bp")
+      val digits = Tables.load(s, d, "orders")
+        .select(substring((dec2(col("o_totalprice")) * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .join(broadcast(exp), Seq("digit"))
+        .withColumn("share_bp", expr("n * 10000 DIV total"))
+        .withColumn("dev_bp", abs(col("share_bp") - col("benford_bp")))
+        .select(col("digit"), col("n"), col("share_bp"), col("benford_bp"),
+          col("dev_bp"))
+        .orderBy("digit")
+    },
+    Some("""WITH digits AS (
+           |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM orders GROUP BY 1),
+           |exp AS (SELECT CAST(i AS BIGINT) AS digit,
+           |               CAST([3010, 1760, 1249, 969, 791, 669, 579, 511,
+           |                     457][i] AS BIGINT) AS benford_bp
+           |        FROM UNNEST(generate_series(1, 9)) AS u(i)),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM digits)
+           |SELECT digit, n, n * 10000 // total AS share_bp, benford_bp,
+           |       abs(n * 10000 // total - benford_bp) AS dev_bp
+           |FROM digits JOIN exp USING (digit) CROSS JOIN tot
+           |ORDER BY digit""".stripMargin))
+
   /** E11 — CUSUM changepoint detection over the weekly order-count
     * series, the drift monitor a pipeline runs on every ingested fact
     * stream ("did volume shift?"). A step shift is PLANTED IN-PLAN at ⅔
@@ -1309,7 +1430,8 @@ object ExtendedSqlQueries {
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
     q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization,
-    w12RfmSegments, e8OrderedListagg, e11CusumChangepoint,
+    w12RfmSegments, w13WinsorizedStats, q13BenfordAudit,
+    e8OrderedListagg, e11CusumChangepoint,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow)
 }
