@@ -909,27 +909,34 @@ object ExtendedSqlQueries {
           .withColumn("vr", -datediff(col("ref"), col("last_d")).cast("long"))
           .select("cust", "vr", "vf", "vm")
       }
+      // all 12 quintile boundaries (3 dims × ranks 1..4) in ONE grouped
+      // bounded-histogram pass: stack the three dimensions as rows and
+      // let RadixSelect.thresholds group by dimension
+      val stacked = vals.select(explode(array(
+          struct(lit("r").as("dim"), col("vr").as("v")),
+          struct(lit("f").as("dim"), col("vf").as("v")),
+          struct(lit("m").as("dim"), col("vm").as("v")))).as("e"))
+        .select(col("e.dim").as("dim"), col("e.v").as("v"))
+        .withColumn("one", lit(1L))
       val ranks = vals.agg(count(lit(1)).as("n"))
-        .select(explode(expr("array(1L, 2L, 3L, 4L)")).as("rank_id"), col("n"))
-        .select(col("rank_id"),
-          greatest(expr("(rank_id * n) div 5"), lit(1L)).as("k"))
-      def thresholds(vcol: String, p: String) =
-        graft.operators.RadixSelect
-          .kthLargest(vals.select(col(vcol).as("v")), "v", ranks)
-          .agg(
-            max(when(col("rank_id") === 1, col("kth"))).as(s"${p}1"),
-            max(when(col("rank_id") === 2, col("kth"))).as(s"${p}2"),
-            max(when(col("rank_id") === 3, col("kth"))).as(s"${p}3"),
-            max(when(col("rank_id") === 4, col("kth"))).as(s"${p}4"))
+        .select(explode(expr("array('r', 'f', 'm')")).as("dim"), col("n"))
+        .select(col("dim"),
+          explode(expr("array(1L, 2L, 3L, 4L)")).as("rank_id"), col("n"))
+        .select(col("dim"), col("rank_id"),
+          greatest(expr("(rank_id * n) div 5"), lit(1L)).as("budget"))
+      val cells = for (p <- Seq("r", "f", "m"); i <- 1 to 4) yield
+        max(when(col("dim") === p && col("rank_id") === i, col("thr")))
+          .as(s"$p$i")
+      val thresholds = graft.operators.RadixSelect
+        .thresholds(stacked, Seq("dim"), "v", "one", ranks)
+        .agg(cells.head, cells.tail: _*)
       def score(v: String, p: String) =
         (lit(5) - (col(v) < col(s"${p}1")).cast("int") -
           (col(v) < col(s"${p}2")).cast("int") -
           (col(v) < col(s"${p}3")).cast("int") -
           (col(v) < col(s"${p}4")).cast("int")).cast("long")
       vals
-        .crossJoin(broadcast(thresholds("vr", "r")))
-        .crossJoin(broadcast(thresholds("vf", "f")))
-        .crossJoin(broadcast(thresholds("vm", "m")))
+        .crossJoin(broadcast(thresholds))
         .withColumn("r_score", score("vr", "r"))
         .withColumn("f_score", score("vf", "f"))
         .withColumn("m_score", score("vm", "m"))

@@ -56,19 +56,21 @@ object LinkageQueries {
     base.unionByName(planted)
   }
 
-  /** One blocking pass: pairs (rid_a < rid_b) co-located by `bkey`,
+  /** One blocking pass: id pairs (rid_a < rid_b) co-located by `bkey`,
     * blocks over [[BLOCK_CAP]] records dropped (df-cap, broadcast
     * anti-join — the hot-key set is ≤ n/cap keys by construction).
+    * Emits ONLY the two ids: the multi-pass union dedups NARROW rows
+    * (16 bytes/pair instead of the full two-record payload — the
+    * distinct is the pair volume's one unavoidable shuffle, so it
+    * carries the minimum), and fields re-attach afterwards.
     */
   private def blockPairs(recs: DataFrame, bkey: Column): DataFrame = {
-    val idx = recs.withColumn("bkey", bkey)
+    val idx = recs.select(bkey.as("bkey"), col("rid"))
     val hot = idx.groupBy("bkey").agg(count(lit(1)).as("n"))
       .filter(col("n") > BLOCK_CAP).select("bkey")
     val cold = idx.join(broadcast(hot), Seq("bkey"), "left_anti")
-    def side(sfx: String) = cold.select(col("bkey") +:
-      Seq("rid", "name", "nat", "bal_c", "seg")
-        .map(c => col(c).as(s"${c}_$sfx")): _*)
-    side("a").join(side("b"), "bkey")
+    cold.select(col("bkey"), col("rid").as("rid_a"))
+      .join(cold.select(col("bkey"), col("rid").as("rid_b")), "bkey")
       .filter(col("rid_a") < col("rid_b"))
       .drop("bkey")
   }
@@ -81,12 +83,20 @@ object LinkageQueries {
     "x63_record_linkage",
     "Fellegi-Sunter record linkage: blocked candidates, field-weight scores, planted recall",
     (s, d) => {
-      val recs = linkageRecords(s, d)
-      val candidates = blockPairs(recs,
+      val recs = graft.PlanCache.persisted(s, s"x63-recs/$d") {
+        linkageRecords(s, d)
+      }
+      val idPairs = blockPairs(recs,
           expr("substring(name, 1, length(name) - 2)"))
         .unionByName(blockPairs(recs,
           concat(lit("n"), col("nat"), lit(":"), expr("bal_c DIV 10000"))))
         .distinct()
+      def side(sfx: String) = recs.select(
+        Seq("rid", "name", "nat", "bal_c", "seg")
+          .map(c => col(c).as(s"${c}_$sfx")): _*)
+      val candidates = idPairs
+        .join(side("a"), Seq("rid_a"))
+        .join(side("b"), Seq("rid_b"))
       candidates
         .withColumn("score",
           when(levenshtein(col("name_a"), col("name_b")) <= 2, 24).otherwise(-10) +

@@ -7,98 +7,94 @@ import org.apache.spark.sql.functions._
 /** Distributed exact order statistics on LONG values without a global
   * sort — the a13 histogram discipline factored into an operator
   * (introduced for x58's fixed-quota DSIR threshold; w12's RFM quintile
-  * boundaries ride the same pass).
+  * boundaries, x62's token budgets and w13's winsorization boundaries
+  * ride the same pass).
   *
-  * `kthLargest(df, value, ranks)` answers EVERY rank in `ranks`
-  * (rank_id, k) in one histogram pass: (1) bin each value by the top 16
-  * bits of its order-preserving sortable-double encoding (longs below
-  * 2⁵³ cast exactly) — the cumulative window runs over ≤ 2¹⁶ bin rows,
-  * bounded by the ENCODING, not the data; (2) each rank locates its
-  * bin, then the distinct values INSIDE located bins are ranked (one
-  * bounded window over the located slices; a pathological single-bin
-  * pileup would recurse the same way one level deeper). The k-th
-  * largest counts multiplicity, matching `row_number() ORDER BY v DESC`
-  * at rn = k in any engine.
+  * One general core, [[thresholds]]: for every (group, rank_id, budget)
+  * request, the LARGEST value `thr` whose ≥-threshold total WEIGHT
+  * reaches the budget — computed in one bounded-histogram pass:
+  * (1) bin each value by the top 16 bits of its order-preserving
+  * sortable-double encoding (longs below 2⁵³ cast exactly) — the
+  * cumulative window runs over ≤ 2¹⁶ bin rows PER GROUP, bounded by the
+  * ENCODING, not the data; (2) each request locates its crossing bin,
+  * then the distinct values INSIDE located bins are ranked (one bounded
+  * window over the located slices, partitioned per request). With
+  * weight ≡ 1 and budget = k this is the k-th largest counting
+  * multiplicity, ≡ `row_number() ORDER BY v DESC` at rn = k in any
+  * engine. A budget above the group's total weight clamps to
+  * "select everything" (thr = group minimum).
   */
 object RadixSelect {
 
-  /** For each (rank_id, k) row of `ranks` (small — broadcast), the k-th
-    * largest value of `df.value` counting multiplicity. Returns
-    * (rank_id, k, kth). Requires 1 ≤ k ≤ count(df) for every rank.
+  /** General core: `ranks` carries one row per request —
+    * (group..., rank_id, budget). Returns
+    * (group..., rank_id, budget, thr, sel_weight) where
+    * sel_weight = W(≥ thr) — for every request whose group appears in
+    * `df`. Requires budget ≥ 1.
     */
-  def kthLargest(df: DataFrame, value: String, ranks: DataFrame): DataFrame = {
+  def thresholds(df: DataFrame, group: Seq[String], value: String,
+      weight: String, ranks: DataFrame): DataFrame = {
     graft.GraftExtensions.ensure(df.sparkSession)
-    val binned = df.select(col(value).as("v"))
-      .withColumn("bin", shiftrightunsigned(
-        call_function("graft_sortable_bits", col("v").cast("double")), 48))
-    val wBins = Window.partitionBy("g").orderBy(col("bin").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bstar = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .withColumn("g", lit(1))
-      .withColumn("above", coalesce(sum(col("cnt")).over(wBins), lit(0L)))
-      .crossJoin(broadcast(ranks))
-      .filter(col("above") < col("k") && col("k") <= col("above") + col("cnt"))
-      .select(col("rank_id"), col("bin").as("bstar"),
-        col("above").as("above_bins"), col("k"))
-    val wVals = Window.partitionBy("rank_id").orderBy(col("v").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    binned.join(broadcast(bstar), col("bin") === col("bstar"))
-      .groupBy("rank_id", "v", "above_bins", "k").agg(count(lit(1)).as("wc"))
-      .withColumn("abovew", coalesce(sum(col("wc")).over(wVals), lit(0L)))
-      .filter(col("above_bins") + col("abovew") < col("k") &&
-        col("k") <= col("above_bins") + col("abovew") + col("wc"))
-      .select(col("rank_id"), col("k"), col("v").as("kth"))
-  }
-
-  /** Per-group WEIGHTED threshold selection — the quota-curation
-    * primitive (x62 token budgets ride it): for each group, the LARGEST
-    * value `thr` such that the total `weight` of rows with
-    * `value ≥ thr` reaches that group's `budget`
-    * (`W(≥thr) ≥ budget > W(>thr)`; a budget exceeding the group's
-    * total weight clamps to "select everything", i.e. thr = group min).
-    * `kthLargest` is the weight≡1 single-group special case.
-    *
-    * Same bounded-histogram discipline: one pass bins values by the top
-    * 16 bits of the sortable-double encoding, the cumulative window runs
-    * over ≤ 2¹⁶ bin rows PER GROUP (bounded by the encoding, not the
-    * data), and only the located bin's distinct values are ranked.
-    * Budgets join on the group key (small per-group frame — Catalyst/AQE
-    * broadcasts it); nothing is ever globally sorted.
-    *
-    * Returns one row per group present in BOTH `df` and `budgets`:
-    * (group..., budget, thr, sel_weight) where sel_weight = W(≥thr).
-    */
-  def weightedThreshold(df: DataFrame, group: Seq[String], value: String,
-      weight: String, budgets: DataFrame): DataFrame = {
-    graft.GraftExtensions.ensure(df.sparkSession)
-    val g = group.map(col)
-    val binned = df.select(g :+ col(value).as("v") :+
+    // an internal constant group key makes the group-free case uniform
+    val g = if (group.isEmpty) Seq("__g") else group
+    val base =
+      if (group.isEmpty) df.withColumn("__g", lit(1))
+      else df
+    val rk =
+      if (group.isEmpty) ranks.withColumn("__g", lit(1))
+      else ranks
+    val gc = g.map(col)
+    val binned = base.select(gc :+ col(value).as("v") :+
         col(weight).cast("long").as("w"): _*)
       .withColumn("bin", shiftrightunsigned(
         call_function("graft_sortable_bits", col("v").cast("double")), 48))
-    val wBins = Window.partitionBy(group.map(col): _*)
+    val wBins = Window.partitionBy(gc: _*)
       .orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, -1)
-    // clamp: a budget above the group's total weight selects everything
-    // (the crossing test below then locates the group's minimum bin)
-    val bstar = binned.groupBy(g :+ col("bin"): _*)
+    // bin histogram + cumulative — computed ONCE per group, shared by
+    // every rank against that group
+    val bstar = binned.groupBy(gc :+ col("bin"): _*)
       .agg(sum(col("w")).as("bw"))
       .withColumn("above", coalesce(sum(col("bw")).over(wBins), lit(0L)))
-      .join(budgets, group)
-      .withColumn("eff", least(col("budget"),
-        max(col("above") + col("bw")).over(Window.partitionBy(group.map(col): _*))))
+      .withColumn("gtot",
+        max(col("above") + col("bw")).over(Window.partitionBy(gc: _*)))
+      .join(rk, g)
+      .withColumn("eff", least(col("budget"), col("gtot")))
       .filter(col("above") < col("eff") && col("eff") <= col("above") + col("bw"))
-      .select(g :+ col("bin").as("bstar") :+ col("above").as("above_bins") :+
-        col("budget") :+ col("eff"): _*)
-    val wVals = Window.partitionBy(group.map(col): _*)
+      .select(gc :+ col("rank_id") :+ col("bin").as("bstar") :+
+        col("above").as("above_bins") :+ col("budget") :+ col("eff"): _*)
+    val wVals = Window.partitionBy((gc :+ col("rank_id")): _*)
       .orderBy(col("v").desc).rowsBetween(Window.unboundedPreceding, -1)
-    binned.join(bstar.withColumnRenamed("bstar", "bin"), group :+ "bin")
-      .groupBy(g :+ col("v") :+ col("above_bins") :+ col("budget") :+
-        col("eff"): _*)
+    binned.join(bstar.withColumnRenamed("bstar", "bin"), g :+ "bin")
+      .groupBy(gc :+ col("rank_id") :+ col("v") :+ col("above_bins") :+
+        col("budget") :+ col("eff"): _*)
       .agg(sum(col("w")).as("vw"))
       .withColumn("abovew", coalesce(sum(col("vw")).over(wVals), lit(0L)))
       .filter(col("above_bins") + col("abovew") < col("eff") &&
         col("eff") <= col("above_bins") + col("abovew") + col("vw"))
-      .select(g :+ col("budget") :+ col("v").as("thr") :+
-        (col("above_bins") + col("abovew") + col("vw")).as("sel_weight"): _*)
+      .select((if (group.isEmpty) Seq.empty else gc) ++
+        (col("rank_id") :: col("budget") :: col("v").as("thr") ::
+          (col("above_bins") + col("abovew") + col("vw")).as("sel_weight") ::
+          Nil): _*)
   }
+
+  /** For each (rank_id, k) row of `ranks` (small), the k-th largest
+    * value of `df.value` counting multiplicity. Returns
+    * (rank_id, k, kth). Requires 1 ≤ k ≤ count(df) for every rank.
+    */
+  def kthLargest(df: DataFrame, value: String, ranks: DataFrame): DataFrame =
+    thresholds(df.withColumn("__one", lit(1L)), Seq.empty, value, "__one",
+        ranks.withColumn("budget", col("k")).drop("k"))
+      .select(col("rank_id"), col("budget").as("k"), col("thr").as("kth"))
+
+  /** Per-group weighted threshold selection — the quota-curation
+    * primitive: for each group, the largest value `thr` such that the
+    * total `weight` of rows with `value ≥ thr` reaches that group's
+    * `budget` (`budgets`: group cols + `budget`, one row per group).
+    * Returns (group..., budget, thr, sel_weight).
+    */
+  def weightedThreshold(df: DataFrame, group: Seq[String], value: String,
+      weight: String, budgets: DataFrame): DataFrame =
+    thresholds(df, group, value, weight,
+        budgets.withColumn("rank_id", lit(1)))
+      .drop("rank_id")
 }
