@@ -283,4 +283,27 @@ class PlanAuditSpec extends SparkSpec {
     val all = spark.read.parquet(dir).count()
     assert(pruned.count() > 0 && pruned.count() < all)
   }
+
+  test("radix-select order statistics never range-partition the corpus") {
+    // the RadixSelect contract is "order statistics without a global
+    // sort": the only range exchange allowed is the final orderBy of
+    // the tiny output census — a second one means a corpus sort (or
+    // per-group ntile/row_number funnel) crept back in
+    for (q <- Seq("w12_rfm_segments", "x62_token_budget_selection",
+        "w13_winsorized_stats", "x58_dsir_quota")) {
+      val plan = planOf(q)
+      val ranges = plan.linesIterator
+        .count(_.contains("Exchange rangepartitioning"))
+      assert(ranges <= 1,
+        s"$q range-partitions beyond the output orderBy ($ranges):\n$plan")
+    }
+  }
+
+  test("x63 linkage: capped blocks via broadcast anti-join, no BNLJ") {
+    val plan = planOf("x63_record_linkage")
+    assert(plan.contains("LeftAnti"),
+      s"x63 lost its block-size df-cap anti-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"x63 degraded to BroadcastNestedLoopJoin:\n$plan")
+  }
 }
