@@ -536,8 +536,114 @@ object EventQueries {
            |       CAST(count(*) AS BIGINT) AS n_users
            |FROM lv GROUP BY 1 ORDER BY level""".stripMargin))
 
+  /** W14 — multi-touch attribution with WEIGHTED credit: each purchase's
+    * value split across the view/click touchpoints in its 24-hour
+    * lookback under two standard models — LINEAR (equal split) and
+    * U-SHAPED (40% first touch, 40% last, 20% spread over the middle) —
+    * reported as credit per touchpoint type. st8 counts attributed
+    * touches; this distributes MONEY, the number marketing actually
+    * bills by. (st8's 1 h window stays put; the 24 h lookback here is
+    * where the ≥3-touch U-shape branch actually exercises — 1,198
+    * multi-touch purchases at sf0.1, max 7 touches.)
+    *
+    * Exact integer cents with deterministic remainders (integer credit
+    * division leaves ≤ n−1 cents; both models assign the remainder to
+    * the LAST touch — deterministic, mirrored in the oracle), so the
+    * gate is an exact hash compare. Plan shape: the st8 interval join
+    * (user equi-join, ranges as residual filters), one window per
+    * purchase (partition = purchase_id, bounded by touches-per-hour,
+    * never per-user history), one census agg.
+    */
+  val w14MultiTouch = QueryDef(
+    "w14_multi_touch_attribution",
+    "linear + U-shaped multi-touch revenue attribution over 24h lookback touches",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long").as("cents"))
+      val touches = base.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("us").as("t_us"), col("event_id").as("touch_id"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"),
+          col("event_id").as("purchase_id"), col("cents"))
+      // 24 h lookback (this corpus's touch cadence is hours apart — 1 h
+      // leaves every purchase with ≤ 2 touches and the U-shape untested;
+      // a19's window knob, same reasoning)
+      val pairs = purchases.join(touches, Seq("user_id"))
+        .filter(col("t_us") < col("p_us") &&
+          col("t_us") >= col("p_us") - lit(86400000000L))
+      val w = Window.partitionBy("purchase_id")
+      val ranked = pairs
+        .withColumn("pos", row_number().over(
+          w.orderBy(col("t_us"), col("touch_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("lin", expr("cents DIV n") +
+          when(col("pos") === col("n"), expr("cents % n")).otherwise(0L))
+        .withColumn("u_bp",
+          when(col("n") === 1, lit(10000L))
+            .when(col("n") === 2, lit(5000L))
+            .when(col("pos") === 1, lit(4000L))
+            .when(col("pos") === col("n"), lit(4000L))
+            .otherwise(expr("2000 DIV (n - 2)")))
+        .withColumn("u", expr("cents * u_bp DIV 10000") +
+          when(col("pos") === col("n"),
+            col("cents") - expr("sum(cents * u_bp DIV 10000) OVER " +
+              "(PARTITION BY purchase_id)")).otherwise(0L))
+      ranked.groupBy("touch_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("lin")).as("linear_cents"),
+          sum(col("u")).as("u_shaped_cents"))
+        .orderBy("touch_type")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+           |         CAST(CAST("value" AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |           AS cents
+           |  FROM events),
+           |t AS (SELECT user_id, event_type AS touch_type, us AS t_us,
+           |             event_id AS touch_id
+           |      FROM base WHERE event_type IN ('view', 'click')),
+           |p AS (SELECT user_id, us AS p_us, event_id AS purchase_id, cents
+           |      FROM base WHERE event_type = 'purchase'),
+           |pairs AS (
+           |  SELECT p.purchase_id, p.cents, t.touch_type, t.t_us, t.touch_id
+           |  FROM p JOIN t ON p.user_id = t.user_id
+           |   AND t.t_us < p.p_us AND t.t_us >= p.p_us - 86400000000),
+           |rk AS (
+           |  SELECT *,
+           |         CAST(row_number() OVER (PARTITION BY purchase_id
+           |                ORDER BY t_us, touch_id) AS BIGINT) AS pos,
+           |         CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+           |           AS n
+           |  FROM pairs),
+           |cr AS (
+           |  SELECT *,
+           |         cents // n + CASE WHEN pos = n THEN cents % n ELSE 0 END
+           |           AS lin,
+           |         CASE WHEN n = 1 THEN 10000
+           |              WHEN n = 2 THEN 5000
+           |              WHEN pos = 1 THEN 4000
+           |              WHEN pos = n THEN 4000
+           |              ELSE 2000 // (n - 2) END AS u_bp
+           |  FROM rk),
+           |uc AS (
+           |  SELECT *,
+           |         cents * u_bp // 10000 +
+           |         CASE WHEN pos = n THEN cents -
+           |           sum(cents * u_bp // 10000)
+           |             OVER (PARTITION BY purchase_id)
+           |         ELSE 0 END AS u
+           |  FROM cr)
+           |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+           |       CAST(sum(lin) AS BIGINT) AS linear_cents,
+           |       CAST(sum(u) AS BIGINT) AS u_shaped_cents
+           |FROM uc GROUP BY 1 ORDER BY touch_type""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
     t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
     a15CohortRetention, a16HoppingWindows, a17VariantExtract,
-    w10EventTransitions, a19WindowFunnel)
+    w10EventTransitions, a19WindowFunnel, w14MultiTouch)
 }
