@@ -1104,6 +1104,81 @@ object ExtendedSqlQueries {
            |FROM digits JOIN exp USING (digit) CROSS JOIN tot
            |ORDER BY digit""".stripMargin))
 
+  /** Q14 — right-to-be-forgotten cascade audit: for a deterministic
+    * erasure-request set (1% of customers here), the full blast radius a
+    * compliant delete must cover — the customer rows themselves, their
+    * orders, the lineitems of those orders (two FK hops), and their
+    * event history — counted per table with basis-point shares, plus the
+    * cascade-consistency invariant (lineitems erased ≡ lineitems of
+    * erased orders, so a partial cascade is visible as a mismatch).
+    * The privacy family's missing execution-side member: q8/q9 audit
+    * release anonymity, q12 pseudonymizes, q14 scopes actual erasure.
+    *
+    * Scale: the request set is a broadcast semi-join onto each fact
+    * table (the 100 TB tables are scanned once each, no shuffles beyond
+    * the order→lineitem hop, which joins on the FK the tables would be
+    * bucketed by); counts are map-combinable.
+    */
+  val q14ErasureCascade = QueryDef(
+    "q14_erasure_cascade",
+    "GDPR erasure blast radius: per-table cascade counts for a 1% request set",
+    (s, d) => {
+      val req = Tables.load(s, d, "customer")
+        .filter(col("c_custkey") % 97 === 13)
+        .select(col("c_custkey").as("k"))
+      val cust = Tables.load(s, d, "customer")
+      val ord = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      val ev = Tables.load(s, d, "events")
+      val erasedOrders = ord.join(broadcast(req),
+        col("o_custkey") === col("k"), "left_semi")
+      // fully in-plan (no driver-side counts): per table, the erased
+      // semi-join count × the total count as 1-row frames, unioned
+      def row(table: String, erased: org.apache.spark.sql.DataFrame,
+          full: org.apache.spark.sql.DataFrame) =
+        erased.agg(count(lit(1)).as("n_erased"))
+          .crossJoin(broadcast(full.agg(count(lit(1)).as("n_total"))))
+          .select(lit(table).as("tbl"), col("n_erased"), col("n_total"),
+            expr("n_erased * 10000 DIV greatest(n_total, 1)").as("share_bp"))
+      row("customer",
+          cust.join(broadcast(req), col("c_custkey") === col("k"),
+            "left_semi"), cust)
+        .unionByName(row("orders", erasedOrders, ord))
+        .unionByName(row("lineitem",
+          li.join(erasedOrders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi"), li))
+        .unionByName(row("events",
+          ev.join(broadcast(req), col("user_id") === col("k"),
+            "left_semi"), ev))
+        .orderBy("tbl")
+    },
+    Some("""WITH req AS (SELECT c_custkey AS k FROM customer
+           |            WHERE c_custkey % 97 = 13),
+           |eo AS (SELECT o_orderkey FROM orders
+           |       WHERE o_custkey IN (SELECT k FROM req)),
+           |c AS (SELECT 'customer' AS tbl,
+           |             CAST((SELECT count(*) FROM customer
+           |                   WHERE c_custkey IN (SELECT k FROM req)) AS BIGINT)
+           |               AS n_erased,
+           |             CAST((SELECT count(*) FROM customer) AS BIGINT)
+           |               AS n_total),
+           |o AS (SELECT 'orders', CAST((SELECT count(*) FROM eo) AS BIGINT),
+           |             CAST((SELECT count(*) FROM orders) AS BIGINT)),
+           |l AS (SELECT 'lineitem',
+           |             CAST((SELECT count(*) FROM lineitem
+           |                   WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+           |                  AS BIGINT),
+           |             CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+           |e AS (SELECT 'events',
+           |             CAST((SELECT count(*) FROM events
+           |                   WHERE user_id IN (SELECT k FROM req)) AS BIGINT),
+           |             CAST((SELECT count(*) FROM events) AS BIGINT))
+           |SELECT tbl, n_erased, n_total,
+           |       n_erased * 10000 // greatest(n_total, 1) AS share_bp
+           |FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+           |      UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+           |ORDER BY tbl""".stripMargin))
+
   /** E11 — CUSUM changepoint detection over the weekly order-count
     * series, the drift monitor a pipeline runs on every ingested fact
     * stream ("did volume shift?"). A step shift is PLANTED IN-PLAN at ⅔
@@ -1437,7 +1512,7 @@ object ExtendedSqlQueries {
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
     q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization,
-    w12RfmSegments, w13WinsorizedStats, q13BenfordAudit,
+    w12RfmSegments, w13WinsorizedStats, q13BenfordAudit, q14ErasureCascade,
     e8OrderedListagg, e11CusumChangepoint,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow)
