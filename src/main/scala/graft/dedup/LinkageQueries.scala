@@ -37,10 +37,31 @@ import org.apache.spark.sql.functions._
   */
 object LinkageQueries {
 
-  private val BLOCK_CAP = 512
+  private[graft] val BLOCK_CAP = 512
+
+  /** Blocking pass 1: name prefix (drop the last 2 chars) — survives
+    * trailing typos. Shared with the streaming gate
+    * ([[graft.streaming.LinkageGate]]). */
+  private[graft] def nameKey: Column =
+    expr("substring(name, 1, length(name) - 2)")
+
+  /** Blocking pass 2: (nation, $100 balance band) — survives
+    * name-destroying noise. */
+  private[graft] def bandKey: Column =
+    concat(lit("n"), col("nat"), lit(":"), expr("bal_c DIV 10000"))
+
+  /** Fellegi–Sunter field-agreement score over two records' columns
+    * suffixed `_$a` / `_$b` — ONE definition for the batch census and
+    * the streaming gate. */
+  private[graft] def scoreOf(a: String, b: String): Column =
+    when(levenshtein(col(s"name_$a"), col(s"name_$b")) <= 2, 24)
+      .otherwise(-10) +
+    when(abs(col(s"bal_c_$a") - col(s"bal_c_$b")) <= 100, 16).otherwise(-8) +
+    when(col(s"seg_$a") === col(s"seg_$b"), 4).otherwise(-4) +
+    when(col(s"nat_$a") === col(s"nat_$b"), 3).otherwise(-3)
 
   /** Originals ∪ planted perturbed duplicates, exact integer cents. */
-  private def linkageRecords(s: SparkSession, d: String): DataFrame = {
+  private[graft] def linkageRecords(s: SparkSession, d: String): DataFrame = {
     val base = Tables.load(s, d, "customer").select(
       col("c_custkey").cast("long").as("rid"),
       col("c_name").as("name"),
@@ -86,10 +107,8 @@ object LinkageQueries {
       val recs = graft.PlanCache.persisted(s, s"x63-recs/$d") {
         linkageRecords(s, d)
       }
-      val idPairs = blockPairs(recs,
-          expr("substring(name, 1, length(name) - 2)"))
-        .unionByName(blockPairs(recs,
-          concat(lit("n"), col("nat"), lit(":"), expr("bal_c DIV 10000"))))
+      val idPairs = blockPairs(recs, nameKey)
+        .unionByName(blockPairs(recs, bandKey))
         .distinct()
       def side(sfx: String) = recs.select(
         Seq("rid", "name", "nat", "bal_c", "seg")
@@ -98,11 +117,7 @@ object LinkageQueries {
         .join(side("a"), Seq("rid_a"))
         .join(side("b"), Seq("rid_b"))
       candidates
-        .withColumn("score",
-          when(levenshtein(col("name_a"), col("name_b")) <= 2, 24).otherwise(-10) +
-          when(abs(col("bal_c_a") - col("bal_c_b")) <= 100, 16).otherwise(-8) +
-          when(col("seg_a") === col("seg_b"), 4).otherwise(-4) +
-          when(col("nat_a") === col("nat_b"), 3).otherwise(-3))
+        .withColumn("score", scoreOf("a", "b"))
         .withColumn("verdict",
           when(col("score") >= 30, "match")
             .when(col("score") >= 10, "possible")
