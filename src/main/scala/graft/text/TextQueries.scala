@@ -1332,12 +1332,21 @@ object TextQueries {
     * persist its own TTL-pinned snapshot.
     */
   private[graft] def bm25Corpus(s: SparkSession, d: String,
-      cached: Boolean = true) = {
-    val tfPlan = docs(s, d)
+      cached: Boolean = true) =
+    bm25CorpusOf(s, docs(s, d),
+      if (cached) Some(s"x56-tf/$d") else None)
+
+  /** [[bm25Corpus]] over an arbitrary `(doc_id, text)` frame — the x65
+    * eval path indexes an AUGMENTED corpus (documents ∪ planted
+    * perturbations) through the identical statistics.
+    */
+  private[graft] def bm25CorpusOf(s: SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, cacheKey: Option[String]) = {
+    val tfPlan = corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val tf =
-      if (cached) graft.PlanCache.persisted(s, s"x56-tf/$d")(tfPlan) else tfPlan
+    val tf = cacheKey
+      .map(k => graft.PlanCache.persisted(s, k)(tfPlan)).getOrElse(tfPlan)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val nt = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1387,9 +1396,11 @@ object TextQueries {
     * score_fp)`. Names are b-prefixed so the block composes with
     * [[hashedWeightsSql]]'s t/nd/idf/tf/w in one query (x57).
     */
-  private val bm25Sql =
-    """btoks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  /** The b* CTE block parameterized by the corpus CTE/table the token
+    * stream reads from (queries always come from `documents`). */
+  private def bm25SqlOver(corpus: String) =
+    s"""btoks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $corpus),
       |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       |        FROM btoks GROUP BY 1, 2),
       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
@@ -1411,6 +1422,108 @@ object TextQueries {
       |       JOIN bdl l ON f.doc_id = l.doc_id CROSS JOIN bnt n
       |  WHERE f.doc_id <> q.q_doc
       |  GROUP BY 1, 2)""".stripMargin
+
+  private val bm25Sql = bm25SqlOver("documents")
+
+  /** X65 — retrieval-quality evaluation (the IR-metrics layer): plant a
+    * DROPOUT LADDER of each query doc into the corpus (every 6th / 3rd /
+    * 2nd token removed — x48's mutation-ladder discipline pointed at
+    * ranking instead of dedup), re-index the augmented corpus through
+    * the SAME BM25 statistics ([[bm25CorpusOf]]), and report where each
+    * planted relevant RANKS and its score as basis points of the
+    * query's top hit. This is the eval harness a retrieval stack ships
+    * with: x39 measures ANN recall, x48 measures dedup-detector recall,
+    * x65 measures RANKING quality against known-relevant documents.
+    *
+    * The honest finding is part of the operator's value: on this
+    * common-word synthetic corpus even the 1-in-6 dropout copy ranks
+    * ~7th (score within 7% of the top hit — Zipfian soup gives longer
+    * docs tf advantages), so a top-5 recall metric would read 0/12; the
+    * oracle-pinned signal is the LADDER — rank degrades and score_bp
+    * falls with perturbation depth (strictly monotone for 3 of the 4
+    * queries at sf0.01; the q1 inversion is dropout phase interacting
+    * with WHICH query terms survive — itself the kind of fact an eval
+    * surfaces before anyone ships a "retrieval works" claim on
+    * corpus-specific thresholds).
+    *
+    * Scale: the augmentation is O(queries·levels) extra docs; indexing
+    * and scoring reuse the production BM25 path unchanged (inverted
+    * index equi-join, never corpus×corpus); truth attachment is an
+    * O(queries·levels) left join; the full-rank window is x56's
+    * candidate partition (docs sharing ≥1 query term), same posture.
+    */
+  val x65RetrievalEval = QueryDef(
+    "x65_retrieval_eval",
+    "IR eval: planted dropout ladder ranked by BM25 -> rank + score ladder per level",
+    (s, d) => {
+      val base = docs(s, d)
+      val qdocs = base.filter(col("doc_id") < 4)
+        .select(col("doc_id"), col("text"))
+      val levels = array(lit(6L), lit(3L), lit(2L))
+      val planted = qdocs
+        .select(col("doc_id"), col("text"), explode(levels).as("k"))
+        .select((lit(200000L) + col("doc_id") * 10 + col("k")).as("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            (_, i) => ((i + lit(1)) % col("k")) =!= 0), " ").as("text"))
+      val augmented = base.select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val (tf, dl, nt, idf) =
+        bm25CorpusOf(s, augmented, Some(s"x65-tf/$d"))
+      val scored = graft.PlanCache.persisted(s, s"x65-scored/$d") {
+        bm25Against(tf, dl, nt, idf,
+          queryTerms(qdocs.select(col("doc_id").as("q_doc"), col("text"))))
+      }
+      val ranked = scored
+        .withColumn("rk", row_number().over(Window.partitionBy("q_doc")
+          .orderBy(col("score_fp").desc, col("hit_doc"))).cast("long"))
+      val top = scored.groupBy("q_doc")
+        .agg(max(col("score_fp")).as("top_score_fp"))
+      val rel = qdocs
+        .select(col("doc_id").as("q_doc"), explode(levels).as("level"))
+        .withColumn("rel_id",
+          lit(200000L) + col("q_doc") * 10 + col("level"))
+      rel
+        .join(ranked.select(col("q_doc"), col("hit_doc").as("rel_id"),
+          col("rk"), col("score_fp").as("rel_score_fp")),
+          Seq("q_doc", "rel_id"), "left")
+        .join(broadcast(top), Seq("q_doc"))
+        .withColumn("rel_rank", coalesce(col("rk"), lit(0L)))
+        .withColumn("rel_score_fp", coalesce(col("rel_score_fp"), lit(0L)))
+        .withColumn("score_bp",
+          expr("rel_score_fp * 10000 DIV top_score_fp"))
+        .select("q_doc", "level", "rel_id", "rel_rank", "rel_score_fp",
+          "top_score_fp", "score_bp")
+        .orderBy("q_doc", "level")
+    },
+    Some(s"""WITH bdocs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT 200000 + doc_id * 10 + k,
+           |         array_to_string(list_filter(string_split(text, ' '),
+           |           (x, i) -> i % k != 0), ' ')
+           |  FROM documents, UNNEST([6, 3, 2]) AS u(k) WHERE doc_id < 4),
+           |${bm25SqlOver("bdocs")},
+           |rtop AS (SELECT q_doc, hit_doc, CAST(rk AS BIGINT) AS rk,
+           |                score_fp
+           |         FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+           |                 ORDER BY score_fp DESC, hit_doc) AS rk FROM bsc)),
+           |btop AS (SELECT q_doc, CAST(max(score_fp) AS BIGINT)
+           |                  AS top_score_fp
+           |         FROM bsc GROUP BY 1),
+           |rel AS (SELECT doc_id AS q_doc, CAST(k AS BIGINT) AS level,
+           |               CAST(200000 + doc_id * 10 + k AS BIGINT) AS rel_id
+           |        FROM documents, UNNEST([6, 3, 2]) AS u(k)
+           |        WHERE doc_id < 4)
+           |SELECT r.q_doc, r.level, r.rel_id,
+           |       coalesce(t.rk, 0) AS rel_rank,
+           |       CAST(coalesce(t.score_fp, 0) AS BIGINT) AS rel_score_fp,
+           |       b.top_score_fp,
+           |       coalesce(t.score_fp, 0) * 10000 // b.top_score_fp
+           |         AS score_bp
+           |FROM rel r
+           |LEFT JOIN rtop t ON t.q_doc = r.q_doc AND t.hit_doc = r.rel_id
+           |JOIN btop b ON b.q_doc = r.q_doc
+           |ORDER BY r.q_doc, r.level""".stripMargin))
 
   /** X56 — BM25 document retrieval: the LEXICAL retrieval leg the suite's
     * RAG surface lacks — x49/x54 retrieve in vector spaces (hashed
@@ -1682,5 +1795,6 @@ object TextQueries {
     t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
-    x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture)
+    x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
+    x65RetrievalEval)
 }
