@@ -276,6 +276,62 @@ object SketchQueries {
            |       (est_size - exact_size) * 10000 // exact_size AS err_bp
            |FROM exact CROSS JOIN est""".stripMargin))
 
+  /** X66 — join-skew report: x64 predicts the TOTAL join size; this
+    * names the keys responsible — per-key pair volume ne·no of the
+    * events ⋈ orders user-key join, top 10 by volume (deterministic
+    * key tie-break), each with its basis-point share of the total and
+    * the running cumulative share. The salting/AQE-skew decision input:
+    * "one key is 8% of the join" reads directly off the first row.
+    *
+    * Scale: two map-combinable per-key aggs + one equi-join on the key
+    * (|keys| rows, not |rows|), top-10 via TakeOrdered (bounded, no
+    * global sort), shares against the broadcast total. The cumulative
+    * column is a window over exactly 10 rows.
+    */
+  val x66SkewReport = QueryDef(
+    "x66_skew_report",
+    "top-10 heaviest join keys of events x orders with pair-volume shares",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perKey = Tables.load(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("ne"))
+        .join(Tables.load(s, d, "orders")
+          .groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("no")), Seq("user_id"))
+        .withColumn("pairs", col("ne") * col("no"))
+      val total = perKey.agg(sum(col("pairs")).as("total_pairs"))
+      val top = perKey.orderBy(col("pairs").desc, col("user_id")).limit(10)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pairs").desc, col("user_id"))).cast("long"))
+        .withColumn("share_bp", expr("pairs * 10000 DIV total_pairs"))
+        .withColumn("cum_share_bp",
+          expr("sum(pairs) OVER (ORDER BY pairs DESC, user_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+            "* 10000 DIV total_pairs"))
+        .select("rank", "user_id", "ne", "no", "pairs", "share_bp",
+          "cum_share_bp")
+        .orderBy("rank")
+    },
+    Some("""WITH pk AS (
+           |  SELECT user_id, CAST(e.ne AS BIGINT) AS ne,
+           |         CAST(o.no AS BIGINT) AS no,
+           |         CAST(e.ne * o.no AS BIGINT) AS pairs
+           |  FROM (SELECT user_id, count(*) AS ne FROM events GROUP BY 1) e
+           |  JOIN (SELECT o_custkey AS user_id, count(*) AS no
+           |        FROM orders GROUP BY 1) o USING (user_id)),
+           |tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM pk),
+           |top AS (SELECT * FROM pk ORDER BY pairs DESC, user_id LIMIT 10)
+           |SELECT CAST(row_number() OVER (ORDER BY pairs DESC, user_id)
+           |            AS BIGINT) AS rank,
+           |       user_id, ne, no, pairs,
+           |       pairs * 10000 // total_pairs AS share_bp,
+           |       CAST(sum(pairs) OVER (ORDER BY pairs DESC, user_id
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) * 10000 // total_pairs AS cum_share_bp
+           |FROM top CROSS JOIN tot
+           |ORDER BY rank""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(x8HllMergeable, x22CountMin,
-    x50AudienceOverlap, x64JoinCardinality)
+    x50AudienceOverlap, x64JoinCardinality, x66SkewReport)
 }
