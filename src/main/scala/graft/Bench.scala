@@ -451,13 +451,21 @@ object Bench {
         // x45/x46 joined in r12: the bigram LM's model table and the
         // topic census' centroid scoring are the two newest plans whose
         // scale behavior is worth recording (x47/x49 are pair- and
-        // query-bounded by construction)
+        // query-bounded by construction).
+        // x62 joined in r13: the grouped weighted radix-select's bin
+        // histograms are encoding-bounded — the soak shows the threshold
+        // pass staying flat while the scan scales. x63 is deliberately
+        // absent for x40's reason: replicas keep c_name verbatim, so the
+        // name-prefix blocks stack 10 replicas deep and trip the 512
+        // df-cap — the workload would shrink by data-authoring artifact,
+        // recording a misleading factor.
         val soakNames = Seq("x1_dedup_exact", "x3_dedup_simhash",
           "x15_dedup_clusters", "x25_corpus_curation",
           "x28_unigram_surprisal", "x29_quality_weighted_sample",
           "x21_split_leakage", "x23_split_cluster_safe",
           "x41_dedup_segments", "j4_daily_business_metrics",
-          "x45_bigram_surprisal", "x46_topic_clusters")
+          "x45_bigram_surprisal", "x46_topic_clusters",
+          "x62_token_budget_selection")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)
