@@ -1225,8 +1225,11 @@ object CurationQueries {
       val scored = docs(s, d).select(col("source"), col("doc_id"),
         TextQueries.qualityScore6.as("score6"),
         size(split(col("text"), " ")).cast("long").as("toks"))
+      // greatest(…,1): a degenerate source with < 4 total tokens must
+      // still emit a row (budget 0 would drop the group engine-side
+      // while the oracle's cum >= 0 keeps it — latent presence skew)
       val budgets = scored.groupBy("source")
-        .agg(expr("sum(toks) DIV 4").as("budget"))
+        .agg(greatest(expr("sum(toks) DIV 4"), lit(1L)).as("budget"))
       val thr = graft.operators.RadixSelect
         .weightedThreshold(scored, Seq("source"), "score6", "toks", budgets)
       scored.join(thr, Seq("source"))
@@ -1240,7 +1243,9 @@ object CurationQueries {
             |         ${TextQueries.qualityScore6Sql} AS score6,
             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
             |  FROM documents),
-            |b AS (SELECT source, CAST(sum(toks) // 4 AS BIGINT) AS budget_tokens
+            |b AS (SELECT source,
+            |             CAST(greatest(sum(toks) // 4, 1) AS BIGINT)
+            |               AS budget_tokens
             |      FROM f GROUP BY 1),
             |cw AS (SELECT source, score6,
             |              sum(sum(toks)) OVER (PARTITION BY source
