@@ -1107,6 +1107,102 @@ object ExtendedSqlQueries {
            |FROM digits JOIN exp USING (digit) CROSS JOIN tot
            |ORDER BY digit""".stripMargin))
 
+  /** E12 — per-key CUSUM: e11's "add a partition key" claim made real —
+    * one CUSUM per order priority over monthly counts, a +33% step
+    * planted in ONE key only (1-URGENT), and the monitor must say WHICH
+    * series shifted: the planted key alarms (month 64 at sf0.01, 62 at
+    * sf0.1), the other four stay silent, zero false alarms anywhere —
+    * selectivity, not just detection. Monthly grain because per-key
+    * weekly counts at sf0.01 are back in the noise regime e11's
+    * calibration note documents (σ/μ ≈ 0.34); the planted step is
+    * +33% (> e11's +20%) because a per-key series is 5× shorter in
+    * mass — both knobs re-measured, not guessed.
+    *
+    * Same prefix-min identity, windows PARTITIONED BY the key — the
+    * per-key state is two running window columns, shuffled once by
+    * (key); baselines join back by broadcast (one row per key — the
+    * 100×-soak lesson: post-agg tiny frames need the explicit hint).
+    */
+  val e12CusumPerKey = QueryDef(
+    "e12_cusum_per_key",
+    "per-priority CUSUM on monthly counts: planted +33% step in one key, selectivity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+        .agg(count(lit(1)).as("cnt"))
+      val wk = Window.partitionBy("prio").orderBy("mo")
+      val idx = monthly
+        .withColumn("t", row_number().over(wk).cast("long"))
+      val stats = idx.groupBy("prio").agg(count(lit(1)).as("n_months"))
+        .select(col("prio"), col("n_months"),
+          expr("n_months * 2 DIV 3").as("shift_t"))
+      val base = idx.join(broadcast(stats), Seq("prio"))
+      val pre = base.filter(col("t") < col("shift_t"))
+        .groupBy("prio")
+        .agg(sum(col("cnt")).as("total_pre"), count(lit(1)).as("n_pre"))
+      val wp = Window.partitionBy("prio").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.join(broadcast(pre), Seq("prio"))
+        .withColumn("x", col("cnt") +
+          when(col("prio") === "1-URGENT" && col("t") >= col("shift_t"),
+            expr("total_pre DIV n_pre DIV 3")).otherwise(0L))
+        .withColumn("dev",
+          col("n_pre") * col("x") - col("total_pre") -
+            expr("total_pre DIV 10"))
+        .withColumn("p", sum(col("dev")).over(wp))
+        .withColumn("stat",
+          col("p") - least(min(col("p")).over(wp), lit(0L)))
+        .withColumn("alarm", (col("stat") >= col("total_pre") * 2).cast("long"))
+        .groupBy("prio")
+        .agg(max(col("n_months")).as("n_months"),
+          max(col("shift_t")).as("shift_t"),
+          min(when(col("alarm") === 1, col("t"))).as("first_alarm_t"),
+          max(col("stat")).as("max_stat"),
+          sum(when(col("t") < col("shift_t"), col("alarm")).otherwise(0L))
+            .as("n_false_alarm_months"))
+        .orderBy("prio")
+    },
+    Some("""WITH m AS (
+           |  SELECT o_orderpriority AS prio,
+           |         CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+           |              AS DATE) AS mo,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM orders GROUP BY 1, 2),
+           |idx AS (SELECT prio, mo, cnt,
+           |               CAST(row_number() OVER (PARTITION BY prio
+           |                      ORDER BY mo) AS BIGINT) AS t
+           |        FROM m),
+           |st AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_months,
+           |              CAST(count(*) * 2 // 3 AS BIGINT) AS shift_t
+           |       FROM idx GROUP BY 1),
+           |pre AS (SELECT prio, CAST(sum(cnt) AS BIGINT) AS total_pre,
+           |               CAST(count(*) AS BIGINT) AS n_pre
+           |        FROM idx JOIN st USING (prio) WHERE t < shift_t
+           |        GROUP BY prio),
+           |pl AS (SELECT i.prio, t, n_months, shift_t, total_pre, n_pre,
+           |              cnt + CASE WHEN i.prio = '1-URGENT' AND t >= shift_t
+           |                         THEN total_pre // n_pre // 3
+           |                         ELSE 0 END AS x
+           |       FROM idx i JOIN st USING (prio) JOIN pre USING (prio)),
+           |dv AS (SELECT *, n_pre * x - total_pre - total_pre // 10 AS dev
+           |       FROM pl),
+           |ps AS (SELECT *, sum(dev) OVER (PARTITION BY prio ORDER BY t
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |              AS p FROM dv),
+           |sc AS (SELECT *, p - least(min(p) OVER (PARTITION BY prio
+           |                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |                 CURRENT ROW), 0) AS stat FROM ps),
+           |al AS (SELECT *, CASE WHEN stat >= 2 * total_pre THEN 1 ELSE 0 END
+           |         AS alarm FROM sc)
+           |SELECT prio, max(n_months) AS n_months, max(shift_t) AS shift_t,
+           |       min(CASE WHEN alarm = 1 THEN t END) AS first_alarm_t,
+           |       CAST(max(stat) AS BIGINT) AS max_stat,
+           |       CAST(sum(CASE WHEN t < shift_t THEN alarm ELSE 0 END)
+           |            AS BIGINT) AS n_false_alarm_months
+           |FROM al GROUP BY prio ORDER BY prio""".stripMargin))
+
   /** Q14 — right-to-be-forgotten cascade audit: for a deterministic
     * erasure-request set (1% of customers here), the full blast radius a
     * compliant delete must cover — the customer rows themselves, their
@@ -1516,7 +1612,7 @@ object ExtendedSqlQueries {
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
     q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization,
     w12RfmSegments, w13WinsorizedStats, q13BenfordAudit, q14ErasureCascade,
-    e8OrderedListagg, e11CusumChangepoint,
+    e8OrderedListagg, e11CusumChangepoint, e12CusumPerKey,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow)
 }

@@ -26,6 +26,37 @@ class CusumSpec extends SparkSpec {
     }
   }
 
+  test("e12 per-key output equals per-key single-threaded recursions") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("prio", "mo").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val got = ExtendedSqlQueries.e12CusumPerKey.run(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4),
+          r.getLong(5)))).toMap
+    rows.groupBy(_._1).foreach { case (prio, ms) =>
+      val series = ms.map(_._2).toSeq
+      val shiftT = series.size * 2 / 3
+      val pre = series.take(shiftT - 1)
+      val (tp, np) = (pre.sum, pre.size.toLong)
+      val devs = series.zipWithIndex.map { case (c, i) =>
+        val x = if (prio == "1-URGENT" && i + 1 >= shiftT)
+          c + tp / np / 3 else c
+        np * x - tp - tp / 10
+      }
+      val stats = recursion(devs)
+      val alarms = stats.zipWithIndex.collect {
+        case (st, i) if st >= 2 * tp => (i + 1).toLong
+      }
+      assert(got(prio) === ((alarms.headOption, stats.max,
+        alarms.count(_ < shiftT).toLong)), s"prio $prio")
+    }
+  }
+
   test("e11 output equals a single-threaded recursion over the same series") {
     import org.apache.spark.sql.functions._
     val weekly = graft.sources.Tables.load(spark, sfDir, "orders")
