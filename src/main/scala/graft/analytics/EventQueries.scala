@@ -462,26 +462,9 @@ object EventQueries {
     * linear in per-user event count, dense bot-grade keys included.
     */
   private[graft] def funnelLevels(events: org.apache.spark.sql.DataFrame,
-      T: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val before = Window.partitionBy("user_id").orderBy(col("us"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    events
-      .withColumn("prev_view_us",
-        max(when(col("event_type") === "view", col("us"))).over(before))
-      .withColumn("best_anchor_us",
-        max(when(col("event_type") === "click", col("prev_view_us")))
-          .over(before))
-      .groupBy("user_id")
-      .agg(
-        max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
-        max(when(col("event_type") === "click" &&
-          col("us") <= col("prev_view_us") + T, 1).otherwise(0)).as("l2"),
-        max(when(col("event_type") === "purchase" &&
-          col("us") <= col("best_anchor_us") + T, 1).otherwise(0)).as("l3"))
-      .select(col("user_id"),
-        (col("l1") + col("l2") + col("l3")).cast("long").as("level"))
-  }
+      T: Long): org.apache.spark.sql.DataFrame =
+    graft.operators.WindowFunnel.levels(events,
+      Seq("view", "click", "purchase"), T)
 
   /** A19 — ordered-step window funnel, the ClickHouse `windowFunnel`
     * semantics the reference's speed-layer store is patterned on: per
@@ -642,8 +625,55 @@ object EventQueries {
            |       CAST(sum(u) AS BIGINT) AS u_shaped_cents
            |FROM uc GROUP BY 1 ORDER BY touch_type""".stripMargin))
 
+  /** A20 — four-step ordered window funnel (view → click → signup →
+    * purchase) through the generalized
+    * [[graft.operators.WindowFunnel]] operator: N−1 stacked anchor
+    * windows over ONE exchange + ONE sort, linear per-user work at any
+    * step count. The oracle mirrors the anchor recurrence itself
+    * (strictly-earlier RANGE frames), so the generalization — not just
+    * the census — is value-checked.
+    */
+  val a20WindowFunnel4 = QueryDef(
+    "a20_window_funnel4",
+    "4-step ordered funnel levels within 24h via the generalized anchor cascade",
+    (s, d) => {
+      val base = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      graft.operators.WindowFunnel.levels(base,
+          Seq("view", "click", "signup", "purchase"), 86400000000L)
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+           |         OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN
+           |               UNBOUNDED PRECEDING AND 1 PRECEDING) AS a1
+           |       FROM base),
+           |w2 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN a1 END)
+           |         OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN
+           |               UNBOUNDED PRECEDING AND 1 PRECEDING) AS a2
+           |       FROM w1),
+           |w3 AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN a2 END)
+           |         OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN
+           |               UNBOUNDED PRECEDING AND 1 PRECEDING) AS a3
+           |       FROM w2),
+           |lv AS (SELECT user_id,
+           |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) +
+           |         max(CASE WHEN event_type = 'click'
+           |                   AND us <= a1 + 86400000000 THEN 1 ELSE 0 END) +
+           |         max(CASE WHEN event_type = 'signup'
+           |                   AND us <= a2 + 86400000000 THEN 1 ELSE 0 END) +
+           |         max(CASE WHEN event_type = 'purchase'
+           |                   AND us <= a3 + 86400000000 THEN 1 ELSE 0 END)
+           |           AS level
+           |       FROM w3 GROUP BY 1)
+           |SELECT CAST(level AS BIGINT) AS level,
+           |       CAST(count(*) AS BIGINT) AS n_users
+           |FROM lv GROUP BY 1 ORDER BY level""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
     t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
     a15CohortRetention, a16HoppingWindows, a17VariantExtract,
-    w10EventTransitions, a19WindowFunnel, w14MultiTouch)
+    w10EventTransitions, a19WindowFunnel, a20WindowFunnel4, w14MultiTouch)
 }

@@ -93,8 +93,11 @@ class PlanAuditSpec extends SparkSpec {
     // quadratic in per-key density. The linear rewrite is two stacked
     // range-frame window maxes + one user-keyed aggregate: any Join node
     // reappearing here means the pair plan crept back.
+    for (q <- Seq("a19_window_funnel", "a20_window_funnel4")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q re-grew a join:\n$plan")
+    }
     val plan = planOf("a19_window_funnel")
-    assert(!plan.contains("Join"), s"a19 re-grew a join:\n$plan")
     // one hash exchange for the user window (the groupBy rides it), one
     // for the level histogram, one range exchange for the orderBy
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
