@@ -1278,6 +1278,87 @@ object ExtendedSqlQueries {
            |      UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
            |ORDER BY tbl""".stripMargin))
 
+  /** Q16 — schema/stat drift audit (the data-contract check run on every
+    * new drop): events split at the time midpoint, every column profiled
+    * on both halves in ONE stacked pass — null rate and distinct count
+    * per (column, half), deltas in basis points. q6 tracks one column's
+    * VALUE distribution; q16 watches the whole schema's SHAPE (a
+    * upstream producer silently nulling a field or collapsing an enum
+    * shows up here before any value-level audit fires).
+    *
+    * Scale: the per-column stack is an explode of a literal 4-struct
+    * array (map-side, ×4 rows), then ONE groupBy (column, half) with a
+    * single distinct aggregate per group — no multi-countDistinct
+    * Expand (q10's discipline); output is columns-bounded.
+    */
+  val q16SchemaDrift = QueryDef(
+    "q16_schema_drift",
+    "per-column null-rate and distinct-count drift, early vs late half",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val mid = ev.agg(((min(unix_micros(col("ts"))) +
+        max(unix_micros(col("ts")))) / 2).cast("long").as("mid_us"))
+      val stacked = ev.crossJoin(broadcast(mid))
+        .withColumn("half",
+          when(unix_micros(col("ts")) < col("mid_us"), "early")
+            .otherwise("late"))
+        .select(col("half"), explode(array(
+          struct(lit("user_id").as("c"),
+            col("user_id").cast("string").as("v")),
+          struct(lit("event_type").as("c"), col("event_type").as("v")),
+          struct(lit("value").as("c"), col("value").cast("string").as("v")),
+          struct(lit("props").as("c"), col("props").as("v")))).as("e"))
+        .select(col("half"), col("e.c").as("c"), col("e.v").as("v"))
+      val prof = stacked.groupBy("c", "half")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").isNull.cast("long")).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"))
+        .withColumn("null_bp", expr("n_null * 10000 DIV n"))
+      prof.filter(col("half") === "early")
+        .select(col("c"), col("n").as("early_n"),
+          col("null_bp").as("early_null_bp"),
+          col("n_distinct").as("early_distinct"))
+        .join(prof.filter(col("half") === "late")
+          .select(col("c"), col("n").as("late_n"),
+            col("null_bp").as("late_null_bp"),
+            col("n_distinct").as("late_distinct")), Seq("c"))
+        .withColumn("null_drift_bp",
+          abs(col("early_null_bp") - col("late_null_bp")))
+        .withColumn("distinct_ratio_bp",
+          expr("late_distinct * 10000 DIV greatest(early_distinct, 1)"))
+        .orderBy("c")
+    },
+    Some("""WITH mid AS (
+           |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+           |              AS BIGINT) AS mid_us
+           |  FROM events),
+           |stacked AS (
+           |  SELECT CASE WHEN epoch_us(ts) < mid_us THEN 'early'
+           |              ELSE 'late' END AS half, u.c, u.v
+           |  FROM events CROSS JOIN mid
+           |  CROSS JOIN LATERAL (VALUES
+           |    ('user_id', CAST(user_id AS VARCHAR)),
+           |    ('event_type', event_type),
+           |    ('value', CAST("value" AS VARCHAR)),
+           |    ('props', props)) AS u(c, v)),
+           |prof AS (
+           |  SELECT c, half, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_null,
+           |         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+           |  FROM stacked GROUP BY 1, 2),
+           |p2 AS (SELECT *, n_null * 10000 // n AS null_bp FROM prof)
+           |SELECT e.c, e.n AS early_n, e.null_bp AS early_null_bp,
+           |       e.n_distinct AS early_distinct,
+           |       l.n AS late_n, l.null_bp AS late_null_bp,
+           |       l.n_distinct AS late_distinct,
+           |       abs(e.null_bp - l.null_bp) AS null_drift_bp,
+           |       l.n_distinct * 10000 // greatest(e.n_distinct, 1)
+           |         AS distinct_ratio_bp
+           |FROM (SELECT * FROM p2 WHERE half = 'early') e
+           |JOIN (SELECT * FROM p2 WHERE half = 'late') l USING (c)
+           |ORDER BY c""".stripMargin))
+
   /** E11 — CUSUM changepoint detection over the weekly order-count
     * series, the drift monitor a pipeline runs on every ingested fact
     * stream ("did volume shift?"). A step shift is PLANTED IN-PLAN at ⅔
@@ -1611,7 +1692,7 @@ object ExtendedSqlQueries {
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
     q9KAnonymousRelease, q10ColumnProfile, q12Pseudonymization,
-    w12RfmSegments, w13WinsorizedStats, q13BenfordAudit, q14ErasureCascade,
+    w12RfmSegments, w13WinsorizedStats, q13BenfordAudit, q14ErasureCascade, q16SchemaDrift,
     e8OrderedListagg, e11CusumChangepoint, e12CusumPerKey,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow)
