@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseability of Bench's final JSON line: forked run output
+// normally passes through sbt's logger, which prefixes every stdout line
+// with "[info] " (stderr with "[error] ") and appends a
+// "[success] Total time" banner — both break a tail-based JSON parse of
+// the bench summary. StdoutOutput passes the child's streams through
+// raw, and showSuccess drops the trailing banner, so the compact summary
+// printed by graft.Bench really is the last line of process output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// lintUnused false-positives on it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -593,9 +593,16 @@ object Bench {
       // healthy-band thresholds live in NOTES
       s""""io_probe":{"pre":${ioPre.toJsonCompact},"post":${ioPost.toJsonCompact}},""" +
       s""""detail":"$outPath","sf":"$sfDir"}"""
-    spark.sparkContext.setLogLevel("ERROR")
+    // OFF (not ERROR): nothing — not even a shutdown-hook WARN — may land
+    // on the streams after the compact line, which the driver parses as
+    // the LAST line of process output (build.sbt routes forked stdout
+    // through StdoutOutput and suppresses the [success] banner for the
+    // same reason).
+    spark.sparkContext.setLogLevel("OFF")
     PlanCache.clear(spark)
     spark.stop()
+    Console.err.flush()
     println(compact)
+    Console.out.flush()
   }
 }
