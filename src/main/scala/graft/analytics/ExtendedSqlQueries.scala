@@ -453,7 +453,9 @@ object ExtendedSqlQueries {
     "e9_recursive_month_spine",
     "WITH RECURSIVE month spine x monthly counts: zero-order month audit",
     (s, d) => {
-      graft.sources.Tables.registerAll(s, d)
+      // only `orders` — registerAll here cost ~1 s of driver-side view
+      // registration for ten tables the query never touches
+      graft.sources.Tables.register(s, d, "orders")
       s.sql("""WITH RECURSIVE bounds AS (
         |  SELECT make_date(year(min(CAST(o_orderdate AS DATE))),
         |                   month(min(CAST(o_orderdate AS DATE))), 1) AS lo,

@@ -151,4 +151,12 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.keys.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register only the named tables. Queries that touch one or two tables
+    * should prefer this over [[registerAll]] — view registration is
+    * driver-side footer reads and analysis, pure fixed overhead for the
+    * nine tables a query never mentions.
+    */
+  def register(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -68,8 +68,13 @@ object SchemaGate {
       col("n").as(s"${p}_n"), col("n_null").as(s"${p}_null"),
       hll_sketch_estimate(col("sk")).cast("long").as(s"${p}_distinct"))
     cols(base.prof, "base").join(cols(served, "live"), Seq("c"))
-      .withColumn("base_null_bp", expr("base_null * 10000 DIV base_n"))
-      .withColumn("live_null_bp", expr("live_null * 10000 DIV live_n"))
+      // greatest(n, 1): a profile fit on an empty frame has n = 0, and a
+      // bare DIV would yield a silent NULL that propagates into
+      // null_drift_bp — same guard discipline as distinct_ratio_bp below
+      .withColumn("base_null_bp",
+        expr("base_null * 10000 DIV greatest(base_n, 1)"))
+      .withColumn("live_null_bp",
+        expr("live_null * 10000 DIV greatest(live_n, 1)"))
       .withColumn("null_drift_bp",
         abs(col("base_null_bp") - col("live_null_bp")))
       .withColumn("distinct_ratio_bp",

@@ -34,8 +34,17 @@ object StreamingAttribution {
 
   final case class Touch(us: Long, event_id: Long, touch_type: String)
 
-  /** Buffer of in-window touches + the event-time frontier. */
-  final case class AttrState(frontier_us: Long, touches: Seq[Touch])
+  /** Buffer of in-window touches + the event-time frontier.
+    * `frontier_ids` holds the event_ids already processed AT the
+    * frontier timestamp: ties split across batches must still be
+    * admitted (us == frontier), so id-tracking is what makes an
+    * at-least-once source redelivering a frontier-timestamp event a
+    * no-op instead of a double-appended touch or re-emitted credit.
+    * Bounded by construction — only ids sharing one microsecond
+    * timestamp; it resets the moment the frontier advances.
+    */
+  final case class AttrState(frontier_us: Long, touches: Seq[Touch],
+    frontier_ids: Seq[Long])
 
   /** One credit emission: a purchase paying one touchpoint. The touch
     * id is part of the row identity — two middle touches of the same
@@ -44,7 +53,7 @@ object StreamingAttribution {
   final case class Credit(user_id: Long, purchase_id: Long,
     touch_id: Long, touch_type: String, lin_cents: Long, u_cents: Long)
 
-  val empty: AttrState = AttrState(Long.MinValue, Seq.empty)
+  val empty: AttrState = AttrState(Long.MinValue, Seq.empty, Seq.empty)
 
   /** Pure per-user fold — returns (next state, emitted credits). */
   def fold(prev: AttrState, events: Seq[AttrEvent],
@@ -52,10 +61,13 @@ object StreamingAttribution {
     var st = prev
     val out = Seq.newBuilder[Credit]
     events.sortBy(e => (e.us, e.event_id)).foreach { e =>
-      if (e.us >= st.frontier_us) {
+      if (e.us > st.frontier_us ||
+          (e.us == st.frontier_us && !st.frontier_ids.contains(e.event_id))) {
         // event-time eviction: nothing older than the window survives
         val kept = st.touches.filter(_.us >= e.us - T)
-        st = AttrState(e.us, kept)
+        st = AttrState(e.us, kept,
+          if (e.us > st.frontier_us) Seq(e.event_id)
+          else st.frontier_ids :+ e.event_id)
         e.event_type match {
           case "view" | "click" =>
             st = st.copy(touches = st.touches :+
@@ -81,9 +93,13 @@ object StreamingAttribution {
             }
           case _ => ()
         }
-      } // else: straggler strictly older than the frontier — the window
-        // it belonged to has passed (ordered-log contract; ST5 dedupes
-        // upstream)
+      } // else: straggler strictly older than the frontier (its window
+        // has passed — ordered-log contract) or a redelivered duplicate
+        // of an already-processed frontier-timestamp event. Together
+        // these make fold replay-idempotent under at-least-once
+        // delivery: a duplicate arrives either at the still-current
+        // frontier (caught by frontier_ids) or after it advanced
+        // (caught by the straggler rule).
     }
     (st, out.result())
   }
@@ -91,6 +107,13 @@ object StreamingAttribution {
   /** Wire the stateful operator: every purchase's credit rows emit in
     * the micro-batch the purchase arrives in (Append mode — credits are
     * facts, never revised; the census is one downstream groupBy).
+    *
+    * Delivery contract: at-least-once input is safe — a redelivered
+    * event is dropped by the fold (frontier_ids for frontier-timestamp
+    * duplicates, the straggler rule for older ones), so no touch is
+    * double-appended and no purchase re-emits credits. The ordering
+    * contract (batches in event-time order) still governs completeness:
+    * a straggler's window has passed and it earns nothing.
     */
   def credits(events: Dataset[AttrEvent],
       T: Long = 86400000000L): Dataset[Credit] = {

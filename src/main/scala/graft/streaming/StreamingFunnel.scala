@@ -23,9 +23,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Ordering contract (same as every event-time fold here): events are
   * processed in event-time order WITHIN each micro-batch (the fold
   * sorts), and batches must arrive in event-time order for stream ≡
-  * batch to be an equality — an event older than a user's already-
-  * processed frontier can only under-count (flags are monotone, never
-  * wrong-level-up). Replay from an ordered log (the Kafka/file source
+  * batch to be an equality — an event strictly older than a user's
+  * already-processed frontier is dropped by the fold, so contract
+  * violations can only under-count (flags are monotone, never
+  * wrong-level-up; evaluating a straggler would instead compare it
+  * against views that happened after it and silently over-count).
+  * Replay from an ordered log (the Kafka/file source
   * contract) satisfies this; [[graft.streaming.StreamingFunnelSpec]]
   * pins streamed ≡ batch across arbitrary in-order batch splits and a
   * checkpoint restart.
@@ -65,7 +68,14 @@ object StreamingFunnel {
     */
   def fold(prev: FunnelState, events: Seq[(String, Long)], T: Long): FunnelState = {
     var st = prev
-    events.sortBy(_._2).foreach { case (typ, t) =>
+    // Strictly-late stragglers (t < frontier) are DROPPED, not evaluated:
+    // a late click would otherwise compare against max_view_settled, which
+    // can contain a view that occurred AFTER the click — silently
+    // over-counting under a violated ordering contract. Dropping keeps the
+    // "out-of-order can only under-count" guarantee unconditional. Events
+    // AT the frontier are admitted (the cross-batch tie-split below needs
+    // them) and are replay-idempotent — every state update is max()/||.
+    events.filter(_._2 >= st.frontier_us).sortBy(_._2).foreach { case (typ, t) =>
       if (t > st.frontier_us) // a later timestamp settles the frontier
         st = st.copy(frontier_us = t,
           max_view_settled = math.max(st.max_view_settled, st.max_view_frontier),

@@ -81,4 +81,24 @@ class SchemaGateSpec extends SparkSpec {
       assert(math.abs(drift("event_type")._2 - 10000L) <= 200)
     } finally SchemaGate.release(base)
   }
+
+  test("an n=0 profile row yields zero basis points, not silent nulls") {
+    // profile() can't emit n=0 itself (groupBy over an empty stack emits
+    // no groups), but drift() is also fed hand-merged partials — guard
+    // the divisor like distinct_ratio_bp does instead of NULLing out
+    // null_drift_bp for the whole column
+    val zero = SchemaGate.profile(SchemaGate.stack(events))
+      .withColumn("n", lit(0L)).withColumn("n_null", lit(0L))
+    val base = SchemaGate.Baseline(zero)
+    val live = SchemaGate.profile(SchemaGate.stack(events))
+    val rows = SchemaGate.drift(live, base).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("base_null_bp")),
+        s"base_null_bp NULL for ${r.getString(0)}")
+      assert(!r.isNullAt(r.fieldIndex("null_drift_bp")),
+        s"null_drift_bp NULL for ${r.getString(0)}")
+      assert(r.getAs[Long]("base_null_bp") === 0L)
+    }
+  }
 }

@@ -96,6 +96,39 @@ class StreamingAttributionSpec extends SparkSpec {
       "restart lost or double-applied attribution state")
   }
 
+  test("at-least-once redelivery of frontier-timestamp events is a no-op") {
+    val touch = AttrEvent(1L, "click", 100L, 1L, 0L)
+    val buy = AttrEvent(1L, "purchase", 200L, 2L, 900L)
+    // clean run: one touch, one purchase, one credit
+    val (s1, out1) = StreamingAttribution.fold(StreamingAttribution.empty,
+      Seq(touch), T)
+    val (s2, out2) = StreamingAttribution.fold(s1, Seq(buy), T)
+    assert(out1.isEmpty && out2.size === 1)
+    // the source redelivers the touch while it is still AT the frontier
+    // (us == frontier): must not double-append the touch
+    val (s1b, _) = StreamingAttribution.fold(s1, Seq(touch), T)
+    assert(s1b === s1, "frontier-timestamp redelivery mutated state")
+    // the source redelivers the purchase at its frontier: must not
+    // re-emit credits
+    val (s2b, out2b) = StreamingAttribution.fold(s2, Seq(buy), T)
+    assert(out2b.isEmpty, "frontier-timestamp purchase re-emitted credits")
+    assert(s2b === s2)
+    // a whole-batch replay containing both (touch now a straggler,
+    // purchase at the frontier) is also a no-op
+    val (s2c, out2c) = StreamingAttribution.fold(s2, Seq(touch, buy), T)
+    assert(out2c.isEmpty && s2c === s2, "batch replay was not idempotent")
+  }
+
+  test("within-batch duplicates collapse to one touch / one credit") {
+    val touch = AttrEvent(1L, "view", 100L, 1L, 0L)
+    val buy = AttrEvent(1L, "purchase", 200L, 2L, 700L)
+    val (st, out) = StreamingAttribution.fold(StreamingAttribution.empty,
+      Seq(touch, touch, buy, buy), T)
+    assert(st.touches.size === 1, "duplicate touch buffered twice")
+    assert(out.size === 1, "duplicate purchase paid twice")
+    assert(out.head.lin_cents === 700L)
+  }
+
   test("a purchase sharing its timestamp with a touch never credits it") {
     val evs = Seq(
       AttrEvent(1L, "view", 100L, 1L, 500L),

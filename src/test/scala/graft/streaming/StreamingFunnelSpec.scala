@@ -64,6 +64,22 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(StreamingFunnel.levelOf(st3) == 2)
   }
 
+  test("stragglers behind the frontier are dropped, never over-count") {
+    // click@100 arrives AFTER view@200 has been processed (ordering
+    // contract violated). Evaluating it would compare against
+    // max_view_settled=200 — a view that happened after the click — and
+    // wrongly set l2. The fold must drop it: under-count only.
+    val st1 = StreamingFunnel.fold(StreamingFunnel.empty,
+      Seq(("view", 200L), ("buffer", 300L)), T) // view settled by t=300
+    val st2 = StreamingFunnel.fold(st1, Seq(("click", 100L)), T)
+    assert(StreamingFunnel.levelOf(st2) == 1,
+      "late click chained to a future view (over-count)")
+    assert(st2 === st1, "straggler mutated state")
+    // a frontier-timestamp tie is still admitted (cross-batch tie split)
+    val st3 = StreamingFunnel.fold(st1, Seq(("view", 300L)), T)
+    assert(st3.max_view_frontier === 300L)
+  }
+
   test("live query: streamed levels equal batch a19 after replay") {
     implicit val sqlCtx = spark.sqlContext
     val evs = soup(42L, 400).sortBy(_.us)
