@@ -69,7 +69,12 @@ object SustainedLoad {
       caughtUp: Boolean, // every file's events became visible before the deadline
       catchupSec: Double, // last-visible - last-landed
       e2e: Seq[Double], // per-file landed -> MV-visible seconds
-      consumers: Seq[ConsumerStat] = Nil) {
+      consumers: Seq[ConsumerStat] = Nil,
+      // scratch-mount health sampled just before this run ([seq-write
+      // MB/s, fsync/s, small-creates/s]) — a failed rung on a throttled
+      // mount must not read identically to one on a healthy mount, so
+      // every probe/record/overload attempt self-adjudicates its window
+      ioProbe: Option[String] = None) {
     private def pct(p: Double): Double = {
       val s = e2e.sorted
       if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
@@ -99,6 +104,7 @@ object SustainedLoad {
         s""""produce_sec":$produceSec,"producer_max_lag_sec":$producerMaxLagSec,""" +
         s""""caught_up":$caughtUp,"catchup_sec":$catchupSec,""" +
         s""""e2e_p50_sec":$p50,"e2e_p95_sec":$p95,"e2e_max_sec":$max""" +
+        ioProbe.fold("")(p => s""","io_probe_pre":$p""") +
         (if (consumers.isEmpty) "}"
         else s""","consumers":{${consumers.map(_.toJson).mkString(",")}}}""")
   }
@@ -382,8 +388,13 @@ object SustainedLoad {
     def runAt(eps: Int, dur: Int, catchupSec: Int): Result = {
       serial += 1
       val dir = root.resolve(s"run-$serial-$eps")
+      // pre-run mount-health stamp: which rungs ran inside a degraded
+      // window is part of the record, not something to reconstruct from
+      // the run-level pre/post pair afterwards
+      val io = graft.IoProbe.run().toJsonCompact
       try run(spark, dir.toString, targetEps = eps, durationSec = dur,
         eventsPerFile = eventsPerFile, catchupTimeoutSec = catchupSec)
+        .copy(ioProbe = Some(io))
       finally rmTree(dir)
     }
 
