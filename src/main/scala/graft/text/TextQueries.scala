@@ -469,6 +469,106 @@ object TextQueries {
            |             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_fp
            |FROM planted ORDER BY doc_id""".stripMargin))
 
+  /** T29 — HTML boilerplate stripping (plant-and-strip, the t26 audit
+    * shape): the corpus has no markup, so the query wraps every document
+    * in deterministic page chrome — head/title/style, a nav link bar, an
+    * entity (`&amp;`) injected INTO the content paragraph, a related-links
+    * aside, and a copyright footer — then runs [[HtmlStrip.mainContent]]
+    * and proves per row that exactly the content paragraph survives
+    * (`recovered` = the stripped page equals `text || ' & fin'`).
+    *
+    * Identical synthesis + strip semantics on both engines; all block
+    * decisions are integer comparisons ([[HtmlStrip]]), so the md5
+    * fingerprint is gate-exact. One scan, zero shuffles (per-row
+    * expressions + final sort): the 100 TB posture of a markup front
+    * door is map-only by construction.
+    */
+  val t29HtmlStrip: QueryDef = {
+    // DuckDB-side mirror of HtmlStrip.cleanBlock / anchorLen / keepBlock,
+    // generated per call site because list lambdas cannot bind shared
+    // subexpressions
+    def sqlClean(x: String): String =
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g'), " +
+        "'&quot;', '\"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), " +
+        "'&nbsp;', ' '), '&amp;', '&'), ' +', ' ', 'g'))"
+    def sqlAnchorLen(x: String): String =
+      "coalesce(list_sum(list_transform(regexp_extract_all(" +
+        s"$x, '<a[^>]*>([^<]*)</a>', 1), t -> len(t))), 0)"
+    def sqlKeep(x: String): String =
+      s"(len(${sqlClean(x)}) >= ${HtmlStrip.MinBlockLen} AND " +
+        s"${sqlAnchorLen(x)} * 4 <= len(${sqlClean(x)}) AND " +
+        s"NOT regexp_matches(${sqlClean(x)}, '${HtmlStrip.MarkerPattern}'))"
+    val sqlHtml =
+      "'<html><head><title>Doc ' || doc_id || '</title>" +
+        "<style>p{margin:0}</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/cat\">Section ' || " +
+        "(doc_id % 7) || '</a> <a href=\"/tags\">Tags</a></nav>" +
+        "<div id=\"m\"><p>' || text || ' &amp; fin</p></div>" +
+        "<aside><ul><li><a href=\"/r1\">Related article one</a></li>" +
+        "<li><a href=\"/r2\">Trending now today</a></li></ul></aside>" +
+        "<footer><a href=\"/privacy\">Privacy</a> " +
+        "<a href=\"/terms\">Terms</a> Copyright 2024 site-' || " +
+        "(doc_id % 50) || '. All rights reserved.</footer></body></html>'"
+    QueryDef(
+      "t29_html_strip",
+      "plant-and-strip HTML boilerplate: main-content extraction audit",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{margin:0}</style></head><body>"),
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/cat\">Section "),
+          (col("doc_id") % 7).cast("string"),
+          lit("</a> <a href=\"/tags\">Tags</a></nav>"),
+          lit("<div id=\"m\"><p>"), col("text"), lit(" &amp; fin</p></div>"),
+          lit("<aside><ul><li><a href=\"/r1\">Related article one</a></li>"),
+          lit("<li><a href=\"/r2\">Trending now today</a></li></ul></aside>"),
+          lit("<footer><a href=\"/privacy\">Privacy</a> "),
+          lit("<a href=\"/terms\">Terms</a> Copyright 2024 site-"),
+          (col("doc_id") % 50).cast("string"),
+          lit(". All rights reserved.</footer></body></html>"))
+        docs(s, d)
+          .select(col("doc_id"), col("text"), html.as("html"))
+          .select(col("doc_id"),
+            length(col("html")).cast("long").as("raw_len"),
+            HtmlStrip.nBlocks(col("html")).cast("long").as("n_blocks"),
+            HtmlStrip.nKept(col("html")).cast("long").as("n_kept"),
+            HtmlStrip.mainContent(col("html")).as("main"),
+            col("text"))
+          .select(col("doc_id"), col("raw_len"), col("n_blocks"),
+            col("n_kept"),
+            length(col("main")).cast("long").as("main_len"),
+            (col("main") === concat(col("text"), lit(" & fin")))
+              .cast("long").as("recovered"),
+            md5(col("main")).as("main_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pages AS (
+             |  SELECT doc_id, text, $sqlHtml AS html FROM documents),
+             |segs AS (
+             |  SELECT doc_id, text, html,
+             |         regexp_split_to_array(html,
+             |           '${HtmlStrip.BlockTagPattern}') AS blocks
+             |  FROM pages)
+             |SELECT doc_id,
+             |       CAST(len(html) AS BIGINT) AS raw_len,
+             |       CAST(len(list_filter(blocks,
+             |         x -> len(${sqlClean("x")}) > 0)) AS BIGINT) AS n_blocks,
+             |       CAST(len(list_filter(blocks,
+             |         x -> ${sqlKeep("x")})) AS BIGINT) AS n_kept,
+             |       CAST(len(array_to_string(list_transform(
+             |         list_filter(blocks, x -> ${sqlKeep("x")}),
+             |         x -> ${sqlClean("x")}), ' ')) AS BIGINT) AS main_len,
+             |       CAST(array_to_string(list_transform(
+             |         list_filter(blocks, x -> ${sqlKeep("x")}),
+             |         x -> ${sqlClean("x")}), ' ') = text || ' & fin'
+             |         AS BIGINT) AS recovered,
+             |       md5(array_to_string(list_transform(
+             |         list_filter(blocks, x -> ${sqlKeep("x")}),
+             |         x -> ${sqlClean("x")}), ' ')) AS main_fp
+             |FROM segs ORDER BY doc_id""".stripMargin))
+  }
+
   /** X20 — salient-term mining per source: tf·(N/df) term weighting (the
     * linear-idf variant of TF-IDF, chosen because tf·N·10⁴ div df is
     * EXACT integer math on both engines — ln() is a libm call whose last
@@ -1792,7 +1892,8 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
-    t27QualityRules, t28QualityModel, x20SalientTerms, x24VocabDrift,
+    t27QualityRules, t28QualityModel, t29HtmlStrip,
+    x20SalientTerms, x24VocabDrift,
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
