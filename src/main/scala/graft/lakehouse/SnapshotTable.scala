@@ -149,6 +149,27 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
   def delete(cond: Column): Int =
     overwriteAs(read().filter(!cond || cond.isNull), "delete")
 
+  /** Copy-on-write DELETE of every row whose `keyCols` match a row of
+    * `keys` — the set-scoped delete a `cond: Column` cannot express
+    * without collecting the key set to the driver. One anti join, the
+    * same plan shape as [[merge]]'s survivor side. `op` labels the
+    * commit (idempotent writers stamp their batch id, the [[append]]
+    * contract).
+    */
+  def deleteMatching(keys: DataFrame, keyCols: Seq[String],
+      op: String = "delete"): Int = {
+    require(keyCols.nonEmpty, "deleteMatching requires at least one key column")
+    if (manifest(currentVersion).dirs.isEmpty) {
+      // empty table: nothing to rewrite, but the commit MARKER must still
+      // land — idempotent writers key their replay check on it
+      val v = currentVersion + 1
+      commit(v, Manifest(v, op, Nil, System.currentTimeMillis()))
+      v
+    } else overwriteAs(
+      read().join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti"), op)
+  }
+
   /** Copy-on-write MERGE (Iceberg `MERGE INTO` equivalent): each source
     * row REPLACES the target row sharing `keyCols` (WHEN MATCHED THEN
     * UPDATE SET *), unmatched source rows INSERT, and source rows
