@@ -20,6 +20,9 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // scratch-mount health stamps: timings from a degraded window are
+    // discounted, not believed (the bench's io_probe discipline)
+    println(s"[timequery] io_probe_pre: ${graft.IoProbe.run().toJsonCompact}")
     force(SparkEntry.queries("j4_daily_business_metrics")(spark, sfDir)) // warmup
     names.foreach { n =>
       val times = (1 to runs).map { _ =>
@@ -30,6 +33,7 @@ object TimeQuery {
       println(f"[timequery] $n: median ${times.sorted.apply(times.size / 2)}%.3f s " +
         times.map(t => f"$t%.3f").mkString("(", ", ", ")"))
     }
+    println(s"[timequery] io_probe_post: ${graft.IoProbe.run().toJsonCompact}")
     spark.stop()
   }
 }

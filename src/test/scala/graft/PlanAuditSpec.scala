@@ -105,6 +105,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), s"a19 lost its window formulation:\n$plan")
   }
 
+  test("x13/x30 stay fixed-shuffle single-scan-family plans (r13 bench-swing pin)") {
+    // both queries swung ~3x in the r13 driver window (absolute < 1 s)
+    // and re-measured back at baseline on a healthy window (NOTES r14).
+    // This pins the STRUCTURE so a future swing is attributable to the
+    // box, not silent plan growth: x13 is one fp-keyed join + one
+    // aggregation; x30 is two aggregations over one events scan united
+    // by a broadcast scalar. Neither may grow a sort-merge join, a
+    // cartesian, or extra exchanges.
+    val p13 = planOf("x13_dedup_incremental")
+    assert(!p13.contains("SortMergeJoin") && !p13.contains("Cartesian"),
+      s"x13 fp join left broadcast/hash territory:\n$p13")
+    assert(p13.linesIterator.count(_.contains("Exchange")) <= 6,
+      s"x13 grew shuffles:\n$p13")
+    val p30 = planOf("x30_temporal_split")
+    assert(!p30.contains("SortMergeJoin") && !p30.contains("Cartesian"),
+      s"x30 scalar overlap join must broadcast:\n$p30")
+    assert(p30.linesIterator.count(_.contains("Exchange")) <= 7,
+      s"x30 grew shuffles:\n$p30")
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // AQE finalizes the plan only on execution; codegen stages then show
     // as starred operators (*(n) HashAggregate...) in the final plan.
