@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Compile-checked README examples: every usage pattern the README's
+  * Quick start and Operator catalog show must keep compiling AND running
+  * against the smallest testdata. If an API in the docs drifts, this
+  * spec breaks before a user does.
+  */
+class ExampleSpec extends SparkSpec {
+
+  test("README: run any inventory query by name") {
+    val daily = SparkEntry.queries("j4_daily_business_metrics")(spark, sfDir)
+    assert(daily.count() > 0)
+    val dedup = SparkEntry.queries("x2_dedup_minhash_lsh")(spark, sfDir)
+    assert(dedup.columns.nonEmpty)
+    // the catalog's generated tables cover the full inventory
+    assert(tools.Catalog.families.map(_._2.size).sum ===
+      SparkEntry.queries.size)
+    // every catalog entry resolves in the entry map
+    tools.Catalog.families.flatMap(_._2).foreach(d =>
+      assert(SparkEntry.queries.contains(d.name), d.name))
+  }
+
+  test("README: CDC generate -> unwrap -> bronze -> current state") {
+    import graft.cdc.Cdc
+    val dir = Files.createTempDirectory("graft-readme-cdc").toString
+    val history = Cdc.unwrap(Cdc.generateUsersCdc(spark, 2000))
+    Cdc.writeBronze(history, dir)
+    val current = Cdc.currentState(Cdc.readBronze(spark, dir))
+    assert(current.count() > 0)
+  }
+
+  test("README: lakehouse versioned table with time travel") {
+    import spark.implicits._
+    val t = lakehouse.SnapshotTable.create(spark,
+      Files.createTempDirectory("graft-readme-lake").toString)
+    t.append(Seq((1L, -5.0), (2L, 7.0)).toDF("id", "account_balance"))
+    t.update(col("account_balance") < 0,
+      Map("account_balance" -> lit(0.0)))
+    assert(t.readVersion(1).filter(col("account_balance") < 0).count() === 1)
+    assert(t.read().filter(col("account_balance") < 0).count() === 0)
+  }
+
+  test("README: quantile monitor histogram -> exact brackets (batch twin)") {
+    import spark.implicits._
+    val measures = (1 to 1000)
+      .map(i => ("api", (i % 97).toDouble)).toDF("service", "latency_ms")
+    val hist = streaming.QuantileMonitor.histogram(measures, "service",
+      "latency_ms")
+    val br = streaming.QuantileMonitor.brackets(hist, Seq(0.5, 0.95, 0.99))
+    assert(br.size === 3)
+    assert(br.forall(b => b.lo <= b.hi))
+  }
+
+  test("README: HTML strip + GDPR blast radius compose as documented") {
+    import spark.implicits._
+    val prose = "the quick value table scan joins a window of rows here"
+    val main = Seq(s"<nav><a href=\"/\">Home</a></nav><p>$prose</p>")
+      .toDF("html").select(text.HtmlStrip.mainContent(col("html"))).head
+      .getString(0)
+    assert(main === prose)
+  }
+}
