@@ -23,7 +23,8 @@ object SparkEntry {
       similarity.SimilarityQueries.defs ++
       similarity.QuantizationQueries.defs ++
       text.TextQueries.defs ++
-      text.CurationQueries.defs
+      text.CurationQueries.defs ++
+      quality.PiiQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mart: daily business metrics

@@ -768,6 +768,40 @@ object RelationalQueries {
             FROM b FULL OUTER JOIN sp ON b.month = sp.month
             ORDER BY month"""))
 
+  /** J9 — fact ⨝ selective dimension with the fact scan bloom-pruned
+    * BEFORE the shuffle ([[graft.operators.BloomPrune]]).
+    *
+    * The scenario Catalyst's own rewrites miss: the filtered dimension
+    * (urgent finished orders, ~10% of orderkeys) is past the broadcast
+    * threshold at warehouse scale, so the plain plan shuffles 100% of
+    * lineitem for a join that keeps ~10%. The bloom filter turns the
+    * non-matching 90% into a codegen'd Filter under the scan — shuffle
+    * bytes drop ~10×, results bit-identical (no false negatives; false
+    * positives die in the join). Oracle is the PLAIN join: the operator
+    * must be invisible to semantics.
+    */
+  val j9BloomPrunedJoin = QueryDef(
+    "j9_bloom_pruned_join",
+    "lineitem ⨝ selective orders, fact side bloom-pruned pre-shuffle",
+    (s, d) => {
+      val l = li(s, d)
+      val o = ord(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderpriority")
+      graft.operators.BloomPrune.prunedJoin(l, "l_orderkey", o, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Q6 — distribution-drift monitor (the PSI/data-drift staple between
     * dataset versions): order totals bucketed into 10 equi-width bins
     * whose EDGES come from the baseline (early) half only — the
@@ -888,6 +922,7 @@ object RelationalQueries {
     j4DailyBusinessMetrics, a1CustomerMetrics, a2DailyOrderKpis, a6OpSummary,
     a13Percentiles, a13bPercentilesApprox, w1RankInCategory, w3OrderGaps, w4LatestByKey,
     w6FavoriteCategory, u1RuleViolations, q2Uniqueness,
-    q4ReferentialIntegrity, j6Reconciliation, q6DistributionDrift,
+    q4ReferentialIntegrity, j6Reconciliation, j9BloomPrunedJoin,
+    q6DistributionDrift,
     q11FunctionalDeps)
 }

@@ -21,7 +21,8 @@ object Catalog {
     "similarity.SimilarityQueries" -> graft.similarity.SimilarityQueries.defs,
     "similarity.QuantizationQueries" -> graft.similarity.QuantizationQueries.defs,
     "text.TextQueries" -> graft.text.TextQueries.defs,
-    "text.CurationQueries" -> graft.text.CurationQueries.defs)
+    "text.CurationQueries" -> graft.text.CurationQueries.defs,
+    "quality.PiiQueries" -> graft.quality.PiiQueries.defs)
 
   def markdown: String = {
     val sb = new StringBuilder
