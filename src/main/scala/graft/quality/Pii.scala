@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
   * (and the warehouse cousin of q12's keyed pseudonymization: q12
   * protects KEYS, this scrubs VALUES embedded in prose).
   *
+  * Relation to t26 (`text.TextQueries.t26PiiRedaction`): t26 is the
+  * inline documents-side audit (email/phone/IP counts + a redacted
+  * fingerprint); this object is the reusable OPERATOR form — adds SSN +
+  * credit-card classes with Luhn checksum validation (the non-regex
+  * second stage), emits full redacted strings (string-exact oracle
+  * parity, not an md5), and feeds the streaming gate
+  * ([[graft.streaming.PiiGate]]) and the clean/offender routing split.
+  *
   * Detectors are regex classes chosen to behave identically under
   * Java's regex (Spark) and RE2 (DuckDB): character classes,
   * alternation and bounded repetition only — no backrefs, no

@@ -1890,6 +1890,100 @@ object TextQueries {
          |ORDER BY source""".stripMargin
     })
 
+  /** Hard-negative mining core over any `(doc_id, text, source)` frame:
+    * for each anchor (rows passing `anchorPred`), the top-`k` most
+    * cosine-similar documents FROM OTHER SOURCES in the x43 hashed
+    * tf-idf space, with candidates at `cos_sim ≥ maxCos` EXCLUDED —
+    * near-duplicates of the anchor are false negatives for contrastive
+    * training (they'd teach the encoder to push paraphrases apart), so
+    * the miner returns near-misses, not copies (SimCSE/DPR hygiene).
+    *
+    * Scale posture: anchors are a bounded mini-batch BY CONTRACT (the
+    * standard recipe mines negatives per training batch, never corpus ×
+    * corpus) — the anchor weight rows broadcast; the corpus side is one
+    * scan of the shared weight frame + one map-combinable (anchor, doc)
+    * dot aggregation; ranking windows partition per anchor. Integer
+    * dots, one final double division (the x49 cross-engine contract).
+    */
+  private[graft] def hardNegativesOf(frame: org.apache.spark.sql.DataFrame,
+      anchorPred: Column, k: Int, maxCos: Double,
+      weights: Option[org.apache.spark.sql.DataFrame] = None) = {
+    // the weight frame is referenced three times below (norms + corpus
+    // side + anchor side) — corpus callers pass the PlanCache'd x43
+    // frame so the explode/idf/agg chain runs once, not three times
+    val w = weights.getOrElse(hashedWeightsOf(frame.select("doc_id", "text"),
+      idfOf(frame.select("doc_id", "text"))))
+    val src = frame.select(col("doc_id"), col("source"))
+    val norms = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
+    val anchors = src.filter(anchorPred)
+      .select(col("doc_id").as("q_doc"), col("source").as("q_src"))
+    val wq = w.join(anchors, col("doc_id") === col("q_doc"))
+      .select(col("q_doc"), col("q_src"), col("bucket"), col("wsum").as("qw"))
+    val dots = w.join(src, Seq("doc_id"))
+      .join(broadcast(wq), Seq("bucket"))
+      .filter(col("source") =!= col("q_src"))
+      .groupBy(col("q_doc"), col("doc_id"), col("source"))
+      .agg(sum(col("wsum") * col("qw")).as("dot"))
+    val scored = dots
+      .join(norms, Seq("doc_id"))
+      .join(norms.select(col("doc_id").as("q_doc"), col("ss").as("ssq")),
+        Seq("q_doc"))
+      .withColumn("cos_sim", col("dot").cast("double") /
+        (sqrt(col("ss").cast("double")) * sqrt(col("ssq").cast("double"))))
+      .filter(col("cos_sim") < maxCos)
+    val wr = Window.partitionBy("q_doc")
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_doc"), col("rk"), col("doc_id").as("neg_doc"),
+        col("source").as("neg_source"), col("cos_sim"))
+      .orderBy("q_doc", "rk")
+  }
+
+  /** X67 — contrastive hard-negative mining: every 25th document is an
+    * anchor; its negatives are the top-3 most-similar CROSS-SOURCE
+    * documents below the near-dup bar (cos < 0.95). The missing half of
+    * the embedding-training data path: x49 mines positives (chunks of
+    * the same document), x40/x5 REMOVE near-dups — this turns the same
+    * similarity machinery into the near-miss pairs a contrastive
+    * encoder actually trains on.
+    */
+  val x67HardNegatives = QueryDef(
+    "x67_hard_negatives",
+    "contrastive hard negatives: top-3 cross-source near-misses per anchor (near-dups excluded)",
+    (s, d) => {
+      graft.GraftExtensions.ensure(s)
+      hardNegativesOf(docs(s, d), pmod(col("doc_id"), lit(25)) === 0,
+        k = 3, maxCos = 0.95, weights = Some(hashedWeights(s, d)))
+    },
+    Some(s"""WITH $hashedWeightsSql,
+           |srcm AS (SELECT doc_id, source FROM documents),
+           |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
+           |        FROM w GROUP BY 1),
+           |anch AS (SELECT doc_id AS q_doc, source AS q_src
+           |         FROM srcm WHERE doc_id % 25 = 0),
+           |wq AS (SELECT q_doc, q_src, bucket, wsum AS qw
+           |       FROM w JOIN anch ON w.doc_id = anch.q_doc),
+           |dots AS (
+           |  SELECT q_doc, w.doc_id AS neg_doc, s.source AS neg_source,
+           |         CAST(sum(w.wsum * qw) AS BIGINT) AS dot
+           |  FROM w JOIN srcm s ON w.doc_id = s.doc_id
+           |       JOIN wq ON w.bucket = wq.bucket
+           |  WHERE s.source <> wq.q_src
+           |  GROUP BY 1, 2, 3),
+           |scored AS (
+           |  SELECT q_doc, neg_doc, neg_source,
+           |         CAST(dot AS DOUBLE) /
+           |           (sqrt(CAST(n1.ss AS DOUBLE)) * sqrt(CAST(n2.ss AS DOUBLE))) AS cos_sim
+           |  FROM dots JOIN nrm n1 ON dots.neg_doc = n1.doc_id
+           |            JOIN nrm n2 ON dots.q_doc = n2.doc_id),
+           |kept AS (SELECT * FROM scored WHERE cos_sim < 0.95),
+           |rk AS (SELECT *, CAST(row_number() OVER (
+           |         PARTITION BY q_doc ORDER BY cos_sim DESC, neg_doc) AS BIGINT) AS rk
+           |       FROM kept)
+           |SELECT q_doc, rk, neg_doc, neg_source, cos_sim
+           |FROM rk WHERE rk <= 3 ORDER BY q_doc, rk""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, t29HtmlStrip,
@@ -1897,5 +1991,5 @@ object TextQueries {
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
-    x65RetrievalEval)
+    x65RetrievalEval, x67HardNegatives)
 }
