@@ -83,33 +83,55 @@ object HtmlStrip {
         t => length(t)),
       lit(0), (acc, n) => acc + n)
 
-  /** The keep decision for one raw block — integer arithmetic only
-    * (`ll * 4 <= len` IS "link density ≤ 2500 bp" without a division).
+  /** The keep decision over an ALREADY-CLEANED block `v` and its raw
+    * anchor-char count `a` — integer arithmetic only (`a * 4 <= len` IS
+    * "link density ≤ 2500 bp" without a division). Decoupled from the
+    * cleaning so pipelines can clean each segment ONCE: higher-order
+    * lambdas are CodegenFallback with no subexpression elimination, so
+    * every textual reference to `cleanBlock(seg)` re-runs the whole
+    * regex/entity chain — the r14 one-pass rewrite took t29 from ~8
+    * clean evaluations per segment to 1 (~3.9 → ~1 s at sf0.1).
     */
-  def keepBlock(seg: Column): Column = {
-    val v = cleanBlock(seg)
+  def keepOf(v: Column, a: Column): Column =
     (length(v) >= MinBlockLen) &&
-      (anchorLen(seg) * 4 <= length(v)) &&
+      (a * 4 <= length(v)) &&
       !v.rlike(MarkerPattern)
-  }
+
+  /** Single-segment keep decision (compat form; re-cleans per reference
+    * — prefer [[blockPairs]] + [[keepOf]] in anything hot).
+    */
+  def keepBlock(seg: Column): Column =
+    keepOf(cleanBlock(seg), anchorLen(seg))
 
   /** Raw block segments of a page (order preserved; empties retained —
     * downstream predicates drop them).
     */
   def blocks(html: Column): Column = split(html, BlockTagPattern)
 
-  /** Main content of a page: kept blocks, cleaned, joined in order. */
+  /** One clean pass over all blocks: array of (v = cleaned text,
+    * a = raw anchor chars) structs — the shared input for keep/count/
+    * join consumers.
+    */
+  def blockPairs(html: Column): Column =
+    transform(blocks(html), seg =>
+      struct(cleanBlock(seg).as("v"), anchorLen(seg).as("a")))
+
+  /** Kept (v, a) pairs of a pre-computed [[blockPairs]] array. */
+  def keptPairs(pairs: Column): Column =
+    filter(pairs, p => keepOf(p.getField("v"), p.getField("a")))
+
+  /** Main content of a page: kept blocks, cleaned, joined in order.
+    * One clean pass (filter and join both read the pair array). */
   def mainContent(html: Column): Column =
     array_join(
-      transform(filter(blocks(html), seg => keepBlock(seg)),
-        seg => cleanBlock(seg)),
+      transform(keptPairs(blockPairs(html)), p => p.getField("v")),
       " ")
 
   /** Non-empty candidate blocks (audit statistic). */
   def nBlocks(html: Column): Column =
-    size(filter(blocks(html), seg => length(cleanBlock(seg)) > 0))
+    size(filter(blockPairs(html), p => length(p.getField("v")) > 0))
 
   /** Kept blocks (audit statistic). */
   def nKept(html: Column): Column =
-    size(filter(blocks(html), seg => keepBlock(seg)))
+    size(keptPairs(blockPairs(html)))
 }

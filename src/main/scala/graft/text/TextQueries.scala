@@ -527,13 +527,20 @@ object TextQueries {
           lit("<a href=\"/terms\">Terms</a> Copyright 2024 site-"),
           (col("doc_id") % 50).cast("string"),
           lit(". All rights reserved.</footer></body></html>"))
+        // one clean pass per page: the pair array is a withColumn
+        // boundary CollapseProject keeps (non-cheap, referenced twice),
+        // so n_blocks / n_kept / main all read the SAME cleaned blocks
         docs(s, d)
           .select(col("doc_id"), col("text"), html.as("html"))
+          .withColumn("pairs", HtmlStrip.blockPairs(col("html")))
+          .withColumn("kept", HtmlStrip.keptPairs(col("pairs")))
           .select(col("doc_id"),
             length(col("html")).cast("long").as("raw_len"),
-            HtmlStrip.nBlocks(col("html")).cast("long").as("n_blocks"),
-            HtmlStrip.nKept(col("html")).cast("long").as("n_kept"),
-            HtmlStrip.mainContent(col("html")).as("main"),
+            size(filter(col("pairs"),
+              p => length(p.getField("v")) > 0)).cast("long").as("n_blocks"),
+            size(col("kept")).cast("long").as("n_kept"),
+            array_join(transform(col("kept"), p => p.getField("v")), " ")
+              .as("main"),
             col("text"))
           .select(col("doc_id"), col("raw_len"), col("n_blocks"),
             col("n_kept"),
@@ -1919,12 +1926,17 @@ object TextQueries {
       .select(col("doc_id").as("q_doc"), col("source").as("q_src"))
     val wq = w.join(anchors, col("doc_id") === col("q_doc"))
       .select(col("q_doc"), col("q_src"), col("bucket"), col("wsum").as("qw"))
-    val dots = w.join(src, Seq("doc_id"))
-      .join(broadcast(wq), Seq("bucket"))
-      .filter(col("source") =!= col("q_src"))
-      .groupBy(col("q_doc"), col("doc_id"), col("source"))
+    // the (anchor, doc) dot agg is the volume stage (anchors × docs
+    // sharing a bucket): group on the two ids only — source is
+    // functionally dependent on doc_id, so attaching it AFTER the agg
+    // (anchors×docs rows) instead of before (that frame exploded by
+    // shared buckets) filters the same rows at a fraction of the width
+    val dots = w.join(broadcast(wq), Seq("bucket"))
+      .groupBy(col("q_doc"), col("q_src"), col("doc_id"))
       .agg(sum(col("wsum") * col("qw")).as("dot"))
     val scored = dots
+      .join(src, Seq("doc_id"))
+      .filter(col("source") =!= col("q_src"))
       .join(norms, Seq("doc_id"))
       .join(norms.select(col("doc_id").as("q_doc"), col("ss").as("ssq")),
         Seq("q_doc"))
