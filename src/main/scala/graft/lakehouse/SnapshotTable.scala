@@ -69,6 +69,30 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
   /** Current-state DataFrame. */
   def read(): DataFrame = readVersion(currentVersion)
 
+  /** Manifest data dirs of a version — the building block of FILE-LEVEL
+    * change capture: dirs(to) −− dirs(from) hold every row added between
+    * the versions, dirs(from) −− dirs(to) every row removed (COW rewrites
+    * appear on both sides and cancel under signed aggregation). Reading
+    * the difference costs O(changed commits), never O(table) — unlike the
+    * key-diff [[changes]], which scans both snapshots.
+    */
+  def dirsOfVersion(version: Int): Seq[String] = manifest(version).dirs
+
+  /** Read an arbitrary subset of manifest dirs (empty-safe). */
+  def readDirs(dirs: Seq[String]): DataFrame = {
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else if (partitionCols.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else {
+      dirs.groupBy(commitDirOf).toSeq.sortBy(_._1)
+        .map { case (base, subdirs) =>
+          spark.read.option("mergeSchema", "true").option("basePath", base)
+            .parquet(subdirs: _*)
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+  }
+
   /** Time travel: the table exactly as of `version`. */
   def readVersion(version: Int): DataFrame = {
     val m = manifest(version)

@@ -62,4 +62,31 @@ class ExampleSpec extends SparkSpec {
       .getString(0)
     assert(main === prose)
   }
+
+  test("README: bloom-pruned join is row-identical to the plain join") {
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+    val urgent = sources.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val pruned = operators.BloomPrune.prunedJoin(li, "l_orderkey",
+      urgent, "o_orderkey")
+    val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+    assert(pruned.count() === plain.count())
+  }
+
+  test("README: incremental view maintenance as documented") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-readme-ivm").toString
+    val t = lakehouse.SnapshotTable.create(spark, s"$root/base")
+    t.append(Seq(("gold", 100L), ("basic", 10L)).toDF("tier", "cents"))
+    val view = new lakehouse.IncrementalView(
+      t, groupCols = Seq("tier"), sumCols = Seq("cents"),
+      root = s"$root/mart")
+    view.refresh()
+    t.append(Seq(("gold", 1L)).toDF("tier", "cents"))
+    view.refresh()
+    val gold = view.read().filter(col("tier") === "gold")
+      .select("n_rows", "sum_cents").head
+    assert((gold.getLong(0), gold.getLong(1)) === ((2L, 101L)))
+  }
 }

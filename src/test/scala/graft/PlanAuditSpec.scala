@@ -171,6 +171,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"survivors must semi-join:\n$plan")
   }
 
+  test("x67 hard negatives: anchor weights broadcast; no cartesian") {
+    val plan = planOf("x67_hard_negatives")
+    assert(plan.contains("BroadcastHashJoin [bucket"),
+      s"anchor weight rows must broadcast onto the bucket join:\n$plan")
+    // (the only nested-loop join allowed is idfOf's broadcast-scalar
+    // n_docs cross join — the house crossJoin(broadcast(<scalar>)) shape)
+    assert(!plan.contains("CartesianProduct"),
+      s"x67 grew a cartesian:\n$plan")
+  }
+
+  test("j9 bloom probe is a builtin Filter in the fact scan stage") {
+    val plan = planOf("j9_bloom_pruned_join")
+    assert(plan.contains("element_at"), s"bloom probe missing:\n$plan")
+    assert(!plan.contains("BatchEvalPython"), "probe must stay codegen")
+  }
+
   test("x40 semantic dedup blocks on the cluster id (equi-join, never BNLJ)") {
     val plan = planOf("x40_semantic_dedup")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
