@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FixedPointDot, Md5U60, SortableDoubleBits}
+import graft.functions.{FixedPointDot, LongDot, Md5U60, SortableDoubleBits}
 
 /** Engine extension point: custom Catalyst expressions registered through
   * `SparkSessionExtensions` so they are first-class SQL functions —
@@ -41,6 +41,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_sortable_bits requires exactly 1 argument")
         SortableDoubleBits(args.head)
+      }),
+    (FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot_long requires exactly 2 arguments")
+        LongDot(args.head, args(1))
       }))
 
   def inject(ext: SparkSessionExtensions): Unit =

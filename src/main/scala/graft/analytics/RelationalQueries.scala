@@ -768,7 +768,7 @@ object RelationalQueries {
             FROM b FULL OUTER JOIN sp ON b.month = sp.month
             ORDER BY month"""))
 
-  /** J9 — fact ⨝ selective dimension with the fact scan bloom-pruned
+  /** J12 — fact ⨝ selective dimension with the fact scan bloom-pruned
     * BEFORE the shuffle ([[graft.operators.BloomPrune]]).
     *
     * The scenario Catalyst's own rewrites miss: the filtered dimension
@@ -780,8 +780,8 @@ object RelationalQueries {
     * positives die in the join). Oracle is the PLAIN join: the operator
     * must be invisible to semantics.
     */
-  val j9BloomPrunedJoin = QueryDef(
-    "j9_bloom_pruned_join",
+  val j12BloomPrunedJoin = QueryDef(
+    "j12_bloom_pruned_join",
     "lineitem ⨝ selective orders, fact side bloom-pruned pre-shuffle",
     (s, d) => {
       val l = li(s, d)
@@ -922,7 +922,7 @@ object RelationalQueries {
     j4DailyBusinessMetrics, a1CustomerMetrics, a2DailyOrderKpis, a6OpSummary,
     a13Percentiles, a13bPercentilesApprox, w1RankInCategory, w3OrderGaps, w4LatestByKey,
     w6FavoriteCategory, u1RuleViolations, q2Uniqueness,
-    q4ReferentialIntegrity, j6Reconciliation, j9BloomPrunedJoin,
+    q4ReferentialIntegrity, j6Reconciliation, j12BloomPrunedJoin,
     q6DistributionDrift,
     q11FunctionalDeps)
 }

@@ -57,7 +57,7 @@ object QuantileMonitor {
     * to the infinity, not invert to NaN (NaN edges would poison every
     * min/max/containment downstream).
     */
-  private[streaming] def invertSortable(t: Long): Double = {
+  private[graft] def invertSortable(t: Long): Double = {
     val tNegInf = ~java.lang.Double.doubleToLongBits(Double.NegativeInfinity)
     val tPosInf =
       java.lang.Double.doubleToLongBits(Double.PositiveInfinity) | java.lang.Long.MIN_VALUE

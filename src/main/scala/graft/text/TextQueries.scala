@@ -1905,55 +1905,86 @@ object TextQueries {
     * training (they'd teach the encoder to push paraphrases apart), so
     * the miner returns near-misses, not copies (SimCSE/DPR hygiene).
     *
-    * Scale posture: anchors are a bounded mini-batch BY CONTRACT (the
-    * standard recipe mines negatives per training batch, never corpus ×
-    * corpus) — the anchor weight rows broadcast; the corpus side is one
-    * scan of the shared weight frame + one map-combinable (anchor, doc)
-    * dot aggregation; ranking windows partition per anchor. Integer
-    * dots, one final double division (the x49 cross-engine contract).
+    * Scale posture (both halves soak-derived, r14):
+    *  - The anchor CAP (`maxAnchors`, smallest ids first) makes
+    *    "bounded mini-batch" a PLAN property, not a doc-string hope —
+    *    uncapped, anchors grow with the corpus and the dot stage is
+    *    anchors × docs: the 10× soak OOM'd exactly there.
+    *  - The x6 brute shape + a bounded top-k AGGREGATE: per-doc dense
+    *    64-long vectors (one combinable agg over the weight frame),
+    *    anchors broadcast, dots map-side over zip_with — and the
+    *    per-anchor top-k is [[graft.functions.TopKTerms]] (rank =
+    *    order-preserving cos bits, term = zero-padded doc id), so each
+    *    map task reduces to ≤ k rows per anchor BEFORE the shuffle.
+    *    The first form shuffled the whole (anchor, doc, bucket) stream
+    *    into a 100M-group agg (128M shuffle records, 1.2 GB spill at
+    *    10×); this one moves O(anchors · k) per task.
     */
   private[graft] def hardNegativesOf(frame: org.apache.spark.sql.DataFrame,
       anchorPred: Column, k: Int, maxCos: Double,
-      weights: Option[org.apache.spark.sql.DataFrame] = None) = {
-    // the weight frame is referenced three times below (norms + corpus
-    // side + anchor side) — corpus callers pass the PlanCache'd x43
-    // frame so the explode/idf/agg chain runs once, not three times
+      weights: Option[org.apache.spark.sql.DataFrame] = None,
+      maxAnchors: Int = 200) = {
+    val s = frame.sparkSession
+    import s.implicits._
+    import graft.functions.{KeyedTermRow, TopKTerms}
+    graft.GraftExtensions.ensure(s)
     val w = weights.getOrElse(hashedWeightsOf(frame.select("doc_id", "text"),
       idfOf(frame.select("doc_id", "text"))))
     val src = frame.select(col("doc_id"), col("source"))
-    val norms = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
-    val anchors = src.filter(anchorPred)
-      .select(col("doc_id").as("q_doc"), col("source").as("q_src"))
-    val wq = w.join(anchors, col("doc_id") === col("q_doc"))
-      .select(col("q_doc"), col("q_src"), col("bucket"), col("wsum").as("qw"))
-    // the (anchor, doc) dot agg is the volume stage (anchors × docs
-    // sharing a bucket): group on the two ids only — source is
-    // functionally dependent on doc_id, so attaching it AFTER the agg
-    // (anchors×docs rows) instead of before (that frame exploded by
-    // shared buckets) filters the same rows at a fraction of the width
-    val dots = w.join(broadcast(wq), Seq("bucket"))
-      .groupBy(col("q_doc"), col("q_src"), col("doc_id"))
-      .agg(sum(col("wsum") * col("qw")).as("dot"))
-    val scored = dots
+    // dense per-doc vector + squared norm: docs-sized, one combinable agg
+    val vecs = w.groupBy("doc_id")
+      .agg(collect_list(struct(col("bucket"), col("wsum"))).as("bw"),
+        sum(col("wsum") * col("wsum")).as("ss"))
+      .withColumn("arr", expr(
+        "transform(sequence(0L, 63L), b -> " +
+          "coalesce(element_at(map_from_entries(bw), b), 0L))"))
+      .drop("bw")
       .join(src, Seq("doc_id"))
+    val anchors = vecs.join(
+        src.filter(anchorPred).orderBy(col("doc_id")).limit(maxAnchors)
+          .select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("q_doc"), col("source").as("q_src"),
+        col("arr").as("qarr"), col("ss").as("ssq"))
+    val scored = vecs.crossJoin(broadcast(anchors))
       .filter(col("source") =!= col("q_src"))
-      .join(norms, Seq("doc_id"))
-      .join(norms.select(col("doc_id").as("q_doc"), col("ss").as("ssq")),
-        Seq("q_doc"))
+      // graft_dot_long: ONE codegen'd loop per pair — the zip_with/
+      // aggregate lambda form is CodegenFallback (the t29 lesson) and an
+      // unrolled element_at tree gets re-inlined per consumer; a native
+      // expression is evaluated once and stays in whole-stage codegen
+      .withColumn("dot", call_function("graft_dot_long",
+        col("arr"), col("qarr")))
       .withColumn("cos_sim", col("dot").cast("double") /
         (sqrt(col("ss").cast("double")) * sqrt(col("ssq").cast("double"))))
       .filter(col("cos_sim") < maxCos)
-    val wr = Window.partitionBy("q_doc")
-      .orderBy(col("cos_sim").desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(wr).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_doc"), col("rk"), col("doc_id").as("neg_doc"),
-        col("source").as("neg_source"), col("cos_sim"))
+    // per-anchor bounded top-k: rank by order-preserving bits of cos
+    // (exact ties stay exact — identical doubles ⇒ identical bits),
+    // zero-padded id term makes the ASC tie-break numeric
+    val top = scored.select(
+        col("q_doc").cast("string").as("g"),
+        call_function("graft_sortable_bits", col("cos_sim")).as("rank"),
+        lpad(col("doc_id").cast("string"), 19, "0").as("term"),
+        col("doc_id").as("v1"),
+        call_function("graft_sortable_bits", col("cos_sim")).as("v2"))
+      .as[KeyedTermRow]
+      .groupByKey(_.g)
+      .agg(new TopKTerms(k).toColumn.name("top"))
+      .flatMap { case (g, t) =>
+        t.rows.zipWithIndex.map { case (r, i) =>
+          (g.toLong, (i + 1).toLong, r.v1,
+            graft.streaming.QuantileMonitor.invertSortable(r.v2))
+        }
+      }
+      .toDF("q_doc", "rk", "neg_doc", "cos_sim")
+    src.select(col("doc_id").as("neg_doc"), col("source").as("neg_source"))
+      .join(broadcast(top), Seq("neg_doc"))
+      .select(col("q_doc"), col("rk"), col("neg_doc"), col("neg_source"),
+        col("cos_sim"))
       .orderBy("q_doc", "rk")
   }
 
-  /** X67 — contrastive hard-negative mining: every 25th document is an
-    * anchor; its negatives are the top-3 most-similar CROSS-SOURCE
+  /** X67 — contrastive hard-negative mining: the first 200 of every-25th
+    * documents are anchors (the cap keeps the mining batch bounded at ANY
+    * corpus size); negatives are the top-3 most-similar CROSS-SOURCE
     * documents below the near-dup bar (cos < 0.95). The missing half of
     * the embedding-training data path: x49 mines positives (chunks of
     * the same document), x40/x5 REMOVE near-dups — this turns the same
@@ -1973,7 +2004,8 @@ object TextQueries {
            |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
            |        FROM w GROUP BY 1),
            |anch AS (SELECT doc_id AS q_doc, source AS q_src
-           |         FROM srcm WHERE doc_id % 25 = 0),
+           |         FROM srcm WHERE doc_id % 25 = 0
+           |         ORDER BY doc_id LIMIT 200),
            |wq AS (SELECT q_doc, q_src, bucket, wsum AS qw
            |       FROM w JOIN anch ON w.doc_id = anch.q_doc),
            |dots AS (

@@ -171,18 +171,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"survivors must semi-join:\n$plan")
   }
 
-  test("x67 hard negatives: anchor weights broadcast; no cartesian") {
+  test("x67 hard negatives: x6 brute shape — anchors broadcast, " +
+    "top-k is a bounded aggregate, never a corpus window") {
     val plan = planOf("x67_hard_negatives")
-    assert(plan.contains("BroadcastHashJoin [bucket"),
-      s"anchor weight rows must broadcast onto the bucket join:\n$plan")
-    // (the only nested-loop join allowed is idfOf's broadcast-scalar
-    // n_docs cross join — the house crossJoin(broadcast(<scalar>)) shape)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"capped anchor vectors must broadcast onto the doc scan:\n$plan")
     assert(!plan.contains("CartesianProduct"),
-      s"x67 grew a cartesian:\n$plan")
+      s"x67 grew a non-broadcast cartesian:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-anchor top-k must be the bounded TopKTerms aggregate:\n$plan")
   }
 
-  test("j9 bloom probe is a builtin Filter in the fact scan stage") {
-    val plan = planOf("j9_bloom_pruned_join")
+  test("j12 bloom probe is a builtin Filter in the fact scan stage") {
+    val plan = planOf("j12_bloom_pruned_join")
     assert(plan.contains("element_at"), s"bloom probe missing:\n$plan")
     assert(!plan.contains("BatchEvalPython"), "probe must stay codegen")
   }
