@@ -188,6 +188,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython"), "probe must stay codegen")
   }
 
+  test("t29 cleans each block ONCE: the entity chain appears a single " +
+    "time in the plan (the one-pass r14 rewrite must not re-inline)") {
+    // before the blockPairs rewrite the clean chain was textually
+    // re-inlined ~8x per segment (keepBlock alone referenced it three
+    // times); CollapseProject keeps the withColumn boundary because the
+    // pair array is non-cheap and multi-referenced. If a refactor
+    // re-inlines it, the chain's entity literal shows up repeatedly.
+    val plan = planOf("t29_html_strip")
+    val occurrences = "&quot;".r.findAllIn(plan).size
+    assert(occurrences <= 1,
+      s"t29 clean chain inlined $occurrences times — one-pass structure lost:\n$plan")
+  }
+
   test("x40 semantic dedup blocks on the cluster id (equi-join, never BNLJ)") {
     val plan = planOf("x40_semantic_dedup")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
