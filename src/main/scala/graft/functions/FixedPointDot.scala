@@ -41,17 +41,20 @@ case class FixedPointDot(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
-  // A NULL element anywhere in the scanned prefix nulls the whole result —
-  // identical to the declarative aggregate(zip_with(...)) form, where a
-  // null product propagates through the sum. (Parquet float arrays are
-  // schema-nullable even when no element is ever null, so rejecting
+  // A NULL element anywhere nulls the whole result — identical to the
+  // declarative aggregate(zip_with(...)) form, where a null product
+  // propagates through the sum. So does a LENGTH MISMATCH: zip_with
+  // null-pads the shorter array, so the declarative form returns NULL,
+  // never a partial dot over the common prefix. (Parquet float arrays
+  // are schema-nullable even when no element is ever null, so rejecting
   // containsNull=true at analysis time would break every real read.)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0L
     var i = 0
     while (i < n) {
@@ -71,9 +74,10 @@ case class FixedPointDot(left: Expression, right: Expression)
       val qa = ctx.freshName("qa")
       val qb = ctx.freshName("qb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long ${ev.value}_acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $qa = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 1.0E8);
          |  long $qb = (long) java.lang.Math.floor(((double) $b.getFloat($i)) * 1.0E8);

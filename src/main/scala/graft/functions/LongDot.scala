@@ -36,13 +36,18 @@ case class LongDot(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot_long"
 
-  // NULL element ⇒ NULL result, matching aggregate(zip_with(...)).
+  // NULL element ⇒ NULL result, matching aggregate(zip_with(...)); so
+  // does a LENGTH MISMATCH — zip_with null-pads the shorter array and
+  // the null products null the sum. Arrays here are fixed 64-dim, so a
+  // mismatch is always a caller bug; NULL surfaces it instead of
+  // silently truncating to a partial dot product.
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0L
     var i = 0
     while (i < n) {
@@ -58,9 +63,10 @@ case class LongDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long ${ev.value}_acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
          |}

@@ -83,16 +83,32 @@ object ErasureCascade {
       if (req.isEmpty) return
       // audit FIRST (blast counts need all four tables alive), keyed for
       // replay like every other step; n_* columns are the BATCH's blast
-      // totals stamped onto each of its request rows
+      // totals stamped onto each of its request rows. The marker check is
+      // only a fast path: markers are COMMITS in the audit table's own
+      // history, so `expireSnapshots` retention can forget them — a
+      // checkpoint-recovered replay of a forgotten batch would then
+      // re-enter here and, with the deletes already applied, append a
+      // second set of request rows with zeroed blast counts. The (k,
+      // batch_id) anti join below makes the append itself idempotent:
+      // replayed request rows that already exist append nothing.
+      // Retention floor regardless: cascade-table markers must outlive
+      // the streaming checkpoint's replay horizon, or the DELETE steps
+      // (idempotent but O(table) COW rewrites) re-run on replay too.
       if (!committed(t.audit, batchId)) {
         val counts = blastRadius(req, t).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        t.audit.append(
-          req.select(col("k"), lit(batchId).as("batch_id"),
-            lit(counts.getOrElse("orders", 0L)).as("n_orders"),
-            lit(counts.getOrElse("lineitem", 0L)).as("n_lineitems"),
-            lit(counts.getOrElse("events", 0L)).as("n_events")),
-          op = marker(batchId))
+        val rows = req.select(col("k"), lit(batchId).as("batch_id"),
+          lit(counts.getOrElse("orders", 0L)).as("n_orders"),
+          lit(counts.getOrElse("lineitem", 0L)).as("n_lineitems"),
+          lit(counts.getOrElse("events", 0L)).as("n_events"))
+        // empty-table read() has no columns — nothing to dedupe against
+        val prior = t.audit.read()
+        val fresh =
+          if (!prior.columns.contains("batch_id")) rows
+          else rows.join(
+            prior.filter(col("batch_id") === batchId).select(col("k")),
+            Seq("k"), "left_anti")
+        t.audit.append(fresh, op = marker(batchId))
       }
       // lineitem first: its scope is derived FROM orders (see scaladoc)
       if (!committed(t.lineitem, batchId)) {

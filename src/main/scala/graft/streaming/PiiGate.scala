@@ -36,12 +36,20 @@ object PiiGate {
   }
 
   /** The gate: (clean originals, scrubbed offenders). Offenders carry
-    * only the REDACTED text — the raw value must not cross the gate. */
+    * only the REDACTED text — the raw value must not cross the gate.
+    * Both routes come back in the INGEST schema: the per-detector
+    * `hit_*` / `had_pii` audit columns stay inside [[scrub]]/[[audit]],
+    * so downstream sinks see no schema drift versus the source.
+    */
   def route(df: DataFrame, textCol: String = "text"): (DataFrame, DataFrame) = {
     val s = scrub(df, textCol)
-    (s.filter(!col("had_pii")).drop("redacted"),
+    // re-select in the source's column ORDER too — the rename would
+    // otherwise leave the offenders' text column at the end
+    val ingest = df.columns.map(col).toSeq
+    (s.filter(!col("had_pii")).select(ingest: _*),
       s.filter(col("had_pii")).drop(textCol)
-        .withColumnRenamed("redacted", textCol))
+        .withColumnRenamed("redacted", textCol)
+        .select(ingest: _*))
   }
 
   /** Audit wing: watermarked per-hour, per-detector hit counts — the

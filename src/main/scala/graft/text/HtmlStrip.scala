@@ -44,6 +44,17 @@ object HtmlStrip {
   val BlockTagPattern: String =
     "</?(?:html|head|title|style|script|body|header|nav|div|p|section|article|aside|ul|ol|li|table|tr|td|footer|h[1-6]|br)[^>]*>"
 
+  /** Script/style ELEMENT SPANS — tag + body + close tag. These are
+    * removed wholesale BEFORE block segmentation: their tags are block
+    * delimiters, so without this an inline JS/CSS body ≥ [[MinBlockLen]]
+    * visible chars with low link density and no marker words would pass
+    * [[keepOf]] and leak code into the cleaned corpus (poisoning t21/t27
+    * statistics). Dotall + case-insensitive via inline flags, non-greedy
+    * body — all within the Java∩RE2 common dialect (the t26 rule).
+    */
+  val ScriptStylePattern: String =
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+
   /** Any remaining (inline) tag. */
   val AnyTagPattern: String = "<[^>]*>"
 
@@ -104,9 +115,11 @@ object HtmlStrip {
     keepOf(cleanBlock(seg), anchorLen(seg))
 
   /** Raw block segments of a page (order preserved; empties retained —
-    * downstream predicates drop them).
+    * downstream predicates drop them). Script/style element contents are
+    * removed first — see [[ScriptStylePattern]].
     */
-  def blocks(html: Column): Column = split(html, BlockTagPattern)
+  def blocks(html: Column): Column =
+    split(regexp_replace(html, ScriptStylePattern, " "), BlockTagPattern)
 
   /** One clean pass over all blocks: array of (v = cleaned text,
     * a = raw anchor chars) structs — the shared input for keep/count/

@@ -554,7 +554,9 @@ object TextQueries {
              |  SELECT doc_id, text, $sqlHtml AS html FROM documents),
              |segs AS (
              |  SELECT doc_id, text, html,
-             |         regexp_split_to_array(html,
+             |         regexp_split_to_array(
+             |           regexp_replace(html,
+             |             '${HtmlStrip.ScriptStylePattern}', ' ', 'g'),
              |           '${HtmlStrip.BlockTagPattern}') AS blocks
              |  FROM pages)
              |SELECT doc_id,
@@ -1953,6 +1955,12 @@ object TextQueries {
       // expression is evaluated once and stays in whole-stage codegen
       .withColumn("dot", call_function("graft_dot_long",
         col("arr"), col("qarr")))
+      // dot > 0 mirrors the oracle's candidate set: its bucket equi-join
+      // only ever yields pairs sharing ≥1 bucket (weights are positive,
+      // so shared bucket ⇔ dot > 0), while the cross join here scores
+      // zero-overlap pairs at cos 0 — on a sparse-vocabulary corpus those
+      // could fill top-k slots the oracle never produces
+      .filter(col("dot") > 0)
       .withColumn("cos_sim", col("dot").cast("double") /
         (sqrt(col("ss").cast("double")) * sqrt(col("ssq").cast("double"))))
       .filter(col("cos_sim") < maxCos)

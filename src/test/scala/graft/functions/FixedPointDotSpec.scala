@@ -32,12 +32,27 @@ class FixedPointDotSpec extends SparkSpec {
   }
 
   test("graft_dot null and length semantics") {
+    // mismatched lengths → NULL, exactly like aggregate(zip_with(...)):
+    // zip_with null-pads the shorter array and the null products null
+    // the sum — never a partial dot over the common prefix
     val rows = spark.sql(
       """SELECT graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS n,
         |       graft_dot(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)),
-        |                 array(CAST(3.0 AS FLOAT))) AS short""".stripMargin).head()
+        |                 array(CAST(3.0 AS FLOAT))) AS mismatch,
+        |       aggregate(zip_with(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |                          array(CAST(3.0 AS FLOAT)), (x, y) ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1e8) AS BIGINT) *
+        |           CAST(floor(CAST(y AS DOUBLE) * 1e8) AS BIGINT)),
+        |         CAST(0 AS BIGINT), (acc, v) -> acc + v) AS decl""".stripMargin).head()
     assert(rows.isNullAt(0))
-    assert(rows.getLong(1) === 30000000000000000L) // min-length: 1e8 * 3e8
+    assert(rows.isNullAt(1), "length mismatch must be NULL, not a prefix dot")
+    assert(rows.isNullAt(2), "declarative form nulls a mismatch too")
+    // graft_dot_long mirrors the same contract
+    val longs = spark.sql(
+      """SELECT graft_dot_long(array(1L, 2L), array(3L)) AS mismatch,
+        |       graft_dot_long(array(1L, 2L), array(3L, 4L)) AS ok""".stripMargin).head()
+    assert(longs.isNullAt(0))
+    assert(longs.getLong(1) === 11L)
   }
 
   test("NULL array element nulls the result (matches declarative form)") {

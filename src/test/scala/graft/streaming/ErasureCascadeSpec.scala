@@ -116,6 +116,32 @@ class ErasureCascadeSpec extends SparkSpec {
     assert(t.audit.read().filter(col("batch_id") === 3L).count() === 1L)
   }
 
+  test("audit stays duplicate-free when snapshot retention forgets the " +
+    "replay marker") {
+    val t = freshTables()
+    val keys = t.customer.read().select("c_custkey")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    ErasureCascade.applyBatch(reqDf(keys: _*), 5L, t)
+    val batchRows = t.audit.read().filter(col("batch_id") === 5L).collect()
+    assert(batchRows.length === keys.size)
+    // a later batch, then retention tight enough to forget batch 5's
+    // 'erase-batch-5' commit from the audit table's history
+    ErasureCascade.applyBatch(reqDf(keys.map(_ + 1000000L): _*), 6L, t)
+    t.audit.expireSnapshots(keep = 1)
+    assert(t.audit.history()
+      .filter(col("operation") === "erase-batch-5").count() === 0L,
+      "precondition: the marker must be forgotten for this drill")
+    // checkpoint-recovered replay of the forgotten batch: the deletes are
+    // marker-skipped per table, and the audit append must dedupe on
+    // (k, batch_id) — NOT stamp a second set of rows with recomputed
+    // (now zero) blast counts
+    ErasureCascade.applyBatch(reqDf(keys: _*), 5L, t)
+    val replayed = t.audit.read().filter(col("batch_id") === 5L).collect()
+    assert(replayed.length === keys.size, "replay duplicated audit rows")
+    assert(replayed.map(_.toSeq).toSet === batchRows.map(_.toSeq).toSet,
+      "replay must not alter the original compliance records")
+  }
+
   test("live stream + restart drill: erasure applies exactly once") {
     val t = freshTables()
     val dir = Files.createTempDirectory("graft-erase-stream").toString

@@ -57,8 +57,11 @@ class PiiGateSpec extends SparkSpec {
       Pii.detectors.map { case (_, p) => col("text").rlike(p) }
         .reduce(_ || _)).count()
     assert(leaked == 0, "raw PII crossed the gate")
-    assert(scrubbed.columns.contains("text") &&
-      !scrubbed.columns.contains("redacted"))
+    // both routes come back in the INGEST schema (names AND order): the
+    // hit_*/had_pii audit columns live in scrub()/audit() only, so
+    // downstream sinks see no schema drift versus the source
+    assert(clean.columns.toSeq === Seq("doc_id", "text"))
+    assert(scrubbed.columns.toSeq === Seq("doc_id", "text"))
     assert(scrubbed.count() == 5)
   }
 

@@ -49,6 +49,41 @@ class HardNegativesSpec extends SparkSpec {
     assert(got.head._2 == 1L && got.head._3 > 0.9999)
   }
 
+  test("zero-overlap pairs are not candidates: an anchor with fewer than " +
+    "k overlapping cross-source docs returns a SHORT ladder") {
+    graft.GraftExtensions.ensure(spark)
+    // anchor shares vocabulary with exactly ONE cross-source doc; the
+    // other cross-source docs are vocabulary-disjoint (dot = 0). The
+    // oracle's bucket equi-join never produces zero-overlap candidates,
+    // so the miner must not fill the remaining top-k slots with them.
+    val sparse = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "src0"),
+      (1L, "alpha beta gamma delta mu nu xi omicron", "src1"),
+      (2L, "pi rho sigma tau upsilon phi chi psi", "src1"),
+      (3L, "lambda kappa iota omega psi chi phi upsilon", "src2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextQueries.hardNegativesOf(sparse, col("doc_id") === 0, 3, 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // expected candidate set = exactly the oracle's: cross-source docs
+    // sharing ≥1 HASHED bucket with the anchor (64-bucket feature
+    // hashing can collide disjoint vocabularies — doc 1 overlaps by
+    // construction; 2 and 3 only if their terms collide into anchor
+    // buckets, in which case they are genuine candidates on BOTH engines)
+    val w = TextQueries.hashedWeightsOf(sparse.select("doc_id", "text"),
+      TextQueries.idfOf(sparse.select("doc_id", "text")))
+    val anchorBuckets = w.filter(col("doc_id") === 0)
+      .select("bucket").as[Long].collect().toSet
+    val expected = w.filter(col("doc_id") =!= 0)
+      .filter(col("bucket").isin(anchorBuckets.toSeq: _*))
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.contains(1L) && expected.size < 3,
+      s"fixture broke: want a sub-k candidate set, got $expected")
+    assert(got.map(_._2).toSet === expected,
+      s"negatives must be exactly the bucket-overlap candidates: $got")
+    assert(got.forall(_._3 > 0.0),
+      "zero-overlap pairs (cos 0) must never fill ladder slots")
+  }
+
   test("corpus query yields k negatives per anchor with the near-dup bar") {
     val out = TextQueries.x67HardNegatives.run(spark, sfDir)
     val rows = out.collect()

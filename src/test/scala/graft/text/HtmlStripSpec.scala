@@ -52,6 +52,29 @@ class HtmlStripSpec extends SparkSpec {
     assert(stripOf("<title>My Site</title><p>ok then</p>") === "")
   }
 
+  test("script and style BODIES are removed, not just their tags") {
+    val prose = "the quick value table scan joins a window of rows here now"
+    // a >25-char inline script body with low link density and no marker
+    // words — without span removal it passes keepOf as "content"
+    val js = "function track(x) { return x + offset * 42; } var offset = 7;"
+    val css = "body { margin: 0; padding: 0; } .main { color: #222222; }"
+    assert(stripOf(
+      s"<html><head><style>$css</style></head><body>" +
+        s"<script type=\"text/javascript\">$js</script>" +
+        s"<p>$prose</p><script>$js</script></body></html>") === prose)
+    // case-insensitive, multi-line bodies (dotall), attributes on the tag
+    assert(stripOf(
+      s"<SCRIPT src=\"/a.js\">\nline one of code;\nline two is longer here;\n" +
+        s"</SCRIPT><p>$prose</p>") === prose)
+    // script CONTENT gone — not merely delimited into its own block
+    val page = s"<div><p>$prose</p></div><script>$js</script>"
+    import spark.implicits._
+    val kept = Seq(page).toDF("h")
+      .select(HtmlStrip.nBlocks(col("h")).as("nb"),
+        HtmlStrip.nKept(col("h")).as("nk")).head
+    assert(kept.getInt(0) === 1 && kept.getInt(1) === 1)
+  }
+
   test("t21 mis-scores chrome-wrapped pages; stripping restores its verdict") {
     // three dirs with the SAME documents table: original, chrome-wrapped
     // ("scraped"), and stripped-back — t21's quality buckets must be
