@@ -55,6 +55,20 @@ object Bench {
     // has shown windows where that mount alone throttles to single-digit
     // MB/s while the root fs stays at full bandwidth.
     val ioPre = IoProbe.run()
+    // host-CPU health, same discipline (r14 lesson: the speed-layer
+    // record failed at ~1/8 of healthy consumer throughput under a
+    // HEALTHY io-probe — only a compute probe can adjudicate that
+    // window). Healthy-band thresholds live in NOTES next to the io ones.
+    val cpuPre = CpuProbe.run()
+
+    // degraded-window lines for the retry predicates: a window is
+    // CPU-degraded when either the single-thread rate (frequency cap /
+    // per-core steal) or the all-core aggregate (cgroup quota /
+    // oversubscription) falls below ~60% of this box's healthy band
+    // (measured idle-box healthy: ~670 single / ~17000 all-core Mops
+    // across 3 runs — NOTES r15)
+    def cpuDegraded(c: CpuProbe.Result): Boolean =
+      c.singleMops < 400.0 || c.allCoreMops < 10000.0
 
     // warmup: one scan+agg+join through codegen
     force(SparkEntry.queries("j4_daily_business_metrics")(spark, sfDir))
@@ -290,7 +304,9 @@ object Bench {
     // "re-run once before believing a bad number" procedure the judge
     // applies manually, with nothing discarded.
     val ioMid = IoProbe.run()
-    val degraded = ioMid.seqWriteMBps < 60.0 || ioMid.smallCreatePerSec < 800.0
+    val cpuMid = CpuProbe.run()
+    val degraded = ioMid.seqWriteMBps < 60.0 || ioMid.smallCreatePerSec < 800.0 ||
+      cpuDegraded(cpuMid)
     // retry at the 2.5 s healthy-window target, not only the 5 s
     // acceptance line: a degraded-window 4.x s reading should carry its
     // own adjudication instead of passing silently with an 11% margin
@@ -304,8 +320,10 @@ object Bench {
     // identically to 4.5 s-on-healthy in the driver artifact
     val freshJson =
       if (freshRetryJson == null)
-        s"""{"attempt1":$fresh1Json,"io_probe_after":${ioMid.toJsonCompact}}"""
+        s"""{"attempt1":$fresh1Json,"io_probe_after":${ioMid.toJsonCompact},""" +
+          s""""cpu_probe_after":${cpuMid.toJsonCompact}}"""
       else s"""{"attempt1":$fresh1Json,"io_probe_between":${ioMid.toJsonCompact},""" +
+        s""""cpu_probe_between":${cpuMid.toJsonCompact},""" +
         s""""retry":$freshRetryJson}"""
 
     // Speed-layer capacity + acceptance record. The reference's acceptance
@@ -340,11 +358,14 @@ object Bench {
         // confirmed degraded, re-run ONCE and record both attempts
         if (max1 < 10000) {
           val ioSpeed = IoProbe.run()
+          val cpuSpeed = CpuProbe.run()
           val speedDegraded =
-            ioSpeed.seqWriteMBps < 60.0 || ioSpeed.smallCreatePerSec < 800.0
+            ioSpeed.seqWriteMBps < 60.0 || ioSpeed.smallCreatePerSec < 800.0 ||
+              cpuDegraded(cpuSpeed)
           if (speedDegraded) {
             val (j2, eps2, p952, max2) = speedOnce()
             (s"""{"attempt1":$j1,"io_probe_between":${ioSpeed.toJsonCompact},""" +
+              s""""cpu_probe_between":${cpuSpeed.toJsonCompact},""" +
               s""""retry":$j2}""", eps2, p952, max2)
           } else (j1, eps1, p95a, max1)
         } else (j1, eps1, p95a, max1)
@@ -385,6 +406,7 @@ object Bench {
         val shuffleW = new java.util.concurrent.atomic.LongAdder
         val shuffleRec = new java.util.concurrent.atomic.LongAdder
         val spill = new java.util.concurrent.atomic.LongAdder
+        val taskTime = new java.util.concurrent.atomic.LongAdder
         val soakListener = new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
             val m = te.taskMetrics
@@ -392,6 +414,7 @@ object Bench {
               shuffleW.add(m.shuffleWriteMetrics.bytesWritten)
               shuffleRec.add(m.shuffleWriteMetrics.recordsWritten)
               spill.add(m.diskBytesSpilled)
+              taskTime.add(m.executorRunTime)
             }
           }
         }
@@ -418,9 +441,11 @@ object Bench {
           case other => other +: other.children.flatMap(allNodes)
         }
         final case class SoakRun(sec: Double, rowsIn: Long, rowsOut: Long,
-          shufRecords: Long, shufMb: Long, spillMb: Long)
+          shufRecords: Long, shufMb: Long, spillMb: Long,
+          coresBusy: Double = -1.0)
         def runMeasured(n: String, dir: String): SoakRun = {
           val sw0 = shuffleW.sum(); val sr0 = shuffleRec.sum(); val sp0 = spill.sum()
+          val tt0 = taskTime.sum()
           lastQe = null
           val t0 = System.nanoTime()
           val ok =
@@ -443,8 +468,15 @@ object Bench {
                 .map(_.value).nextOption().getOrElse(-1L)
               (in, out)
             }.getOrElse((-1L, -1L))
+            // cores-busy fraction = Σ executor task ms / (wall ms × cores):
+            // the number that explains wall factors — a sf0.1 base run at
+            // 0.1 busy has 10× of latent parallelism a 100× corpus can
+            // absorb before wall time scales with work (the r14 verdict's
+            // x1 27.3×-wall-with-linear-shuffle question)
             SoakRun(sec, rowsIn, rowsOut, shuffleRec.sum() - sr0,
-              (shuffleW.sum() - sw0) / 1048576, (spill.sum() - sp0) / 1048576)
+              (shuffleW.sum() - sw0) / 1048576, (spill.sum() - sp0) / 1048576,
+              coresBusy = math.round((taskTime.sum() - tt0) /
+                (sec * 1000.0 * cpus.toInt) * 1000) / 1000.0)
           }
         }
         // chain (x1→x3→x15→x25) + the top-expense queries of this round
@@ -492,7 +524,9 @@ object Bench {
             s""""shuffle_records_sf1":${warm.shufRecords},""" +
             s""""shuffle_records_ratio":${
               ratio(warm.shufRecords.toDouble, rq.shufRecords.toDouble)},""" +
-            s""""shuffle_write_mb":${warm.shufMb},"spill_mb":${warm.spillMb}}"""
+            s""""shuffle_write_mb":${warm.shufMb},"spill_mb":${warm.spillMb},""" +
+            s""""cores_busy_sf01":${rq.coresBusy},""" +
+            s""""cores_busy_sf1":${warm.coresBusy}}"""
         }
         rmTree(soakDir)
         // 100× soak: two orders of magnitude above the driver's largest
@@ -534,7 +568,9 @@ object Bench {
                 s""""shuffle_records_sf10":${warm.shufRecords},""" +
                 s""""shuffle_records_ratio":${
                   ratio(warm.shufRecords.toDouble, rq.shufRecords.toDouble)},""" +
-                s""""shuffle_write_mb":${warm.shufMb},"spill_mb":${warm.spillMb}}"""
+                s""""shuffle_write_mb":${warm.shufMb},"spill_mb":${warm.spillMb},""" +
+                s""""cores_busy_sf01":${rq.coresBusy},""" +
+                s""""cores_busy_sf10":${warm.coresBusy}}"""
             }
             rmTree(dir100)
             s"""{"replicas":100,"gen_sec":$gen100Sec,""" +
@@ -553,6 +589,7 @@ object Bench {
       }
 
     val ioPost = IoProbe.run()
+    val cpuPost = CpuProbe.run()
 
     // the wave instrumentation is scoped to the two waves above — drop the
     // listener and its maps so nothing accumulates past this point
@@ -607,6 +644,7 @@ object Bench {
       s""""scale_soak":$soakJson,""" +
       s""""scale_soak_100x":$soak100Json,""" +
       s""""io_probe":{"pre":${ioPre.toJson},"post":${ioPost.toJson}},""" +
+      s""""cpu_probe":{"pre":${cpuPre.toJson},"post":${cpuPost.toJson}},""" +
       s""""sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -674,6 +712,10 @@ object Bench {
       // [seq-write MB/s, fsync/s, small-creates/s] before/after the run;
       // healthy-band thresholds live in NOTES
       s""""io_probe":{"pre":${ioPre.toJsonCompact},"post":${ioPost.toJsonCompact}},""" +
+      // [single-thread Mops/s, all-core Mops/s] before/after; healthy
+      // band in NOTES — the r14 speed-layer FAIL ran under a healthy
+      // io-probe and needed exactly this number to adjudicate itself
+      s""""cpu_probe":{"pre":${cpuPre.toJsonCompact},"post":${cpuPost.toJsonCompact}},""" +
       s""""detail":"$outPath","sf":"$sfDir"}"""
     // OFF (not ERROR): nothing — not even a shutdown-hook WARN — may land
     // on the streams after the compact line, which the driver parses as

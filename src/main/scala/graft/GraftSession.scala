@@ -61,6 +61,18 @@ object GraftSession {
       // the posture-correct default for every streaming query here.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit only the per-batch changelog to
+      // the checkpoint location and let background maintenance upload
+      // SST snapshots — versus the default's per-commit snapshot sync,
+      // this removes most of the state-commit fsync/metadata traffic
+      // from the trigger path. That is both the production posture
+      // (commit cost stops scaling with state SIZE and follows batch
+      // CHANGE volume) and the r15 speed-layer fix's second half: on
+      // this box's throttled-mount windows (11-49 MB/s seq-write
+      // recorded in BENCH_r15 attempt 1) per-batch state commits were
+      // the dominant consumer cost after the schema-pruned parse.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         if (v2Committer) "2" else "1")
       .config("spark.ui.enabled", "false")

@@ -37,21 +37,60 @@ object Events {
       user_tier: String,
       properties: String)
 
+  /** The four fields every consumer must convert: validation reads them. */
+  private val validationFields = Seq("event_id", "user_id", "ts", "event_type")
+
+  private def withValidation(parsed: DataFrame): DataFrame =
+    parsed.withColumn(
+      "validation_errors",
+      array_compact(array(
+        when(col("event_id").isNull, "missing event_id"),
+        when(col("user_id").isNull, "missing user_id"),
+        when(col("ts").isNull, "missing ts"),
+        when(col("event_type").isNull, "missing event_type")
+          .when(!col("event_type").isin(eventTypes: _*), "unknown event_type"))))
+
   /** T7 — parse a raw `value: STRING` stream into typed events plus a
     * `validation_errors` column. Works identically on static and streaming
     * DataFrames (same Catalyst plan).
     */
   def parse(raw: DataFrame): DataFrame = {
     val parsed = raw.withColumn("event", from_json(col("value"), schema))
-    parsed.select(col("value"), col("event.*"))
-      .withColumn(
-        "validation_errors",
-        array_compact(array(
-          when(col("event_id").isNull, "missing event_id"),
-          when(col("user_id").isNull, "missing user_id"),
-          when(col("ts").isNull, "missing ts"),
-          when(col("event_type").isNull, "missing event_type")
-            .when(!col("event_type").isin(eventTypes: _*), "unknown event_type"))))
+    withValidation(parsed.select(col("value"), col("event.*")))
+  }
+
+  /** Schema-pruned [[parse]]: converts ONLY the validation fields plus
+    * `extra`. `from_json` still tokenizes the whole payload, but skips
+    * the UTF8 copies and type conversion of every omitted field — the
+    * per-event saving that matters when three independent consumers each
+    * re-parse the same topic (the production topology): the DLQ split
+    * needs 4 of the 7 fields, the funnel 6, sessionization 6. Validation
+    * semantics are IDENTICAL to [[parse]] — the four checked fields are
+    * always converted.
+    */
+  def parsePruned(raw: DataFrame, extra: Seq[String]): DataFrame = {
+    val names = validationFields ++ extra.filterNot(validationFields.contains)
+    val pruned = StructType(schema.fields.filter(f => names.contains(f.name)))
+    val parsed = raw.withColumn("event", from_json(col("value"), pruned))
+    withValidation(parsed.select(col("value"), col("event.*")))
+  }
+
+  /** Valid branch of a PRUNED parse, rebuilt to the full typed surface:
+    * omitted fields come back as typed NULLs, so downstream operators
+    * keep the `Dataset[Event]` contract (they must not READ the omitted
+    * fields — that is the caller's pruning bargain).
+    */
+  def validPruned(parsed: DataFrame): Dataset[Event] = {
+    val s = parsed.sparkSession
+    import s.implicits._
+    val have = parsed.columns.toSet
+    val cols = schema.fields.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    parsed.filter(size(col("validation_errors")) === 0)
+      .select(cols.toIndexedSeq: _*)
+      .as[Event]
   }
 
   /** Valid branch of the T7 split: typed events only. */

@@ -74,7 +74,12 @@ object SustainedLoad {
       // MB/s, fsync/s, small-creates/s]) — a failed rung on a throttled
       // mount must not read identically to one on a healthy mount, so
       // every probe/record/overload attempt self-adjudicates its window
-      ioProbe: Option[String] = None) {
+      ioProbe: Option[String] = None,
+      // host-CPU health sampled just before this run ([single-thread
+      // Mops/s, all-core Mops/s]) — the r14 lesson: a record can fail at
+      // 1/8 of healthy consumer throughput under a HEALTHY io-probe, and
+      // only a compute measurement makes that window name itself
+      cpuProbe: Option[String] = None) {
     private def pct(p: Double): Double = {
       val s = e2e.sorted
       if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
@@ -105,6 +110,7 @@ object SustainedLoad {
         s""""caught_up":$caughtUp,"catchup_sec":$catchupSec,""" +
         s""""e2e_p50_sec":$p50,"e2e_p95_sec":$p95,"e2e_max_sec":$max""" +
         ioProbe.fold("")(p => s""","io_probe_pre":$p""") +
+        cpuProbe.fold("")(p => s""","cpu_probe_pre":$p""") +
         (if (consumers.isEmpty) "}"
         else s""","consumers":{${consumers.map(_.toJson).mkString(",")}}}""")
   }
@@ -184,8 +190,19 @@ object SustainedLoad {
     val rawSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.StringType)))
-    def parsed = Events.parse(
-      spark.readStream.schema(rawSchema).parquet(inDir.toString))
+    // Per-consumer SCHEMA-PRUNED parse (each consumer re-parses the topic
+    // independently — the production consumer-group topology — so each
+    // should convert only the fields it reads): the funnel MV never reads
+    // `properties` (the largest field), sessionization never reads
+    // `session_id`, and the DLQ split needs only the four validation
+    // fields. Validation semantics are identical across all three
+    // (Events.parsePruned always converts the checked fields).
+    def raw = spark.readStream.schema(rawSchema).parquet(inDir.toString)
+    def funnelEvents = Events.validPruned(
+      Events.parsePruned(raw, Seq("session_id", "user_tier")))
+    def sessionEvents = Events.validPruned(
+      Events.parsePruned(raw, Seq("user_tier", "properties")))
+    def dlqParsed = Events.parsePruned(raw, Nil)
     // state partitioning sized to the stream (see Freshness): restore after
     // start — streams clone the session conf at start
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -193,7 +210,7 @@ object SustainedLoad {
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         val funnelQ = StreamingAggs
-          .funnel(Events.deduped(Events.valid(parsed)), watermark = None)
+          .funnel(Events.deduped(funnelEvents), watermark = None)
           .writeStream
           .foreachBatch { (b: DataFrame, id: Long) => mv.update(b, id) }
           .option("checkpointLocation", s"$baseDir/ckpt/funnel")
@@ -201,7 +218,7 @@ object SustainedLoad {
           .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
           .start()
         val sessionQ = Sessionization
-          .sessionize(Events.deduped(Events.valid(parsed)),
+          .sessionize(Events.deduped(sessionEvents),
             timeoutMs = 60000, watermark = None,
             outputMode = org.apache.spark.sql.streaming.OutputMode.Append)
           .writeStream
@@ -211,7 +228,7 @@ object SustainedLoad {
           .outputMode("append")
           .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
           .start()
-        val dlqQ = Events.invalid(parsed)
+        val dlqQ = Events.invalid(dlqParsed)
           .writeStream
           .format("parquet")
           .option("path", s"$baseDir/dlq")
@@ -388,13 +405,14 @@ object SustainedLoad {
     def runAt(eps: Int, dur: Int, catchupSec: Int): Result = {
       serial += 1
       val dir = root.resolve(s"run-$serial-$eps")
-      // pre-run mount-health stamp: which rungs ran inside a degraded
-      // window is part of the record, not something to reconstruct from
-      // the run-level pre/post pair afterwards
+      // pre-run mount- AND cpu-health stamps: which rungs ran inside a
+      // degraded window is part of the record, not something to
+      // reconstruct from the run-level pre/post pair afterwards
       val io = graft.IoProbe.run().toJsonCompact
+      val cpu = graft.CpuProbe.run().toJsonCompact
       try run(spark, dir.toString, targetEps = eps, durationSec = dur,
         eventsPerFile = eventsPerFile, catchupTimeoutSec = catchupSec)
-        .copy(ioProbe = Some(io))
+        .copy(ioProbe = Some(io), cpuProbe = Some(cpu))
       finally rmTree(dir)
     }
 

@@ -359,4 +359,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"x63 degraded to BroadcastNestedLoopJoin:\n$plan")
   }
+
+  /** Total shuffle-write RECORDS of one full execution — the work metric
+    * plan text can't show. Suites run sequentially in the test JVM, so
+    * the listener sees only this query's tasks; the async listener bus is
+    * polled to stability before the count is read.
+    */
+  private def shuffleRecordsOf(name: String): Long = {
+    val acc = new java.util.concurrent.atomic.LongAdder
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) acc.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val deadline = System.nanoTime() + 3000000000L
+      var last = -1L
+      while (acc.sum() != last && System.nanoTime() < deadline) {
+        last = acc.sum(); Thread.sleep(150)
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    acc.sum()
+  }
+
+  test("x2/a13/x62/x63 shuffle-record ceilings (driver-window swing pins)") {
+    // All four swung >1.5x in the r14 driver window with correctness
+    // green and plan shape unchanged. A plan-text pin cannot separate
+    // "the box was throttled" from "the plan silently moves more rows" —
+    // these ceilings can: they bound the RECORDS each query may shuffle
+    // at sf0.001, ~2x the measured value (NOTES r15), far below the
+    // order-of-magnitude growth of a real work regression (w13's caught
+    // defect was 15,783x). A refactor that re-grows the shuffled stream
+    // fails here mechanically; a throttled window cannot.
+    // measured at sf0.001 (NOTES r15): x2 4486, a13 7788, x62 542,
+    // x63 8412 — caps sit ~2x above
+    val ceilings = Seq(
+      // fused band-signature join, df-capped buckets, pair-dedup groupBy
+      "x2_dedup_minhash_lsh" -> 9000L,
+      // one-pass sortable-bits histogram + targeted-bin selection
+      "a13_percentiles" -> 16000L,
+      // bounded-histogram weighted threshold + broadcast cut frames
+      "x62_token_budget_selection" -> 1200L,
+      // capped blocking, 16-byte pair dedup, broadcast anti-join
+      "x63_record_linkage" -> 17000L)
+    for ((q, cap) <- ceilings) {
+      val rec = shuffleRecordsOf(q)
+      info(s"$q shuffled $rec records (cap $cap)")
+      assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
+    }
+  }
 }
