@@ -501,7 +501,11 @@ object Bench {
           "x21_split_leakage", "x23_split_cluster_safe",
           "x41_dedup_segments", "j4_daily_business_metrics",
           "x45_bigram_surprisal", "x46_topic_clusters",
-          "x62_token_budget_selection")
+          "x62_token_budget_selection",
+          // x68 joined in r15: the BPE learn collapses to the word
+          // vocabulary, so the soak shows the tokenizer-train cost
+          // staying vocabulary-bounded while the corpus scales
+          "x68_bpe_token_budget")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)

@@ -1262,6 +1262,165 @@ object CurationQueries {
             |WHERE score6 >= thr
             |GROUP BY f.source ORDER BY source""".stripMargin))
 
+  /** X68 — x62's token-budget quota re-measured in LEARNED BPE tokens.
+    * LLM budgets are tokenizer tokens, not whitespace words: the query
+    * learns a char-level-within-word merge table over the corpus
+    * ([[BpeLearn]], K = 16 merges), counts each document in BPE tokens
+    * via the replayed table, and applies the x62 25%-per-source quota on
+    * THOSE counts.
+    *
+    * The oracle replays the whole pipeline in SQL — including the LEARN:
+    * one merge per round (argmax of weighted pair counts at n ≥ 2, ties
+    * on UTF-8 bytes — DuckDB's binary collation = Spark's UTF8String
+    * order), greedy left-to-right rewrite as a list_reduce over the word
+    * vocabulary. Because BpeLearn's exact-safe merge BATCHING is proven
+    * equal to one-merge-at-a-time application (BpeLearnSpec), the
+    * sequential SQL replay must produce the identical table — the
+    * `merges_fp` output column gates that equality corpus-wide, making
+    * this oracle a second, engine-independent check of the batching
+    * proof. Round CTEs are MATERIALIZED: each references its predecessor
+    * twice, and DuckDB's default inlining would make the chain
+    * exponential.
+    *
+    * Scale posture: the learn runs over the COLLAPSED word vocabulary
+    * (the corpus is scanned once — [[BpeLearn]]'s weighted-collapse
+    * contract), per-word BPE lengths are a vocabulary-sized broadcast
+    * dictionary, and the quota is x62's bounded-histogram
+    * [[graft.operators.RadixSelect.weightedThreshold]] — no corpus sort,
+    * no per-doc re-tokenization beyond one word explode.
+    */
+  val x68BpeTokenBudget: QueryDef = {
+    val K = 16
+    QueryDef(
+      "x68_bpe_token_budget",
+      "per-source token budget in learned BPE tokens (merge table oracle-replayed)",
+      (s, d) => {
+        import s.implicits._
+        // index-build half, persisted once per dir (the x2-signatures
+        // pattern): learn the merge table (driver-side, over the
+        // collapsed vocabulary), re-tokenize the corpus through the
+        // vocabulary dictionary, score quality — the cached frame is
+        // (doc_id, source, score6, BPE toks, merge-table meta), so bench
+        // re-runs measure the quota, not a tokenizer re-train
+        val scored = graft.PlanCache.persisted(s, s"x68-scored/$d") {
+          val words = docs(s, d)
+            .select(explode(split(col("text"), " ")).as("w"))
+            .filter(length(col("w")) > 0)
+          // chars via Scala (not split(w, "")) so the learn input and
+          // the apply side tokenize identically by construction
+          val charSeqs = words.as[String]
+            .map(w => w.map(_.toString): Seq[String]).toDF("toks")
+          val merges = BpeLearn.learn(charSeqs, K)
+          val table = merges.map(m => (m.a, m.b))
+          val fp = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val bytes = md.digest(merges.map(m => m.a + "\u0001" + m.b)
+              .mkString("\u0002").getBytes("UTF-8"))
+            bytes.map("%02x".format(_)).mkString
+          }
+          val lens = words.distinct().as[String].map { w =>
+            val t = table.foldLeft(w.map(_.toString).toIndexedSeq) {
+              case (t0, (a, b)) => BpeLearn.mergeOnce(t0, a, b)
+            }
+            (w, t.length.toLong)
+          }.toDF("w", "n_bpe")
+          val perDoc = docs(s, d)
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .filter(length(col("w")) > 0)
+            .join(broadcast(lens), Seq("w"))
+            .groupBy("doc_id").agg(sum(col("n_bpe")).as("toks"))
+          docs(s, d).select(col("source"), col("doc_id"),
+              TextQueries.qualityScore6.as("score6"))
+            .join(perDoc, Seq("doc_id"))
+            .withColumn("n_merges", lit(merges.size.toLong))
+            .withColumn("merges_fp", lit(fp))
+        }
+        val budgets = scored.groupBy("source")
+          .agg(greatest(expr("sum(toks) DIV 4"), lit(1L)).as("budget"))
+        val thr = graft.operators.RadixSelect
+          .weightedThreshold(scored, Seq("source"), "score6", "toks", budgets)
+        scored.join(broadcast(thr), Seq("source"))
+          .filter(col("score6") >= col("thr"))
+          .groupBy(col("source"), col("budget").as("budget_tokens"),
+            col("thr"), col("n_merges"), col("merges_fp"))
+          .agg(count(lit(1)).as("n_docs_sel"), sum(col("toks")).as("sel_tokens"))
+          .select(col("source"), col("budget_tokens"), col("thr"),
+            col("n_docs_sel"), col("sel_tokens"), col("n_merges"),
+            col("merges_fp"))
+          .orderBy("source")
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"r${i - 1}"
+          s"""m$i AS MATERIALIZED (
+             |  SELECT a, b FROM (
+             |    SELECT p[1] AS a, p[2] AS b, sum(freq) AS n
+             |    FROM (SELECT freq, unnest(list_zip(toks, toks[2:])) AS p
+             |          FROM $prev)
+             |    WHERE p[2] IS NOT NULL
+             |    GROUP BY 1, 2 HAVING sum(freq) >= 2
+             |    ORDER BY n DESC, a, b LIMIT 1)),
+             |r$i AS MATERIALIZED (
+             |  SELECT w, freq,
+             |    CASE WHEN m.a IS NULL THEN toks ELSE
+             |      list_reduce(list_transform(toks, t -> [t]),
+             |        (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+             |                    THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
+             |                    ELSE acc || x END)
+             |    END AS toks
+             |  FROM $prev LEFT JOIN m$i m ON true)""".stripMargin
+        }
+        val unions = (1 to K)
+          .map(i => s"SELECT $i AS r, a, b FROM m$i").mkString(" UNION ALL ")
+        s"""WITH w0 AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |words AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+           |  FROM w0 WHERE len(w) > 0 GROUP BY 1),
+           |r0 AS MATERIALIZED (
+           |  SELECT w, freq, string_split(w, '') AS toks FROM words),
+           |${(1 to K).map(round).mkString(",\n")},
+           |mall AS ($unions),
+           |mfp AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_merges,
+           |         md5(string_agg(a || chr(1) || b, chr(2) ORDER BY r))
+           |           AS merges_fp
+           |  FROM mall),
+           |lens AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_bpe FROM r$K),
+           |dw AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |cnt AS (
+           |  SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS toks
+           |  FROM dw JOIN lens USING (w) GROUP BY 1),
+           |f AS (
+           |  SELECT d.source, d.doc_id,
+           |         ${TextQueries.qualityScore6Sql} AS score6, c.toks
+           |  FROM documents d JOIN cnt c USING (doc_id)),
+           |b AS (SELECT source,
+           |             CAST(greatest(sum(toks) // 4, 1) AS BIGINT)
+           |               AS budget_tokens
+           |      FROM f GROUP BY 1),
+           |cw AS (SELECT source, score6,
+           |              sum(sum(toks)) OVER (PARTITION BY source
+           |                                   ORDER BY score6 DESC) AS cum
+           |       FROM f GROUP BY source, score6),
+           |thr AS (SELECT source, max(score6) AS thr
+           |        FROM cw JOIN b USING (source)
+           |        WHERE cum >= budget_tokens GROUP BY source)
+           |SELECT f.source, any_value(budget_tokens) AS budget_tokens,
+           |       any_value(thr) AS thr,
+           |       CAST(count(*) AS BIGINT) AS n_docs_sel,
+           |       CAST(sum(toks) AS BIGINT) AS sel_tokens,
+           |       n_merges, merges_fp
+           |FROM f JOIN thr USING (source) JOIN b USING (source)
+           |     CROSS JOIN mfp
+           |WHERE score6 >= thr
+           |GROUP BY f.source, n_merges, merges_fp
+           |ORDER BY source""".stripMargin
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
@@ -1269,5 +1428,5 @@ object CurationQueries {
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
       x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination,
-      x62TokenBudget)
+      x62TokenBudget, x68BpeTokenBudget)
 }

@@ -20,9 +20,10 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // scratch-mount health stamps: timings from a degraded window are
-    // discounted, not believed (the bench's io_probe discipline)
+    // scratch-mount AND cpu health stamps: timings from a degraded window
+    // are discounted, not believed (the bench's probe discipline)
     println(s"[timequery] io_probe_pre: ${graft.IoProbe.run().toJsonCompact}")
+    println(s"[timequery] cpu_probe_pre: ${graft.CpuProbe.run().toJsonCompact}")
     force(SparkEntry.queries("j4_daily_business_metrics")(spark, sfDir)) // warmup
     names.foreach { n =>
       val times = (1 to runs).map { _ =>
@@ -34,6 +35,7 @@ object TimeQuery {
         times.map(t => f"$t%.3f").mkString("(", ", ", ")"))
     }
     println(s"[timequery] io_probe_post: ${graft.IoProbe.run().toJsonCompact}")
+    println(s"[timequery] cpu_probe_post: ${graft.CpuProbe.run().toJsonCompact}")
     spark.stop()
   }
 }
