@@ -326,6 +326,89 @@ object Bench {
         s""""cpu_probe_between":${cpuMid.toJsonCompact},""" +
         s""""retry":$freshRetryJson}"""
 
+    // ST28 IVM refresh-at-O(changed-commits), exercised under the bench's
+    // eye instead of only in specs: a count/sum mart over an orders
+    // snapshot table refreshes after 1 / 10 / 100 appended commits, and
+    // the section records BOTH wall seconds and parquet rows READ per
+    // refresh (the honest O(delta) metric at this scale — local-mode job
+    // overhead flattens sub-second walls, but rows-read cannot lie: a
+    // 1-commit refresh reads ~commit+MV rows, a full rebuild reads the
+    // table). rows_read comes from task input metrics, polled to
+    // stability because the listener bus is async.
+    val (ivmJson, ivmPass) = try {
+      val dirIvm = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+      val ordersSrc = sources.Tables.load(spark, sfDir, "orders")
+        .select(org.apache.spark.sql.functions.col("o_orderstatus"),
+          org.apache.spark.sql.functions.col("o_orderpriority"),
+          (org.apache.spark.sql.functions.col("o_totalprice") * 100)
+            .cast("long").as("cents"))
+      val baseT = lakehouse.SnapshotTable.create(spark, s"$dirIvm/base")
+      baseT.append(ordersSrc)
+      val baseRows = baseT.read().count()
+      val iv = new lakehouse.IncrementalView(baseT,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("cents"), s"$dirIvm/ivm")
+      val ivmRead = new java.util.concurrent.atomic.LongAdder
+      val ivmListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) ivmRead.add(m.inputMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(ivmListener)
+      def settled(): Long = {
+        val deadline = System.nanoTime() + 3000000000L
+        var last = -1L
+        while (ivmRead.sum() != last && System.nanoTime() < deadline) {
+          last = ivmRead.sum(); Thread.sleep(100)
+        }
+        ivmRead.sum()
+      }
+      def timedRefresh(): (Double, Long) = {
+        val r0 = settled()
+        val t0 = System.nanoTime()
+        iv.refresh()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (math.round(sec * 1000) / 1000.0, settled() - r0)
+      }
+      val (initSec, initRows) = timedRefresh() // initial build: O(table)
+      val commitBatch = ordersSrc.limit(200).localCheckpoint(true)
+      val rungs = Seq(1, 10, 100).map { n =>
+        val tA = System.nanoTime()
+        (1 to n).foreach(_ => baseT.append(commitBatch))
+        val appendSec = (System.nanoTime() - tA) / 1e9
+        val (sec, rows) = timedRefresh()
+        (n, sec, rows, math.round(appendSec * 1000) / 1000.0)
+      }
+      // full-rebuild reference over the grown table
+      val r0 = settled()
+      val tR = System.nanoTime()
+      force(baseT.read().groupBy("o_orderstatus", "o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+          org.apache.spark.sql.functions.sum("cents").as("sum_cents")))
+      val rebuildSec = math.round((System.nanoTime() - tR) / 1e9 * 1000) / 1000.0
+      val rebuildRows = settled() - r0
+      spark.sparkContext.removeSparkListener(ivmListener)
+      rmTree(dirIvm)
+      val rungJson = rungs.map { case (n, sec, rows, aSec) =>
+        s"""{"commits":$n,"refresh_sec":$sec,"rows_read":$rows,""" +
+          s""""append_sec":$aSec}"""
+      }.mkString("[", ",", "]")
+      val json = s"""{"base_rows":$baseRows,"commit_rows":200,""" +
+        s""""initial_refresh_sec":$initSec,"initial_rows_read":$initRows,""" +
+        s""""rungs":$rungJson,""" +
+        s""""full_rebuild_sec":$rebuildSec,"full_rebuild_rows_read":$rebuildRows}"""
+      // pass = the 1-commit refresh read O(delta), not O(table): at
+      // least 50x fewer rows than the base (200-row commit + tiny MV
+      // against a 150k-row table leaves orders of magnitude of margin)
+      val rung1Rows = rungs.head._3
+      (json, rung1Rows >= 0 && rung1Rows * 50 <= baseRows)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] ivm failed: ${e.getMessage}")
+      ("""{"error":true}""", false)
+    }
+
     // Speed-layer capacity + acceptance record. The reference's acceptance
     // is 10k events/s sustained with < 5 s ingestion-to-dashboard
     // (`realtime-analytics-speed-layer/requirements.md:18,31`): the sweep
@@ -644,6 +727,7 @@ object Bench {
       s""""mv_build_sec":$mvBuildSec,""" +
       s""""wave_mv_served":${waveJson(mvWave)}},""" +
       s""""freshness":$freshJson,""" +
+      s""""ivm":$ivmJson,""" +
       s""""speed_layer":$speedJson,""" +
       s""""scale_soak":$soakJson,""" +
       s""""scale_soak_100x":$soak100Json,""" +
@@ -679,6 +763,7 @@ object Bench {
     val sections = s"""{"ingest":${eps > 0},""" +
       s""""concurrent":${worstSlowdown > 0},""" +
       s""""freshness":${freshP95 > 0 && freshP95 < 5.0},""" +
+      s""""ivm":$ivmPass,""" +
       s""""speed_layer":${speedP95 > 0 && speedP95 < 5.0},""" +
       s""""scale_soak":${!soakJson.contains("\"failed\"")},""" +
       s""""scale_soak_100x":${!soak100Json.contains("\"error\"")}}"""

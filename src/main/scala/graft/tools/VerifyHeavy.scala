@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import java.nio.file.{Files, Paths}
+
+/** Manual sf1-scale parity spot-check (not driver-invoked): the driver
+  * gates correctness at sf0.01, and NOTES records DuckDB OOMing on full
+  * sf0.1 sweeps — so the most data-sensitive queries get their own
+  * heavier drill here: generate a ScaleCorpus at `replicas`× the sf0.1
+  * base (10× ≈ sf1), dump those queries' results + oracle SQL exactly
+  * like [[graft.Verify]], then compare with per-query FRESH DuckDB
+  * connections (tools/compare_oracle.py --fresh), which is what keeps
+  * the oracle side inside memory at this scale.
+  *
+  * Usage:
+  *   runMain graft.tools.VerifyHeavy [outDir] [replicas] [names]
+  * then:
+  *   python3 tools/compare_oracle.py --fresh <outDir>/corpus <outDir>
+  *
+  * Default query set: the ten most data-shaped plans (pair mining,
+  * retrieval, quotas, bloom pruning, CDC compaction) plus x68's
+  * tokenizer-train — the ones whose behavior could silently change with
+  * data volume.
+  */
+object VerifyHeavy {
+  val DefaultNames: Seq[String] = Seq(
+    "x2_dedup_minhash_lsh", "x3_dedup_simhash", "x43_hashed_vectors",
+    "x53_quality_propagation", "x54_ann_ivf_adc",
+    "x62_token_budget_selection", "x67_hard_negatives",
+    "j12_bloom_pruned_join", "cdc3_scd2_history",
+    "cdc4_pit_lookup", "x68_bpe_token_budget")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(DefaultNames)
+    val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.create(s"local[$cpus]", "graft-verify-heavy",
+      shufflePartitions = cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = s"$outDir/corpus"
+    new java.io.File(corpus).mkdirs()
+    println(s"[verify-heavy] generating ${replicas}x corpus from $baseSf")
+    val tG = System.nanoTime()
+    ScaleCorpus.generate(spark, baseSf, corpus, replicas = replicas)
+    println(f"[verify-heavy] corpus ready in ${(System.nanoTime() - tG) / 1e9}%.1f s")
+
+    val known = names.filter(SparkEntry.queries.contains)
+    names.filterNot(SparkEntry.queries.contains)
+      .foreach(n => System.err.println(s"[verify-heavy] unknown query: $n"))
+    known.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, corpus).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        println(f"[verify-heavy] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify-heavy] $name failed: ${e.getMessage}")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => known.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.PlanCache.clear(spark)
+    spark.stop()
+    println(s"[verify-heavy] done; compare with: " +
+      s"python3 tools/compare_oracle.py --fresh $corpus $outDir")
+  }
+}
