@@ -47,52 +47,134 @@ final class IvfMaintainer(
   private def spark(df: DataFrame): SparkSession = df.sparkSession
 
   private def appendsDir = s"$indexDir/appends"
+  private def statsDir = java.nio.file.Paths.get(indexDir, "stats")
+  private def baselinePath = statsDir.resolve("baseline.json")
+  private def ledgerPath = statsDir.resolve("compacted.json")
 
-  /** Baseline per-cid list sizes, captured lazily at first use and reset
-    * by [[retrain]] — the denominator of the drift ratios.
+  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Baseline per-cid list sizes — the denominator of the drift ratios.
+    * PERSISTED (`stats/baseline.json`): [[compactAppends]] folds appends
+    * into the base layout, so an in-memory or recomputed-from-lists
+    * baseline would silently forget the drift a compaction did NOT fix
+    * (compaction rewrites files, not centroids). Captured from the base
+    * lists at first use, rewritten only by [[retrain]].
     */
-  @volatile private var baselineCache: Option[Map[Long, Long]] = None
+  private def baseline(s: SparkSession): Map[Long, Long] = synchronized {
+    if (java.nio.file.Files.exists(baselinePath))
+      java.nio.file.Files.readString(baselinePath).split("\n")
+        .filter(_.nonEmpty)
+        .map { l => val Array(c, n) = l.split(","); c.toLong -> n.toLong }
+        .toMap
+    else {
+      val b = s.read.parquet(s"$indexDir/lists")
+        .groupBy(col("cid").cast("long").as("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      writeBaseline(b)
+      b
+    }
+  }
 
-  private def baseline(s: SparkSession): Map[Long, Long] = {
-    baselineCache match {
-      case Some(b) => b
-      case None =>
-        val b = s.read.parquet(s"$indexDir/lists")
-          .groupBy(col("cid").cast("long").as("cid")).count()
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        baselineCache = Some(b)
-        b
+  private def writeBaseline(b: Map[Long, Long]): Unit =
+    writeAtomic(baselinePath,
+      b.toSeq.sorted.map { case (c, n) => s"$c,$n" }.mkString("\n"))
+
+  /** Batch ids already folded into the base layout by [[compactAppends]]
+    * — their `appends/batch_id=` directories are ignored on read and
+    * their replays are no-ops, so a compaction inside the streaming
+    * checkpoint's replay horizon cannot double-count.
+    */
+  private def compactedIds: Set[Long] =
+    if (!java.nio.file.Files.exists(ledgerPath)) Set.empty
+    else java.nio.file.Files.readString(ledgerPath).split("\n")
+      .filter(_.nonEmpty).map(_.toLong).toSet
+
+  private def appendBatchIds: Seq[Long] = {
+    val p = java.nio.file.Paths.get(appendsDir)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val l = java.nio.file.Files.list(p)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch_id=")).map(_.drop(9).toLong).toVector
+      finally l.close()
     }
   }
 
   private def appendsFrame(s: SparkSession): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(appendsDir)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val hasBatch = {
-        val l = java.nio.file.Files.list(p)
-        try {
-          val it = scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator()).asScala
-          it.exists(_.getFileName.toString.startsWith("batch_id="))
-        } finally l.close()
-      }
-      if (!hasBatch) None
-      else Some(s.read.parquet(appendsDir)
-        .withColumn("cid", col("cid").cast("long")))
-    }
+    val live = appendBatchIds.filterNot(compactedIds)
+    if (live.isEmpty) None
+    else Some(s.read.option("basePath", appendsDir)
+      .parquet(live.map(id => s"$appendsDir/batch_id=$id"): _*)
+      .withColumn("cid", col("cid").cast("long")))
   }
 
   /** Route one micro-batch `(vec_id, embedding)` to the existing
     * centroids and land it as `appends/batch_id=<id>` (overwrite ⇒
-    * replay-idempotent). Returns the number of vectors appended.
+    * replay-idempotent; a batch the compactor already folded is a
+    * no-op). Returns the number of vectors appended.
     */
   def appendBatch(batch: DataFrame, batchId: Long): Long = {
+    if (compactedIds.contains(batchId)) return 0L
     val s = spark(batch)
     val cents = s.read.parquet(s"$indexDir/centroids")
     val assigned = Ivf.assign(batch, cents)
     assigned.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$appendsDir/batch_id=$batchId")
     s.read.parquet(s"$appendsDir/batch_id=$batchId").count()
+  }
+
+  /** Fold the accumulated appends into the base `lists/` layout WITHOUT
+    * touching the centroids — the maintenance middle between per-batch
+    * appends (small files accumulate) and [[retrain]] (full Lloyd):
+    * run on a schedule to bound file counts per list directory. Drift
+    * is PRESERVED (the persisted baseline is not rewritten — folding
+    * files does not re-fit centroids).
+    *
+    * Crash/replay posture (a maintenance op, like [[retrain]] — run it
+    * with serving snapshots tolerant of a reload, since the overwrite
+    * replaces the files a pinned listing references):
+    *  - fold is CONTENT-idempotent: `vec_id` is the index identity, and
+    *    the fold dedups on it, so a rerun after a crash anywhere —
+    *    including after a partially-completed fold — converges to the
+    *    same lists;
+    *  - the compacted-ids ledger is written AFTER the fold commits and
+    *    BEFORE the appends are deleted: from then on a streaming
+    *    checkpoint replay of a folded batch is a no-op ([[appendBatch]]
+    *    checks the ledger), and folded-but-undeleted dirs are ignored
+    *    on read.
+    */
+  def compactAppends(s: SparkSession): Unit = synchronized {
+    val ids = appendBatchIds.filterNot(compactedIds)
+    if (ids.isEmpty) return
+    baseline(s) // pin the pre-compaction baseline to disk first
+    val (lists, _) = load(s)
+    // materialize before overwriting the directories the plan reads;
+    // dedup on the identity column makes a crash-rerun fold exact
+    val combined = lists.dropDuplicates("vec_id").localCheckpoint(true)
+    combined.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexDir/lists")
+    writeAtomic(ledgerPath,
+      (compactedIds ++ ids).toSeq.sorted.mkString("\n"))
+    Ivf.dropCheckpoint(combined)
+    ids.foreach { id =>
+      val p = java.nio.file.Paths.get(s"$appendsDir/batch_id=$id")
+      if (java.nio.file.Files.exists(p)) {
+        val st = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally st.close()
+      }
+    }
   }
 
   /** The maintained index: base lists ∪ appends, plus the (frozen)
@@ -110,7 +192,11 @@ final class IvfMaintainer(
     (lists, cents)
   }
 
-  /** Per-centroid drift report: `(cid, base_n, appended_n, drift_ppm)`.
+  /** Per-centroid drift report: `(cid, base_n, appended_n, drift_ppm)`
+    * where `appended_n` = current list size − the baseline captured at
+    * the last [[retrain]] (NOT the appends directories — compaction
+    * folds those into base without fixing drift, so the report measures
+    * growth against the fitted state, whatever the file layout).
     * Fractions are exact integer ppm; a cid that gained vectors but had
     * an EMPTY baseline list reads as perListPpm-saturating (greatest(
     * base_n, 1) denominator).
@@ -118,14 +204,14 @@ final class IvfMaintainer(
   def driftReport(s: SparkSession): DataFrame = {
     import s.implicits._
     val base = baseline(s).toSeq.toDF("cid", "base_n")
-    val appended = appendsFrame(s) match {
-      case Some(a) => a.groupBy("cid").agg(count(lit(1)).as("appended_n"))
-      case None => Seq.empty[(Long, Long)].toDF("cid", "appended_n")
-    }
-    base.join(appended, Seq("cid"), "full_outer")
-      .na.fill(0L, Seq("base_n", "appended_n"))
+    val current = load(s)._1
+      .groupBy(col("cid")).agg(count(lit(1)).as("cur_n"))
+    base.join(current, Seq("cid"), "full_outer")
+      .na.fill(0L, Seq("base_n", "cur_n"))
+      .withColumn("appended_n", greatest(col("cur_n") - col("base_n"), lit(0L)))
       .withColumn("drift_ppm",
         expr("appended_n * 1000000 DIV greatest(base_n, 1)"))
+      .select("cid", "base_n", "appended_n", "drift_ppm")
       .orderBy("cid")
   }
 
@@ -162,9 +248,21 @@ final class IvfMaintainer(
       vectors, seedAssign = col("seed_cid"), iterations)
     val index = index0.drop("seed_cid")
     Ivf.save(index, cents, indexDir)
+    // the rebuilt lists ARE the new fitted state: reset the drift
+    // baseline to them before releasing the checkpoints
+    val b = spark(index).read.parquet(s"$indexDir/lists")
+      .groupBy(col("cid").cast("long").as("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    writeBaseline(b)
     Seq(index0, cents).foreach(Ivf.dropCheckpoint)
     Ivf.dropCheckpoint(vectors)
-    // clear served appends AFTER the rebuilt index is committed
+    // clear served appends AFTER the rebuilt index is committed. Their
+    // batch ids enter the compacted-ids ledger first: the retrain folded
+    // them into the rebuilt lists, so a checkpoint replay of those
+    // batches must be a no-op forever (the ledger is never pruned — it
+    // is O(batches ever folded), a few longs per micro-batch)
+    writeAtomic(ledgerPath,
+      (compactedIds ++ appendBatchIds).toSeq.sorted.mkString("\n"))
     val p = java.nio.file.Paths.get(appendsDir)
     if (java.nio.file.Files.exists(p)) {
       val st = java.nio.file.Files.walk(p)
@@ -174,7 +272,6 @@ final class IvfMaintainer(
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
       } finally st.close()
     }
-    baselineCache = None
   }
 
   /** Wire a streaming vector frame `(vec_id, embedding)` into per-batch

@@ -1289,52 +1289,114 @@ object CurationQueries {
     * [[graft.operators.RadixSelect.weightedThreshold]] — no corpus sort,
     * no per-doc re-tokenization beyond one word explode.
     */
+  /** Merge budget of the x68/x69 learned tokenizer. */
+  private val BpeK = 16
+
+  /** Shared DuckDB replay of the BPE learn (see [[x68BpeTokenBudget]]'s
+    * Scaladoc for the equivalence argument): WITH-clauses through
+    * `mall` / `mfp` (the merge table + fingerprint), `lens` (per-word
+    * BPE lengths after all K rounds), and `cnt` (per-doc BPE token
+    * counts). Query tails compose their own selection on top.
+    */
+  private lazy val bpeReplaySqlPrefix: String = {
+    val K = BpeK
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""m$i AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT p[1] AS a, p[2] AS b, sum(freq) AS n
+         |    FROM (SELECT freq, unnest(list_zip(toks, toks[2:])) AS p
+         |          FROM $prev)
+         |    WHERE p[2] IS NOT NULL
+         |    GROUP BY 1, 2 HAVING sum(freq) >= 2
+         |    ORDER BY n DESC, a, b LIMIT 1)),
+         |r$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    CASE WHEN m.a IS NULL THEN toks ELSE
+         |      list_reduce(list_transform(toks, t -> [t]),
+         |        (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+         |                    THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
+         |                    ELSE acc || x END)
+         |    END AS toks
+         |  FROM $prev LEFT JOIN m$i m ON true)""".stripMargin
+    }
+    val unions = (1 to K)
+      .map(i => s"SELECT $i AS r, a, b FROM m$i").mkString(" UNION ALL ")
+    s"""w0 AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM w0 WHERE len(w) > 0 GROUP BY 1),
+       |r0 AS MATERIALIZED (
+       |  SELECT w, freq, string_split(w, '') AS toks FROM words),
+       |${(1 to K).map(round).mkString(",\n")},
+       |mall AS ($unions),
+       |mfp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_merges,
+       |         md5(string_agg(a || chr(1) || b, chr(2) ORDER BY r))
+       |           AS merges_fp
+       |  FROM mall),
+       |lens AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_bpe FROM r$K),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS toks
+       |  FROM dw JOIN lens USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  /** The x68/x69 index-build half, persisted once per dir (the
+    * x2-signatures pattern): learn the merge table (driver-side, over
+    * the collapsed vocabulary), re-tokenize the corpus through the
+    * vocabulary dictionary, score quality. The cached frame is
+    * (doc_id, source, score6, BPE toks, merge-table meta), so bench
+    * re-runs — and the x69 census — reuse one trained tokenizer.
+    */
+  private def bpeScored(s: SparkSession, d: String) =
+    graft.PlanCache.persisted(s, s"x68-scored/$d") {
+      import s.implicits._
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      // chars via Scala (not split(w, "")) so the learn input and
+      // the apply side tokenize identically by construction
+      val charSeqs = words.as[String]
+        .map(w => w.map(_.toString): Seq[String]).toDF("toks")
+      val merges = BpeLearn.learn(charSeqs, BpeK)
+      val table = merges.map(m => (m.a, m.b))
+      // same byte string the oracle aggregates: a <0x01> b, merges
+      // joined by <0x02>, in learned order
+      val fp = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bytes = md.digest(merges.map(m => m.a + "\u0001" + m.b)
+          .mkString("\u0002").getBytes("UTF-8"))
+        bytes.map("%02x".format(_)).mkString
+      }
+      val lens = words.distinct().as[String].map { w =>
+        val t = table.foldLeft(w.map(_.toString).toIndexedSeq) {
+          case (t0, (a, b)) => BpeLearn.mergeOnce(t0, a, b)
+        }
+        (w, t.length.toLong)
+      }.toDF("w", "n_bpe")
+      val perDoc = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(lens), Seq("w"))
+        .groupBy("doc_id").agg(sum(col("n_bpe")).as("toks"))
+      docs(s, d).select(col("source"), col("doc_id"),
+          TextQueries.qualityScore6.as("score6"))
+        .join(perDoc, Seq("doc_id"))
+        .withColumn("n_merges", lit(merges.size.toLong))
+        .withColumn("merges_fp", lit(fp))
+    }
+
   val x68BpeTokenBudget: QueryDef = {
-    val K = 16
+    val K = BpeK
     QueryDef(
       "x68_bpe_token_budget",
       "per-source token budget in learned BPE tokens (merge table oracle-replayed)",
       (s, d) => {
-        import s.implicits._
-        // index-build half, persisted once per dir (the x2-signatures
-        // pattern): learn the merge table (driver-side, over the
-        // collapsed vocabulary), re-tokenize the corpus through the
-        // vocabulary dictionary, score quality — the cached frame is
-        // (doc_id, source, score6, BPE toks, merge-table meta), so bench
-        // re-runs measure the quota, not a tokenizer re-train
-        val scored = graft.PlanCache.persisted(s, s"x68-scored/$d") {
-          val words = docs(s, d)
-            .select(explode(split(col("text"), " ")).as("w"))
-            .filter(length(col("w")) > 0)
-          // chars via Scala (not split(w, "")) so the learn input and
-          // the apply side tokenize identically by construction
-          val charSeqs = words.as[String]
-            .map(w => w.map(_.toString): Seq[String]).toDF("toks")
-          val merges = BpeLearn.learn(charSeqs, K)
-          val table = merges.map(m => (m.a, m.b))
-          val fp = {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val bytes = md.digest(merges.map(m => m.a + "\u0001" + m.b)
-              .mkString("\u0002").getBytes("UTF-8"))
-            bytes.map("%02x".format(_)).mkString
-          }
-          val lens = words.distinct().as[String].map { w =>
-            val t = table.foldLeft(w.map(_.toString).toIndexedSeq) {
-              case (t0, (a, b)) => BpeLearn.mergeOnce(t0, a, b)
-            }
-            (w, t.length.toLong)
-          }.toDF("w", "n_bpe")
-          val perDoc = docs(s, d)
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-            .filter(length(col("w")) > 0)
-            .join(broadcast(lens), Seq("w"))
-            .groupBy("doc_id").agg(sum(col("n_bpe")).as("toks"))
-          docs(s, d).select(col("source"), col("doc_id"),
-              TextQueries.qualityScore6.as("score6"))
-            .join(perDoc, Seq("doc_id"))
-            .withColumn("n_merges", lit(merges.size.toLong))
-            .withColumn("merges_fp", lit(fp))
-        }
+        val scored = bpeScored(s, d)
         val budgets = scored.groupBy("source")
           .agg(greatest(expr("sum(toks) DIV 4"), lit(1L)).as("budget"))
         val thr = graft.operators.RadixSelect
@@ -1350,49 +1412,7 @@ object CurationQueries {
           .orderBy("source")
       },
       Some {
-        def round(i: Int): String = {
-          val prev = s"r${i - 1}"
-          s"""m$i AS MATERIALIZED (
-             |  SELECT a, b FROM (
-             |    SELECT p[1] AS a, p[2] AS b, sum(freq) AS n
-             |    FROM (SELECT freq, unnest(list_zip(toks, toks[2:])) AS p
-             |          FROM $prev)
-             |    WHERE p[2] IS NOT NULL
-             |    GROUP BY 1, 2 HAVING sum(freq) >= 2
-             |    ORDER BY n DESC, a, b LIMIT 1)),
-             |r$i AS MATERIALIZED (
-             |  SELECT w, freq,
-             |    CASE WHEN m.a IS NULL THEN toks ELSE
-             |      list_reduce(list_transform(toks, t -> [t]),
-             |        (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
-             |                    THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
-             |                    ELSE acc || x END)
-             |    END AS toks
-             |  FROM $prev LEFT JOIN m$i m ON true)""".stripMargin
-        }
-        val unions = (1 to K)
-          .map(i => s"SELECT $i AS r, a, b FROM m$i").mkString(" UNION ALL ")
-        s"""WITH w0 AS (
-           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-           |words AS (
-           |  SELECT w, CAST(count(*) AS BIGINT) AS freq
-           |  FROM w0 WHERE len(w) > 0 GROUP BY 1),
-           |r0 AS MATERIALIZED (
-           |  SELECT w, freq, string_split(w, '') AS toks FROM words),
-           |${(1 to K).map(round).mkString(",\n")},
-           |mall AS ($unions),
-           |mfp AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS n_merges,
-           |         md5(string_agg(a || chr(1) || b, chr(2) ORDER BY r))
-           |           AS merges_fp
-           |  FROM mall),
-           |lens AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_bpe FROM r$K),
-           |dw AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-           |  FROM documents),
-           |cnt AS (
-           |  SELECT doc_id, CAST(sum(n_bpe) AS BIGINT) AS toks
-           |  FROM dw JOIN lens USING (w) GROUP BY 1),
+        s"""WITH $bpeReplaySqlPrefix,
            |f AS (
            |  SELECT d.source, d.doc_id,
            |         ${TextQueries.qualityScore6Sql} AS score6, c.toks
@@ -1421,6 +1441,64 @@ object CurationQueries {
       })
   }
 
+  /** X69 — per-source tokenizer census under the x68 learned table:
+    * fertility (BPE tokens per word, the HF tokenizer-quality metric, as
+    * exact ppm) and character compression (basis points saved vs the
+    * non-space character baseline). A source whose fertility stays near
+    * its character count is underserved by the learned merges — the
+    * per-source budget-planning number next to x36's coverage.
+    *
+    * This is [[BpeLearn.census]]'s role, oracle-gated: r14 ruled merge
+    * application "inherently iterative and not SQL-expressible" and
+    * spec-gated the census differentially — the x68 replay machinery
+    * (one merge per round over materialized CTEs, list_reduce rewrites)
+    * overturns that ruling, so the census now carries the same
+    * engine-independent gate as every other query. All-integer outputs;
+    * shares x68's PlanCache'd scored frame, so the tokenizer trains once
+    * per dir across both queries.
+    */
+  val x69BpeFertility: QueryDef = QueryDef(
+    "x69_bpe_fertility_census",
+    "per-source BPE fertility + compression census under the learned merge table",
+    (s, d) => {
+      // x68's cached (doc_id, source, score6, toks) frame — toks IS the
+      // per-doc BPE count under the shared learned table
+      val bpe = bpeScored(s, d)
+      val counts = docs(s, d).select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long").as("words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"))
+      counts.join(bpe.select(col("doc_id"), col("toks")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("words"),
+          sum(col("toks")).as("bpe_tokens"),
+          sum(col("chars")).as("chars"))
+        .withColumn("fertility_ppm",
+          expr("bpe_tokens * 1000000 DIV greatest(words, 1)"))
+        .withColumn("saved_bp",
+          expr("(chars - bpe_tokens) * 10000 DIV greatest(chars, 1)"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $bpeReplaySqlPrefix,
+            |wc AS (
+            |  SELECT doc_id, source,
+            |         CAST(len(list_filter(string_split(text, ' '),
+            |           w -> len(w) > 0)) AS BIGINT) AS words,
+            |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars
+            |  FROM documents)
+            |SELECT wc.source,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(words) AS BIGINT) AS words,
+            |       CAST(sum(toks) AS BIGINT) AS bpe_tokens,
+            |       CAST(sum(chars) AS BIGINT) AS chars,
+            |       CAST(sum(toks) * 1000000 // greatest(sum(words), 1)
+            |         AS BIGINT) AS fertility_ppm,
+            |       CAST((sum(chars) - sum(toks)) * 10000
+            |            // greatest(sum(chars), 1) AS BIGINT) AS saved_bp
+            |FROM wc JOIN cnt USING (doc_id)
+            |GROUP BY wc.source ORDER BY wc.source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
@@ -1428,5 +1506,5 @@ object CurationQueries {
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
       x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination,
-      x62TokenBudget, x68BpeTokenBudget)
+      x62TokenBudget, x68BpeTokenBudget, x69BpeFertility)
 }

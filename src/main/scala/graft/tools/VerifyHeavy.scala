@@ -24,7 +24,7 @@ import java.nio.file.{Files, Paths}
   */
 object VerifyHeavy {
   val DefaultNames: Seq[String] = Seq(
-    "x2_dedup_minhash_lsh", "x3_dedup_simhash", "x43_hashed_vectors",
+    "x2_dedup_minhash_lsh", "x3_dedup_simhash", "x43_hashed_doc_vectors",
     "x53_quality_propagation", "x54_ann_ivf_adc",
     "x62_token_budget_selection", "x67_hard_negatives",
     "j12_bloom_pruned_join", "cdc3_scd2_history",

@@ -96,6 +96,47 @@ class IvfMaintainerSpec extends SparkSpec {
       .select("vec_id").distinct().count() === 70L)
   }
 
+  test("compaction folds appends into base: content identical, drift " +
+    "preserved, folded-batch replays are no-ops") {
+    val (dir, m) = freshIndex()
+    m.appendBatch(vecs.filter(col("vec_id") >= 400 && col("vec_id") < 450), 0L)
+    m.appendBatch(vecs.filter(col("vec_id") >= 450), 1L)
+    assert(m.retrainDue(spark), "25% appended must trip the trigger first")
+    val before = m.load(spark)._1.select("vec_id", "cid")
+      .as[(Long, Long)].collect().toSet
+    m.compactAppends(spark)
+    val after = m.load(spark)._1.select("vec_id", "cid")
+      .as[(Long, Long)].collect().toSet
+    assert(after === before, "compaction changed index content")
+    // base layout now holds everything; live append dirs are gone
+    assert(Ivf.load(spark, dir)._1.count() === 500L)
+    // drift measures against the last RETRAIN, so folding files must
+    // not clear the retrain signal
+    assert(m.retrainDue(spark),
+      "compaction must not masquerade as a retrain in the drift report")
+    // a checkpoint replay of a folded batch cannot double-count
+    val n = m.appendBatch(
+      vecs.filter(col("vec_id") >= 400 && col("vec_id") < 450), 0L)
+    assert(n === 0L, "replay of a folded batch must be a no-op")
+    assert(m.load(spark)._1.count() === 500L)
+    assert(m.load(spark)._1.select("vec_id").distinct().count() === 500L)
+  }
+
+  test("compaction fold is content-idempotent on the vec_id identity") {
+    val (_, m) = freshIndex()
+    val b = vecs.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    m.appendBatch(b, 0L)
+    m.compactAppends(spark)
+    // the same VECTORS arrive again under a NEW batch id (an at-least-
+    // once upstream re-send, not a checkpoint replay): the next fold
+    // dedups on vec_id instead of double-counting
+    m.appendBatch(b, 7L)
+    m.compactAppends(spark)
+    val lists = m.load(spark)._1
+    assert(lists.filter(col("vec_id") >= 400).count() === 50L)
+    assert(lists.select("vec_id").distinct().count() === lists.count())
+  }
+
   test("drift trigger fires on appended mass and clears after retrain") {
     val (_, m) = freshIndex()
     assert(!m.retrainDue(spark), "fresh index must not demand a retrain")

@@ -48,6 +48,24 @@ class BpeTokenBudgetSpec extends SparkSpec {
       "the merges must compress the raw character baseline")
   }
 
+  test("x69 census: fertility >= 1 token/word, compression strictly " +
+    "inside (0, 100%), one tokenizer shared with x68") {
+    val census = CurationQueries.x69BpeFertility.run(spark, sfDir).collect()
+    assert(census.nonEmpty)
+    census.foreach { r =>
+      val (words, bpe, chars) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bpe >= words, "a word is at least one BPE token")
+      assert(bpe < chars, "the merges must beat the character baseline")
+      assert(r.getLong(5) >= 1000000L, "fertility_ppm floor is 1.0")
+      assert(r.getLong(6) > 0 && r.getLong(6) < 10000, "saved_bp range")
+    }
+    // per-source sel/census token masses come from the SAME cached frame
+    val selTotal = out.map(_.getLong(1)).sum * 4 // budgets are mass/4 (floor)
+    val censusTotal = census.map(_.getLong(3)).sum
+    assert((censusTotal - selTotal).abs <= out.length * 4,
+      "x68 budgets and x69 census disagree on the corpus BPE mass")
+  }
+
   test("threshold is value-deterministic: the sub-threshold mass misses " +
     "the budget (x62 contract on BPE weights)") {
     // recompute the per-doc BPE mass from the query's own cached scored
