@@ -397,7 +397,7 @@ class PlanAuditSpec extends SparkSpec {
     // defect was 15,783x). A refactor that re-grows the shuffled stream
     // fails here mechanically; a throttled window cannot.
     // measured at sf0.001 (NOTES r15): x2 4486, a13 7788, x62 542,
-    // x63 8412 — caps sit ~2x above
+    // x63 8412, x68 2281 — caps sit ~2x above
     val ceilings = Seq(
       // fused band-signature join, df-capped buckets, pair-dedup groupBy
       "x2_dedup_minhash_lsh" -> 9000L,
@@ -406,7 +406,11 @@ class PlanAuditSpec extends SparkSpec {
       // bounded-histogram weighted threshold + broadcast cut frames
       "x62_token_budget_selection" -> 1200L,
       // capped blocking, 16-byte pair dedup, broadcast anti-join
-      "x63_record_linkage" -> 17000L)
+      "x63_record_linkage" -> 17000L,
+      // r15: vocabulary-bounded BPE learn + broadcast dictionary join —
+      // the shuffled stream is docs-sized partials, never re-tokenized
+      // corpus (10x soak: shuffle ratio 2.5, wall 0.63x)
+      "x68_bpe_token_budget" -> 4600L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
