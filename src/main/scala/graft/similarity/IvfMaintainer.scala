@@ -123,6 +123,10 @@ final class IvfMaintainer(
     */
   def appendBatch(batch: DataFrame, batchId: Long): Long = {
     if (compactedIds.contains(batchId)) return 0L
+    // an empty micro-batch (idle trigger) must not land a file-less
+    // batch_id= directory — a later multi-dir appends read would fail
+    // schema inference on it
+    if (batch.isEmpty) return 0L
     val s = spark(batch)
     val cents = s.read.parquet(s"$indexDir/centroids")
     val assigned = Ivf.assign(batch, cents)

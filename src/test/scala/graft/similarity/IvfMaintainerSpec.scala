@@ -69,6 +69,8 @@ class IvfMaintainerSpec extends SparkSpec {
     m.appendBatch(b0, 0L)
     m.appendBatch(b0, 0L) // foreachBatch re-delivery
     m.appendBatch(b1, 1L)
+    // an idle trigger's empty batch lands nothing (and breaks nothing)
+    assert(m.appendBatch(vecs.filter(col("vec_id") < 0), 2L) === 0L)
     val (lists, _) = m.load(spark)
     val appended = lists.filter(col("vec_id") >= 400)
     assert(appended.count() === 50L, "replay duplicated a batch")
