@@ -24,7 +24,8 @@ object SparkEntry {
       similarity.QuantizationQueries.defs ++
       text.TextQueries.defs ++
       text.CurationQueries.defs ++
-      quality.PiiQueries.defs
+      quality.PiiQueries.defs ++
+      lakehouse.LayoutQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mart: daily business metrics
