@@ -588,7 +588,11 @@ object Bench {
           // x68 joined in r15: the BPE learn collapses to the word
           // vocabulary, so the soak shows the tokenizer-train cost
           // staying vocabulary-bounded while the corpus scales
-          "x68_bpe_token_budget")
+          "x68_bpe_token_budget",
+          // x70 joined in r15: the packing-order audit stacks two global
+          // windows on a broadcast-centroid clustering — the soak shows
+          // the adjacency pair join (≤64 rows per pair) staying linear
+          "x70_semantic_packing")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)

@@ -2036,6 +2036,163 @@ object TextQueries {
            |SELECT q_doc, rk, neg_doc, neg_source, cos_sim
            |FROM rk WHERE rk <= 3 ORDER BY q_doc, rk""".stripMargin))
 
+  /** X70 — semantic packing order: the related-document shuffle that
+    * precedes sequence packing in in-context pretraining (Shi et al.
+    * 2023: training sequences built from RELATED documents beat the
+    * random-order baseline). The corpus is clustered with x46's exact
+    * one-round Lloyd machinery (hashed tf-idf centroids, cosine argmax
+    * assignment), then ordered (topic, affinity-to-centroid desc,
+    * doc_id) — so adjacent documents in the packing stream share a
+    * topic and, within it, sit close to the same centroid. The audit
+    * quantifies the lift: mean adjacent-pair cosine (exact integer
+    * basis points) and same-topic adjacency count under the semantic
+    * order vs the doc_id baseline the packer would otherwise use.
+    *
+    * Determinism/portability: pair dots and norms are exact longs from
+    * the x43 integer weight frame; the only FP is the final
+    * `10000·dot/√(ssa·ssb)` — correctly-rounded IEEE ops over identical
+    * longs, floored to an integer bp in both engines (the x46
+    * discipline); ordering ties break on doc_id.
+    *
+    * Scale posture: clustering is the x46 broadcast-centroid path
+    * (O(docs·K), never all-pairs); the adjacency audit is two
+    * lag-windows plus a bucket-keyed self-join producing ≤64 rows per
+    * adjacent pair — O(docs·64). The global `row_number` is the
+    * audit's deterministic stand-in for the production order-by —
+    * a range repartition on (topic, affinity) feeding x12/ST31, which
+    * never materializes a global window.
+    */
+  val x70SemanticPacking = QueryDef(
+    "x70_semantic_packing",
+    "related-doc packing order: adjacent-pair cosine lift vs doc_id order",
+    (s, d) => {
+      val k = 8L
+      val w = hashedWeights(s, d)
+      val dd = docs(s, d).select(col("doc_id"))
+      val seed = dd.select(col("doc_id"), pmod(col("doc_id"), lit(k)).as("cid0"))
+      val (cent, cnorm) = topicCentroids(w, seed)
+      // x46's argmax, keeping the winning score as the packing affinity
+      val scores = w.join(broadcast(cent), Seq("bucket"))
+        .groupBy("doc_id", "cid").agg(sum(col("wsum") * col("mw")).as("dot"))
+        .join(broadcast(cnorm), Seq("cid"))
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("ss").cast("double")))
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cid"))
+      val best = scores.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cid"), col("score"))
+      val assigned = dd.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cid"), pmod(col("doc_id"), lit(k))).as("topic"),
+          coalesce(col("score"), lit(0.0)).as("score"))
+      val semW = Window.orderBy(col("topic"), col("score").desc, col("doc_id"))
+      val idW = Window.orderBy(col("doc_id"))
+      val orders = assigned
+        .select(lit("semantic").as("order_kind"),
+          row_number().over(semW).as("pos"), col("doc_id"), col("topic"))
+        .unionAll(assigned.select(lit("docid").as("order_kind"),
+          row_number().over(idW).as("pos"), col("doc_id"), col("topic")))
+      val lagW = Window.partitionBy("order_kind").orderBy("pos")
+      val pairs = orders
+        .withColumn("prev_doc", lag(col("doc_id"), 1).over(lagW))
+        .withColumn("prev_topic", lag(col("topic"), 1).over(lagW))
+        .filter(col("prev_doc").isNotNull)
+        .select(col("order_kind"), col("prev_doc"),
+          col("doc_id").as("cur_doc"),
+          (col("prev_topic") === col("topic")).cast("long").as("same_topic"))
+      val nrm = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
+      val pdots = pairs
+        .join(w.select(col("doc_id").as("prev_doc"), col("bucket"),
+          col("wsum").as("wa")), Seq("prev_doc"))
+        .join(w.select(col("doc_id").as("cur_doc"), col("bucket"),
+          col("wsum").as("wb")), Seq("cur_doc", "bucket"))
+        .groupBy("order_kind", "prev_doc", "cur_doc")
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+      val scored = pairs
+        .join(pdots, Seq("order_kind", "prev_doc", "cur_doc"), "left")
+        .na.fill(0L, Seq("dot"))
+        .join(nrm.select(col("doc_id").as("prev_doc"), col("ss").as("ssa")),
+          Seq("prev_doc"))
+        .join(nrm.select(col("doc_id").as("cur_doc"), col("ss").as("ssb")),
+          Seq("cur_doc"))
+        .withColumn("cos_bp",
+          floor(lit(10000.0) * col("dot").cast("double") /
+            sqrt(col("ssa").cast("double") * col("ssb").cast("double")))
+            .cast("long"))
+      scored.groupBy("order_kind").agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(cos_bp) div count(1)").as("mean_cos_bp"),
+        sum(col("same_topic")).as("same_topic_pairs"))
+        .orderBy("order_kind")
+    },
+    Some(s"""WITH $hashedWeightsSql,
+           |dd AS (SELECT doc_id FROM documents),
+           |seed AS (SELECT doc_id, doc_id % 8 AS cid0 FROM dd),
+           |cn AS (SELECT cid0, CAST(count(*) AS BIGINT) AS n_docs0
+           |       FROM seed GROUP BY 1),
+           |cent AS (SELECT cid0 AS cid, bucket, (sw // n_docs0) AS mw FROM
+           |           (SELECT cid0, bucket, CAST(sum(wsum) AS BIGINT) AS sw
+           |            FROM w JOIN seed USING (doc_id) GROUP BY 1, 2)
+           |         JOIN cn USING (cid0)
+           |         WHERE (sw // n_docs0) > 0),
+           |cnorm AS (SELECT cid, CAST(sum(mw * mw) AS BIGINT) AS ss
+           |          FROM cent GROUP BY 1),
+           |cdots AS (SELECT w.doc_id, cent.cid,
+           |                 CAST(sum(wsum * mw) AS BIGINT) AS dot
+           |          FROM w JOIN cent USING (bucket) GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, cid,
+           |              CAST(dot AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS score
+           |       FROM cdots JOIN cnorm USING (cid)),
+           |best AS (SELECT doc_id, cid, score FROM
+           |          (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                       ORDER BY score DESC, cid) AS rn
+           |           FROM sc) WHERE rn = 1),
+           |assigned AS (SELECT d.doc_id,
+           |                    COALESCE(b.cid, d.doc_id % 8) AS topic,
+           |                    COALESCE(b.score, 0.0) AS score
+           |             FROM dd d LEFT JOIN best b USING (doc_id)),
+           |orders AS (
+           |  SELECT 'semantic' AS order_kind,
+           |         row_number() OVER (ORDER BY topic, score DESC, doc_id) AS pos,
+           |         doc_id, topic
+           |  FROM assigned
+           |  UNION ALL
+           |  SELECT 'docid', row_number() OVER (ORDER BY doc_id), doc_id, topic
+           |  FROM assigned),
+           |pairs AS (SELECT order_kind, prev_doc, cur_doc, same_topic FROM
+           |  (SELECT order_kind,
+           |          lag(doc_id) OVER (PARTITION BY order_kind ORDER BY pos)
+           |            AS prev_doc,
+           |          doc_id AS cur_doc,
+           |          CASE WHEN lag(topic) OVER (PARTITION BY order_kind
+           |                                     ORDER BY pos) = topic
+           |               THEN 1 ELSE 0 END AS same_topic
+           |   FROM orders) WHERE prev_doc IS NOT NULL),
+           |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
+           |        FROM w GROUP BY 1),
+           |pd AS (SELECT p.order_kind, p.prev_doc, p.cur_doc,
+           |              CAST(sum(wa.wsum * wb.wsum) AS BIGINT) AS dot
+           |       FROM pairs p
+           |       JOIN w wa ON wa.doc_id = p.prev_doc
+           |       JOIN w wb ON wb.doc_id = p.cur_doc AND wb.bucket = wa.bucket
+           |       GROUP BY 1, 2, 3),
+           |scored AS (SELECT p.order_kind, p.same_topic,
+           |                  CAST(floor(10000.0 * COALESCE(pd.dot, 0) /
+           |                       sqrt(CAST(na.ss AS DOUBLE) *
+           |                            CAST(nb.ss AS DOUBLE))) AS BIGINT)
+           |                    AS cos_bp
+           |           FROM pairs p
+           |           LEFT JOIN pd ON pd.order_kind = p.order_kind
+           |                       AND pd.prev_doc = p.prev_doc
+           |                       AND pd.cur_doc = p.cur_doc
+           |           JOIN nrm na ON na.doc_id = p.prev_doc
+           |           JOIN nrm nb ON nb.doc_id = p.cur_doc)
+           |SELECT order_kind, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(sum(cos_bp) // count(*) AS BIGINT) AS mean_cos_bp,
+           |       CAST(sum(same_topic) AS BIGINT) AS same_topic_pairs
+           |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(t20LangId, t21Quality, t22TokenCount,
     t23Fingerprint, t24Repetition, t25TopShingles, t26PiiRedaction,
     t27QualityRules, t28QualityModel, t29HtmlStrip,
@@ -2043,5 +2200,5 @@ object TextQueries {
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
-    x65RetrievalEval, x67HardNegatives)
+    x65RetrievalEval, x67HardNegatives, x70SemanticPacking)
 }
