@@ -1499,6 +1499,121 @@ object CurationQueries {
             |FROM wc JOIN cnt USING (doc_id)
             |GROUP BY wc.source ORDER BY wc.source""".stripMargin))
 
+  /** X71 — epoch water-filling: allocate a global training token budget
+    * across sources under per-source REPETITION caps (the
+    * data-constrained-scaling regime: repeating a source beyond ~4
+    * epochs stops helping, and lower-quality sources earn fewer
+    * repeats). Each source contributes its unique token mass U (x1's
+    * exact-dedup rule: min-doc_id survivor per md5(text), mass
+    * attributed to the keeper's source) and a cap multiplier R (here a
+    * quality-tier stand-in: quartile of mean unique-doc length;
+    * production wires the t28 quality model). The budget T = 2·ΣU
+    * water-fills: every source repeats at level λ, clipped at its own
+    * cap — capped tiers release budget to the tiers that can still
+    * absorb it.
+    *
+    * The fill level is found EXACTLY: candidate levels sit between
+    * consecutive distinct caps, and the validity sandwich
+    * `r·remU < T − cumCap ≤ r_next·remU` is evaluated in pure long
+    * arithmetic (no rationals materialize). Allocations are longs too —
+    * capped sources take R·U; uncapped take `(T − cumCap)·U div remU`
+    * (each floor drops under one token). At trillion-token corpora the
+    * spend·U product needs decimal(38,0); the rule is otherwise
+    * scale-free — the water-fill itself runs on an O(sources) frame.
+    */
+  val x71EpochWaterfill = QueryDef(
+    "x71_epoch_waterfill",
+    "token-budget epoch allocation across sources under repetition caps",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d).select(col("source"), col("doc_id"),
+        md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val wFp = Window.partitionBy("fp").orderBy("doc_id")
+      val uniq = toks.withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1)
+      val u = uniq.groupBy("source").agg(
+        sum(col("toks")).as("u_toks"),
+        expr("(sum(toks) * 100L) div count(1)").as("mean_toks_c"))
+      val rc = u.withColumn("rep_cap",
+        ntile(4).over(Window.orderBy(col("mean_toks_c"), col("source")))
+          .cast("long"))
+        .withColumn("cap", col("rep_cap") * col("u_toks"))
+      val tot = rc.agg(sum(col("u_toks")).as("tot_u"),
+        (sum(col("u_toks")) * 2L).as("t"))
+      val byR = rc.groupBy("rep_cap").agg(sum(col("cap")).as("cap_r"),
+        sum(col("u_toks")).as("u_r"))
+        .unionAll(rc.sparkSession.range(1).select(lit(0L).as("rep_cap"),
+          lit(0L).as("cap_r"), lit(0L).as("u_r")))
+      val wCum = Window.orderBy("rep_cap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cand = byR
+        .withColumn("cum_cap", sum(col("cap_r")).over(wCum))
+        .withColumn("cum_u", sum(col("u_r")).over(wCum))
+        .withColumn("r_next", lead(col("rep_cap"), 1)
+          .over(Window.orderBy("rep_cap")))
+        .crossJoin(broadcast(tot))
+        .withColumn("spend", col("t") - col("cum_cap"))
+        .withColumn("rem_u", col("tot_u") - col("cum_u"))
+      val star = cand
+        .filter(col("spend") > col("rep_cap") * col("rem_u") &&
+          (col("r_next").isNull ||
+            col("spend") <= col("r_next") * col("rem_u")))
+        .orderBy("rep_cap").limit(1)
+        .select(col("rep_cap").as("r_star"), col("spend"), col("rem_u"))
+      rc.crossJoin(broadcast(star))
+        .withColumn("allocated_tokens",
+          when(col("rep_cap") <= col("r_star"), col("cap"))
+            .otherwise(expr("(spend * u_toks) div rem_u")))
+        .select(col("source"), col("u_toks").as("unique_tokens"),
+          col("rep_cap"), col("allocated_tokens"),
+          expr("(allocated_tokens * 10000L) div u_toks").as("epochs_bp"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, doc_id, md5(text) AS fp,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           |  FROM documents),
+           |uniq AS (SELECT * FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+           |     AS rn FROM toks) WHERE rn = 1),
+           |u AS (SELECT source, CAST(sum(toks) AS BIGINT) AS u_toks,
+           |             CAST(sum(toks) * 100 AS BIGINT) // count(*)
+           |               AS mean_toks_c
+           |      FROM uniq GROUP BY 1),
+           |rc AS (SELECT *, rep_cap * u_toks AS cap FROM
+           |  (SELECT *, CAST(ntile(4) OVER (ORDER BY mean_toks_c, source)
+           |     AS BIGINT) AS rep_cap FROM u)),
+           |tot AS (SELECT CAST(sum(u_toks) AS BIGINT) AS tot_u,
+           |               CAST(2 * sum(u_toks) AS BIGINT) AS t FROM rc),
+           |byr AS (SELECT rep_cap, CAST(sum(cap) AS BIGINT) AS cap_r,
+           |               CAST(sum(u_toks) AS BIGINT) AS u_r
+           |        FROM rc GROUP BY 1
+           |        UNION ALL SELECT 0, 0, 0),
+           |cand AS (SELECT rep_cap,
+           |    sum(cap_r) OVER (ORDER BY rep_cap
+           |                     ROWS UNBOUNDED PRECEDING) AS cum_cap,
+           |    sum(u_r) OVER (ORDER BY rep_cap
+           |                   ROWS UNBOUNDED PRECEDING) AS cum_u,
+           |    lead(rep_cap) OVER (ORDER BY rep_cap) AS r_next
+           |  FROM byr),
+           |star AS (SELECT c.rep_cap AS r_star,
+           |                t.t - c.cum_cap AS spend,
+           |                t.tot_u - c.cum_u AS rem_u
+           |         FROM cand c, tot t
+           |         WHERE (t.t - c.cum_cap) > c.rep_cap * (t.tot_u - c.cum_u)
+           |           AND (c.r_next IS NULL OR
+           |                (t.t - c.cum_cap) <= c.r_next * (t.tot_u - c.cum_u))
+           |         ORDER BY c.rep_cap LIMIT 1)
+           |SELECT source, u_toks AS unique_tokens, rep_cap,
+           |       CAST(CASE WHEN rep_cap <= s.r_star THEN cap
+           |            ELSE (s.spend * u_toks) // s.rem_u END
+           |         AS BIGINT) AS allocated_tokens,
+           |       CAST((CASE WHEN rep_cap <= s.r_star THEN cap
+           |             ELSE (s.spend * u_toks) // s.rem_u END * 10000)
+           |         // u_toks AS BIGINT) AS epochs_bp
+           |FROM rc, star s ORDER BY source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
@@ -1506,5 +1621,6 @@ object CurationQueries {
       x29QualityWeightedSample, x30TemporalSplit, x32ShardAssembly,
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
       x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination,
-      x62TokenBudget, x68BpeTokenBudget, x69BpeFertility)
+      x62TokenBudget, x68BpeTokenBudget, x69BpeFertility,
+      x71EpochWaterfill)
 }
