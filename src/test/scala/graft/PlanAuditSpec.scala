@@ -417,4 +417,39 @@ class PlanAuditSpec extends SparkSpec {
       assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
     }
   }
+
+  test("x70 packing order: centroids broadcast onto the weight stream, " +
+    "no corpus-sized sort-merge join") {
+    val plan = planOf("x70_semantic_packing")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"x70 centroid joins must broadcast:\n$plan")
+  }
+
+  test("x71 water-fill: the fill-level frame broadcasts back onto the " +
+    "per-source frame (post-agg tiny-frame lesson)") {
+    val plan = planOf("x71_epoch_waterfill")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"x71 star/tot frames must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"x71 plans a cartesian:\n$plan")
+  }
+
+  test("q18/x70/x71 shuffle-record ceilings (r15 introductions)") {
+    val ceilings = Seq(
+      // two 64-file deals + per-file aggregation over one orders scan
+      "q18_zorder_skipping" -> 4000L,
+      // x46 centroid scoring + two global orders + pair-bucket join:
+      // measured 114k at sf0.001 ≈ 3.5 shuffled copies of the docs×64
+      // weight stream (pairs join it twice, once per order) — linear in
+      // docs, never pair-quadratic
+      "x70_semantic_packing" -> 230000L,
+      // O(sources) frames after the unique-mass aggregate
+      "x71_epoch_waterfill" -> 4000L)
+    for ((q, cap) <- ceilings) {
+      val rec = shuffleRecordsOf(q)
+      info(s"$q shuffled $rec records (cap $cap)")
+      assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
+    }
+  }
 }
