@@ -12,8 +12,10 @@ import scala.jdk.CollectionConverters._
   * Layout:
   * {{{
   *   <root>/data/v<version>/...parquet     // files added by that commit
-  *   <root>/_snapshots/v<version>.json     // manifest: dirs + lineage
+  *   <root>/_snapshots/v<version>.json     // manifest: dirs + parent link
   *   <root>/_snapshots/HEAD                // current version number
+  *   <root>/_snapshots/refs/tag.<name>     // immutable version pin
+  *   <root>/_snapshots/refs/branch.<name>  // "head base" (WAP staging)
   * }}}
   *
   * Semantics (mirroring the Iceberg operations the reference exercises,
@@ -28,7 +30,13 @@ import scala.jdk.CollectionConverters._
   *    then HEAD bump (readers see either the old or the new manifest);
   *  - `history`/`filesMetadata` are the `.history` / `.files` metadata
   *    tables; `expireSnapshots` keeps the last N manifests and removes
-  *    unreferenced data dirs.
+  *    unreferenced data dirs;
+  *  - refs: `tag` pins a version immutably (expiry GC root), `branch` +
+  *    `appendToBranch` stage commits invisible to main, and `publish`
+  *    fast-forwards HEAD atomically with an optimistic-concurrency check
+  *    — [[writeAuditPublish]] wraps the three into the WAP pattern.
+  *    Manifests carry a parent link, so `history` is the lineage walk
+  *    from HEAD, never polluted by dropped branches.
   *
   * Scale: the manifest holds *directories*, not individual file paths:
   * one per commit for an unpartitioned table (manifest size O(commits)),
@@ -146,17 +154,19 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     * own prior commit atomically with the data it wrote.
     */
   def append(df: DataFrame, op: String = "append"): Int = {
-    val v = currentVersion + 1
+    val v = nextVersion
     val entries = writeData(df, v)
+    val parent = currentVersion
     commit(v, Manifest(v, op,
-      manifest(currentVersion).dirs ++ entries, System.currentTimeMillis()))
+      manifest(parent).dirs ++ entries, System.currentTimeMillis(), parent))
     v
   }
 
   def overwrite(df: DataFrame): Int = {
-    val v = currentVersion + 1
+    val v = nextVersion
     val entries = writeData(df, v)
-    commit(v, Manifest(v, "overwrite", entries, System.currentTimeMillis()))
+    commit(v, Manifest(v, "overwrite", entries, System.currentTimeMillis(),
+      currentVersion))
     v
   }
 
@@ -186,8 +196,9 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     if (manifest(currentVersion).dirs.isEmpty) {
       // empty table: nothing to rewrite, but the commit MARKER must still
       // land — idempotent writers key their replay check on it
-      val v = currentVersion + 1
-      commit(v, Manifest(v, op, Nil, System.currentTimeMillis()))
+      val v = nextVersion
+      commit(v, Manifest(v, op, Nil, System.currentTimeMillis(),
+        currentVersion))
       v
     } else overwriteAs(
       read().join(keys.select(keyCols.map(col): _*).distinct(),
@@ -242,18 +253,27 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
 
   private def overwriteAs(df: DataFrame, op: String,
       writeOptions: Map[String, String] = Map.empty): Int = {
-    val v = currentVersion + 1
+    val v = nextVersion
     val entries = writeData(df, v, writeOptions)
-    commit(v, Manifest(v, op, entries, System.currentTimeMillis()))
+    commit(v, Manifest(v, op, entries, System.currentTimeMillis(),
+      currentVersion))
     v
   }
 
   /** `.history` metadata table (expired snapshots drop out). */
   def history(): DataFrame = {
     import spark.implicits._
-    (1 to currentVersion)
+    // walk the parent chain from HEAD: lineage, not the manifest
+    // namespace — a dropped branch's manifests (or another branch's
+    // in-flight commits) never appear as main history. The walk stops
+    // at version 0 or at an expired manifest.
+    val chain = Iterator.iterate(currentVersion) { v =>
+      if (v <= 0 || !Files.exists(snapDir.resolve(f"v$v%05d.json"))) 0
+      else manifest(v).parent
+    }.takeWhile(_ > 0)
       .filter(v => Files.exists(snapDir.resolve(f"v$v%05d.json")))
-      .map { v =>
+      .toSeq.reverse
+    chain.map { v =>
         val m = manifest(v)
         (m.version, m.operation, m.dirs.length, new java.sql.Timestamp(m.tsMs))
       }.toDF("version", "operation", "n_dirs", "committed_at")
@@ -624,7 +644,7 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
       }
     }
     if (selected.isEmpty) return currentVersion
-    val v = currentVersion + 1
+    val v = nextVersion
     val newDir = dataDir(v)
     val newEntries = selected.map { case (rel, dirs) =>
       val (bytes, _) = bytesAndFiles(dirs)
@@ -640,7 +660,8 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     val compactedRels = newEntries.keySet
     val dirs = entries.filterNot(e => compactedRels(relPartitionPath(e))) ++
       newEntries.values.toSeq.sorted
-    commit(v, Manifest(v, "compact", dirs, System.currentTimeMillis()))
+    commit(v, Manifest(v, "compact", dirs, System.currentTimeMillis(),
+      currentVersion))
     v
   }
 
@@ -667,7 +688,11 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     }.toMap
 
   /** Keep the last `keep` snapshots; delete older manifests and any data
-    * dir no surviving manifest references.
+    * dir no surviving manifest references. Refs are GC roots: a tagged
+    * or branch-head version is never expired no matter how old, and any
+    * dir a surviving manifest (including branch manifests above HEAD)
+    * references survives — a branch chained from an expired base keeps
+    * reading.
     */
   def expireSnapshots(keep: Int): Unit = {
     val cur = currentVersion
@@ -676,9 +701,14 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     // manifest still exists participate, same guard history() uses.
     def existing(vs: Range): Seq[Int] =
       vs.filter(v => Files.exists(snapDir.resolve(f"v$v%05d.json")))
-    val dropped = existing(1 to (cur - keep))
+    val roots = tags.values.toSet ++ branches.values.map(_._1).toSet
+    val dropped = existing(1 to (cur - keep)).filterNot(roots)
     if (dropped.isEmpty) return
-    val live = existing((cur - keep + 1) to cur).flatMap(v => manifest(v).dirs).toSet
+    val keptAll = scala.util.Using.resource(Files.list(snapDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case ManifestName(v) => v.toInt }.toSeq
+    }.filterNot(dropped.contains)
+    val live = keptAll.flatMap(v => manifest(v).dirs).toSet
     val doomed = dropped.flatMap(v => manifest(v).dirs).filterNot(live)
     dropped.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%05d.json")))
     doomed.foreach { d =>
@@ -689,6 +719,163 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
         }
       }
     }
+  }
+
+  /** Next unallocated version: one past the highest EXISTING manifest,
+    * not HEAD+1 — branch commits allocate from the same namespace while
+    * HEAD stays behind, and a main commit must never collide with (or
+    * silently replace) a branch's manifest file.
+    */
+  private def nextVersion: Int = {
+    val vs = scala.util.Using.resource(Files.list(snapDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case ManifestName(v) => v.toInt }.toSeq
+    }
+    math.max(currentVersion, if (vs.isEmpty) 0 else vs.max) + 1
+  }
+
+  // ---- refs: tags (immutable) + branches (movable) + write-audit-publish
+
+  private def refsDir = snapDir.resolve("refs")
+
+  private def refPath(kind: String, name: String) = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad ref name: $name")
+    refsDir.resolve(s"$kind.$name")
+  }
+
+  private def writeRef(p: Path, content: String): Unit = {
+    Files.createDirectories(refsDir)
+    val tmp = refsDir.resolve(s".${p.getFileName}.tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tag `version` with an immutable name (Iceberg tag analog).
+    * Re-tagging the same version is a no-op; a different one refuses.
+    */
+  def tag(name: String, version: Int = -1): Unit = {
+    val v = if (version < 0) currentVersion else version
+    require(Files.exists(snapDir.resolve(f"v$v%05d.json")),
+      s"cannot tag missing version $v")
+    val p = refPath("tag", name)
+    if (Files.exists(p)) {
+      val cur = Files.readString(p).trim.toInt
+      require(cur == v, s"tag $name already points at $cur, not $v")
+    } else writeRef(p, v.toString)
+  }
+
+  /** All tags as name → version. */
+  def tags: Map[String, Int] = listRefs("tag").map { case (n, s) =>
+    n -> s.trim.toInt
+  }
+
+  def readTag(name: String): DataFrame = {
+    val p = refPath("tag", name)
+    require(Files.exists(p), s"no tag $name")
+    readVersion(Files.readString(p).trim.toInt)
+  }
+
+  private def listRefs(kind: String): Map[String, String] =
+    if (!Files.exists(refsDir)) Map.empty
+    else scala.util.Using.resource(Files.list(refsDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"$kind."))
+        .map(p => p.getFileName.toString.stripPrefix(s"$kind.") ->
+          Files.readString(p)).toMap
+    }
+
+  /** Create a branch at the current HEAD (Iceberg branch analog) and
+    * return its base version. The base is recorded so `publish` can
+    * detect a concurrent main commit (optimistic concurrency).
+    */
+  def branch(name: String): Int = {
+    val p = refPath("branch", name)
+    require(!Files.exists(p), s"branch $name already exists")
+    val base = currentVersion
+    writeRef(p, s"$base $base")
+    base
+  }
+
+  /** All branches as name → (head, base). */
+  def branches: Map[String, (Int, Int)] = listRefs("branch").map {
+    case (n, s) =>
+      val parts = s.trim.split(" ")
+      n -> (parts(0).toInt, parts(1).toInt)
+  }
+
+  private def branchRef(name: String): (Int, Int) = {
+    val p = refPath("branch", name)
+    require(Files.exists(p), s"no branch $name")
+    val parts = Files.readString(p).trim.split(" ")
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  def readBranch(name: String): DataFrame = readVersion(branchRef(name)._1)
+
+  /** Append onto a branch: the manifest chains from the BRANCH head and
+    * only the branch ref moves — main's HEAD, and every main reader,
+    * is untouched until `publish`.
+    */
+  def appendToBranch(name: String, df: DataFrame,
+      op: String = "append"): Int = {
+    val (head, base) = branchRef(name)
+    val v = nextVersion
+    val entries = writeData(df, v)
+    // manifest lands like any commit; HEAD stays — readers cannot see it
+    val m = Manifest(v, op, manifest(head).dirs ++ entries,
+      System.currentTimeMillis(), head)
+    Files.createDirectories(snapDir)
+    val tmp = snapDir.resolve(f".v$v%05d.json.tmp")
+    Files.writeString(tmp, m.toJson)
+    Files.move(tmp, snapDir.resolve(f"v$v%05d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    writeRef(refPath("branch", name), s"$v $base")
+    v
+  }
+
+  /** Fast-forward main to the branch head — the PUBLISH of
+    * write-audit-publish. Refuses if main moved since the branch was
+    * created (the optimistic-concurrency conflict: the branch's chain
+    * no longer contains main's latest commit). Atomic: readers see the
+    * old HEAD or the new one, never an intermediate. The branch ref is
+    * consumed.
+    */
+  def publish(name: String): Int = {
+    val (head, base) = branchRef(name)
+    require(currentVersion == base,
+      s"cannot publish $name: main moved $base -> $currentVersion " +
+        "since the branch was created")
+    val tmpHead = snapDir.resolve(".HEAD.tmp")
+    Files.writeString(tmpHead, head.toString)
+    Files.move(tmpHead, headPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    dropBranch(name)
+    head
+  }
+
+  /** Abandon a branch (the audit-failed arm of write-audit-publish).
+    * Data dirs the branch wrote become unreferenced once its manifests
+    * are expired; until then they cost storage only.
+    */
+  def dropBranch(name: String): Unit =
+    Files.deleteIfExists(refPath("branch", name))
+
+  /** Write-audit-publish in one call: stage `df` on an anonymous
+    * branch, run `audit` against the STAGED state (main + staged rows —
+    * what readers would see after publish), and fast-forward only if it
+    * passes. Returns the published version, or None with the branch
+    * dropped and main untouched.
+    */
+  def writeAuditPublish(df: DataFrame, audit: DataFrame => Boolean,
+      op: String = "append"): Option[Int] = {
+    val name = f"wap-${nextVersion}%05d"
+    branch(name)
+    try {
+      appendToBranch(name, df, op)
+      if (audit(readBranch(name))) Some(publish(name))
+      else { dropBranch(name); None }
+    } catch { case e: Throwable => dropBranch(name); throw e }
   }
 
   private def dataDir(v: Int): String =
@@ -709,19 +896,23 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
 
 object SnapshotTable {
 
+  /** Manifest file-name shape, for version extraction. */
+  private val ManifestName = """v(\d{5})\.json""".r
+
   /** Manifest of one committed snapshot. */
   final case class Manifest(version: Int, operation: String,
-      dirs: Seq[String], tsMs: Long) {
+      dirs: Seq[String], tsMs: Long, parent: Int = -1) {
     def toJson: String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       s"""{"version":$version,"operation":${q(operation)},""" +
-        s""""ts_ms":$tsMs,"dirs":[${dirs.map(q).mkString(",")}]}"""
+        s""""ts_ms":$tsMs,"parent":$parent,""" +
+        s""""dirs":[${dirs.map(q).mkString(",")}]}"""
     }
   }
 
   object Manifest {
     // version 0 = empty table
-    val empty: Manifest = Manifest(0, "create", Nil, 0L)
+    val empty: Manifest = Manifest(0, "create", Nil, 0L, 0)
 
     /** Minimal parser for our own manifest JSON (flat, known keys). */
     def parse(json: String): Manifest = {
@@ -734,7 +925,11 @@ object SnapshotTable {
         .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
           .replace("\\\"", "\"").replace("\\\\", "\\")))
         .getOrElse(Nil)
-      Manifest(longOf("version").toInt, op, dirs, longOf("ts_ms"))
+      val v = longOf("version").toInt
+      // legacy manifests (pre-refs) are linear: parent = version - 1
+      val parent = if (json.contains("\"parent\":")) longOf("parent").toInt
+                   else math.max(v - 1, 0)
+      Manifest(v, op, dirs, longOf("ts_ms"), parent)
     }
   }
 
