@@ -1690,6 +1690,121 @@ object ExtendedSqlQueries {
            |       cents IS NULL AS is_interpolated
            |FROM x ORDER BY date""".stripMargin))
 
+  /** Q19 — l-diversity + t-closeness audit: the two privacy measures
+    * k-anonymity (q8/q9) cannot see. A group can be ≥k yet reveal its
+    * members' sensitive value when the group is HOMOGENEOUS (no
+    * diversity) or merely SKEWED toward one value (close to no other
+    * group looks like it). Per released quasi-identifier group
+    * (region, segment — q8's level-2 lattice), over the ordinal
+    * sensitive attribute (account-balance band):
+    *  - distinct l-diversity: #distinct bands in the group (flag < 3);
+    *  - t-closeness: Earth Mover's Distance between the group's band
+    *    distribution and the global one, under the ordered-category
+    *    ground distance (flag > 0.2).
+    *
+    * EMD exactness: for ordinal categories, EMD = Σᵢ |Pᵢ−Qᵢ| cumulative
+    * / (m−1). Every cumulative difference is kept as the INTEGER
+    * N·Cᵢ − n·Gᵢ (group size n, corpus N, cumulative counts C/G), so the
+    * only FP op is the final basis-point division — bit-identical in
+    * both engines. The zero-cell problem (a band absent from a group
+    * still advances the global cumulative) is solved by evaluating on
+    * the full group×band grid — O(groups·bands), group-bounded, never
+    * row-scaled.
+    */
+  val q19LDiversityTCloseness = QueryDef(
+    "q19_l_diversity_t_closeness",
+    "per-QI-group distinct l-diversity + ordinal-EMD t-closeness vs global",
+    (s, d) => {
+      val joined = graft.PlanCache.persisted(s, s"q8-joined:$d") {
+        Tables.load(s, d, "customer")
+          .join(broadcast(Tables.load(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_name").as("nation"), col("r_name").as("region"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      }
+      val cells = joined.groupBy("region", "segment", "bal_band")
+        .agg(count(lit(1)).as("c"))
+      val groups = cells.groupBy("region", "segment")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"))
+      val glob = cells.groupBy("bal_band").agg(sum(col("c")).as("g"))
+      val wB = org.apache.spark.sql.expressions.Window.orderBy("bal_band")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val bands = glob
+        .withColumn("gcum", sum(col("g")).over(wB))
+        .crossJoin(broadcast(glob.agg(sum(col("g")).as("nn"),
+          count(lit(1)).as("m"))))
+        .select(col("bal_band"), col("gcum"), col("nn"), col("m"))
+      val grid = groups.crossJoin(broadcast(bands))
+        .join(cells, Seq("region", "segment", "bal_band"), "left")
+        .na.fill(0L, Seq("c"))
+      val wG = org.apache.spark.sql.expressions.Window
+        .partitionBy("region", "segment").orderBy("bal_band")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid
+        .withColumn("ccum", sum(col("c")).over(wG))
+        .withColumn("diff", abs(col("nn") * col("ccum") - col("n") * col("gcum")))
+        .groupBy("region", "segment")
+        .agg(max(col("n")).as("n"), sum(col("diff")).as("sum_d"),
+          max(col("nn")).as("nn"), max(col("m")).as("m"))
+        .join(groups.select(col("region"), col("segment"),
+          col("l_distinct")), Seq("region", "segment"))
+        .select(col("region"), col("segment"), col("n"), col("l_distinct"),
+          (col("l_distinct") >= 3).as("meets_l3"),
+          expr("(sum_d * 10000L) div (n * nn * (m - 1))").as("emd_bp"))
+        .withColumn("meets_t02", col("emd_bp") <= 2000)
+        .orderBy("region", "segment")
+    },
+    Some("""WITH j AS (
+           |  SELECT r_name AS region, c_mktsegment AS segment,
+           |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+           |  FROM customer
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey),
+           |cells AS (SELECT region, segment, bal_band,
+           |                 CAST(count(*) AS BIGINT) AS c
+           |          FROM j GROUP BY 1, 2, 3),
+           |groups AS (SELECT region, segment, CAST(sum(c) AS BIGINT) AS n,
+           |                  CAST(count(*) AS BIGINT) AS l_distinct
+           |           FROM cells GROUP BY 1, 2),
+           |gdist AS (SELECT bal_band, CAST(sum(c) AS BIGINT) AS g
+           |          FROM cells GROUP BY 1),
+           |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+           |               CAST(count(*) AS BIGINT) AS m FROM gdist),
+           |bands AS (SELECT bal_band,
+           |                 CAST(sum(g) OVER (ORDER BY bal_band
+           |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum,
+           |                 nn, m
+           |          FROM gdist, tot),
+           |grid AS (SELECT gr.region, gr.segment, gr.n, b.bal_band,
+           |                b.gcum, b.nn, b.m, COALESCE(c.c, 0) AS c
+           |         FROM groups gr CROSS JOIN bands b
+           |         LEFT JOIN cells c ON c.region = gr.region
+           |                          AND c.segment = gr.segment
+           |                          AND c.bal_band = b.bal_band),
+           |cum AS (SELECT *,
+           |          CAST(sum(c) OVER (PARTITION BY region, segment
+           |               ORDER BY bal_band
+           |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum
+           |        FROM grid),
+           |agg AS (SELECT region, segment, max(n) AS n,
+           |               CAST(sum(abs(nn * ccum - n * gcum)) AS BIGINT)
+           |                 AS sum_d,
+           |               max(nn) AS nn, max(m) AS m
+           |        FROM cum GROUP BY 1, 2)
+           |SELECT a.region, a.segment, a.n, g.l_distinct,
+           |       g.l_distinct >= 3 AS meets_l3,
+           |       CAST((a.sum_d * 10000) // (a.n * a.nn * (a.m - 1))
+           |         AS BIGINT) AS emd_bp,
+           |       CAST((a.sum_d * 10000) // (a.n * a.nn * (a.m - 1))
+           |         AS BIGINT) <= 2000 AS meets_t02
+           |FROM agg a JOIN groups g USING (region, segment)
+           |ORDER BY a.region, a.segment""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
@@ -1697,5 +1812,5 @@ object ExtendedSqlQueries {
     w12RfmSegments, w13WinsorizedStats, q13BenfordAudit, q14ErasureCascade, q16SchemaDrift,
     e8OrderedListagg, e11CusumChangepoint, e12CusumPerKey,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
-    st1SessionsBatch, st10SessionWindow)
+    st1SessionsBatch, st10SessionWindow, q19LDiversityTCloseness)
 }
