@@ -28,7 +28,11 @@ object VerifyHeavy {
     "x53_quality_propagation", "x54_ann_ivf_adc",
     "x62_token_budget_selection", "x67_hard_negatives",
     "j12_bloom_pruned_join", "cdc3_scd2_history",
-    "cdc4_pit_lookup", "x68_bpe_token_budget")
+    "cdc4_pit_lookup", "x68_bpe_token_budget",
+    // r15 continuation: the packing-order audit stacks global windows
+    // on the clustered corpus — the one new plan whose cost shape is
+    // data-volume-sensitive
+    "x70_semantic_packing")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")
