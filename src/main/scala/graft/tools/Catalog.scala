@@ -22,7 +22,8 @@ object Catalog {
     "similarity.QuantizationQueries" -> graft.similarity.QuantizationQueries.defs,
     "text.TextQueries" -> graft.text.TextQueries.defs,
     "text.CurationQueries" -> graft.text.CurationQueries.defs,
-    "quality.PiiQueries" -> graft.quality.PiiQueries.defs)
+    "quality.PiiQueries" -> graft.quality.PiiQueries.defs,
+    "lakehouse.LayoutQueries" -> graft.lakehouse.LayoutQueries.defs)
 
   def markdown: String = {
     val sb = new StringBuilder
