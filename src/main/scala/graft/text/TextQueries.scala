@@ -1237,16 +1237,40 @@ object TextQueries {
     * score stream is O(docs·K) — all-pairs never happens; everything
     * else is map-combinable aggregation. The census output is K rows.
     */
+  /** The x46 argmax frame (doc_id, cid, score) over the CORPUS weight
+    * frame — PlanCache'd because x46 and x70 both re-derive it and the
+    * centroid scoring is the most expensive stage of either (every
+    * weight row fans out to the K centroids sharing its bucket: ~K× the
+    * docs×64 stream). Semantics are exactly [[topicAssign]]'s argmax;
+    * docs sharing no bucket with any centroid are ABSENT here — callers
+    * coalesce to the seed topic `doc_id % k`.
+    */
+  private def corpusTopicBest(s: SparkSession, d: String) =
+    graft.PlanCache.persisted(s, s"x46-best/$d") {
+      val k = 8L
+      val w = hashedWeights(s, d)
+      val seed = docs(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(k)).as("cid0"))
+      val (cent, cnorm) = topicCentroids(w, seed)
+      val scores = w.join(broadcast(cent), Seq("bucket"))
+        .groupBy("doc_id", "cid").agg(sum(col("wsum") * col("mw")).as("dot"))
+        .join(broadcast(cnorm), Seq("cid"))
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("ss").cast("double")))
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cid"))
+      scores.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1).select(col("doc_id"), col("cid"), col("score"))
+    }
+
   val x46TopicClusters = QueryDef(
     "x46_topic_clusters",
     "k-means topic census over hashed tf-idf doc vectors (1 exact Lloyd round, k=8)",
     (s, d) => {
       val k = 8L
-      val w = hashedWeights(s, d)
       val dsrc = docs(s, d).select(col("doc_id"), col("source"))
-      val seed = dsrc.select(col("doc_id"), pmod(col("doc_id"), lit(k)).as("cid0"))
-      val (cent, cnorm) = topicCentroids(w, seed)
-      val fin = topicAssign(w, dsrc, cent, cnorm, k)
+      val fin = dsrc.join(corpusTopicBest(s, d), Seq("doc_id"), "left")
+        .withColumn("topic", coalesce(col("cid"), pmod(col("doc_id"), lit(k))))
         .select(col("source"), col("topic"))
       val bySrc = fin.groupBy("topic", "source").agg(count(lit(1)).as("c"))
       val wm = Window.partitionBy("topic").orderBy(col("c").desc, col("source"))
@@ -2069,19 +2093,8 @@ object TextQueries {
       val k = 8L
       val w = hashedWeights(s, d)
       val dd = docs(s, d).select(col("doc_id"))
-      val seed = dd.select(col("doc_id"), pmod(col("doc_id"), lit(k)).as("cid0"))
-      val (cent, cnorm) = topicCentroids(w, seed)
-      // x46's argmax, keeping the winning score as the packing affinity
-      val scores = w.join(broadcast(cent), Seq("bucket"))
-        .groupBy("doc_id", "cid").agg(sum(col("wsum") * col("mw")).as("dot"))
-        .join(broadcast(cnorm), Seq("cid"))
-        .withColumn("score",
-          col("dot").cast("double") / sqrt(col("ss").cast("double")))
-      val wBest = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("cid"))
-      val best = scores.withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cid"), col("score"))
+      // x46's argmax (shared PlanCache'd frame), the packing affinity
+      val best = corpusTopicBest(s, d)
       val assigned = dd.join(best, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cid"), pmod(col("doc_id"), lit(k))).as("topic"),
