@@ -16,6 +16,7 @@ object SparkEntry {
       analytics.SketchQueries.defs ++
       analytics.ExtendedSqlQueries.defs ++
       analytics.AsOfQueries.defs ++
+      analytics.GraphQueries.defs ++
       cdc.CdcQueries.defs ++
       dedup.DedupQueries.defs ++
       dedup.ClusterQueries.defs ++

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact fixed-point PageRank over a weighted directed edge list.
+  *
+  * Ranks are carried as longs in `SCALE` units (1e12 = rank 1.0 spread
+  * over the node set) and every step is integer arithmetic with floor
+  * division — `DIV` in Spark, `//` in DuckDB, identical for the
+  * all-positive quantities here — so the result is bit-identical across
+  * engines, partition counts, and accumulation orders. Floating-point
+  * PageRank cannot be oracle-gated: the per-node inflow sum is
+  * order-dependent in IEEE arithmetic and diverges in the last ulps
+  * between a 32-partition Spark agg and a single-threaded replay.
+  *
+  * Semantics (damping d = 85/100, K fixed iterations):
+  * {{{
+  *   base     = SCALE div N                      // N = |nodes|
+  *   r0(v)    = base
+  *   inflow_i(v) = Σ_{(u,v,w) ∈ E} (r_{i-1}(u) · w) div W_u
+  *   r_i(v)   = (15 · base) div 100 + (85 · inflow_i(v)) div 100
+  * }}}
+  * where `W_u = Σ_v w(u,v)` is u's out-weight. Flooring leaks a few
+  * units of mass per node per round (bounded by in-degree per node), so
+  * Σ r_K ≤ SCALE — conservation up to floor loss is pinned in the spec.
+  *
+  * Dangling nodes are the caller's contract: every node must have at
+  * least one out-edge (symmetrized co-occurrence graphs satisfy this by
+  * construction). Nodes appear in the result iff they appear as an edge
+  * source or target.
+  *
+  * Scale posture: the weighted-edge frame (edges ⋈ out-weights) is
+  * computed once, hash-partitioned on `u`, and reused across all K
+  * iterations — each iteration is one equi-join (rank side shuffles onto
+  * the cached edge partitioning) plus one map-side-combinable sum. K is
+  * a constant, so the whole computation is K linear passes over E; no
+  * iteration-growing lineage (each r_i is referenced exactly once by
+  * r_{i+1}).
+  *
+  * Reference behavior: the reference ships no graph operator — this is
+  * part of the engine's large-scale analytics surface (domain/product
+  * centrality for curation weighting, e.g. Common-Crawl-style harmonic/
+  * PageRank domain scores used as quality priors).
+  */
+object PageRank {
+
+  val SCALE = 1000000000000L
+
+  /** Run K iterations over `edges` with columns (u: long, v: long,
+    * w: long). Returns (node, pr) with `pr` in SCALE units.
+    *
+    * `cacheKey`: when non-empty, the weighted-edge frame is persisted
+    * through [[graft.PlanCache]] under this key (callers invoking the
+    * same graph repeatedly — Verify/Bench — reuse one copy).
+    */
+  def run(spark: SparkSession, edges: DataFrame, iters: Int,
+      cacheKey: String = ""): DataFrame = {
+    val ew0 = {
+      val wdeg = edges.groupBy("u").agg(sum("w").as("wu"))
+      edges.join(wdeg, "u").repartition(col("u"))
+        .select(col("u"), col("v"), col("w"), col("wu"))
+    }
+    val ew =
+      if (cacheKey.isEmpty) ew0.persist()
+      else graft.PlanCache.persisted(spark, cacheKey)(ew0)
+
+    val nF = ew.agg(countDistinct(col("u")).as("n"))
+    val nodes = ew.select(col("u").as("node")).distinct()
+    val r0 = nodes.crossJoin(broadcast(nF))
+      .select(col("node"), expr(s"$SCALE DIV n").cast("long").as("pr"))
+
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      ew.join(r.withColumnRenamed("node", "u"), "u")
+        .select(col("v"), expr("(pr * w) DIV wu").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("inflow"))
+        .crossJoin(broadcast(nF))
+        .select(col("v").as("node"),
+          (expr(s"(15 * ($SCALE DIV n)) DIV 100") +
+            expr("(85 * inflow) DIV 100")).cast("long").as("pr"))
+    }
+  }
+
+  /** DuckDB replay of [[run]]: WITH-clause chain from an `edges` CTE
+    * (u, v, w — the caller supplies it) through `wdeg`, `ew`, `nn`, and
+    * `r0..r<iters>`, ending with `r<iters>(node, pr)`. Iteration CTEs are
+    * MATERIALIZED so each round's frame is computed once.
+    */
+  def oracleSql(iters: Int): String = {
+    def round(i: Int): String =
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.v AS node,
+         |         CAST((15 * ($SCALE // nn.n)) // 100
+         |            + (85 * sum((r.pr * e.w) // e.wu)) // 100 AS BIGINT) AS pr
+         |  FROM ew e JOIN r${i - 1} r ON e.u = r.node CROSS JOIN nn
+         |  GROUP BY e.v, nn.n)""".stripMargin
+    s"""wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY 1),
+       |ew AS MATERIALIZED (
+       |  SELECT e.u, e.v, e.w, d.wu FROM edges e JOIN wdeg d USING (u)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wdeg),
+       |r0 AS (SELECT u AS node, CAST($SCALE // n AS BIGINT) AS pr
+       |       FROM wdeg CROSS JOIN nn),
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
+  }
+}
