@@ -1805,6 +1805,112 @@ object ExtendedSqlQueries {
            |FROM agg a JOIN groups g USING (region, segment)
            |ORDER BY a.region, a.segment""".stripMargin))
 
+  /** E13 — seasonal forecast backtest: per-day-of-week mean forecasting
+    * with a naive (overall-mean) baseline, scored by WAPE on a 28-day
+    * holdout. The classic marts question "is revenue where the forecast
+    * said it would be" reduced to its exactly-reproducible core:
+    *  - split = the last 28 order-active days (row_number over the
+    *    bounded calendar spine, same both engines);
+    *  - forecast(d) = train-period mean revenue of d's weekday, in whole
+    *    cents with floor division — a per-dow mean in exact integers;
+    *  - error = weighted absolute percentage error in basis points,
+    *    10000·Σ|actual−fc| div Σactual, per dow and overall, plus the
+    *    naive baseline's WAPE so the seasonal lift is visible in-row.
+    *
+    * Everything after the decimal-cents cast is long arithmetic, so the
+    * backtest hash-gates with no tolerance. Scale: one shuffle to daily
+    * grain (map-side combinable), one bounded window over the calendar
+    * spine, 7-row/1-row broadcast joins — at 100 TB the only corpus-sized
+    * pass is the first aggregation.
+    *
+    * Day-of-week numbering: Spark `dayofweek` is 1=Sunday..7; DuckDB
+    * `dayofweek` is 0=Sunday..6, so the oracle adds 1.
+    */
+  val e13SeasonalForecast = QueryDef(
+    "e13_seasonal_forecast",
+    "per-weekday mean revenue forecast, 28-day holdout, exact WAPE bp vs naive",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(sum((col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long")).as("cents"))
+      val idx = daily.withColumn("rk",
+        row_number().over(Window.orderBy(col("date").desc)))
+      val train = idx.filter(col("rk") > 28)
+      val test = idx.filter(col("rk") <= 28)
+      val dowStats = train.groupBy(dayofweek(col("date")).as("dow"))
+        .agg(sum("cents").as("dow_cents"), count(lit(1)).as("n_train_days"))
+      val overall = train.agg(
+        sum("cents").as("tot_cents"), count(lit(1)).as("tot_days"))
+      val scored = test
+        .select(col("date"), dayofweek(col("date")).as("dow"), col("cents"))
+        .join(broadcast(dowStats), "dow")
+        .crossJoin(broadcast(overall))
+        .withColumn("fc", expr("dow_cents DIV n_train_days"))
+        .withColumn("nv", expr("tot_cents DIV tot_days"))
+      val totals = scored.agg(
+        sum(abs(col("cents") - col("fc"))).as("ae_s"),
+        sum(abs(col("cents") - col("nv"))).as("ae_n"),
+        sum(col("cents")).as("act"))
+      scored.groupBy(col("dow").cast("long").as("dow"))
+        .agg(
+          max("n_train_days").as("n_train_days"),
+          count(lit(1)).as("n_test_days"),
+          max("fc").as("fc_cents_per_day"),
+          sum("cents").as("actual_cents"),
+          sum(abs(col("cents") - col("fc"))).as("abs_err_cents"))
+        .crossJoin(broadcast(totals))
+        .select(col("dow"), col("n_train_days"), col("n_test_days"),
+          col("fc_cents_per_day"), col("actual_cents"), col("abs_err_cents"),
+          expr("10000 * abs_err_cents DIV actual_cents").as("wape_bp_dow"),
+          expr("10000 * ae_s DIV act").as("wape_bp_seasonal"),
+          expr("10000 * ae_n DIV act").as("wape_bp_naive"))
+        .orderBy("dow")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS date,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+           |           AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1),
+           |idx AS (SELECT date, cents,
+           |               row_number() OVER (ORDER BY date DESC) AS rk
+           |        FROM daily),
+           |train AS (SELECT * FROM idx WHERE rk > 28),
+           |test AS (SELECT * FROM idx WHERE rk <= 28),
+           |ds AS (SELECT dayofweek(date) + 1 AS dow,
+           |              CAST(sum(cents) AS BIGINT) AS dow_cents,
+           |              CAST(count(*) AS BIGINT) AS n_train_days
+           |       FROM train GROUP BY 1),
+           |ov AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
+           |              CAST(count(*) AS BIGINT) AS tot_days FROM train),
+           |scored AS (
+           |  SELECT t.date, dayofweek(t.date) + 1 AS dow, t.cents,
+           |         dow_cents // n_train_days AS fc,
+           |         tot_cents // tot_days AS nv,
+           |         n_train_days
+           |  FROM test t JOIN ds ON dayofweek(t.date) + 1 = ds.dow
+           |  CROSS JOIN ov),
+           |tot AS (SELECT CAST(sum(abs(cents - fc)) AS BIGINT) AS ae_s,
+           |               CAST(sum(abs(cents - nv)) AS BIGINT) AS ae_n,
+           |               CAST(sum(cents) AS BIGINT) AS act
+           |        FROM scored)
+           |SELECT CAST(dow AS BIGINT) AS dow,
+           |       max(n_train_days) AS n_train_days,
+           |       CAST(count(*) AS BIGINT) AS n_test_days,
+           |       CAST(max(fc) AS BIGINT) AS fc_cents_per_day,
+           |       CAST(sum(cents) AS BIGINT) AS actual_cents,
+           |       CAST(sum(abs(cents - fc)) AS BIGINT) AS abs_err_cents,
+           |       CAST(10000 * sum(abs(cents - fc)) // sum(cents) AS BIGINT)
+           |         AS wape_bp_dow,
+           |       CAST(10000 * max(ae_s) // max(act) AS BIGINT)
+           |         AS wape_bp_seasonal,
+           |       CAST(10000 * max(ae_n) // max(act) AS BIGINT)
+           |         AS wape_bp_naive
+           |FROM scored CROSS JOIN tot
+           |GROUP BY dow ORDER BY dow""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
@@ -1812,5 +1918,6 @@ object ExtendedSqlQueries {
     w12RfmSegments, w13WinsorizedStats, q13BenfordAudit, q14ErasureCascade, q16SchemaDrift,
     e8OrderedListagg, e11CusumChangepoint, e12CusumPerKey,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
-    st1SessionsBatch, st10SessionWindow, q19LDiversityTCloseness)
+    st1SessionsBatch, st10SessionWindow, q19LDiversityTCloseness,
+    e13SeasonalForecast)
 }
