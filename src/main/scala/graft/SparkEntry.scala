@@ -26,6 +26,7 @@ object SparkEntry {
       text.TextQueries.defs ++
       text.CurationQueries.defs ++
       quality.PiiQueries.defs ++
+      quality.ContractQueries.defs ++
       lakehouse.LayoutQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
