@@ -688,7 +688,70 @@ object SimilarityQueries {
          |ORDER BY q_id, rk""".stripMargin
     })
 
+  /** X73 — kNN label-agreement audit (confident-learning-style mislabel
+    * detection): for a deterministic 1-in-17 sample of vectors, take the
+    * exact cosine top-10 neighbors and measure how often they share the
+    * query's label. Per label: audited count, mean agreement in exact
+    * basis points, and suspected mislabels (minority agreement — fewer
+    * than half the neighbors agree).
+    *
+    * Scale posture: sample-audit is the pattern — the query set is
+    * broadcast and the corpus streams once (x6's shape), so cost is
+    * |sample|-proportional map work, no corpus shuffle before the tiny
+    * top-k rows. A per-row (every-vector) audit at 100 TB rides the IVF
+    * buckets instead (x9's machinery: neighbors searched within the
+    * probed lists), trading exactness for the same statistic at corpus
+    * scale.
+    */
+  val x73KnnLabelAudit = QueryDef(
+    "x73_knn_label_audit",
+    "exact kNN label agreement per label over a 1-in-17 sample: mislabel audit",
+    (s, d) => {
+      val v = withNorm(emb(s, d))
+      val q = v.filter(pmod(col("vec_id"), lit(17)) === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("label"), col("vec_id"),
+          cosine(dotFix(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val perQ = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .groupBy("q_id", "q_label")
+        .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("agree"))
+      perQ.groupBy(col("q_label").cast("long").as("label"))
+        .agg(
+          count(lit(1)).as("n_audited"),
+          expr("CAST(10000 * sum(agree) DIV (10 * count(1)) AS BIGINT)")
+            .as("mean_agree_bp"),
+          sum(when(col("agree") * 2 < 10, 1L).otherwise(0L)).as("n_suspect"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $normSql,
+            |q AS (SELECT vec_id AS q_id, label AS q_label,
+            |             embedding AS q_emb, nrm AS q_nrm
+            |      FROM normed WHERE vec_id % 17 = 0),
+            |scored AS (
+            |  SELECT q.q_id, q.q_label, v.label, v.vec_id,
+            |         CAST(${qdotSql} AS DOUBLE) /
+            |           (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos_sim
+            |  FROM normed v, q WHERE v.vec_id <> q.q_id),
+            |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+            |           FROM scored),
+            |perq AS (SELECT q_id, q_label,
+            |                CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            |         FROM ranked WHERE rk <= 10 GROUP BY 1, 2)
+            |SELECT CAST(q_label AS BIGINT) AS label,
+            |       CAST(count(*) AS BIGINT) AS n_audited,
+            |       CAST(10000 * sum(agree) // (10 * count(*)) AS BIGINT) AS mean_agree_bp,
+            |       CAST(sum(CASE WHEN agree * 2 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+            |FROM perq GROUP BY 1 ORDER BY label""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf,
-      x31HardNegatives, x39AnnRecall, x40SemanticDedup, x54AnnIvfAdc)
+      x31HardNegatives, x39AnnRecall, x40SemanticDedup, x54AnnIvfAdc,
+      x73KnnLabelAudit)
 }
