@@ -146,9 +146,10 @@ object CdcQueries {
     * interval (`next_lsn` null = open) and per-key version numbers —
     * the lead window runs over ALL events (a delete closes the version
     * before it), the numbering over the surviving versions. Shared by
-    * cdc3 (the history table) and cdc4 (point-in-time lookups).
+    * cdc3 (the history table), cdc4 (point-in-time lookups), and the
+    * ST33 streaming enricher ([[graft.streaming.PitEnricher]]).
     */
-  private def scd2Versions(s: org.apache.spark.sql.SparkSession,
+  def scd2Versions(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("id").orderBy("__source_lsn")
     syntheticHistory(s, d)
