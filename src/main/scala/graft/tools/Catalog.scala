@@ -14,6 +14,7 @@ object Catalog {
     "analytics.SketchQueries" -> graft.analytics.SketchQueries.defs,
     "analytics.ExtendedSqlQueries" -> graft.analytics.ExtendedSqlQueries.defs,
     "analytics.AsOfQueries" -> graft.analytics.AsOfQueries.defs,
+    "analytics.GraphQueries" -> graft.analytics.GraphQueries.defs,
     "cdc.CdcQueries" -> graft.cdc.CdcQueries.defs,
     "dedup.DedupQueries" -> graft.dedup.DedupQueries.defs,
     "dedup.ClusterQueries" -> graft.dedup.ClusterQueries.defs,
@@ -23,6 +24,7 @@ object Catalog {
     "text.TextQueries" -> graft.text.TextQueries.defs,
     "text.CurationQueries" -> graft.text.CurationQueries.defs,
     "quality.PiiQueries" -> graft.quality.PiiQueries.defs,
+    "quality.ContractQueries" -> graft.quality.ContractQueries.defs,
     "lakehouse.LayoutQueries" -> graft.lakehouse.LayoutQueries.defs)
 
   def markdown: String = {

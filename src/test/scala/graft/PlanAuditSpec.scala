@@ -452,4 +452,42 @@ class PlanAuditSpec extends SparkSpec {
       assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
     }
   }
+
+  test("x72 PageRank: node-count frames broadcast; no cartesian; " +
+    "edge frame reused across iterations via one persisted copy") {
+    val plan = planOf("x72_copurchase_pagerank")
+    assert(!plan.contains("CartesianProduct"), s"x72 plans a cartesian:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"x72 1-row N frames must broadcast:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"x72 weighted-edge frame must come from the persisted copy:\n$plan")
+  }
+
+  test("x73 label audit: query sample broadcasts onto the corpus stream") {
+    val plan = planOf("x73_knn_label_audit")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"x73 query set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"x73 plans a cartesian:\n$plan")
+  }
+
+  test("x72/e13/q20/x73 shuffle-record ceilings (r15 third wave)") {
+    // measured at sf0.001: x72 49,692 (pair build + edge/wdeg frames +
+    // K=4 iterations of node-sized rank shuffles and map-side-combined
+    // inflow partials — linear in orders, never node-quadratic), e13
+    // 4,376 (daily grain once + 7-row frames), q20 2 (only the two
+    // 1×(rules+1) agg rows ever shuffle), x73 320 (top-k rows per
+    // query, never the corpus). Caps sit ~2x above.
+    val ceilings = Seq(
+      "x72_copurchase_pagerank" -> 100000L,
+      "e13_seasonal_forecast" -> 9000L,
+      "q20_contract_audit" -> 100L,
+      "x73_knn_label_audit" -> 700L)
+    for ((q, cap) <- ceilings) {
+      val rec = shuffleRecordsOf(q)
+      info(s"$q shuffled $rec records (cap $cap)")
+      assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
+    }
+  }
 }
