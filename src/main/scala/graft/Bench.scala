@@ -592,7 +592,12 @@ object Bench {
           // x70 joined in r15: the packing-order audit stacks two global
           // windows on a broadcast-centroid clustering — the soak shows
           // the adjacency pair join (≤64 rows per pair) staying linear
-          "x70_semantic_packing")
+          "x70_semantic_packing",
+          // x72 joined in r15: replicas shift l_partkey, so the
+          // co-purchase graph is R disjoint copies — the soak shows the
+          // K=4 iteration joins and the per-order-bounded pair build
+          // scaling in |E|, never node-quadratic
+          "x72_copurchase_pagerank")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)

@@ -54,8 +54,11 @@ object GraphQueries {
         .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
         .agg(count(lit(1)).as("w"))
       val edges = half.union(half.select(col("v"), col("u"), col("w")))
-      val pr = PageRank.run(s, edges, Iters, cacheKey = s"x72-ew/$d")
-      val deg = edges.groupBy(col("u").as("node"))
+      val pr = PageRank.run(s, edges, Iters, cacheKey = s"x72/$d")
+      // degree stats come from the SAME persisted weighted-edge frame
+      // the iterations use — never a second pair-join build
+      val deg = PageRank.weightedEdges(s, edges, s"x72/$d")
+        .groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("n_neighbors"), sum("w").as("w_degree"))
       pr.join(deg, "node")
         .select(col("node").as("p_partkey"), col("n_neighbors"),

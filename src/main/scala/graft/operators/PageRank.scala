@@ -47,24 +47,25 @@ object PageRank {
 
   val SCALE = 1000000000000L
 
-  /** Run K iterations over `edges` with columns (u: long, v: long,
-    * w: long). Returns (node, pr) with `pr` in SCALE units.
-    *
-    * `cacheKey`: when non-empty, the weighted-edge frame is persisted
-    * through [[graft.PlanCache]] under this key (callers invoking the
-    * same graph repeatedly — Verify/Bench — reuse one copy).
+  /** The out-weighted edge frame (u, v, w, wu), hash-partitioned on `u`
+    * so every iteration's join reuses one exchange. With a non-empty
+    * `cacheKey` it is persisted through [[graft.PlanCache]] — callers
+    * that also need degree statistics derive them from THIS frame, not
+    * from a re-built pair join.
     */
-  def run(spark: SparkSession, edges: DataFrame, iters: Int,
+  def weightedEdges(spark: SparkSession, edges: DataFrame,
       cacheKey: String = ""): DataFrame = {
-    val ew0 = {
+    def build = {
       val wdeg = edges.groupBy("u").agg(sum("w").as("wu"))
       edges.join(wdeg, "u").repartition(col("u"))
         .select(col("u"), col("v"), col("w"), col("wu"))
     }
-    val ew =
-      if (cacheKey.isEmpty) ew0.persist()
-      else graft.PlanCache.persisted(spark, cacheKey)(ew0)
+    if (cacheKey.isEmpty) build.persist()
+    else graft.PlanCache.persisted(spark, s"$cacheKey/ew")(build)
+  }
 
+  /** K iterations over a [[weightedEdges]] frame → (node, pr). */
+  def runOnWeighted(ew: DataFrame, iters: Int): DataFrame = {
     val nF = ew.agg(countDistinct(col("u")).as("n"))
     val nodes = ew.select(col("u").as("node")).distinct()
     val r0 = nodes.crossJoin(broadcast(nF))
@@ -80,6 +81,24 @@ object PageRank {
           (expr(s"(15 * ($SCALE DIV n)) DIV 100") +
             expr("(85 * inflow) DIV 100")).cast("long").as("pr"))
     }
+  }
+
+  /** Run K iterations over `edges` with columns (u: long, v: long,
+    * w: long). Returns (node, pr) with `pr` in SCALE units.
+    *
+    * `cacheKey`: when non-empty, BOTH the weighted-edge frame and the
+    * final rank frame persist through [[graft.PlanCache]] — domain/
+    * product rank tables are corpus-level artifacts rebuilt per corpus
+    * version, so repeated readers in one session (Verify/Bench re-runs,
+    * downstream joins) reuse one copy, the x2-signatures/x68-learn
+    * precedent. An empty key keeps everything plan-local.
+    */
+  def run(spark: SparkSession, edges: DataFrame, iters: Int,
+      cacheKey: String = ""): DataFrame = {
+    val ew = weightedEdges(spark, edges, cacheKey)
+    if (cacheKey.isEmpty) runOnWeighted(ew, iters)
+    else graft.PlanCache.persisted(spark, s"$cacheKey/pr$iters")(
+      runOnWeighted(ew, iters))
   }
 
   /** DuckDB replay of [[run]]: WITH-clause chain from an `edges` CTE
