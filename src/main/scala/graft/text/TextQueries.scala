@@ -1245,16 +1245,28 @@ object TextQueries {
     * docs sharing no bucket with any centroid are ABSENT here — callers
     * coalesce to the seed topic `doc_id % k`.
     */
-  private def corpusTopicBest(s: SparkSession, d: String) =
-    graft.PlanCache.persisted(s, s"x46-best/$d") {
+  /** The pre-argmax centroid scoring frame (doc_id, cid, dot, ss) — the
+    * expensive stage of the x46 chain (every weight row fans out to the
+    * K centroids sharing its bucket). PlanCache'd one level BELOW
+    * [[corpusTopicBest]] so the silhouette audit (x74), which needs the
+    * doc×centroid matrix rather than just the winner, reuses the same
+    * scoring pass.
+    */
+  private def corpusTopicDots(s: SparkSession, d: String) =
+    graft.PlanCache.persisted(s, s"x46-dots/$d") {
       val k = 8L
       val w = hashedWeights(s, d)
       val seed = docs(s, d).select(col("doc_id"),
         pmod(col("doc_id"), lit(k)).as("cid0"))
       val (cent, cnorm) = topicCentroids(w, seed)
-      val scores = w.join(broadcast(cent), Seq("bucket"))
+      w.join(broadcast(cent), Seq("bucket"))
         .groupBy("doc_id", "cid").agg(sum(col("wsum") * col("mw")).as("dot"))
         .join(broadcast(cnorm), Seq("cid"))
+    }
+
+  private def corpusTopicBest(s: SparkSession, d: String) =
+    graft.PlanCache.persisted(s, s"x46-best/$d") {
+      val scores = corpusTopicDots(s, d)
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("ss").cast("double")))
       val wBest = Window.partitionBy("doc_id")
@@ -1320,6 +1332,107 @@ object TextQueries {
            |SELECT st.topic, st.n_docs, st.n_sources,
            |       top.top_source, top.top_source_docs
            |FROM st JOIN top USING (topic) ORDER BY topic""".stripMargin))
+
+  /** X74 — cluster-quality silhouette audit over the x46 topic
+    * clustering (the centroid/"simplified" silhouette: distances are to
+    * CENTROIDS, not all pairs — O(docs·K), the form that survives corpus
+    * scale; classic silhouette's within-cluster pair matrix is quadratic
+    * and dies at 100 TB). Per document: a = cosine distance to its own
+    * topic centroid, b = min distance to any other centroid,
+    * s = (b−a)/max(a,b) floored to integer basis points (per-doc doubles
+    * from identical exact-long inputs, so the floor is bit-identical
+    * across engines; per-cluster aggregation is then pure long
+    * arithmetic). A doc sharing no bucket with a centroid scores
+    * distance 1. Negative s = the doc sits closer to a foreign centroid
+    * than its own — the misassignment count clustering dashboards watch.
+    *
+    * Shares the PlanCache'd [[corpusTopicDots]] scoring pass with
+    * x46/x70 — the audit adds only the doc-norm frame and per-doc
+    * min/agg on top.
+    *
+    * Floor-division caution: per-cluster mean uses floor(double
+    * division), NOT integer DIV — the sum can be negative, where
+    * Spark's DIV truncates toward zero but DuckDB's // floors.
+    */
+  val x74ClusterSilhouette = QueryDef(
+    "x74_cluster_silhouette",
+    "centroid silhouette per x46 topic: mean s in bp + misassigned-doc count",
+    (s, d) => {
+      val k = 8L
+      val w = hashedWeights(s, d)
+      val dss = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("dss"))
+      val cosd = corpusTopicDots(s, d).join(dss, Seq("doc_id"))
+        .select(col("doc_id"), col("cid"),
+          (lit(1.0) - col("dot").cast("double") /
+            (sqrt(col("dss").cast("double")) * sqrt(col("ss").cast("double"))))
+            .as("dist"))
+      val assigned = docs(s, d).select(col("doc_id"))
+        .join(corpusTopicBest(s, d).select(col("doc_id"), col("cid")),
+          Seq("doc_id"), "left")
+        .withColumn("topic", coalesce(col("cid"), pmod(col("doc_id"), lit(k))))
+        .select(col("doc_id"), col("topic"))
+      val per = assigned.join(cosd, Seq("doc_id"), "left")
+        .groupBy("doc_id", "topic")
+        .agg(
+          coalesce(min(when(col("cid") === col("topic"), col("dist"))),
+            lit(1.0)).as("a"),
+          coalesce(min(when(col("cid") =!= col("topic"), col("dist"))),
+            lit(1.0)).as("b"))
+      val sil = per.withColumn("s_bp",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+          .otherwise(floor(lit(10000.0) * (col("b") - col("a")) /
+            greatest(col("a"), col("b"))).cast("long")))
+      sil.groupBy("topic")
+        .agg(count(lit(1)).as("n_docs"),
+          floor(sum(col("s_bp")).cast("double") / count(lit(1)))
+            .cast("long").as("mean_sil_bp"),
+          sum(when(col("s_bp") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .orderBy("topic")
+    },
+    Some(s"""WITH $hashedWeightsSql,
+           |dsrc AS (SELECT doc_id, source FROM documents),
+           |seed AS (SELECT doc_id, doc_id % 8 AS cid0 FROM dsrc),
+           |cn AS (SELECT cid0, CAST(count(*) AS BIGINT) AS n_docs0
+           |       FROM seed GROUP BY 1),
+           |cent AS (SELECT cid0 AS cid, bucket, (sw // n_docs0) AS mw FROM
+           |           (SELECT cid0, bucket, CAST(sum(wsum) AS BIGINT) AS sw
+           |            FROM w JOIN seed USING (doc_id) GROUP BY 1, 2)
+           |         JOIN cn USING (cid0)
+           |         WHERE (sw // n_docs0) > 0),
+           |cnorm AS (SELECT cid, CAST(sum(mw * mw) AS BIGINT) AS ss
+           |          FROM cent GROUP BY 1),
+           |dots AS (SELECT w.doc_id, cent.cid, CAST(sum(wsum * mw) AS BIGINT) AS dot
+           |         FROM w JOIN cent USING (bucket) GROUP BY 1, 2),
+           |dss AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS dss
+           |        FROM w GROUP BY 1),
+           |sc AS (SELECT doc_id, cid,
+           |              CAST(dot AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS score
+           |       FROM dots JOIN cnorm USING (cid)),
+           |assign AS (SELECT doc_id, cid FROM
+           |            (SELECT doc_id, cid,
+           |                    row_number() OVER (PARTITION BY doc_id
+           |                                       ORDER BY score DESC, cid) AS rn
+           |             FROM sc) WHERE rn = 1),
+           |tpc AS (SELECT d.doc_id, COALESCE(a.cid, d.doc_id % 8) AS topic
+           |        FROM dsrc d LEFT JOIN assign a USING (doc_id)),
+           |cosd AS (SELECT dots.doc_id, cid,
+           |                1.0 - CAST(dot AS DOUBLE) /
+           |                  (sqrt(CAST(dss AS DOUBLE)) * sqrt(CAST(ss AS DOUBLE))) AS dist
+           |         FROM dots JOIN cnorm USING (cid) JOIN dss USING (doc_id)),
+           |per AS (SELECT t.doc_id, t.topic,
+           |               COALESCE(min(CASE WHEN c.cid = t.topic THEN c.dist END), 1.0) AS a,
+           |               COALESCE(min(CASE WHEN c.cid <> t.topic THEN c.dist END), 1.0) AS b
+           |        FROM tpc t LEFT JOIN cosd c USING (doc_id)
+           |        GROUP BY 1, 2),
+           |sil AS (SELECT topic,
+           |               CASE WHEN greatest(a, b) = 0 THEN 0
+           |                    ELSE CAST(floor(10000.0 * (b - a) / greatest(a, b)) AS BIGINT)
+           |               END AS s_bp
+           |        FROM per)
+           |SELECT topic, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(floor(CAST(sum(s_bp) AS DOUBLE) / count(*)) AS BIGINT) AS mean_sil_bp,
+           |       CAST(sum(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+           |FROM sil GROUP BY 1 ORDER BY topic""".stripMargin))
 
   /** X49 — chunk-level retrieval (the RAG-prep query): the corpus is
     * chunked with the x26 rule (32-token windows, 24-token stride), every
@@ -2213,5 +2326,6 @@ object TextQueries {
     x26Chunking, x28UnigramSurprisal, x36VocabCoverage, x43HashedVectors,
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
-    x65RetrievalEval, x67HardNegatives, x70SemanticPacking)
+    x65RetrievalEval, x67HardNegatives, x70SemanticPacking,
+    x74ClusterSilhouette)
 }
