@@ -86,38 +86,46 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
     */
   def dirsOfVersion(version: Int): Seq[String] = manifest(version).dirs
 
-  /** Read an arbitrary subset of manifest dirs (empty-safe). */
-  def readDirs(dirs: Seq[String]): DataFrame = {
+  /** Read an arbitrary subset of manifest dirs (empty-safe), resolved to
+    * the CURRENT schema (renames/drops applied per commit epoch).
+    */
+  def readDirs(dirs: Seq[String]): DataFrame =
+    readDirsAs(dirs, currentVersion)
+
+  private def readDirsAs(dirs: Seq[String], schemaVersion: Int): DataFrame = {
     if (dirs.isEmpty) spark.emptyDataFrame
-    else if (partitionCols.isEmpty)
+    else if (schemaEvents.isEmpty && partitionCols.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     else {
+      // group by commit dir: basePath restores typed partition columns,
+      // and each commit's files resolve through the schema events that
+      // happened AFTER the commit and at-or-before the requested schema
+      // version, then union across commits (allowMissingColumns covers
+      // added columns)
       dirs.groupBy(commitDirOf).toSeq.sortBy(_._1)
         .map { case (base, subdirs) =>
-          spark.read.option("mergeSchema", "true").option("basePath", base)
-            .parquet(subdirs: _*)
+          val rd = spark.read.option("mergeSchema", "true")
+          val df = if (partitionCols.isEmpty) rd.parquet(subdirs: _*)
+                   else rd.option("basePath", base).parquet(subdirs: _*)
+          applySchemaEvents(df, dirVersionOf(base), schemaVersion)
         }
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     }
   }
 
-  /** Time travel: the table exactly as of `version`. */
-  def readVersion(version: Int): DataFrame = {
+  /** Time travel: the table exactly as of `version` — data AND schema
+    * (a read below a rename/drop commit shows the pre-change schema).
+    */
+  def readVersion(version: Int): DataFrame =
+    readVersionAs(version, version)
+
+  /** Time-travel read of `version`'s DATA under `schemaVersion`'s SCHEMA
+    * — what a latest-schema CDF needs to diff across a rename boundary.
+    */
+  def readVersionAs(version: Int, schemaVersion: Int): DataFrame = {
     val m = manifest(version)
     if (m.dirs.isEmpty) spark.emptyDataFrame
-    else if (partitionCols.isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(m.dirs: _*)
-    else {
-      // partitioned: manifest entries are partition subdirs; group them by
-      // commit dir so basePath restores the typed partition columns, then
-      // union across commits (allowMissingColumns = schema evolution)
-      m.dirs.groupBy(commitDirOf).toSeq.sortBy(_._1)
-        .map { case (base, subdirs) =>
-          spark.read.option("mergeSchema", "true").option("basePath", base)
-            .parquet(subdirs: _*)
-        }
-        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    }
+    else readDirsAs(m.dirs, schemaVersion)
   }
 
   /** Write `df` into a fresh commit dir and return the manifest entries it
@@ -310,7 +318,10 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
   def changes(fromVersion: Int, toVersion: Int,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changes requires at least one key column")
-    val pre = readVersion(fromVersion)
+    // both snapshots resolve under toVersion's schema (the Delta CDF
+    // "latest schema" rule) so a rename between the versions diffs as
+    // unchanged data, not as a drop+add of every row
+    val pre = readVersionAs(fromVersion, toVersion)
     val post = readVersion(toVersion)
     if (pre.columns.isEmpty && post.columns.isEmpty)
       return spark.emptyDataFrame
@@ -384,7 +395,9 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
           .flatMap(_.getColumns.asScala)
           .groupBy(_.getPath.toDotString)
         cols.flatMap { c =>
-          byCol.get(c).map { chunks =>
+          // footers carry the AS-WRITTEN name; pre-rename files resolve
+          // through the inverse rename walk (output keeps the logical name)
+          byCol.get(physicalNameAt(c, dirVersionOf(d))).map { chunks =>
             val stats = chunks.map(_.getStatistics).filter(_ != null)
             val mins = stats.filter(_.hasNonNullValue).map(_.genericGetMin)
             val maxs = stats.filter(_.hasNonNullValue).map(_.genericGetMax)
@@ -731,7 +744,107 @@ final class SnapshotTable private (val spark: SparkSession, val root: String) {
       s.iterator().asScala.map(_.getFileName.toString)
         .collect { case ManifestName(v) => v.toInt }.toSeq
     }
-    math.max(currentVersion, if (vs.isEmpty) 0 else vs.max) + 1
+    // the schema log participates in allocation: an orphaned event
+    // (crash between log write and manifest commit) must never see its
+    // version reused by an unrelated data commit
+    val evMax = schemaEvents.map(_.v).maxOption.getOrElse(0)
+    math.max(evMax,
+      math.max(currentVersion, if (vs.isEmpty) 0 else vs.max)) + 1
+  }
+
+  // ---- schema evolution: rename/drop as metadata-only commits ----
+
+  private def schemaLogPath = snapDir.resolve("SCHEMA_LOG")
+
+  /** All schema events, version-ordered. O(1) file read; the log is
+    * O(schema changes), never O(commits).
+    */
+  private def schemaEvents: Seq[SchemaEvent] =
+    if (!Files.exists(schemaLogPath)) Nil
+    else Files.readString(schemaLogPath).linesIterator
+      .filter(_.nonEmpty).map(SchemaEvent.parse).toSeq.sortBy(_.v)
+
+  /** The commit version a manifest entry's data dir was written at. */
+  private def dirVersionOf(entry: String): Int = {
+    val name = Paths.get(commitDirOf(entry)).getFileName.toString
+    DataDirName.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+  }
+
+  /** Fold the events in (dirVersion, schemaVersion] over a commit's
+    * frame: renames rewrite the physical name forward, drops remove the
+    * column. Files written after a change already carry the new schema
+    * (COW rewrites and new appends use current names), so only OLDER
+    * commits transform.
+    */
+  private def applySchemaEvents(df: DataFrame, dirVersion: Int,
+      schemaVersion: Int): DataFrame =
+    schemaEvents.filter(e => e.v > dirVersion && e.v <= schemaVersion)
+      .foldLeft(df) { (d, e) =>
+        e.kind match {
+          case "rename" if d.columns.contains(e.from) =>
+            d.withColumnRenamed(e.from, e.to)
+          case "drop" if d.columns.contains(e.from) => d.drop(e.from)
+          case _ => d
+        }
+      }
+
+  /** The physical (as-written) name of current-logical `logical` in a
+    * commit written at `dirVersion` — the inverse rename walk, used to
+    * look up footer statistics of pre-rename files.
+    */
+  private def physicalNameAt(logical: String, dirVersion: Int): String = {
+    var name = logical
+    schemaEvents.filter(e => e.v > dirVersion && e.v <= currentVersion)
+      .reverseIterator.foreach { e =>
+        if (e.kind == "rename" && e.to == name) name = e.from
+      }
+    name
+  }
+
+  private def schemaChange(op: String, ev: SchemaEvent): Int = {
+    val v = nextVersion
+    val prev =
+      if (Files.exists(schemaLogPath)) Files.readString(schemaLogPath) else ""
+    val tmp = snapDir.resolve(f".SCHEMA_LOG.v$v%05d.tmp")
+    Files.writeString(tmp, prev + ev.copy(v = v).toJson + "\n")
+    // log first, manifest second: nextVersion also scans the log, so a
+    // crash between the two cannot hand this version to a later data
+    // commit; an orphaned event (log entry without its manifest) applies
+    // from v onward by the log's authority, the documented recovery
+    Files.move(tmp, schemaLogPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    commit(v, Manifest(v, op, manifest(currentVersion).dirs,
+      System.currentTimeMillis(), currentVersion))
+    v
+  }
+
+  /** Metadata-only column rename (Iceberg `ALTER TABLE ... RENAME COLUMN`
+    * analog): no data files are rewritten — reads resolve old commits
+    * through the event log; time travel below this commit still shows
+    * the old name. Partition columns cannot be renamed (their name is
+    * baked into hive paths).
+    */
+  def renameColumn(from: String, to: String): Int = {
+    val cols = read().columns.toSeq
+    require(cols.contains(from), s"renameColumn: no column '$from'")
+    require(!cols.contains(to), s"renameColumn: column '$to' already exists")
+    require(!partitionCols.contains(from),
+      s"renameColumn: '$from' is a partition column")
+    schemaChange(s"rename-column $from->$to", SchemaEvent(0, "rename", from, to))
+  }
+
+  /** Metadata-only column drop: the column disappears from reads at and
+    * after this commit, stays visible to time travel below it, and a
+    * later append may re-introduce the name (older rows read null —
+    * it is a NEW column that happens to reuse the name).
+    */
+  def dropColumn(name: String): Int = {
+    val cols = read().columns.toSeq
+    require(cols.contains(name), s"dropColumn: no column '$name'")
+    require(!partitionCols.contains(name),
+      s"dropColumn: '$name' is a partition column")
+    require(cols.size > 1, "dropColumn: cannot drop the last column")
+    schemaChange(s"drop-column $name", SchemaEvent(0, "drop", name, ""))
   }
 
   // ---- refs: tags (immutable) + branches (movable) + write-audit-publish
@@ -898,6 +1011,31 @@ object SnapshotTable {
 
   /** Manifest file-name shape, for version extraction. */
   private val ManifestName = """v(\d{5})\.json""".r
+  private val DataDirName = """v(\d{5})""".r
+
+  /** One schema-evolution event: `kind` ∈ rename | drop, committed at
+    * table version `v`. `to` is empty for drops.
+    */
+  final case class SchemaEvent(v: Int, kind: String, from: String,
+      to: String) {
+    def toJson: String = {
+      def q(s: String) =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"""{"v":$v,"kind":${q(kind)},"from":${q(from)},"to":${q(to)}}"""
+    }
+  }
+
+  object SchemaEvent {
+    def parse(json: String): SchemaEvent = {
+      def str(key: String): String =
+        s""""$key":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(json)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          .getOrElse("")
+      val v = """"v":(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(0)
+      SchemaEvent(v, str("kind"), str("from"), str("to"))
+    }
+  }
 
   /** Manifest of one committed snapshot. */
   final case class Manifest(version: Int, operation: String,
