@@ -111,13 +111,20 @@ object CurationQueries {
     */
   private[graft] def grams13(df: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    gramsN(df, keyCols, 13)
+
+  /** Distinct n-gram set per key (the grams13 contract at any length —
+    * x75's extent ladder probes 13/26/52/104). Map-only fan-out.
+    */
+  private[graft] def gramsN(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], n: Int): org.apache.spark.sql.DataFrame =
     df.select(keyCols.map(col) :+ split(col("text"), " ").as("toks"): _*)
-      .where(size(col("toks")) >= 13)
+      .where(size(col("toks")) >= n)
       .select(keyCols.map(col) ++ Seq(
-        explode(expr("sequence(1, size(toks) - 12)")).as("i"),
+        explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("i"),
         col("toks")): _*)
       .select(keyCols.map(col) :+
-        expr("concat_ws(' ', slice(toks, i, 13))").as("g"): _*)
+        expr(s"concat_ws(' ', slice(toks, i, $n))").as("g"): _*)
       .distinct()
 
   /** Docs sharing ≥1 13-gram with the benchmark: a gram-keyed LEFT SEMI
@@ -1614,6 +1621,84 @@ object CurationQueries {
            |         // u_toks AS BIGINT) AS epochs_bp
            |FROM rc, star s ORDER BY source""".stripMargin))
 
+  /** X75 — contamination EXTENT ladder: x51 flags the contaminated docs,
+    * this measures HOW MUCH is shared. Each train doc that overlaps the
+    * benchmark is probed at doubling gram lengths (13 / 26 / 52 / 104
+    * tokens); its extent is the longest rung it clears, classed as
+    * mention (a quoted line), passage, section, wholesale. The ladder is
+    * what decontamination POLICY actually keys on — a 13-token mention
+    * gets the doc stripped from eval-adjacent training, a section-level
+    * hit usually means the benchmark itself leaked into the crawl.
+    *
+    * Scale posture: each rung is x51's shape — a map-only gram fan-out
+    * over the train split and a benchmark-bounded left-semi join (the
+    * eval side is tiny, AQE broadcasts it; never corpus²). Four rungs =
+    * four linear passes; the union is doc-id rows. Longer rungs shrink:
+    * the gram stream at length L has ≤ tokens-per-doc rows regardless
+    * of L, and the hit set is monotonically non-increasing in L.
+    */
+  val x75ContaminationExtent = QueryDef(
+    "x75_contamination_extent",
+    "contamination extent ladder: longest shared gram run (13/26/52/104) per doc",
+    (s, d) => {
+      val rungs = Seq(13, 26, 52, 104)
+      val bucket = pmod(
+        call_function("graft_md5u60", col("doc_id").cast("string")), lit(100))
+      val base = docs(s, d).withColumn("bkt", bucket)
+      val train = base.filter(col("bkt") < 80)
+        .select("doc_id", "source", "text")
+      val bench = base.filter(col("bkt") >= 90).select("doc_id", "text")
+      val perRung = rungs.map { n =>
+        val bg = gramsN(bench, Seq("doc_id"), n).select("g").distinct()
+        gramsN(train, Seq("doc_id", "source"), n)
+          .join(bg, Seq("g"), "left_semi")
+          .select("doc_id", "source").distinct()
+          .withColumn("l", lit(n.toLong))
+      }
+      perRung.reduce(_ unionByName _)
+        .groupBy("doc_id", "source").agg(max("l").as("extent_grams"))
+        .groupBy("source", "extent_grams")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("severity",
+          when(col("extent_grams") === 13, "mention")
+            .when(col("extent_grams") === 26, "passage")
+            .when(col("extent_grams") === 52, "section")
+            .otherwise("wholesale"))
+        .orderBy("source", "extent_grams")
+    },
+    Some {
+      val rungSql = Seq(13, 26, 52, 104).map { n =>
+        s"""r$n AS (
+           |  SELECT DISTINCT doc_id, source, CAST($n AS BIGINT) AS l
+           |  FROM (SELECT DISTINCT doc_id, source,
+           |               array_to_string(t[i:i+${n - 1}], ' ') AS g
+           |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+           |              FROM tr WHERE len(string_split(text, ' ')) >= $n),
+           |             UNNEST(generate_series(1, len(t) - ${n - 1})) AS u(i))
+           |  WHERE g IN (
+           |    SELECT DISTINCT array_to_string(t[i:i+${n - 1}], ' ')
+           |    FROM (SELECT string_split(text, ' ') AS t
+           |          FROM te WHERE len(string_split(text, ' ')) >= $n),
+           |         UNNEST(generate_series(1, len(t) - ${n - 1})) AS u(i)))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH split AS (
+         |  SELECT doc_id, source, text,
+         |         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4 AS BIGINT) % 100 AS bkt
+         |  FROM documents),
+         |tr AS (SELECT doc_id, source, text FROM split WHERE bkt < 80),
+         |te AS (SELECT doc_id, text FROM split WHERE bkt >= 90),
+         |$rungSql,
+         |ext AS (SELECT doc_id, source, max(l) AS extent_grams
+         |        FROM (SELECT * FROM r13 UNION ALL SELECT * FROM r26
+         |              UNION ALL SELECT * FROM r52 UNION ALL SELECT * FROM r104)
+         |        GROUP BY 1, 2)
+         |SELECT source, extent_grams, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CASE extent_grams WHEN 13 THEN 'mention' WHEN 26 THEN 'passage'
+         |            WHEN 52 THEN 'section' ELSE 'wholesale' END AS severity
+         |FROM ext GROUP BY 1, 2 ORDER BY source, extent_grams""".stripMargin
+    })
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
@@ -1622,5 +1707,5 @@ object CurationQueries {
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
       x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination,
       x62TokenBudget, x68BpeTokenBudget, x69BpeFertility,
-      x71EpochWaterfill)
+      x71EpochWaterfill, x75ContaminationExtent)
 }
