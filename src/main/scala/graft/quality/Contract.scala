@@ -66,6 +66,18 @@ object Contract {
       .withColumn("passed", col("viol_ppm") <= col("threshold_ppm"))
   }
 
+  /** Row-level verdict: `df` plus a `violated` array of the rule names
+    * each row breaks (empty = clean). One projection, no aggregation —
+    * the per-row form the streaming gate routes on.
+    */
+  def flag(df: DataFrame, rules: Seq[ContractRule]): DataFrame = {
+    require(rules.nonEmpty, "empty contract")
+    val names = rules.map(r =>
+      when(violation(r), lit(r.name)).otherwise(lit(null: String)))
+    df.withColumn("violated",
+      filter(array(names: _*), c => c.isNotNull))
+  }
+
   /** Multi-table contract: one [[audit]] scan per table, unioned. */
   def auditAll(contracts: Seq[(DataFrame, String, Seq[ContractRule])]): DataFrame =
     contracts.map { case (df, t, rs) => audit(df, t, rs) }
