@@ -32,7 +32,12 @@ object VerifyHeavy {
     // r15 continuation: the packing-order audit stacks global windows
     // on the clustered corpus — the one new plan whose cost shape is
     // data-volume-sensitive
-    "x70_semantic_packing")
+    "x70_semantic_packing",
+    // r15 third wave: iterative graph joins (edge volume scales with
+    // orders), the doc×centroid silhouette matrix, and the four-rung
+    // gram ladder — each could silently change shape with data volume
+    "x72_copurchase_pagerank", "x74_cluster_silhouette",
+    "x75_contamination_extent")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")
