@@ -43,6 +43,29 @@ class ExampleSpec extends SparkSpec {
     assert(t.read().filter(col("account_balance") < 0).count() === 0)
   }
 
+  test("README: schema evolution + data contract compose as documented") {
+    import spark.implicits._
+    val t = lakehouse.SnapshotTable.create(spark,
+      Files.createTempDirectory("graft-readme-se").toString)
+    val v1 = t.append(Seq((1L, -5.0, "x"), (2L, 7.0, "y"))
+      .toDF("id", "account_balance", "legacy_flag"))
+    t.renameColumn("account_balance", "balance")
+    t.dropColumn("legacy_flag")
+    assert(t.read().columns.toSeq === Seq("id", "balance"))
+    assert(t.readVersion(v1).columns.toSeq ===
+      Seq("id", "account_balance", "legacy_flag"))
+
+    import graft.quality.{Contract, ContractRule}
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+    val rules = Seq(
+      ContractRule("qty_min", "min", "l_quantity", "1"),
+      ContractRule("disc_cap", "max", "l_discount", "0.08", maxPpm = 100000))
+    val audit = Contract.audit(li, "lineitem", rules).collect()
+    assert(audit.length === 2)
+    val (clean, quarantine) = streaming.ContractGate.route(li, rules)
+    assert(clean.count() + quarantine.count() === li.count())
+  }
+
   test("README: quantile monitor histogram -> exact brackets (batch twin)") {
     import spark.implicits._
     val measures = (1 to 1000)
