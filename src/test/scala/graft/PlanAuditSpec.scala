@@ -483,7 +483,14 @@ class PlanAuditSpec extends SparkSpec {
       "x72_copurchase_pagerank" -> 100000L,
       "e13_seasonal_forecast" -> 9000L,
       "q20_contract_audit" -> 100L,
-      "x73_knn_label_audit" -> 700L)
+      "x73_knn_label_audit" -> 700L,
+      // x74 reads the cached x46 scoring pass; its own shuffles are the
+      // doc-norm agg + per-doc min/agg (measured 55,441 COLD at
+      // sf0.001 — the shared-chain build included, since suite order
+      // decides who builds the cache first)
+      "x74_cluster_silhouette" -> 110000L,
+      // four linear gram rungs, benchmark-bounded semi joins
+      "x75_contamination_extent" -> 28000L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
