@@ -236,6 +236,96 @@ object CdcQueries {
                  AND (ver.vto IS NULL OR p.probe_lsn < ver.vto)
             ORDER BY id, probe_lsn"""))
 
+  /** The q21 audit core over any SCD2-shaped frame
+    * (id, vfrom, vto nullable): per key, consecutive versions (ordered
+    * by vfrom) must tile — `next.vfrom == vto` — with at most one open
+    * (null-vto) version, and an open version must be the last. Returns
+    * the one-row summary. Factored so the spec can run it on PLANTED
+    * corrupt histories (the real cdc3 derivation is clean by
+    * construction — the audit's job is catching hand-loaded or merged
+    * dimension tables that are not).
+    */
+  private[cdc] def scd2AuditOf(ver: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("id").orderBy("vfrom")
+    val paired = ver.withColumn("nxt_from", lead(col("vfrom"), 1).over(w))
+    val pairFlags = paired.select(
+      col("id"),
+      when(col("nxt_from").isNotNull &&
+        (col("vto").isNull || col("nxt_from") < col("vto")), 1L)
+        .otherwise(0L).as("overlap"),
+      when(col("nxt_from").isNotNull && col("vto").isNotNull &&
+        col("nxt_from") > col("vto"), 1L).otherwise(0L).as("gap"),
+      when(col("vto").isNull, 1L).otherwise(0L).as("open"))
+    val perKey = pairFlags.groupBy("id").agg(
+      count(lit(1)).as("nv"),
+      sum(col("overlap")).as("ov"),
+      sum(col("gap")).as("gp"),
+      sum(col("open")).as("op"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("nv")).as("n_versions"),
+      sum(col("ov")).as("n_overlap_pairs"),
+      sum(col("gp")).as("n_gap_pairs"),
+      sum(when(col("op") > 1, 1L).otherwise(0L)).as("n_multi_current_keys"))
+      .withColumn("clean",
+        col("n_overlap_pairs") === 0 && col("n_gap_pairs") === 0 &&
+          col("n_multi_current_keys") === 0)
+  }
+
+  /** Q21 — SCD2 interval-integrity audit (dbt-utils
+    * `mutually_exclusive_ranges` as an engine operator): per dimension
+    * key the validity intervals must TILE — each version's `valid_to`
+    * equals the next version's `valid_from`, no overlaps (a probe
+    * matching two versions makes cdc4 lookups ambiguous), no gaps (a
+    * probe matching none serves nulls for a live key), and at most one
+    * open version. Run here over the cdc3 derivation, which must come
+    * back clean — the audit's production use is hand-loaded or merged
+    * dimension tables, where it doesn't (the spec plants all three
+    * corruption classes).
+    *
+    * Scale posture: one key-partitioned window (the cdc3 bound — state
+    * is a key's version count) + map-combinable aggregation to a single
+    * summary row; no joins.
+    */
+  val q21Scd2Integrity = QueryDef(
+    "q21_scd2_integrity",
+    "SCD2 interval tiling audit: overlaps, gaps, multi-current keys",
+    (s, d) => scd2AuditOf(scd2Versions(s, d).select(
+      col("id"), col("__source_lsn").as("vfrom"), col("next_lsn").as("vto"))),
+    Some(s"""WITH $histSql,
+            |v AS (SELECT *, lead(lsn) OVER (PARTITION BY id ORDER BY lsn) AS next_lsn
+            |      FROM hist),
+            |ver AS (SELECT id, lsn AS vfrom, next_lsn AS vto
+            |        FROM v WHERE op <> 'd'),
+            |paired AS (SELECT id, vfrom, vto,
+            |                  lead(vfrom) OVER (PARTITION BY id ORDER BY vfrom) AS nxt_from
+            |           FROM ver),
+            |flags AS (SELECT id,
+            |                 CASE WHEN nxt_from IS NOT NULL AND
+            |                           (vto IS NULL OR nxt_from < vto)
+            |                      THEN 1 ELSE 0 END AS overlap,
+            |                 CASE WHEN nxt_from IS NOT NULL AND vto IS NOT NULL
+            |                           AND nxt_from > vto
+            |                      THEN 1 ELSE 0 END AS gap,
+            |                 CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS op
+            |          FROM paired),
+            |perkey AS (SELECT id, CAST(count(*) AS BIGINT) AS nv,
+            |                  CAST(sum(overlap) AS BIGINT) AS ov,
+            |                  CAST(sum(gap) AS BIGINT) AS gp,
+            |                  CAST(sum(op) AS BIGINT) AS opn
+            |           FROM flags GROUP BY 1)
+            |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+            |       CAST(sum(nv) AS BIGINT) AS n_versions,
+            |       CAST(sum(ov) AS BIGINT) AS n_overlap_pairs,
+            |       CAST(sum(gp) AS BIGINT) AS n_gap_pairs,
+            |       CAST(sum(CASE WHEN opn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_multi_current_keys,
+            |       sum(ov) = 0 AND sum(gp) = 0 AND
+            |         sum(CASE WHEN opn > 1 THEN 1 ELSE 0 END) = 0 AS clean
+            |FROM perkey""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(cdc1UnwrapCompact, cdc2RunningStock, cdc3Scd2, cdc4PitLookup)
+    Seq(cdc1UnwrapCompact, cdc2RunningStock, cdc3Scd2, cdc4PitLookup,
+      q21Scd2Integrity)
 }
