@@ -23,6 +23,7 @@ object SparkEntry {
       dedup.LinkageQueries.defs ++
       similarity.SimilarityQueries.defs ++
       similarity.QuantizationQueries.defs ++
+      similarity.SpectralQueries.defs ++
       text.TextQueries.defs ++
       text.CurationQueries.defs ++
       quality.PiiQueries.defs ++

@@ -21,6 +21,7 @@ object Catalog {
     "dedup.LinkageQueries" -> graft.dedup.LinkageQueries.defs,
     "similarity.SimilarityQueries" -> graft.similarity.SimilarityQueries.defs,
     "similarity.QuantizationQueries" -> graft.similarity.QuantizationQueries.defs,
+    "similarity.SpectralQueries" -> graft.similarity.SpectralQueries.defs,
     "text.TextQueries" -> graft.text.TextQueries.defs,
     "text.CurationQueries" -> graft.text.CurationQueries.defs,
     "quality.PiiQueries" -> graft.quality.PiiQueries.defs,

@@ -497,4 +497,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
     }
   }
+
+  test("r15 fourth-wave shuffle-record ceilings") {
+    // x76: K+1 matrix-free passes, each shuffling only the partial-agg
+    // tree (O(partitions) rows of 64 sums, never the corpus) — the
+    // whole point of the matrix-free design
+    val ceilings = Seq(
+      "x76_embedding_anisotropy" -> 500L)
+    for ((q, cap) <- ceilings) {
+      val rec = shuffleRecordsOf(q)
+      info(s"$q shuffled $rec records (cap $cap)")
+      assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
+    }
+  }
 }

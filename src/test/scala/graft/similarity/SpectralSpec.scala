@@ -1,0 +1,71 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** x76 — matrix-free power iteration: planted-axis exactness + a
+  * single-threaded BigInt differential on the real corpus.
+  */
+class SpectralSpec extends SparkSpec {
+
+  test("x76: planted single-axis corpus puts all loading on that axis") {
+    import spark.implicits._
+    // symmetric spread along dim 3 only → S = 0, centered variance
+    // entirely on one axis: loading must be exactly ±1000 e3 and the
+    // top-direction share exactly 10000 bp
+    val rows = Seq(-0.5f, -0.25f, 0.25f, 0.5f).zipWithIndex.map {
+      case (a, i) =>
+        (i.toLong, Array.tabulate(64)(d => if (d == 2) a else 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (loading, anisoBp, meanMassBp) =
+      SpectralQueries.powerIteration(SpectralQueries.quantize(spark, df))
+    assert(math.abs(loading(2)) === 1000L)
+    (0 until 64).filter(_ != 2).foreach(i => assert(loading(i) === 0L))
+    assert(anisoBp === 10000L)
+    assert(meanMassBp === 0L)
+  }
+
+  test("x76: distributed run equals a single-threaded BigInt fold") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val q = emb.map(_.map(x => math.floor(x.toDouble * 1e4).toLong))
+    val dim = 64
+    val n = BigInt(q.length)
+    val sv = Array.tabulate(dim)(i => q.map(r => BigInt(r(i))).sum)
+    val qq = q.map(r => BigInt(r.map(x => x * x).sum)).sum
+    var v = Array.fill(dim)(BigInt(1000))
+    var vPrev = v
+    var tLast = Array.fill(dim)(BigInt(0))
+    for (_ <- 1 to 6) {
+      val s = q.map(r => BigInt((0 until dim).map(i => r(i) * v(i).toLong).sum))
+      val u = Array.tabulate(dim)(i =>
+        q.zip(s).map { case (r, sd) => BigInt(r(i)) * sd }.sum)
+      val sDotV = (0 until dim).map(i => sv(i) * v(i)).sum
+      val t = Array.tabulate(dim)(i => n * u(i) - sv(i) * sDotV)
+      val m = t.map(_.abs).max.max(BigInt(1))
+      vPrev = v; tLast = t
+      v = t.map(x => (x * 1000) / m) // truncating, matching DuckDB //
+    }
+    val rayNum = (0 until dim).map(i => vPrev(i) * tLast(i)).sum
+    val rayDen = (0 until dim).map(i => vPrev(i) * vPrev(i)).sum
+    val ssum = sv.map(x => x * x).sum
+    val expAniso = (rayNum * 10000) / (rayDen * (n * qq - ssum))
+    val expMean = (ssum * 10000) / (n * qq)
+
+    val out = graft.SparkEntry
+      .queries("x76_embedding_anisotropy")(spark, sfDir)
+      .orderBy("dim").collect()
+    assert(out.length === 64)
+    (0 until dim).foreach { i =>
+      assert(out(i).getLong(0) === (i + 1).toLong)
+      assert(out(i).getLong(1) === v(i).toLong, s"loading dim ${i + 1}")
+    }
+    assert(out.head.getLong(2) === expAniso.toLong)
+    assert(out.head.getLong(3) === expMean.toLong)
+    // sanity: the fold found a genuinely dominant direction, not noise
+    assert(out.head.getLong(2) > 0L)
+  }
+}
