@@ -672,8 +672,232 @@ object EventQueries {
            |       CAST(count(*) AS BIGINT) AS n_users
            |FROM lv GROUP BY 1 ORDER BY level""".stripMargin))
 
+  /** Markov-chain iteration count for w15 — replayed verbatim by the
+    * oracle's materialized-CTE rounds (convergence is not adjudicated;
+    * both engines run the identical op sequence, the x72/x76 contract).
+    */
+  private val MarkovIters = 16
+
+  /** w15 journey → transition derivation, exposed for the spec's planted
+    * corpora. Input must carry (user_id, event_type, us, event_id).
+    *
+    * Journey rules (first-order Markov attribution, Anderl et al. 2016
+    * shape): sessions split on >30 min inactivity (the st1 rule); a
+    * session's events up to and including its first purchase form one
+    * journey ending in CONV; post-purchase events start a fresh journey;
+    * a journey with no purchase ends in NULL. Consecutive repeats stay
+    * (self-loops are first-order-legal and carry real frequency signal).
+    */
+  private[analytics] def markovTransitions(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wSess = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    val s3 = base
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(wUser) > 1800000000L, 1)
+          .otherwise(lit(0)))
+      .withColumn("sid", sum("new_s").over(wUser))
+      .withColumn("pb", coalesce(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .over(wSess.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val wJourney = Window.partitionBy(col("user_id"), col("sid"), col("pb"))
+      .orderBy("us", "event_id")
+    val s4 = s3
+      .withColumn("src",
+        coalesce(lag("event_type", 1).over(wJourney), lit("START")))
+      .withColumn("dst", when(col("event_type") === "purchase", lit("CONV"))
+        .otherwise(col("event_type")))
+      .withColumn("nxt", lead("event_type", 1).over(wJourney))
+    s4.select(col("src"), col("dst")).union(
+      s4.filter(col("nxt").isNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"), lit("NULL").as("dst")))
+  }
+
+  /** The w15 driver fold: transition counts → K fixed-point absorption
+    * rounds (full chain + one per removed channel), all BigInt with
+    * truncating division (= DuckDB integer `//`). Exposed for the spec.
+    */
+  private[analytics] def markovRemovalEffects(
+      counts: Map[(String, String), Long],
+      channels: Seq[String]): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val e9 = BigInt(1000000000L)
+    val states = "START" +: channels
+    val tot: Map[String, BigInt] = counts.groupBy(_._1._1)
+      .map { case (s, m) => s -> BigInt(m.values.sum) }
+    def absorb(removed: Option[String]): BigInt = {
+      var p = states.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to MarkovIters) {
+        p = states.map { st =>
+          st -> tot.get(st).map { t =>
+            val num = counts.iterator.collect {
+              case ((s2, dst), n) if s2 == st =>
+                val v = dst match {
+                  case "CONV" => e9
+                  case "NULL" => BigInt(0)
+                  case d if removed.contains(d) => BigInt(0)
+                  case d => p.getOrElse(d, BigInt(0))
+                }
+                BigInt(n) * v
+            }.sum
+            num / t // truncating on non-negatives
+          }.getOrElse(BigInt(0))
+        }.toMap
+      }
+      p("START")
+    }
+    val pFull = absorb(None)
+    val eff = channels.map { c =>
+      val pRem = absorb(Some(c))
+      val removalBp = ((pFull - pRem) * 10000) / pFull.max(BigInt(1))
+      (c, pRem, removalBp)
+    }
+    val totEff = eff.map(_._3).sum.max(BigInt(1))
+    eff.map { case (c, pRem, removalBp) =>
+      val touches = counts.collect { case ((_, d), n) if d == c => n }.sum
+      (c, touches, pFull.toLong, pRem.toLong, removalBp.toLong,
+        ((removalBp * 10000) / totEff).toLong)
+    }
+  }
+
+  /** W15 — Markov removal-effect attribution: the data-driven alternative
+    * to w14's positional heuristics. Customer journeys become a
+    * first-order Markov chain over touchpoint channels with START / CONV /
+    * NULL absorbers; a channel's credit is its REMOVAL EFFECT — how much
+    * the chain's START→CONV absorption probability drops when every
+    * transition into that channel is redirected to NULL (Anderl et al.
+    * 2016, "Mapping the customer journey"; the attribution model shipped
+    * in R's ChannelAttribution and Google's data-driven attribution).
+    *
+    * Distributed/driver split: the corpus-sized work — sessionization,
+    * journey splitting, transition extraction — is windowed per user
+    * (one shuffle, O(events-per-user) partitions, the a19/st1 shape);
+    * what reaches the driver is the transition-count MATRIX, bounded by
+    * (channels+1)² regardless of corpus size (the BloomPrune bounded-
+    * collect precedent). K=16 absorption rounds over that tiny matrix
+    * run in exact BigInt per removal variant — work O(C·K·C²), data-size
+    * independent. Absorption probabilities live in 1e-9 units; removal
+    * effects and credit shares in basis points; everything integer, so
+    * the oracle (identical rounds as materialized HUGEINT CTEs over the
+    * same counts) hash-matches exactly.
+    */
+  val w15MarkovAttribution = QueryDef(
+    "w15_markov_attribution",
+    "Markov removal-effect attribution: journey chain absorption probability drop per removed channel",
+    (s, d) => {
+      val base = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val counts = markovTransitions(base)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .collect() // bounded: (channels+2)^2 rows, never corpus-sized
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val channels = ev(s, d).filter(col("event_type") =!= "purchase")
+        .select("event_type").distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      val rows = markovRemovalEffects(counts, channels).map {
+        case (c, touches, pf, pr, rb, sb) =>
+          org.apache.spark.sql.Row(c, touches, pf, pr, rb, sb)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_touches",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("p_conv_e9",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("p_removed_e9",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("removal_bp",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("share_bp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("channel")
+    },
+    Some(w15OracleSql))
+
+  private def w15OracleSql: String = {
+    val rounds = (1 to MarkovIters).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s.rm, s.state,
+         |         CAST(COALESCE(SUM(c.n * CASE
+         |                WHEN c.dst = 'CONV' THEN 1000000000
+         |                WHEN c.dst = 'NULL' OR c.dst = s.rm THEN 0
+         |                ELSE COALESCE(q.p, 0) END), 0)
+         |              // MAX(t.tot) AS HUGEINT) AS p
+         |  FROM p${k - 1} s
+         |  JOIN nout t ON t.src = s.state
+         |  LEFT JOIN counts c ON c.src = s.state
+         |  LEFT JOIN p${k - 1} q ON q.rm = s.rm AND q.state = c.dst
+         |  GROUP BY s.rm, s.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+       |  FROM events),
+       |s1 AS (
+       |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+       |                 THEN 1 ELSE 0 END AS new_s
+       |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s2 AS (
+       |  SELECT *, SUM(new_s) OVER
+       |    (PARTITION BY user_id ORDER BY us, event_id) AS sid
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |                              THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+       |  FROM s2),
+       |s4 AS (
+       |  SELECT *, COALESCE(lag(event_type) OVER wj, 'START') AS src,
+       |         CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |              ELSE event_type END AS dst,
+       |         lead(event_type) OVER wj AS nxt
+       |  FROM s3 WINDOW wj AS
+       |    (PARTITION BY user_id, sid, pb ORDER BY us, event_id)),
+       |trans AS (
+       |  SELECT src, dst FROM s4
+       |  UNION ALL
+       |  SELECT event_type AS src, 'NULL' AS dst FROM s4
+       |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+       |counts AS MATERIALIZED (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM trans GROUP BY 1, 2),
+       |nout AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 1),
+       |channels AS (SELECT DISTINCT event_type AS ch FROM events
+       |             WHERE event_type <> 'purchase'),
+       |states AS (SELECT ch AS state FROM channels
+       |           UNION ALL SELECT 'START'),
+       |variants AS (SELECT 'FULL' AS rm
+       |             UNION ALL SELECT ch FROM channels),
+       |p0 AS (SELECT v.rm, s.state, CAST(0 AS HUGEINT) AS p
+       |       FROM variants v, states s),
+       |$rounds,
+       |fullp AS (SELECT p FROM p$MarkovIters
+       |          WHERE rm = 'FULL' AND state = 'START'),
+       |eff AS (
+       |  SELECT rm AS channel, p AS p_removed,
+       |         ((SELECT p FROM fullp) - p) * 10000 //
+       |           GREATEST((SELECT p FROM fullp), 1) AS removal_bp
+       |  FROM p$MarkovIters WHERE rm <> 'FULL' AND state = 'START'),
+       |tote AS (SELECT SUM(removal_bp) AS te FROM eff),
+       |touch AS (SELECT dst AS channel, CAST(SUM(n) AS BIGINT) AS n_touches
+       |          FROM counts WHERE dst NOT IN ('CONV', 'NULL') GROUP BY 1)
+       |SELECT e.channel,
+       |       COALESCE(t.n_touches, 0) AS n_touches,
+       |       CAST((SELECT p FROM fullp) AS BIGINT) AS p_conv_e9,
+       |       CAST(e.p_removed AS BIGINT) AS p_removed_e9,
+       |       CAST(e.removal_bp AS BIGINT) AS removal_bp,
+       |       CAST(e.removal_bp * 10000 //
+       |            GREATEST((SELECT te FROM tote), 1) AS BIGINT) AS share_bp
+       |FROM eff e LEFT JOIN touch t USING (channel)
+       |ORDER BY channel""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(a7Funnel, a8TierValue, a9ProductPerf,
     t3EpochMs, a11PartitionStats, u2LiteralUnion, st8Attribution,
     a15CohortRetention, a16HoppingWindows, a17VariantExtract,
-    w10EventTransitions, a19WindowFunnel, a20WindowFunnel4, w14MultiTouch)
+    w10EventTransitions, a19WindowFunnel, a20WindowFunnel4, w14MultiTouch,
+    w15MarkovAttribution)
 }

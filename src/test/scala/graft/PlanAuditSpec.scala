@@ -503,7 +503,14 @@ class PlanAuditSpec extends SparkSpec {
     // tree (O(partitions) rows of 64 sums, never the corpus) — the
     // whole point of the matrix-free design
     val ceilings = Seq(
-      "x76_embedding_anisotropy" -> 500L)
+      "x76_embedding_anisotropy" -> 500L,
+      // w15: one user-partitioned window pass over events (sessionize +
+      // journey split + transition extraction), then a (channels+2)^2
+      // transition-count agg; the absorption rounds run driver-side over
+      // that bounded matrix, so the shuffle is ~2 event copies (window
+      // repartition + count partials), linear in events, never more
+      // (measured 1,035 at sf0.001; cap ~2x)
+      "w15_markov_attribution" -> 2100L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
