@@ -962,16 +962,27 @@ object TextQueries {
         .as("w_ppm"))
   }
 
+  /** The scored-doc frame behind t28 — (doc_id, source, wsum, n_toks) —
+    * shared with x77's calibration/AUC audit of the same scorer.
+    * PlanCache'd: x77 references it four times (score histogram, doc
+    * count, decile boundaries, decile census) and each uncached
+    * reference would re-run the explode/train/join chain (the
+    * lineage-reexecution lesson, NOTES r13).
+    */
+  private[graft] def scoredQuality(s: SparkSession, d: String) =
+    graft.PlanCache.persisted(s, s"t28-scored/$d") {
+      val labeled = docs(s, d).select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      labeled.join(broadcast(qualityWeights(s, d)), Seq("tok"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("w_ppm")).as("wsum"), count(lit(1)).as("n_toks"))
+    }
+
   val t28QualityModel = QueryDef(
     "t28_quality_model",
     "learned quality score per doc: curated-vs-background token-rate contrast (ppm)",
     (s, d) => {
-      val labeled = docs(s, d).select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("tok"))
-      val weights = qualityWeights(s, d)
-      labeled.join(broadcast(weights), Seq("tok"))
-        .groupBy("doc_id", "source")
-        .agg(sum(col("w_ppm")).as("wsum"), count(lit(1)).as("n_toks"))
+      scoredQuality(s, d)
         .select(col("doc_id"), col("source"),
           col("source").isInCollection(CURATED_SOURCES).as("is_curated"),
           col("n_toks"), col("wsum"),
@@ -1004,6 +1015,161 @@ object TextQueries {
          |       CAST(wsum AS DOUBLE) / n_toks AS score_ppm,
          |       wsum > 0 AS selected
          |FROM sc ORDER BY doc_id""".stripMargin
+    })
+
+  /** The x77 core over a generic `(pos, score)` frame (pos ∈ {0,1} long,
+    * score long): exact tie-aware ROC-AUC in basis points plus a 10-row
+    * decile calibration census. Exposed so the spec can feed planted
+    * score distributions with closed-form AUCs.
+    *
+    * AUC without pairs: AUC = [2·#(score⁺>score⁻) + #(ties)] / (2·n⁺·n⁻).
+    * Both counts come from per-distinct-score class counts and a
+    * negatives-below prefix sum — computed hierarchically the a13 way
+    * (bin = top 16 sortable-double bits → the only global window runs
+    * over ≤ 2¹⁶ bin rows; per-score prefixes are windows PARTITIONED by
+    * bin), so no corpus-sized range exchange exists in the plan.
+    * Decile boundaries are tie-inclusive k-th-largest order statistics
+    * from [[graft.operators.RadixSelect.kthLargest]] (k_i = ⌊i·n/10⌋) —
+    * value-deterministic across engines, unlike `ntile`, which splits
+    * ties arbitrarily and can never hash-match.
+    *
+    * All arithmetic is integer; divisions truncate toward zero on both
+    * engines (Spark `div` ≡ DuckDB BIGINT/HUGEINT `//`, both measured;
+    * the only negative-capable quotient is score_mean). Products run in
+    * DECIMAL(38,0)/HUGEINT so 2·n⁺·n⁻ survives 10¹⁰-doc corpora.
+    */
+  private[text] def calibrationOf(scored: org.apache.spark.sql.DataFrame) = {
+    graft.GraftExtensions.ensure(scored.sparkSession)
+    val sb = scored.groupBy("score")
+      .agg(sum(col("pos")).as("pos_s"), sum(lit(1L) - col("pos")).as("neg_s"))
+      .withColumn("bin", shiftrightunsigned(
+        call_function("graft_sortable_bits", col("score").cast("double")), 48))
+    val wBins = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val bstar = sb.groupBy("bin").agg(sum(col("neg_s")).as("bneg"))
+      .withColumn("negb_bin", coalesce(sum(col("bneg")).over(wBins), lit(0L)))
+      .select("bin", "negb_bin")
+    val wIn = Window.partitionBy("bin").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aucRow = sb.join(broadcast(bstar), "bin")
+      .withColumn("negb",
+        col("negb_bin") + coalesce(sum(col("neg_s")).over(wIn), lit(0L)))
+      .agg(
+        sum(col("pos_s").cast(DecimalType(38, 0)) *
+          (lit(2L) * col("negb") + col("neg_s"))).as("w2"),
+        sum(col("pos_s")).cast(DecimalType(38, 0)).as("npos"),
+        sum(col("neg_s")).cast(DecimalType(38, 0)).as("nneg"))
+      .select(expr(
+        "CAST((w2 * 10000) div greatest(2 * npos * nneg, 1) AS BIGINT)")
+        .as("auc_bp"))
+    val ranks = scored.agg(count(lit(1)).as("n"))
+      .select(explode(expr(
+        "array(1L,2L,3L,4L,5L,6L,7L,8L,9L)")).as("rank_id"), col("n"))
+      .select(col("rank_id"),
+        greatest(expr("(rank_id * n) div 10"), lit(1L)).as("k"))
+    val cells = (1 to 9).map(i =>
+      max(when(col("rank_id") === i, col("kth"))).as(s"t$i"))
+    val thr = graft.operators.RadixSelect.kthLargest(scored, "score", ranks)
+      .agg(cells.head, cells.tail: _*)
+    val decile = (lit(10L) - (1 to 9).map(i =>
+      (col("score") < col(s"t$i")).cast("long")).reduce(_ + _)).as("decile")
+    scored.crossJoin(broadcast(thr))
+      .select(decile, col("pos"), col("score"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_curated"),
+        sum(col("score").cast(DecimalType(38, 0))).as("ssum"))
+      .select(col("decile"), col("n_docs"), col("n_curated"),
+        expr("(n_curated * 10000) div n_docs").as("curated_bp"),
+        expr("ssum div CAST(n_docs AS DECIMAL(38,0))").as("score_mean"))
+      .crossJoin(broadcast(aucRow))
+      .orderBy("decile")
+  }
+
+  /** X77 — scorer calibration/AUC audit: does the t28 learned quality
+    * score actually RANK curated above background? The two standard
+    * classifier audits as one oracle-gated operator: (1) exact tie-aware
+    * ROC-AUC (Mann–Whitney U over the score histogram — the
+    * probability a random curated doc outscores a random background
+    * doc), and (2) a decile calibration table (docs bucketed by
+    * value-deterministic score deciles; curated share per decile in bp —
+    * a well-ranked scorer shows curated_bp rising monotonically with
+    * the decile). This is the audit every data-filtering pipeline runs
+    * before trusting a learned quality gate (CCNet/GPT-3 style) with a
+    * selection threshold.
+    *
+    * Scale: per-doc scores from the PlanCache'd t28 frame; AUC from
+    * per-distinct-score counts with bin-hierarchical prefix sums (no
+    * global sort); decile boundaries from one bounded-histogram
+    * radix-select pass; census is one groupBy. Every number integer →
+    * hash-exact oracle.
+    */
+  val x77ScorerCalibration = QueryDef(
+    "x77_scorer_calibration",
+    "t28 scorer audit: exact tie-aware ROC-AUC (bp) + decile calibration census",
+    (s, d) => {
+      val scored = scoredQuality(s, d).select(
+        col("source").isInCollection(CURATED_SOURCES).cast("long").as("pos"),
+        expr("(wsum * CAST(1000000 AS BIGINT)) div n_toks").as("score"))
+      calibrationOf(scored)
+    },
+    Some {
+      val curatedIn = CURATED_SOURCES.map(x => s"'$x'").mkString(", ")
+      val decSub = (1 to 9).map(i =>
+        s"(CASE WHEN score < t$i THEN 1 ELSE 0 END)").mkString(" - ")
+      val tCells = (1 to 9).map(i =>
+        s"max(CASE WHEN i = $i THEN t END) AS t$i").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |lab AS (SELECT doc_id, source, tok,
+         |          CASE WHEN source IN ($curatedIn) THEN 1 ELSE 0 END AS cls
+         |        FROM toks),
+         |counts AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS c
+         |           FROM lab GROUP BY 1, 2),
+         |totals AS (SELECT cls, CAST(count(*) AS BIGINT) AS tot
+         |           FROM lab GROUP BY 1),
+         |r AS (SELECT tok, cls, (c * 1000000) // tot AS rate_ppm
+         |      FROM counts JOIN totals USING (cls)),
+         |w AS (SELECT tok,
+         |        COALESCE(max(CASE WHEN cls = 1 THEN rate_ppm END), 0) -
+         |        COALESCE(max(CASE WHEN cls = 0 THEN rate_ppm END), 0) AS w_ppm
+         |      FROM r GROUP BY tok),
+         |sc AS (SELECT doc_id, source, CAST(sum(w_ppm) AS BIGINT) AS wsum,
+         |              CAST(count(*) AS BIGINT) AS n_toks
+         |       FROM lab JOIN w USING (tok) GROUP BY 1, 2),
+         |scored AS (SELECT CASE WHEN source IN ($curatedIn)
+         |                       THEN 1 ELSE 0 END AS pos,
+         |                  (wsum * 1000000) // n_toks AS score FROM sc),
+         |g AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS pos_s,
+         |             CAST(SUM(1 - pos) AS BIGINT) AS neg_s
+         |      FROM scored GROUP BY 1),
+         |cum AS (SELECT *, COALESCE(SUM(neg_s) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negb
+         |        FROM g),
+         |auc AS (SELECT
+         |    CAST(SUM(CAST(pos_s AS HUGEINT) * (2 * negb + neg_s)) AS HUGEINT)
+         |      AS w2,
+         |    CAST(SUM(pos_s) AS HUGEINT) AS npos,
+         |    CAST(SUM(neg_s) AS HUGEINT) AS nneg FROM cum),
+         |aucbp AS (SELECT CAST((w2 * 10000) //
+         |            GREATEST(2 * npos * nneg, 1) AS BIGINT) AS auc_bp
+         |          FROM auc),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+         |ks AS (SELECT CAST(i AS BIGINT) AS i, GREATEST((i * n) // 10, 1) AS k
+         |       FROM nn, UNNEST([1,2,3,4,5,6,7,8,9]) AS u(i)),
+         |tr AS (SELECT i, q.score AS t FROM ks JOIN
+         |        (SELECT score, row_number() OVER (ORDER BY score DESC) AS rn
+         |         FROM scored) q ON q.rn = ks.k),
+         |tp AS (SELECT $tCells FROM tr),
+         |db AS (SELECT CAST(10 - $decSub AS BIGINT) AS decile, pos, score
+         |       FROM scored CROSS JOIN tp)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(pos) AS BIGINT) AS n_curated,
+         |       (CAST(SUM(pos) AS BIGINT) * 10000) //
+         |         CAST(count(*) AS BIGINT) AS curated_bp,
+         |       CAST(SUM(CAST(score AS HUGEINT)) //
+         |         CAST(count(*) AS HUGEINT) AS BIGINT) AS score_mean,
+         |       (SELECT auc_bp FROM aucbp) AS auc_bp
+         |FROM db GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
   /** X43 — hashed TF-IDF document vectors: the classical text featurizer
@@ -2327,5 +2493,5 @@ object TextQueries {
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
     x65RetrievalEval, x67HardNegatives, x70SemanticPacking,
-    x74ClusterSilhouette)
+    x74ClusterSilhouette, x77ScorerCalibration)
 }

@@ -510,7 +510,12 @@ class PlanAuditSpec extends SparkSpec {
       // that bounded matrix, so the shuffle is ~2 event copies (window
       // repartition + count partials), linear in events, never more
       // (measured 1,035 at sf0.001; cap ~2x)
-      "w15_markov_attribution" -> 2100L)
+      "w15_markov_attribution" -> 2100L,
+      // x77: per-distinct-score class counts (combinable) + the
+      // bounded bin histogram + radix-select boundary pass — shuffled
+      // rows are score-distinct partials, never the corpus
+      // (measured 3,066 at sf0.001; cap ~2x)
+      "x77_scorer_calibration" -> 6200L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
