@@ -106,26 +106,34 @@ object TextQueries {
     * sums are exact integer math (see Parity; floor is the only
     * engine-portable snap — see SimilarityQueries.qfix).
     */
+  /** The t21 per-doc heuristic score — (doc_id, score6), 1e-6 fixed
+    * point — factored out so x78 can correlate it against the t28
+    * learned score.
+    */
+  private[graft] def heuristicScores(s: SparkSession, d: String) = {
+    val stop = Seq("the", "a", "of", "and")
+    val toks = split(col("text"), " ")
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("double").as("n_toks"),
+        size(array_distinct(toks)).cast("double").as("n_distinct"),
+        size(filter(toks, t => t.isInCollection(stop))).cast("double").as("n_stop"),
+        length(regexp_replace(col("text"), " ", "")).cast("double").as("n_letters"))
+      // snap to 1e-6 fixed point with floor (portable: decimal casts
+      // round HALF_UP in Spark but not in DuckDB, and dyadic-rational
+      // scores DO land exactly on midpoints at corpus scale)
+      .select(col("doc_id"),
+        floor((col("n_distinct") / col("n_toks") * 0.4 +
+          (lit(1.0) - col("n_stop") / col("n_toks")) * 0.3 +
+          least(col("n_letters") / col("n_toks") / 10.0, lit(1.0)) * 0.3)
+          * lit(1e6)).cast("long").as("score6"))
+  }
+
   val t21Quality = QueryDef(
     "t21_quality",
     "quality score (diversity + stopword + length) bucketed low/medium/high",
     (s, d) => {
-      val stop = Seq("the", "a", "of", "and")
-      val toks = split(col("text"), " ")
-      docs(s, d)
-        .select(col("doc_id"), col("source"),
-          size(toks).cast("double").as("n_toks"),
-          size(array_distinct(toks)).cast("double").as("n_distinct"),
-          size(filter(toks, t => t.isInCollection(stop))).cast("double").as("n_stop"),
-          length(regexp_replace(col("text"), " ", "")).cast("double").as("n_letters"))
-        // snap to 1e-6 fixed point with floor (portable: decimal casts
-        // round HALF_UP in Spark but not in DuckDB, and dyadic-rational
-        // scores DO land exactly on midpoints at corpus scale)
-        .select(col("doc_id"),
-          floor((col("n_distinct") / col("n_toks") * 0.4 +
-            (lit(1.0) - col("n_stop") / col("n_toks")) * 0.3 +
-            least(col("n_letters") / col("n_toks") / 10.0, lit(1.0)) * 0.3)
-            * lit(1e6)).cast("long").as("score6"))
+      heuristicScores(s, d)
         .select(col("doc_id"), col("score6"),
           when(col("score6") >= 550000L, "high")
             .when(col("score6") >= 450000L, "medium")
@@ -1171,6 +1179,217 @@ object TextQueries {
          |       (SELECT auc_bp FROM aucbp) AS auc_bp
          |FROM db GROUP BY 1 ORDER BY 1""".stripMargin
     })
+
+  /** Tie-averaged Spearman ranks ×2 (so they stay integer): for every
+    * row, `out` = 2·(#rows with strictly smaller `valueCol`) +
+    * (#rows tied) + 1 ≡ twice the classical average rank. Computed from
+    * per-distinct-value counts with the x77 bin-hierarchical prefix
+    * (the only global window runs over ≤ 2¹⁶ bin rows), then joined
+    * back on the value — all frames doc-linear, no global sort.
+    */
+  private[text] def rank2Of(df: org.apache.spark.sql.DataFrame,
+      valueCol: String, out: String) = {
+    graft.GraftExtensions.ensure(df.sparkSession)
+    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("bin", shiftrightunsigned(
+        call_function("graft_sortable_bits", col(valueCol).cast("double")), 48))
+    val wB = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val bins = cnts.groupBy("bin").agg(sum(col("cnt")).as("bc"))
+      .withColumn("below_bin", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select("bin", "below_bin")
+    val wIn = Window.partitionBy("bin").orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cnts.join(broadcast(bins), "bin")
+      .withColumn("below",
+        col("below_bin") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .select(col(valueCol),
+        (lit(2L) * col("below") + col("cnt") + lit(1L)).as(out))
+    df.join(ranked, valueCol)
+  }
+
+  /** X78 — signal-agreement audit: do the two quality scorers — t21's
+    * hand-written heuristic and t28's learned contrast — actually agree
+    * on the corpus? Exact Spearman rank correlation (tie-averaged
+    * ranks; monotone agreement is the RIGHT audit for threshold gates —
+    * any monotone transform of a score selects identical documents)
+    * plus a median-split quadrant census (how many docs the two gates
+    * would route the same way at their own medians), both integer all
+    * the way, so the verdict is hash-exact. This is the audit that
+    * decides whether a cheap heuristic can pre-filter for an expensive
+    * learned gate (high ρ², high agree_bp ⇒ yes) or the two measure
+    * different things (⇒ keep both).
+    *
+    * Why rank-only (no raw-value Pearson): the two signals live on
+    * different fixed-point scales (1e-6 units vs ppm·1e6), and the
+    * Pearson cov² ~ n⁴·s_a²·s_b² intermediate overflows 128-bit at any
+    * realistic corpus — measured immediately at sf0.001. Ranks are
+    * bounded by 2n regardless of signal scale, so every Spearman
+    * intermediate stays under 10³⁸ through ~4·10⁵ docs for the DuckDB
+    * replay (which overflows LOUDLY, never silently), while the engine
+    * side finishes in driver BigInt from one O(1) moment row and is
+    * exact at any corpus size.
+    *
+    * Shape: per-doc signals join on doc_id; two x77-style hierarchical
+    * rank passes (the only global windows run over ≤ 2¹⁶ bin rows);
+    * ONE aggregation collects the six rank moments as DECIMAL(38,0);
+    * medians are tie-inclusive k-th-largest order statistics from
+    * [[graft.operators.RadixSelect.kthLargest]]. ρ²_bp =
+    * ⌊cov²·10⁴ / (var_a·var_b)⌋, zero variance guarded to sign 0 / ρ² 0.
+    */
+  val x78SignalAgreement = QueryDef(
+    "x78_signal_agreement",
+    "t21 heuristic vs t28 learned quality: exact Spearman agreement (sign, rho² bp) + median-split quadrants",
+    (s, d) => {
+      val a = heuristicScores(s, d).select(col("doc_id"), col("score6").as("sa"))
+      val b = scoredQuality(s, d).select(col("doc_id"),
+        expr("(wsum * CAST(1000000 AS BIGINT)) div n_toks").as("sb"))
+      agreementOf(a.join(b, "doc_id").select("sa", "sb"),
+        cacheKey = Some(s"x78-ranked/$d"))
+    },
+    Some(x78OracleSql))
+
+  /** The x78 core over a generic `(sa, sb)` signal-pair frame — exposed
+    * so the spec can feed planted distributions with closed-form
+    * Spearman verdicts. `cacheKey` PlanCaches the double-ranked frame
+    * (the moment pass, the two median selects and the quadrant census
+    * all reference it — uncached, each reference re-runs both rank
+    * joins over the corpus).
+    */
+  private[text] def agreementOf(pairs: org.apache.spark.sql.DataFrame,
+      cacheKey: Option[String] = None) = {
+      val s = pairs.sparkSession
+      val ranked = rank2Of(rank2Of(pairs, "sa", "ra2"), "sb", "rb2")
+      val joined = cacheKey.fold(ranked)(k =>
+        graft.PlanCache.persisted(s, k)(ranked))
+      def dec(c: String) = col(c).cast(DecimalType(38, 0))
+      // BOTH medians in ONE grouped radix pass (the w12 stacking trick —
+      // each kthLargest call costs a full bounded-histogram pass, and
+      // two of them dominated the first cut's runtime): tie-inclusive
+      // k-th largest per signal, k = (n+1)/2, weight ≡ 1
+      val medRanks = joined.agg(count(lit(1)).as("nn"))
+        .select(explode(expr("array('a','b')")).as("dim"), col("nn"))
+        .select(col("dim"), lit(1L).as("rank_id"),
+          greatest(expr("(nn + 1) div 2"), lit(1L)).as("budget"))
+      val stacked = joined.select(explode(array(
+          struct(lit("a").as("dim"), col("sa").as("v")),
+          struct(lit("b").as("dim"), col("sb").as("v")))).as("e"))
+        .select(col("e.dim").as("dim"), col("e.v").as("v"))
+        .withColumn("one", lit(1L))
+      val meds = graft.operators.RadixSelect
+        .thresholds(stacked, Seq("dim"), "v", "one", medRanks)
+        .collect() // bounded: one row per signal
+        .map(r => r.getString(0) -> r.getLong(r.fieldIndex("thr"))).toMap
+      val (medA, medB) = (meds("a"), meds("b"))
+      // ONE fused scan: the six rank moments + the quadrant census
+      val m = joined.agg(
+        count(lit(1)).as("n"),
+        sum(dec("ra2")).as("ra1"), sum(dec("rb2")).as("rb1"),
+        sum(dec("ra2") * dec("ra2")).as("raa"),
+        sum(dec("rb2") * dec("rb2")).as("rbb"),
+        sum(dec("ra2") * dec("rb2")).as("rab"),
+        sum((col("sa") >= medA && col("sb") >= medB).cast("long"))
+          .as("both_hi"),
+        sum((col("sa") < medA && col("sb") < medB).cast("long"))
+          .as("both_lo"))
+        .collect().head // O(1): one moment row, corpus-size independent
+      val n = BigInt(m.getLong(0))
+      def big(i: Int) = BigInt(m.getDecimal(i).toBigInteger)
+      val (cov, va, vb) = (n * big(5) - big(1) * big(2),
+        n * big(3) - big(1) * big(1), n * big(4) - big(2) * big(2))
+      val (sign, r2) =
+        if (va == 0 || vb == 0) (0L, 0L)
+        else (cov.signum.toLong, ((cov * cov * 10000) / (va * vb)).toLong)
+      val (bh, bl) = (m.getLong(6), m.getLong(7))
+      val agreeBp = ((BigInt(bh) + BigInt(bl)) * 10000 / n.max(1)).toLong
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        "n_docs", "spearman_sign", "spearman_r2_bp",
+        "both_hi", "both_lo", "agree_bp").map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(n.toLong, sign, r2, bh, bl, agreeBp)), 1),
+        schema)
+  }
+
+  private def x78OracleSql: String = {
+      val curatedIn = CURATED_SOURCES.map(x => s"'$x'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS n_stop,
+         |         CAST(len(replace(text, ' ', '')) AS DOUBLE) AS n_letters
+         |  FROM documents),
+         |ha AS (SELECT doc_id,
+         |         CAST(floor((n_distinct / n_toks * 0.4 +
+         |              (1.0 - n_stop / n_toks) * 0.3 +
+         |              least(n_letters / n_toks / 10.0, 1.0) * 0.3)
+         |              * 1000000.0) AS BIGINT) AS sa
+         |       FROM f),
+         |toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |         FROM documents),
+         |lab AS (SELECT doc_id, source, tok,
+         |          CASE WHEN source IN ($curatedIn) THEN 1 ELSE 0 END AS cls
+         |        FROM toks),
+         |counts AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS c
+         |           FROM lab GROUP BY 1, 2),
+         |totals AS (SELECT cls, CAST(count(*) AS BIGINT) AS tot
+         |           FROM lab GROUP BY 1),
+         |r AS (SELECT tok, cls, (c * 1000000) // tot AS rate_ppm
+         |      FROM counts JOIN totals USING (cls)),
+         |w AS (SELECT tok,
+         |        COALESCE(max(CASE WHEN cls = 1 THEN rate_ppm END), 0) -
+         |        COALESCE(max(CASE WHEN cls = 0 THEN rate_ppm END), 0) AS w_ppm
+         |      FROM r GROUP BY tok),
+         |sc AS (SELECT doc_id, CAST(sum(w_ppm) AS BIGINT) AS wsum,
+         |              CAST(count(*) AS BIGINT) AS n_toks
+         |       FROM lab JOIN w USING (tok) GROUP BY 1),
+         |hb AS (SELECT doc_id, (wsum * 1000000) // n_toks AS sb FROM sc),
+         |j AS (SELECT ha.sa, hb.sb FROM ha JOIN hb USING (doc_id)),
+         |rk AS (SELECT sa, sb,
+         |         2 * CAST(rank() OVER (ORDER BY sa) AS BIGINT) +
+         |           CAST(count(*) OVER (PARTITION BY sa) AS BIGINT) - 1 AS ra2,
+         |         2 * CAST(rank() OVER (ORDER BY sb) AS BIGINT) +
+         |           CAST(count(*) OVER (PARTITION BY sb) AS BIGINT) - 1 AS rb2
+         |       FROM j),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        CAST(SUM(CAST(ra2 AS HUGEINT)) AS HUGEINT) AS ra1,
+         |        CAST(SUM(CAST(rb2 AS HUGEINT)) AS HUGEINT) AS rb1,
+         |        CAST(SUM(CAST(ra2 AS HUGEINT) * ra2) AS HUGEINT) AS raa,
+         |        CAST(SUM(CAST(rb2 AS HUGEINT) * rb2) AS HUGEINT) AS rbb,
+         |        CAST(SUM(CAST(ra2 AS HUGEINT) * rb2) AS HUGEINT) AS rab
+         |      FROM rk),
+         |c AS (SELECT n,
+         |        n * rab - ra1 * rb1 AS scov,
+         |        n * raa - ra1 * ra1 AS sva,
+         |        n * rbb - rb1 * rb1 AS svb
+         |      FROM m),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+         |ka AS (SELECT sa AS med_a FROM nn JOIN
+         |        (SELECT sa, row_number() OVER (ORDER BY sa DESC) AS rn
+         |         FROM j) q ON q.rn = GREATEST((nn.n + 1) // 2, 1)),
+         |kb AS (SELECT sb AS med_b FROM nn JOIN
+         |        (SELECT sb, row_number() OVER (ORDER BY sb DESC) AS rn
+         |         FROM j) q ON q.rn = GREATEST((nn.n + 1) // 2, 1)),
+         |quad AS (SELECT
+         |    CAST(SUM(CASE WHEN sa >= med_a AND sb >= med_b
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS both_hi,
+         |    CAST(SUM(CASE WHEN sa < med_a AND sb < med_b
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS both_lo
+         |  FROM j CROSS JOIN ka CROSS JOIN kb)
+         |SELECT CAST(c.n AS BIGINT) AS n_docs,
+         |       CAST(CASE WHEN sva = 0 OR svb = 0 THEN 0
+         |                 WHEN scov > 0 THEN 1 WHEN scov < 0 THEN -1
+         |                 ELSE 0 END AS BIGINT) AS spearman_sign,
+         |       CAST(CASE WHEN sva = 0 OR svb = 0 THEN 0
+         |                 ELSE (scov * scov * 10000) // (sva * svb)
+         |            END AS BIGINT) AS spearman_r2_bp,
+         |       quad.both_hi, quad.both_lo,
+         |       ((quad.both_hi + quad.both_lo) * 10000) //
+         |         GREATEST(CAST(c.n AS BIGINT), 1) AS agree_bp
+         |FROM c CROSS JOIN quad""".stripMargin
+  }
 
   /** X43 — hashed TF-IDF document vectors: the classical text featurizer
     * (feature hashing / "hashing trick", Weinberger et al. 2009) as one
@@ -2493,5 +2712,5 @@ object TextQueries {
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
     x65RetrievalEval, x67HardNegatives, x70SemanticPacking,
-    x74ClusterSilhouette, x77ScorerCalibration)
+    x74ClusterSilhouette, x77ScorerCalibration, x78SignalAgreement)
 }

@@ -515,7 +515,11 @@ class PlanAuditSpec extends SparkSpec {
       // bounded bin histogram + radix-select boundary pass — shuffled
       // rows are score-distinct partials, never the corpus
       // (measured 3,066 at sf0.001; cap ~2x)
-      "x77_scorer_calibration" -> 6200L)
+      "x77_scorer_calibration" -> 6200L,
+      // x78: two doc-linear rank joins + the O(1) moment row + two
+      // bounded-histogram median selects over the cached ranked frame
+      // (measured 6,407 at sf0.001; cap ~2x)
+      "x78_signal_agreement" -> 13000L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
