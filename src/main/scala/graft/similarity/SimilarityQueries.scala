@@ -750,8 +750,114 @@ object SimilarityQueries {
             |       CAST(sum(CASE WHEN agree * 2 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
             |FROM perq GROUP BY 1 ORDER BY label""".stripMargin))
 
+  /** Exact fixed-point dot over the first `w` dimensions only. */
+  private def sliceDot(a: Column, b: Column, w: Column): Column =
+    call_function("graft_dot",
+      slice(a, lit(1), w), slice(b, lit(1), w))
+
+  /** The x79 core over a generic embedding frame — exposed so the spec
+    * can feed planted geometries (e.g. vectors whose tail dims are all
+    * zero, where every truncation must preserve the ranking exactly).
+    */
+  private[similarity] def mrlOf(v: DataFrame, widths: Seq[Int],
+      nQ: Int, k: Int): DataFrame = {
+    graft.GraftExtensions.ensure(v.sparkSession)
+    val wFrame = v.sparkSession.range(0, 1).select(
+      explode(array(widths.map(lit): _*)).as("w"))
+    // per-(vector, width) norms once — never recomputed per pair
+    val vw = v.crossJoin(broadcast(wFrame))
+      .select(col("w"), col("vec_id"), col("embedding"),
+        sliceDot(col("embedding"), col("embedding"), col("w")).as("nrm"))
+    val qw = vw.filter(col("vec_id") < nQ)
+      .select(col("w").as("qwidth"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = vw.join(broadcast(qw),
+        col("w") === col("qwidth") && col("vec_id") =!= col("q_id"))
+      .select(col("w"), col("q_id"), col("vec_id"),
+        cosine(sliceDot(col("q_emb"), col("embedding"), col("w")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val win = Window.partitionBy(col("w"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val topk = scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select("w", "q_id", "vec_id", "rk")
+    val maxW = widths.max
+    val base = topk.filter(col("w") === maxW)
+      .select(col("q_id"), col("vec_id"), col("rk").as("base_rk"))
+    val hits = topk.join(broadcast(base), Seq("q_id", "vec_id"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("hits"),
+        sum((col("rk") === 1 && col("base_rk") === 1).cast("long"))
+          .as("top1_hits"))
+    val nq = topk.filter(col("w") === maxW)
+      .agg(countDistinct(col("q_id")).as("n_queries"))
+    hits.crossJoin(broadcast(nq))
+      .select(col("w").cast("long").as("width"), col("n_queries"),
+        expr(s"(hits * 10000) div (n_queries * $k)").as("recall10_bp"),
+        expr("(top1_hits * 10000) div n_queries").as("top1_bp"))
+      .orderBy("width")
+  }
+
+  /** X79 — Matryoshka truncation audit: how much ANN fidelity survives
+    * serving on a PREFIX of each embedding (the Matryoshka
+    * representation-learning deployment pattern — store 64 dims, serve
+    * 8/16/32 to cut memory and dot cost)? For each truncation width,
+    * exact cosine top-k per query over the first w dims vs the
+    * full-width baseline: top-10 recall and top-1 preservation in bp.
+    * The decision artifact for "can the serving tier drop to width w".
+    *
+    * Exactness: width-sliced fixed-point dots (the x6 1e-8 quantization)
+    * keep every score order-independent; ranks tie-break on vec_id; the
+    * recalls are integer censuses — hash-exact oracle, which replays the
+    * slice dots as width-bounded generate_series sums.
+    *
+    * Scale: the query set (nQ·|widths| rows) broadcasts onto ONE corpus
+    * stream (the x6 shape, pair volume |corpus|·nQ·|widths|); per-pair
+    * cost is ∝ w, so the ladder costs ~2× a single full-width pass, not
+    * 4×; per-(vector,width) norms are one narrow pass; nothing but the
+    * k·nQ·|widths| winner rows ever shuffles.
+    */
+  val x79MrlTruncation = QueryDef(
+    "x79_mrl_truncation",
+    "Matryoshka truncation audit: top-10 recall + top-1 preservation at dims 8/16/32 vs full width",
+    (s, d) => mrlOf(emb(s, d), Seq(8, 16, 32, 64), nQ = 10, k = 10),
+    Some {
+      def wdot(x: String, y: String) =
+        s"""(SELECT CAST(SUM(CAST(floor(CAST($x[i] AS DOUBLE) * 100000000.0) AS BIGINT) *
+           |                 CAST(floor(CAST($y[i] AS DOUBLE) * 100000000.0) AS BIGINT)) AS BIGINT)
+           |    FROM UNNEST(generate_series(1, w)) AS u(i))""".stripMargin
+      s"""WITH widths AS (SELECT CAST(w AS INT) AS w
+         |               FROM UNNEST([8, 16, 32, 64]) AS t(w)),
+         |vw AS (SELECT w, vec_id, embedding,
+         |         ${wdot("embedding", "embedding")} AS nrm
+         |       FROM embeddings CROSS JOIN widths),
+         |qw AS (SELECT w AS qwidth, vec_id AS q_id, embedding AS q_emb,
+         |              nrm AS q_nrm
+         |       FROM vw WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT v.w, q.q_id, v.vec_id,
+         |         CAST(${wdot("q.q_emb", "v.embedding")} AS DOUBLE) /
+         |           (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos_sim
+         |  FROM vw v JOIN qw q ON v.w = q.qwidth AND v.vec_id <> q.q_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY w, q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored),
+         |topk AS (SELECT w, q_id, vec_id, rk FROM ranked WHERE rk <= 10),
+         |base AS (SELECT q_id, vec_id, rk AS base_rk FROM topk WHERE w = 64),
+         |hits AS (SELECT w, CAST(count(*) AS BIGINT) AS hits,
+         |           CAST(SUM(CASE WHEN t.rk = 1 AND b.base_rk = 1
+         |                         THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits
+         |         FROM topk t JOIN base b USING (q_id, vec_id) GROUP BY w),
+         |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries
+         |       FROM topk WHERE w = 64)
+         |SELECT CAST(w AS BIGINT) AS width, n_queries,
+         |       (hits * 10000) // (n_queries * 10) AS recall10_bp,
+         |       (top1_hits * 10000) // n_queries AS top1_bp
+         |FROM hits CROSS JOIN nq ORDER BY width""".stripMargin
+    })
+
   val defs: Seq[QueryDef] =
     Seq(x5EmbeddingNearDup, x6AnnTopK, x7AnnLshBucketed, x9AnnIvf,
       x31HardNegatives, x39AnnRecall, x40SemanticDedup, x54AnnIvfAdc,
-      x73KnnLabelAudit)
+      x73KnnLabelAudit, x79MrlTruncation)
 }

@@ -519,7 +519,11 @@ class PlanAuditSpec extends SparkSpec {
       // x78: two doc-linear rank joins + the O(1) moment row + two
       // bounded-histogram median selects over the cached ranked frame
       // (measured 6,407 at sf0.001; cap ~2x)
-      "x78_signal_agreement" -> 13000L)
+      "x78_signal_agreement" -> 13000L,
+      // x79: broadcast query×width frame onto one corpus stream — only
+      // the k·nQ·|widths| winner rows + per-width norms ever shuffle
+      // (measured 519 at sf0.001; cap ~2x)
+      "x79_mrl_truncation" -> 1100L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
