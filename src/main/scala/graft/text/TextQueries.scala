@@ -1180,6 +1180,110 @@ object TextQueries {
          |FROM db GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
+  /** X80 — source-pair unigram cross-entropy matrix: for every ordered
+    * source pair (A, B), the mean surprisal of A's tokens under B's
+    * add-one-smoothed unigram LM — the domain-mismatch measurement
+    * behind "which held-out domain does this training mix actually
+    * cover" (the cheap LM-free form of the perplexity-by-domain audits
+    * in the Pile/DoReMi analyses, and the pairwise generalization of
+    * x28's single-corpus surprisal). `fit_rank` orders each row's
+    * modeling sources; the diagonal winning its row means every source
+    * is best modeled by itself — a mix whose row is won by ANOTHER
+    * source is redundant with it.
+    *
+    * Portability: surprisal is the x28 integer floor-log2 —
+    * `bitlen((tot_B + |V|) div (c_B + 1)) − 1` with add-one smoothing
+    * over the GLOBAL vocabulary, so tokens B never saw get a finite,
+    * engine-identical ceiling. The per-pair mean is 1e-6 fixed point
+    * with the Σc·surp sum carried in DECIMAL(38,0)/HUGEINT (a 10¹³-token
+    * source would overflow a long at the ×10⁶ step).
+    *
+    * Scale: one token-keyed combinable agg builds (source, tok, c); the
+    * grid and surprisal tables are vocabulary×|S|-bounded (never
+    * corpus-sized); the cross-scoring join is token-type-keyed. Output
+    * is |S|² rows.
+    */
+  val x80SourceCrossEntropy = QueryDef(
+    "x80_source_crossentropy",
+    "source-pair unigram cross-entropy matrix (add-one smoothed floor-log2) with per-row fit ranks",
+    (s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      crossEntropyOf(toks, cacheKey = Some(s"x80-counts/$d"))
+    },
+    Some(x80OracleSql))
+
+  /** The x80 core over a generic `(source, tok)` token stream — exposed
+    * so the spec can feed planted vocabularies with closed-form
+    * surprisal matrices.
+    */
+  private[text] def crossEntropyOf(toks: org.apache.spark.sql.DataFrame,
+      cacheKey: Option[String] = None) = {
+      val s = toks.sparkSession
+      val built = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val counts = cacheKey.fold(built)(k =>
+        graft.PlanCache.persisted(s, k)(built))
+      val vocabN = counts.select("tok").distinct().agg(count(lit(1)).as("v"))
+      val totB = counts.groupBy(col("source").as("src_b"))
+        .agg(sum(col("c")).as("tot_b"))
+      val surpB = counts.select(col("tok")).distinct()
+        .crossJoin(broadcast(totB))
+        .join(counts.select(col("source").as("src_b"), col("tok"),
+          col("c").as("c_b")), Seq("src_b", "tok"), "left")
+        .na.fill(0L, Seq("c_b"))
+        .crossJoin(broadcast(vocabN))
+        .withColumn("surp_b",
+          (length(bin(expr("(tot_b + v) div (c_b + 1)"))) - 1).cast("long"))
+        .select("src_b", "tok", "surp_b")
+      val m = counts
+        .select(col("source").as("src_a"), col("tok"), col("c").as("c_a"))
+        .join(surpB, "tok")
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("c_a") * col("surp_b")).cast(DecimalType(38, 0))
+            .as("ssum"),
+          sum(col("c_a")).as("tot_a"))
+        .withColumn("xent6", expr("(ssum * 1000000) div tot_a"))
+      val w = Window.partitionBy("src_a").orderBy(col("xent6"), col("src_b"))
+      m.select(col("src_a"), col("src_b"), col("tot_a").as("n_tokens_a"),
+          col("xent6"),
+          row_number().over(w).cast("long").as("fit_rank"))
+        .orderBy("src_a", "src_b")
+  }
+
+  private def x80OracleSql: String =
+    ("""WITH toks AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |counts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           |           FROM toks GROUP BY 1, 2),
+           |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           |        FROM counts),
+           |totb AS (SELECT source AS src_b, CAST(sum(c) AS BIGINT) AS tot_b
+           |         FROM counts GROUP BY 1),
+           |vt AS (SELECT DISTINCT tok FROM counts),
+           |gcb AS (SELECT g.src_b, g.tok, g.tot_b, COALESCE(c.c, 0) AS c_b
+           |        FROM (SELECT b.src_b, b.tot_b, t.tok
+           |              FROM vt t CROSS JOIN totb b) g
+           |        LEFT JOIN counts c
+           |          ON c.source = g.src_b AND c.tok = g.tok),
+           |surp AS (SELECT src_b, tok,
+           |           CAST(len(bin((tot_b + v) // (c_b + 1))) - 1 AS BIGINT)
+           |             AS surp_b
+           |         FROM gcb CROSS JOIN voc),
+           |m AS (SELECT a.source AS src_a, s.src_b,
+           |        CAST(SUM(a.c) AS BIGINT) AS tot_a,
+           |        CAST(SUM(CAST(a.c AS HUGEINT) * s.surp_b) AS HUGEINT)
+           |          AS ssum
+           |      FROM counts a JOIN surp s USING (tok) GROUP BY 1, 2),
+           |x AS (SELECT src_a, src_b, tot_a AS n_tokens_a,
+           |        CAST((ssum * 1000000) // tot_a AS BIGINT) AS xent6
+           |      FROM m)
+           |SELECT src_a, src_b, n_tokens_a, xent6,
+           |       CAST(row_number() OVER
+           |         (PARTITION BY src_a ORDER BY xent6, src_b) AS BIGINT)
+           |         AS fit_rank
+           |FROM x ORDER BY src_a, src_b""").stripMargin
+
   /** Tie-averaged Spearman ranks ×2 (so they stay integer): for every
     * row, `out` = 2·(#rows with strictly smaller `valueCol`) +
     * (#rows tied) + 1 ≡ twice the classical average rank. Computed from
@@ -2712,5 +2816,6 @@ object TextQueries {
     x44SourceSimilarity, x45BigramSurprisal, x46TopicClusters,
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
     x65RetrievalEval, x67HardNegatives, x70SemanticPacking,
-    x74ClusterSilhouette, x77ScorerCalibration, x78SignalAgreement)
+    x74ClusterSilhouette, x77ScorerCalibration, x78SignalAgreement,
+    x80SourceCrossEntropy)
 }

@@ -523,7 +523,10 @@ class PlanAuditSpec extends SparkSpec {
       // x79: broadcast query×width frame onto one corpus stream — only
       // the k·nQ·|widths| winner rows + per-width norms ever shuffle
       // (measured 519 at sf0.001; cap ~2x)
-      "x79_mrl_truncation" -> 1100L)
+      "x79_mrl_truncation" -> 1100L,
+      // x80: token-keyed combinable aggs + vocab×|S|-bounded grid joins
+      // (measured 2,146 at sf0.001; cap ~2x)
+      "x80_source_crossentropy" -> 4300L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
