@@ -597,7 +597,14 @@ object Bench {
           // co-purchase graph is R disjoint copies — the soak shows the
           // K=4 iteration joins and the per-order-bounded pair build
           // scaling in |E|, never node-quadratic
-          "x72_copurchase_pagerank")
+          "x72_copurchase_pagerank",
+          // x77/x80 joined in this wave: the scorer-calibration AUC
+          // (bin-hierarchical histogram + radix-select deciles — the
+          // windows must stay encoding-bounded as docs scale) and the
+          // cross-entropy matrix (grid joins must stay vocab-bounded —
+          // replicas reuse the word vocabulary, so the surprisal table
+          // should barely grow while the token stream 10×es)
+          "x77_scorer_calibration", "x80_source_crossentropy")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)

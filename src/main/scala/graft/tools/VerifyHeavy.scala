@@ -37,7 +37,13 @@ object VerifyHeavy {
     // orders), the doc×centroid silhouette matrix, and the four-rung
     // gram ladder — each could silently change shape with data volume
     "x72_copurchase_pagerank", "x74_cluster_silhouette",
-    "x75_contamination_extent")
+    "x75_contamination_extent",
+    // this wave: the AUC/decile audit (rank prefixes + radix deciles),
+    // the Spearman/quadrant agreement (HUGEINT headroom shrinks with
+    // n² — sf1 is the documented-safe edge worth recording), and the
+    // cross-entropy grid (vocab-bounded by design; prove it at 10×)
+    "x77_scorer_calibration", "x78_signal_agreement",
+    "x80_source_crossentropy")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")
