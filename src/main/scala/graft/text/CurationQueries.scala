@@ -1699,6 +1699,69 @@ object CurationQueries {
          |FROM ext GROUP BY 1, 2 ORDER BY source, extent_grams""".stripMargin
     })
 
+  /** X81 — context-length waste ladder: for each candidate training
+    * context length L, how many tokens does each source LOSE to the two
+    * sequence-assembly policies — (a) one-doc-per-sequence with
+    * truncation at L (tokens beyond L cut, remainder of the sequence
+    * padded), and (b) ideal concatenated packing (⌈Σtokens/L⌉ sequences;
+    * only the final sequence pads — the x12 greedy packer's lower
+    * bound). The ladder is the decision artifact for "what context
+    * length do we train at, and is packing worth the plumbing": small L
+    * truncates long docs, large L pads short ones, packing trades both
+    * for cross-doc attention leakage.
+    *
+    * Everything is integer token arithmetic over one scan: per-doc
+    * whitespace token counts (the t22 convention) explode by the three
+    * candidate lengths and aggregate per (L, source) — map-side
+    * combinable, output |L|·|sources| rows. Waste is reported in bp of
+    * the source's total tokens (truncation loss and padding overhead
+    * separately, plus the packed bound's padding).
+    */
+  val x81ContextWaste = QueryDef(
+    "x81_context_waste",
+    "context-length waste ladder: truncation + padding loss per source at L in {128, 512, 2048}",
+    (s, d) => {
+      val lengths = Seq(128, 512, 2048)
+      val perDoc = docs(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      perDoc.select(col("source"), col("n"),
+          explode(array(lengths.map(lit): _*)).as("len"))
+        .withColumn("kept", least(col("n"), col("len")))
+        .groupBy(col("len").cast("long").as("ctx_len"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(col("n") - col("kept")).as("trunc_lost"),
+          sum(col("len") - col("kept")).as("pad_lost"))
+        .select(col("ctx_len"), col("source"), col("n_docs"),
+          col("total_tokens"),
+          expr("(trunc_lost * 10000) div total_tokens").as("trunc_bp"),
+          expr("(pad_lost * 10000) div total_tokens").as("pad_bp"),
+          // ideal packing: ceil(total/L)·L − total, as bp of total
+          expr("""((((total_tokens + ctx_len - 1) div ctx_len) * ctx_len
+                  - total_tokens) * 10000) div total_tokens""")
+            .as("packed_pad_bp"))
+        .orderBy("ctx_len", "source")
+    },
+    Some("""WITH perdoc AS (
+           |  SELECT source,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           |  FROM documents),
+           |x AS (SELECT source, n, CAST(len AS BIGINT) AS ctx_len,
+           |             LEAST(n, CAST(len AS BIGINT)) AS kept
+           |      FROM perdoc CROSS JOIN UNNEST([128, 512, 2048]) AS t(len)),
+           |g AS (SELECT ctx_len, source,
+           |        CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum(n) AS BIGINT) AS total_tokens,
+           |        CAST(sum(n - kept) AS BIGINT) AS trunc_lost,
+           |        CAST(sum(ctx_len - kept) AS BIGINT) AS pad_lost
+           |      FROM x GROUP BY 1, 2)
+           |SELECT ctx_len, source, n_docs, total_tokens,
+           |       (trunc_lost * 10000) // total_tokens AS trunc_bp,
+           |       (pad_lost * 10000) // total_tokens AS pad_bp,
+           |       ((((total_tokens + ctx_len - 1) // ctx_len) * ctx_len
+           |         - total_tokens) * 10000) // total_tokens AS packed_pad_bp
+           |FROM g ORDER BY ctx_len, source""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(x10SplitStratified, x11Contamination, x12SequencePacking,
       x13DedupIncremental, x14SampleStratified, x16MixtureReweight,
@@ -1707,5 +1770,5 @@ object CurationQueries {
       x33TemperatureMixture, x38CurriculumPhases, x51EvalDecontamination,
       x55DsirSelection, x58DsirQuota, x61NormalizedDecontamination,
       x62TokenBudget, x68BpeTokenBudget, x69BpeFertility,
-      x71EpochWaterfill, x75ContaminationExtent)
+      x71EpochWaterfill, x75ContaminationExtent, x81ContextWaste)
 }

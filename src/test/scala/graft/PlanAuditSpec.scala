@@ -526,7 +526,10 @@ class PlanAuditSpec extends SparkSpec {
       "x79_mrl_truncation" -> 1100L,
       // x80: token-keyed combinable aggs + vocab×|S|-bounded grid joins
       // (measured 2,146 at sf0.001; cap ~2x)
-      "x80_source_crossentropy" -> 4300L)
+      "x80_source_crossentropy" -> 4300L,
+      // x81: one scan + a (L × source)-keyed combinable agg — the
+      // shuffle is |L|·|sources| partial rows (measured 120 at sf0.001)
+      "x81_context_waste" -> 300L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
