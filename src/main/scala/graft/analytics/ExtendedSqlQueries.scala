@@ -1911,6 +1911,111 @@ object ExtendedSqlQueries {
            |FROM scored CROSS JOIN tot
            |GROUP BY dow ORDER BY dow""".stripMargin))
 
+  /** E14 — exact autocorrelation ladder on daily revenue: Pearson
+    * correlation of the series with itself at CALENDAR lags 1/7/28 days
+    * (pairs exist only where both dates traded — lag by date, not by
+    * row, so gaps don't smear the alignment). Lag-7 dominating lag-1
+    * is the weekly-seasonality fingerprint; lag-28 separates monthly
+    * effects — the diagnostic that decides e13's seasonal-model grain.
+    *
+    * Exactness: daily cents quantize to 1e3-cent units with floor
+    * division (keeps every DuckDB HUGEINT moment under 10³⁸ through
+    * ~10⁵-day series at 10¹³ cents/day — and the replay overflows
+    * loudly, never silently); the engine side collects the DAILY frame
+    * (bounded by the CALENDAR, never the fact table — the w15
+    * bounded-collect contract) and finishes in driver BigInt, exact at
+    * any revenue scale. sign ∈ {-1,0,1}; r² in bp with truncating
+    * division; degenerate lags (under 2 pairs or zero variance) read
+    * sign 0 / r² 0.
+    */
+  /** The e14 driver fold over a (epoch_day → quantized value) series —
+    * exposed for the spec's planted calendars. Returns one
+    * (lag, n_pairs, sign, r2_bp) tuple per lag, exact BigInt.
+    */
+  private[analytics] def acfOf(series: Map[Long, Long],
+      lags: Seq[Int]): Seq[(Long, Long, Long, Long)] =
+    lags.map { lag =>
+      val pairs = series.toSeq.collect {
+        case (ed, x) if series.contains(ed + lag) => (x, series(ed + lag))
+      }
+      val n = BigInt(pairs.length)
+      if (n < 2) (lag.toLong, n.toLong, 0L, 0L)
+      else {
+        val (sx, sy) = (pairs.map(p => BigInt(p._1)).sum,
+          pairs.map(p => BigInt(p._2)).sum)
+        val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+        val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+        val (cov, vx, vy) =
+          (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+        if (vx == 0 || vy == 0) (lag.toLong, n.toLong, 0L, 0L)
+        else (lag.toLong, n.toLong, cov.signum.toLong,
+          ((cov * cov * 10000) / (vx * vy)).toLong)
+      }
+    }
+
+  val e14Autocorrelation = QueryDef(
+    "e14_autocorrelation",
+    "exact daily-revenue autocorrelation at calendar lags 1/7/28 (sign + r² bp)",
+    (s, d) => {
+      val daily = graft.PlanCache.persisted(s, s"q7-daily:$d") {
+        Tables.load(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("order_date"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      }
+      val series = daily.select(
+          datediff(col("order_date"), lit("1970-01-01")).cast("long").as("ed"),
+          expr("cents div 1000").as("q"))
+        .collect() // bounded by the calendar: O(days), never fact-sized
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = acfOf(series, Seq(1, 7, 28)).map {
+        case (lag, n, sign, r2) => org.apache.spark.sql.Row(lag, n, sign, r2)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("lag_days", "n_pairs", "acf_sign", "acf_r2_bp").map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("lag_days")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1),
+           |s AS (SELECT date_diff('day', DATE '1970-01-01', order_date) AS ed,
+           |             cents // 1000 AS q
+           |      FROM daily),
+           |lags AS (SELECT CAST(l AS BIGINT) AS lag_days
+           |         FROM UNNEST([1, 7, 28]) AS t(l)),
+           |pairs AS (SELECT lg.lag_days, a.q AS x, b.q AS y
+           |          FROM lags lg
+           |          JOIN s a ON TRUE
+           |          JOIN s b ON b.ed = a.ed + lg.lag_days),
+           |m AS (SELECT lag_days, CAST(count(*) AS HUGEINT) AS n,
+           |        CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           |        CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           |        CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           |        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+           |      FROM pairs GROUP BY 1),
+           |c AS (SELECT lag_days, n,
+           |        n * sxy - sx * sy AS cov,
+           |        n * sxx - sx * sx AS vx,
+           |        n * syy - sy * sy AS vy
+           |      FROM m)
+           |SELECT lg.lag_days,
+           |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pairs,
+           |       CAST(CASE WHEN c.n IS NULL OR c.n < 2 OR c.vx = 0 OR c.vy = 0
+           |                 THEN 0
+           |                 WHEN c.cov > 0 THEN 1 WHEN c.cov < 0 THEN -1
+           |                 ELSE 0 END AS BIGINT) AS acf_sign,
+           |       CAST(CASE WHEN c.n IS NULL OR c.n < 2 OR c.vx = 0 OR c.vy = 0
+           |                 THEN 0
+           |                 ELSE (c.cov * c.cov * 10000) // (c.vx * c.vy)
+           |            END AS BIGINT) AS acf_r2_bp
+           |FROM lags lg LEFT JOIN c USING (lag_days)
+           |ORDER BY lg.lag_days""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
@@ -1919,5 +2024,5 @@ object ExtendedSqlQueries {
     e8OrderedListagg, e11CusumChangepoint, e12CusumPerKey,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow, q19LDiversityTCloseness,
-    e13SeasonalForecast)
+    e13SeasonalForecast, e14Autocorrelation)
 }

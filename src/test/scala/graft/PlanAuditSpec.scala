@@ -529,7 +529,11 @@ class PlanAuditSpec extends SparkSpec {
       "x80_source_crossentropy" -> 4300L,
       // x81: one scan + a (L × source)-keyed combinable agg — the
       // shuffle is |L|·|sources| partial rows (measured 120 at sf0.001)
-      "x81_context_waste" -> 300L)
+      "x81_context_waste" -> 300L,
+      // e14: one calendar-bounded daily agg feeds a driver BigInt fold —
+      // shuffled rows are the daily partials, never orders
+      // (measured 1,097 at sf0.001; cap ~2x)
+      "e14_autocorrelation" -> 2200L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
