@@ -1284,6 +1284,92 @@ object TextQueries {
            |         AS fit_rank
            |FROM x ORDER BY src_a, src_b""").stripMargin
 
+  /** X82 — Zipf-law audit: does the corpus's rank–frequency curve have
+    * the shape natural text has? Templated, machine-generated, or
+    * boilerplate-heavy corpora bend away from the Zipf line (slope ≈ −1
+    * on log rank vs log frequency), and the bend is a cheap
+    * whole-corpus health fingerprint no per-document filter sees.
+    *
+    * Libm-free: token frequencies bucket by floor-log2 (the x28 bitlen
+    * trick), each bucket's rank boundary is the floor-log2 of the
+    * cumulative type count at or above it, and the slope is an exact
+    * integer least-squares fit over the ≤ 64 (log₂rank, log₂freq)
+    * bucket points — slope_bp = (nΣxy−ΣxΣy)·10⁴ div (nΣx²−(Σx)²),
+    * truncating toward zero in both engines, zero-variance guarded.
+    * Everything after the one vocabulary aggregation runs on a frame
+    * bounded at 64 rows BY THE ENCODING; no vocabulary sort exists
+    * anywhere.
+    */
+  val x82ZipfAudit = QueryDef(
+    "x82_zipf_audit",
+    "Zipf rank-frequency audit: floor-log2 bucket census + exact integer slope fit (bp)",
+    (s, d) => zipfOf(docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))),
+    Some(x82OracleSql))
+
+  /** The x82 core over a generic one-column `tok` stream — exposed so
+    * the spec can plant exact power-of-two Zipf geometries (1 type at
+    * 2^k, 2 at 2^(k−1), … gives slope_bp exactly −10000).
+    */
+  private[text] def zipfOf(tokens: org.apache.spark.sql.DataFrame) = {
+      val counts = tokens
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val hist = counts
+        .withColumn("bucket", (length(bin(col("c"))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("token_mass"))
+      val wCum = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pts = hist
+        .withColumn("cum_types", sum(col("n_types")).over(wCum))
+        .withColumn("log2_rank",
+          (length(bin(col("cum_types"))) - 1).cast("long"))
+      val slope = pts.agg(
+          count(lit(1)).as("n"),
+          sum(col("log2_rank")).as("sx"), sum(col("bucket")).as("sy"),
+          sum(col("log2_rank") * col("log2_rank")).as("sxx"),
+          sum(col("log2_rank") * col("bucket")).as("sxy"))
+        .select(expr(
+          """CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+            |ELSE ((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx)
+            |END""".stripMargin).as("zipf_slope_bp"))
+      pts.select("bucket", "n_types", "token_mass", "cum_types", "log2_rank")
+        .crossJoin(broadcast(slope))
+        .orderBy("bucket")
+  }
+
+  private def x82OracleSql: String =
+    ("""WITH toks AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+           |           FROM toks GROUP BY tok),
+           |hist AS (SELECT CAST(len(bin(c)) - 1 AS BIGINT) AS bucket,
+           |                CAST(count(*) AS BIGINT) AS n_types,
+           |                CAST(sum(c) AS BIGINT) AS token_mass
+           |         FROM counts GROUP BY 1),
+           |pts AS (SELECT *,
+           |          CAST(SUM(n_types) OVER (ORDER BY bucket DESC
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS cum_types
+           |        FROM hist),
+           |pts2 AS (SELECT *, CAST(len(bin(cum_types)) - 1 AS BIGINT)
+           |                     AS log2_rank
+           |         FROM pts),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(SUM(log2_rank) AS BIGINT) AS sx,
+           |        CAST(SUM(bucket) AS BIGINT) AS sy,
+           |        CAST(SUM(log2_rank * log2_rank) AS BIGINT) AS sxx,
+           |        CAST(SUM(log2_rank * bucket) AS BIGINT) AS sxy
+           |      FROM pts2),
+           |sl AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+           |              ELSE CAST(((n * sxy - sx * sy) * 10000) //
+           |                        (n * sxx - sx * sx) AS BIGINT)
+           |              END AS zipf_slope_bp
+           |       FROM m)
+           |SELECT bucket, n_types, token_mass, cum_types, log2_rank,
+           |       (SELECT zipf_slope_bp FROM sl) AS zipf_slope_bp
+           |FROM pts2 ORDER BY bucket""").stripMargin
+
   /** Tie-averaged Spearman ranks ×2 (so they stay integer): for every
     * row, `out` = 2·(#rows with strictly smaller `valueCol`) +
     * (#rows tied) + 1 ≡ twice the classical average rank. Computed from
@@ -2817,5 +2903,5 @@ object TextQueries {
     x49ChunkRetrieval, x56Bm25Retrieval, x57HybridRrf, x60DoremiMixture,
     x65RetrievalEval, x67HardNegatives, x70SemanticPacking,
     x74ClusterSilhouette, x77ScorerCalibration, x78SignalAgreement,
-    x80SourceCrossEntropy)
+    x80SourceCrossEntropy, x82ZipfAudit)
 }

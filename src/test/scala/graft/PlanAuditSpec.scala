@@ -533,7 +533,10 @@ class PlanAuditSpec extends SparkSpec {
       // e14: one calendar-bounded daily agg feeds a driver BigInt fold —
       // shuffled rows are the daily partials, never orders
       // (measured 1,097 at sf0.001; cap ~2x)
-      "e14_autocorrelation" -> 2200L)
+      "e14_autocorrelation" -> 2200L,
+      // x82: one vocabulary agg + a ≤64-row bucket frame
+      // (measured 39 at sf0.001)
+      "x82_zipf_audit" -> 100L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
