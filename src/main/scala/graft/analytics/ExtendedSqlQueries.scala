@@ -1928,6 +1928,75 @@ object ExtendedSqlQueries {
     * division; degenerate lags (under 2 pairs or zero variance) read
     * sign 0 / r² 0.
     */
+  /** The q22 core over a generic one-column `uid` (string) population —
+    * exposed so the spec can plant biased populations with closed-form
+    * SRM verdicts.
+    */
+  private[analytics] def srmOf(users: org.apache.spark.sql.DataFrame,
+      salt: String): org.apache.spark.sql.DataFrame = {
+    val assigned = users.select(
+      when(pmod(graft.functions.CrossHash.md5u60(
+        concat(col("uid"), lit("#" + salt))), lit(100L)) < 50, "A")
+        .otherwise("B").as("variant"))
+    val census = assigned.groupBy("variant").agg(count(lit(1)).as("n_users"))
+    val stats = census.agg(
+        sum(col("n_users")).as("n"),
+        coalesce(sum(when(col("variant") === "A", col("n_users"))), lit(0L))
+          .as("a"))
+      .select(col("n"), col("a"),
+        expr("""((2 * a - n) * (2 * a - n) * 10000) div greatest(n, 1)""")
+          .as("chi2_1e4"))
+      .select(col("n"), col("chi2_1e4"),
+        (col("chi2_1e4") > 38410L).as("srm_flag")) // chi²₁ 95% = 3.841
+    census.crossJoin(broadcast(stats))
+      .select(col("variant"), col("n_users"),
+        expr("(n_users * 10000) div n").as("share_bp"),
+        (expr("(n_users * 10000) div n") - 5000L).as("dev_bp"),
+        col("chi2_1e4"), col("srm_flag"))
+      .orderBy("variant")
+  }
+
+  /** Q22 — A/B assignment + sample-ratio-mismatch audit: deterministic
+    * 50/50 variant assignment by the engine-portable md5u60 hash (the
+    * same user lands in the same variant on every engine and every
+    * re-run — no state, no randomness), plus the SRM check every
+    * experimentation platform runs before trusting a readout: a biased
+    * split means the ASSIGNMENT or LOGGING pipeline is broken and the
+    * experiment is unreadable regardless of its metrics. The χ²₁
+    * statistic reduces exactly for a 2-cell 50/50 design —
+    * χ² = (2a−n)²/n — so the audit is pure integer arithmetic
+    * (×10⁴ fixed point, truncating) with the 95% line at 38,410.
+    *
+    * One scan, one 2-cell census, O(1) everything else.
+    */
+  val q22SrmAudit = QueryDef(
+    "q22_srm_audit",
+    "deterministic A/B assignment census + exact chi-square sample-ratio-mismatch audit",
+    (s, d) => srmOf(Tables.load(s, d, "customer")
+      .select(col("c_custkey").cast("string").as("uid")), "exp1"),
+    Some("""WITH assigned AS (
+           |  SELECT CASE WHEN CAST(md5_number_lower(
+           |             CAST(c_custkey AS VARCHAR) || '#exp1') >> 4 AS BIGINT)
+           |             % 100 < 50
+           |         THEN 'A' ELSE 'B' END AS variant
+           |  FROM customer),
+           |census AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+           |           FROM assigned GROUP BY 1),
+           |stats AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+           |            CAST(COALESCE(SUM(CASE WHEN variant = 'A'
+           |                  THEN n_users END), 0) AS BIGINT) AS a
+           |          FROM census),
+           |s2 AS (SELECT n,
+           |         ((2 * a - n) * (2 * a - n) * 10000) // GREATEST(n, 1)
+           |           AS chi2_1e4
+           |       FROM stats)
+           |SELECT c.variant, c.n_users,
+           |       (c.n_users * 10000) // s2.n AS share_bp,
+           |       (c.n_users * 10000) // s2.n - 5000 AS dev_bp,
+           |       s2.chi2_1e4,
+           |       s2.chi2_1e4 > 38410 AS srm_flag
+           |FROM census c CROSS JOIN s2 ORDER BY c.variant""".stripMargin))
+
   /** The e14 driver fold over a (epoch_day → quantized value) series —
     * exposed for the spec's planted calendars. Returns one
     * (lag, n_pairs, sign, r2_bp) tuple per lag, exact BigInt.
@@ -2024,5 +2093,5 @@ object ExtendedSqlQueries {
     e8OrderedListagg, e11CusumChangepoint, e12CusumPerKey,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow, q19LDiversityTCloseness,
-    e13SeasonalForecast, e14Autocorrelation)
+    e13SeasonalForecast, e14Autocorrelation, q22SrmAudit)
 }

@@ -536,7 +536,9 @@ class PlanAuditSpec extends SparkSpec {
       "e14_autocorrelation" -> 2200L,
       // x82: one vocabulary agg + a ≤64-row bucket frame
       // (measured 39 at sf0.001)
-      "x82_zipf_audit" -> 100L)
+      "x82_zipf_audit" -> 100L,
+      // q22: one scan + a 2-cell census (measured 5 at sf0.001)
+      "q22_srm_audit" -> 20L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
