@@ -67,6 +67,43 @@ object PlanCache {
       df
     }
 
+  /** Like [[persisted]], but memoizes a LINEAGE-TRUNCATED materialization
+    * (`localCheckpoint`): every task that later scans a `persisted` frame
+    * serializes the frame's full build lineage into its task binary (a
+    * deep build — range exchanges, windows, stitch joins — is megabytes
+    * PER STAGE, and Spark logs the "Broadcasting large task binary"
+    * warning), while a checkpointed frame's tasks carry only the
+    * checkpoint RDD reference. Use for frames whose BUILD plan is deep
+    * but whose data is modest; the build runs eagerly at first call.
+    * The eager job materializes under the CALLER's scheduler pool, and
+    * cleanup is the same map the persisted entries use.
+    */
+  def checkpointed(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // NOT under the lock: localCheckpoint(eager = true) runs a job, and
+    // holding the PlanCache lock across a Spark job would serialize every
+    // other operator's cache lookup behind it. The double-checked get is
+    // racy only in the benign direction (two concurrent callers may both
+    // build; one result wins the map, the loser is unpersisted).
+    sessions.synchronized {
+      ensureContextHook(spark)
+      val t = sessions.computeIfAbsent(spark, _ => new java.util.HashMap())
+      val df = t.get(key)
+      if (df != null) return df
+    }
+    val built = build.localCheckpoint(true)
+    sessions.synchronized {
+      val t = sessions.computeIfAbsent(spark, _ => new java.util.HashMap())
+      val prev = t.get(key)
+      if (prev != null) {
+        try built.unpersist(blocking = false) catch { case _: Exception => () }
+        prev
+      } else {
+        t.put(key, built)
+        built
+      }
+    }
+  }
+
   /** Ensure `spark` is covered by the application-end cleanup listener
     * even if it never stores a PlanCache entry (callers with their own
     * memos registered via [[registerCleanupHook]]).

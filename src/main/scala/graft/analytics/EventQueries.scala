@@ -779,7 +779,11 @@ object EventQueries {
     * independent. Absorption probabilities live in 1e-9 units; removal
     * effects and credit shares in basis points; everything integer, so
     * the oracle (identical rounds as materialized HUGEINT CTEs over the
-    * same counts) hash-matches exactly.
+    * same counts) hash-matches exactly. The oracle's no-removal variant
+    * sentinel is `chr(1) || 'full'` — outside any plausible event_type
+    * namespace, so a channel literally named "FULL" could never be
+    * treated as the full chain (the engine side carries the variant as
+    * `Option[String]`, which has no such collision by construction).
     */
   val w15MarkovAttribution = QueryDef(
     "w15_markov_attribution",
@@ -869,18 +873,18 @@ object EventQueries {
        |             WHERE event_type <> 'purchase'),
        |states AS (SELECT ch AS state FROM channels
        |           UNION ALL SELECT 'START'),
-       |variants AS (SELECT 'FULL' AS rm
+       |variants AS (SELECT chr(1) || 'full' AS rm
        |             UNION ALL SELECT ch FROM channels),
        |p0 AS (SELECT v.rm, s.state, CAST(0 AS HUGEINT) AS p
        |       FROM variants v, states s),
        |$rounds,
        |fullp AS (SELECT p FROM p$MarkovIters
-       |          WHERE rm = 'FULL' AND state = 'START'),
+       |          WHERE rm = chr(1) || 'full' AND state = 'START'),
        |eff AS (
        |  SELECT rm AS channel, p AS p_removed,
        |         ((SELECT p FROM fullp) - p) * 10000 //
        |           GREATEST((SELECT p FROM fullp), 1) AS removal_bp
-       |  FROM p$MarkovIters WHERE rm <> 'FULL' AND state = 'START'),
+       |  FROM p$MarkovIters WHERE rm <> chr(1) || 'full' AND state = 'START'),
        |tote AS (SELECT SUM(removal_bp) AS te FROM eff),
        |touch AS (SELECT dst AS channel, CAST(SUM(n) AS BIGINT) AS n_touches
        |          FROM counts WHERE dst NOT IN ('CONV', 'NULL') GROUP BY 1)

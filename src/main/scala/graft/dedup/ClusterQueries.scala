@@ -183,14 +183,24 @@ object ClusterQueries {
            |         FROM q${t - 1} p JOIN deg d ON p.node = d.node
            |                          JOIN und u ON p.node = u.node
            |         GROUP BY u.nbr) inc ON s.node = inc.node)""".stripMargin
+      // MATERIALIZED on every CTE the 5 rounds re-reference: DuckDB
+      // inlines plain CTEs per reference, so an un-materialized `und`
+      // re-ran the ENTIRE shingle self-join once per round — at sf1 that
+      // five-fold replay exhausted the 79 GB temp disk (the r15
+      // VerifyHeavy capacity hole). Materialized, the edge set builds
+      // once and each round is one |E|-sized join, matching the engine's
+      // own localCheckpointed-rounds shape.
       s"""WITH ${DedupQueries.ngramPairsSqlCtes},
-         |allq AS (SELECT doc_id AS node,
+         |allq AS MATERIALIZED (SELECT doc_id AS node,
          |           ${graft.text.TextQueries.qualityScore6Sql} AS q0
          |         FROM documents),
-         |und AS (SELECT doc_a AS node, doc_b AS nbr FROM jpairs
+         |und AS MATERIALIZED (
+         |        SELECT doc_a AS node, doc_b AS nbr FROM jpairs
          |        UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM jpairs
          |        UNION ALL SELECT node, node AS nbr FROM allq),
-         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY node),
+         |deg AS MATERIALIZED (
+         |        SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM und GROUP BY node),
          |nbrs AS (SELECT node, CAST(count(*) AS BIGINT) AS n_neighbors
          |         FROM (SELECT doc_a AS node FROM jpairs
          |               UNION ALL SELECT doc_b AS node FROM jpairs)

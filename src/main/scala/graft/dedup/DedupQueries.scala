@@ -478,7 +478,7 @@ object DedupQueries {
     * the same census in ~1 s once the edges are a cached scan).
     */
   private[graft] def cachedJaccardEdges(s: SparkSession, d: String): DataFrame =
-    graft.PlanCache.persisted(s, s"x4_jpairs/$d") {
+    graft.PlanCache.checkpointed(s, s"x4_jpairs/$d") {
       ngramJaccardPairs(s, d, SHINGLE_DF_CAP).select("doc_a", "doc_b")
     }
 
@@ -493,7 +493,8 @@ object DedupQueries {
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
        |          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
-       |jpairs AS (SELECT doc_a, doc_b,
+       |jpairs AS MATERIALIZED (
+       |           SELECT doc_a, doc_b,
        |                  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
        |           FROM inter JOIN sizes sa ON doc_a = sa.doc_id
        |                      JOIN sizes sb ON doc_b = sb.doc_id

@@ -18,19 +18,27 @@ import org.apache.spark.sql.types.DecimalType
   * direction itself (the vector "All-but-the-Top" would remove) and the
   * mass of the common-mean component.
   *
-  * Distributed design — the covariance matrix is NEVER materialized:
-  * power iteration only needs matrix–vector products, and for a centered
-  * Gram matrix
+  * Distributed design — ONE corpus pass, not K: dim = 64 is small, so
+  * the exact Gram matrix C = Σ_d q_d q_dᵀ (2,080 upper-triangle longs)
+  * is computed in a single per-partition kernel pass (the shape Spark
+  * MLlib's `RowMatrix.computeGramianMatrix` uses for PCA when the column
+  * count is driver-sized), merged exactly through a 2,145-key
+  * DECIMAL(38,0) reduce, and the K power-iteration rounds then run on
+  * the DRIVER over the 64×64 matrix in BigInt:
   *
-  *   N·G_c·v = N·Σ_d q_d (q_d·v) − S (S·v),      S = Σ_d q_d
+  *   u = C·v  (exactly Σ_d q_d (q_d·v) — the same integers the per-pass
+  *             form computes, by distributivity),
+  *   N·G_c·v = N·u − S (S·v),      S = Σ_d q_d.
   *
-  * so each iteration is ONE linear pass over the corpus computing the
-  * per-row dot q_d·v against a broadcast 64-vector (the codegen'd
-  * `graft_dot_long`) and 64 map-side-combinable column sums; the
-  * S-correction is O(dim) on the driver. At 100 TB this is K scans with
-  * a 64-column reduce — no shuffle wider than the partial-agg tree, no
-  * dim×dim intermediate, the textbook scalable PCA step (same shape
-  * Spark MLlib's `RowMatrix.multiplyGramianMatrixBy` uses internally).
+  * At 100 TB this is one scan with a combinable reduce — the r15 bench
+  * window recorded the K-scan form at 36 s when it ran late in a
+  * 181-query session (each extra pass re-pays whatever state the session
+  * has accumulated); collapsing to one pass makes the wall cost
+  * scan-bounded by construction. The kernel accumulates in primitive
+  * longs per partition (|q_i| ≤ 10⁵ ⇒ |q_i·q_j| ≤ 10¹⁰ ⇒ overflow needs
+  * ≥ 9·10⁸ rows in ONE partition — 3,000× past a 128 MB parquet split),
+  * and the cross-partition merge runs in DECIMAL(38,0), exact at any
+  * corpus size.
   *
   * Exactness: embeddings quantize to 1e-4 units in longs (`floor(x·1e4)`
   * — the [[SimilarityQueries.qfix]] convention at a coarser scale so
@@ -78,7 +86,73 @@ object SpectralQueries {
         x => floor(x.cast("double") * lit(1e4)).cast("long")).as("q"))
   }
 
-  /** One distributed matrix-free power-iteration run over `q` rows.
+  /** Exact corpus second-moment statistics from the one-pass Gram
+    * kernel: row count N, column sums S = Σq, and the upper triangle of
+    * C = Σ q qᵀ. `c(i, j)` reads the full symmetric matrix; `qq` (the
+    * raw second moment Σ‖q‖²) is the trace of C.
+    */
+  private[similarity] final case class GramStats(
+      n: BigInt, s: Array[BigInt], cUpper: Array[BigInt]) {
+    def c(i: Int, j: Int): BigInt = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      cUpper(a * DIM - a * (a - 1) / 2 + (b - a))
+    }
+    def qq: BigInt = (0 until DIM).map(i => c(i, i)).sum
+  }
+
+  /** ONE distributed pass over `q` rows → exact [[GramStats]].
+    *
+    * Per-partition kernel accumulates N, S (64 longs) and the C upper
+    * triangle (2,080 longs) in primitives — |q_i·q_j| ≤ 10¹⁰ at the
+    * 1e-4 quantization of unit-scale embeddings, so a partition would
+    * need ~9·10⁸ rows to overflow a long (a 128 MB parquet split holds
+    * ~2.5·10⁵). Partials merge via posexplode → 2,145-key DECIMAL(38,0)
+    * sums (map-side combinable; exact at any corpus size; never a
+    * driver-side collect of per-partition arrays, which at 100 TB would
+    * be partitions × 17 KB).
+    */
+  private[similarity] def gramStats(qf: DataFrame): GramStats = {
+    val tri = DIM * (DIM + 1) / 2
+    val session = qf.sparkSession
+    import session.implicits._
+    val partials = qf.select(col("q")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](1 + DIM + tri)
+        while (it.hasNext) {
+          val q = it.next()
+          acc(0) += 1L
+          var i = 0
+          var base = 1 + DIM
+          while (i < DIM) {
+            val qi = q(i)
+            acc(1 + i) += qi
+            var j = i
+            while (j < DIM) {
+              acc(base + (j - i)) += qi * q(j)
+              j += 1
+            }
+            base += DIM - i
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+    val merged = partials.toDF("acc")
+      .select(posexplode(col("acc")))
+      .groupBy("pos")
+      .agg(sum(col("col").cast(DecimalType(38, 0))).as("v"))
+      .collect() // bounded: 2,145 rows, corpus-size independent
+    val vals = new Array[BigInt](1 + DIM + tri)
+    java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], BigInt(0))
+    merged.foreach(r => vals(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    GramStats(vals(0), vals.slice(1, 1 + DIM), vals.slice(1 + DIM, 1 + DIM + tri))
+  }
+
+  /** Matrix-free-in-spirit power iteration: one Gram pass over the
+    * corpus, then K driver-side BigInt rounds over the 64×64 C —
+    * integer-for-integer identical to running each round as a corpus
+    * scan (u = C·v = Σ_d q_d (q_d·v) by distributivity), which is what
+    * the DuckDB oracle replays.
     *
     * Returns (final loading vector in per-mille, aniso_bp, mean_mass_bp):
     *  - aniso_bp: top-eigenvalue share of the CENTERED trace, basis points
@@ -87,29 +161,19 @@ object SpectralQueries {
     *    share of raw second moment (what "All-but-the-Top" subtracts).
     */
   private[similarity] def powerIteration(qf: DataFrame)
-      : (Array[Long], Long, Long) = {
-    val dec = DecimalType(38, 0)
-    // pass 0: N, Σ‖q‖², S = Σ q (64 sums) — one combinable aggregate
-    val s0aggs =
-      sum(call_function("graft_dot_long", col("q"), col("q")).cast(dec))
-        .as("qq") +: (1 to DIM).map(i =>
-        sum(element_at(col("q"), i).cast(dec)).as(s"s$i"))
-    val r0 = qf.agg(count(lit(1)).as("n"), s0aggs: _*).head()
-    val n = BigInt(r0.getLong(0))
-    val qq = BigInt(r0.getDecimal(1).toBigInteger)
-    val sv = (1 to DIM).map(i => BigInt(r0.getDecimal(1 + i).toBigInteger))
+      : (Array[Long], Long, Long) = powerIterationOf(gramStats(qf))
 
+  private[similarity] def powerIterationOf(g: GramStats)
+      : (Array[Long], Long, Long) = {
+    val n = g.n
+    val sv = g.s
+    val qq = g.qq
     var v = Array.fill(DIM)(BigInt(VUnit))
     var vPrev = v
     var tLast = Array.fill(DIM)(BigInt(0))
     for (_ <- 1 to Iters) {
-      val vlit = typedlit(v.map(_.toLong).toSeq)
-      val withS = qf.select(col("q"),
-        call_function("graft_dot_long", col("q"), vlit).as("s"))
-      val taggs = (1 to DIM).map(i =>
-        sum((element_at(col("q"), i) * col("s")).cast(dec)).as(s"t$i"))
-      val row = withS.agg(taggs.head, taggs.tail: _*).head()
-      val u = (0 until DIM).map(i => BigInt(row.getDecimal(i).toBigInteger))
+      val u = Array.tabulate(DIM)(i =>
+        (0 until DIM).map(j => g.c(i, j) * v(j)).sum)
       val sDotV = (0 until DIM).map(i => sv(i) * v(i)).sum
       val t = Array.tabulate(DIM)(i => n * u(i) - sv(i) * sDotV)
       val m = t.map(_.abs).max.max(BigInt(1))
@@ -155,10 +219,16 @@ object SpectralQueries {
 
   /** DuckDB replay: the identical pass-0 sums and K materialized
     * iteration rounds in HUGEINT (`SUM(BIGINT)` promotes exactly), with
-    * `//` floor division matching the driver's BigInt floorDiv.
+    * `//` TRUNCATING division matching the driver's BigInt `/` (both
+    * round toward zero: -7 // 2 = -3, measured — see the class doc).
     */
-  private def oracleSql: String = {
-    val rounds = (1 to Iters).map { k =>
+  /** The K materialized power-iteration rounds over a `base (vec_id, i,
+    * qi)` / `nn (n)` / `sums (i, s)` CTE family — shared verbatim by the
+    * x76 and x83 oracles (x83 just points `base` at the corrupted
+    * corpus).
+    */
+  private def roundsSql: String =
+    (1 to Iters).map { k =>
       val pv = if (k == 1) "v0" else s"v${k - 1}"
       s"""sd$k AS (
          |  SELECT b.vec_id, SUM(b.qi * v.val) AS sdoc
@@ -177,6 +247,9 @@ object SpectralQueries {
          |  SELECT i, (t * $VUnit) // (SELECT m FROM m$k) AS val FROM t$k)"""
         .stripMargin
     }.mkString(",\n")
+
+  private def oracleSql: String = {
+    val rounds = roundsSql
     s"""WITH base AS MATERIALIZED (
        |  SELECT e.vec_id, u.i AS i,
        |         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 10000.0)
@@ -205,5 +278,180 @@ object SpectralQueries {
        |FROM v$Iters v ORDER BY dim""".stripMargin
   }
 
-  def defs: Seq[QueryDef] = Seq(x76EmbeddingAnisotropy)
+  /** Planted common-direction amplitude, in 1e-4 quantized units per
+    * dimension: vector d gets `(vec_id % 7 + 1) · 625` added to EVERY
+    * dimension — i.e. α_d·g with g = (1/8,…,1/8) (unit norm over 64
+    * dims) and α_d ∈ {0.5,…,3.5}. Integer-exact and replayable by
+    * construction; it turns the near-isotropic synthetic corpus (top
+    * direction 2.1% of variance) into the anisotropic shape real text
+    * embeddings have (planted: ~51% — measured before freezing the
+    * oracle).
+    */
+  private def plantSql = s"625 * (vec_id % 7 + 1)"
+
+  /** The corrupted quantized corpus behind x83 — (vec_id, label, qc) —
+    * PlanCache'd: referenced by the Gram pass and the pair-scoring join.
+    */
+  private[similarity] def corruptedFrame(s: SparkSession, d: String): DataFrame =
+    PlanCache.persisted(s, s"x83/qc/$d") {
+      graft.GraftExtensions.ensure(s)
+      Tables.load(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+          s"* 10000.0) AS BIGINT) + $plantSql)").as("qc"))
+    }
+
+  /** X83 — All-but-the-Top anisotropy CORRECTION (Mu & Viswanath 2018,
+    * "All-but-the-Top: Simple and Effective Postprocessing for Word
+    * Representations"): x76 measures the pathology, this operator applies
+    * the fix — subtract the corpus mean and project out the top principal
+    * direction — and PROVES it helps retrieval by re-scoring
+    * label-recall@10 on the planted families in the raw vs corrected
+    * space.
+    *
+    * Audit design (the x48/x65 planted-pathology discipline): the
+    * synthetic corpus is nearly isotropic, where ABTT is a no-op-to-
+    * harmful (measured: top direction carries 2.1% of variance and is
+    * label-DISCRIMINATIVE — removing it costs recall). So the audit
+    * plants the pathology it corrects: a deterministic common bias
+    * direction with per-doc amplitude ([[plantSql]]), the exact shape
+    * (Ethayarajh 2019) real sentence embeddings exhibit. On the planted
+    * corpus the top direction is ~51% of variance and non-discriminative;
+    * the audit reports label-recall@10 in BOTH spaces — corrected must
+    * beat raw (measured: 33→40 hits of 300 at sf0.1; ≥ at every SF,
+    * pinned by `SpectralSpec`).
+    *
+    * Exactness: the correction runs entirely in integer fixed point —
+    * m = S div n (truncating), v from the SAME K-round iteration x76
+    * uses (over the corrupted Gram), w = qc − m, r = (w·v·10³) div (v·v),
+    * z_i = 10³·w_i − r·v_i (the per-mille scales of w·v and v·v cancel,
+    * so r·v_i IS the projection at the 10³·w scale; truncating r costs
+    * ≤ |v|_∞ = 10³ on a ~3·10⁷ z scale) — corrected vectors are
+    * identical longs on both engines. Overflow envelope: v is
+    * L∞-normalized (|v|_∞ = 10³, |v|₂ ≥ 10³), so r ≤ 10³·|w|₂/|v|₂ ≤
+    * 8·|w|_∞ and |z|_∞ ≤ 9·10³·|w|_∞ ≤ 2.7·10⁸ ⇒ pair dots ≤ 64·|z|²_∞
+    * < 4.7·10¹⁸ — long-safe with 2× headroom (this corpus: |z| ≈ 3·10⁷).
+    * Cosines are one identical IEEE op sequence. Scale posture: one
+    * Gram pass (the x76 kernel), one O(dim) driver fold, one broadcast
+    * query-set scan of the corpus (the x6 brute-force shape — this is
+    * the audit; production serving stays on the IVF path).
+    */
+  val x83AnisotropyCorrection = QueryDef(
+    "x83_anisotropy_correction",
+    "All-but-the-Top correction: label-recall@10 in raw vs mean+top-direction-removed space on a planted anisotropic corpus",
+    (s, d) => {
+      val base = corruptedFrame(s, d)
+      val g = gramStats(base.select(col("qc").as("q")))
+      val (v, _, _) = powerIterationOf(g)
+      val vv = v.map(x => x * x).sum // ≤ 64·10⁶ — long-safe
+      val m = (0 until DIM).map(i => (g.s(i) / g.n).toLong) // truncating
+      val mStr = m.mkString("array(", "L,", "L)")
+      val vStr = v.mkString("array(", "L,", "L)")
+      val corrected = base
+        .withColumn("w", expr(s"zip_with(qc, $mStr, (a, b) -> a - b)"))
+        .withColumn("wv",
+          call_function("graft_dot_long", col("w"), typedlit(v.toSeq)))
+        .withColumn("r", expr(s"(wv * 1000L) div ${vv}L"))
+        .withColumn("z", expr(
+          s"zip_with(w, $vStr, (a, b) -> a * 1000L - r * b)"))
+        .withColumn("nraw",
+          call_function("graft_dot_long", col("qc"), col("qc")))
+        .withColumn("nz", call_function("graft_dot_long", col("z"), col("z")))
+        .select("vec_id", "label", "qc", "z", "nraw", "nz")
+      val qset = corrected.filter(col("vec_id") % 67 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qc").as("q_qc"), col("z").as("q_z"),
+          col("nraw").as("q_nraw"), col("nz").as("q_nz"))
+      val sc = corrected.join(broadcast(qset), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("label"), col("vec_id"),
+          (call_function("graft_dot_long", col("qc"), col("q_qc"))
+            .cast("double") /
+            (sqrt(col("nraw").cast("double")) *
+              sqrt(col("q_nraw").cast("double")))).as("cos_raw"),
+          (call_function("graft_dot_long", col("z"), col("q_z"))
+            .cast("double") /
+            (sqrt(col("nz").cast("double")) *
+              sqrt(col("q_nz").cast("double")))).as("cos_z"))
+      def top(space: String, cosCol: String) = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col(cosCol).desc, col("vec_id"))
+        sc.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(lit(space).as("space"), col("q_id"),
+            (col("label") === col("q_label")).cast("long").as("hit"))
+      }
+      top("abtt", "cos_z").unionAll(top("raw", "cos_raw"))
+        .groupBy("space")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          sum(col("hit")).as("label_hits"),
+          count(lit(1)).as("total_slots"))
+        .select(col("space"), col("n_queries"), col("label_hits"),
+          col("total_slots"),
+          expr("(label_hits * 10000) div total_slots").as("recall_bp"))
+        .orderBy("space")
+    },
+    Some(x83OracleSql))
+
+  private def x83OracleSql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, u.i AS i,
+       |         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 10000.0)
+       |              AS BIGINT) + $plantSql AS qi
+       |  FROM embeddings e, UNNEST(generate_series(1, $DIM)) AS u(i)),
+       |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM base),
+       |sums AS MATERIALIZED (
+       |  SELECT i, CAST(SUM(qi) AS HUGEINT) AS s FROM base GROUP BY i),
+       |v0 AS (SELECT g.i, CAST($VUnit AS HUGEINT) AS val
+       |       FROM UNNEST(generate_series(1, $DIM)) AS g(i)),
+       |$roundsSql,
+       |vvt AS (SELECT SUM(val * val) AS vv FROM v$Iters),
+       |mm AS (SELECT i, s // (SELECT n FROM nn) AS m FROM sums),
+       |w AS MATERIALIZED (
+       |  SELECT b.vec_id, b.label, b.i, b.qi, b.qi - mm.m AS wi
+       |  FROM base b JOIN mm USING (i)),
+       |wvt AS (SELECT vec_id, SUM(wi * v.val) AS wv
+       |        FROM w JOIN v$Iters v USING (i) GROUP BY 1),
+       |rr AS (SELECT vec_id, (wv * 1000) // (SELECT vv FROM vvt) AS r
+       |       FROM wvt),
+       |z AS MATERIALIZED (
+       |  SELECT w.vec_id, w.label, w.i, w.qi,
+       |         w.wi * 1000 - rr.r * v.val AS zi
+       |  FROM w JOIN rr USING (vec_id) JOIN v$Iters v USING (i)),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS nraw,
+       |         CAST(SUM(zi * zi) AS BIGINT) AS nz
+       |  FROM z GROUP BY 1),
+       |dots AS MATERIALIZED (
+       |  SELECT a.vec_id, a.label, b.vec_id AS q_id, b.label AS q_label,
+       |         CAST(SUM(a.qi * b.qi) AS BIGINT) AS draw,
+       |         CAST(SUM(a.zi * b.zi) AS BIGINT) AS dz
+       |  FROM z a JOIN z b ON a.i = b.i AND b.vec_id % 67 = 0
+       |                    AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT d.*, n1.nraw AS araw, n1.nz AS az,
+       |              n2.nraw AS qraw, n2.nz AS qz
+       |       FROM dots d JOIN nrm n1 ON d.vec_id = n1.vec_id
+       |                   JOIN nrm n2 ON d.q_id = n2.vec_id),
+       |ranked AS (
+       |  SELECT 'raw' AS space, q_id, q_label, label,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY
+       |           CAST(draw AS DOUBLE) / (sqrt(CAST(araw AS DOUBLE)) *
+       |             sqrt(CAST(qraw AS DOUBLE))) DESC, vec_id) AS rk
+       |  FROM sc
+       |  UNION ALL
+       |  SELECT 'abtt', q_id, q_label, label,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY
+       |           CAST(dz AS DOUBLE) / (sqrt(CAST(az AS DOUBLE)) *
+       |             sqrt(CAST(qz AS DOUBLE))) DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT space, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+       |       CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS label_hits,
+       |       CAST(count(*) AS BIGINT) AS total_slots,
+       |       CAST((SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) * 10000)
+       |            // count(*) AS BIGINT) AS recall_bp
+       |FROM ranked WHERE rk <= 10
+       |GROUP BY space ORDER BY space""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(x76EmbeddingAnisotropy,
+    x83AnisotropyCorrection)
 }

@@ -44,12 +44,32 @@ final class CurationLayer(
   private def qualityDir = s"$outDir/quarantine_quality"
   private def auditDir = s"$outDir/audit"
 
+  /** Driver-side commit watermark: marker batch ids are MONOTONE — the
+    * layer is the index's single writer and foreachBatch delivers ids in
+    * order, with the marker appended as each batch's last step — so
+    * `batchId <= max committed id` decides every replay check. Cached so
+    * the steady-state check is O(1) driver-side; the old form walked the
+    * full manifest parent chain and ran a Spark count() job per
+    * micro-batch, a cost that grew with total batches ever committed.
+    * Primed from history ONCE per instance (restart-safe); updated in
+    * memory on each commit.
+    */
+  @volatile private var maxCommittedCache: Long = Long.MinValue
+
   /** Has `batchId` already committed? (The replay check — marker in the
     * index history, the [[StreamingDedup.committed]] rule.)
     */
-  def committed(batchId: Long): Boolean =
-    index.history().filter(col("operation") === s"curate-batch-$batchId")
-      .limit(1).count() > 0
+  def committed(batchId: Long): Boolean = {
+    if (maxCommittedCache == Long.MinValue) {
+      val row = index.history()
+        .select(regexp_extract(col("operation"), "^curate-batch-(\\d+)$", 1)
+          .as("b"))
+        .filter(col("b") =!= "")
+        .agg(max(col("b").cast("long"))).head()
+      maxCommittedCache = if (row.isNullAt(0)) -1L else row.getLong(0)
+    }
+    batchId <= maxCommittedCache
+  }
 
   /** Run one (micro-)batch of `(doc_id, source, text)` docs through the
     * full chain. Idempotent on replay.
@@ -108,9 +128,17 @@ final class CurationLayer(
         .coalesce(1).write.mode("overwrite").parquet(s"$auditDir/b$batchId")
 
       // the commit marker LAST: everything above replays cleanly until
-      // this lands, and nothing above survives observation if it doesn't
-      index.append(acceptedNew.select("fp").distinct(),
+      // this lands, and nothing above survives observation if it doesn't.
+      // The fingerprints are re-derived from the JUST-WRITTEN accepted
+      // parquet (one narrow md5 pass over the written rows) instead of
+      // re-executing the gate-chain lineage a second time — md5 of the
+      // same text is the same fp, and the read-back makes "what the index
+      // records" definitionally equal to "what the sink holds".
+      index.append(
+        spark.read.parquet(s"$acceptedDir/b$batchId")
+          .select(md5(col("text")).as("fp")).distinct(),
         s"curate-batch-$batchId")
+      maxCommittedCache = math.max(maxCommittedCache, batchId)
     } finally scrubbed.unpersist()
   }
 

@@ -79,7 +79,13 @@ object SustainedLoad {
       // Mops/s, all-core Mops/s]) — the r14 lesson: a record can fail at
       // 1/8 of healthy consumer throughput under a HEALTHY io-probe, and
       // only a compute measurement makes that window name itself
-      cpuProbe: Option[String] = None) {
+      cpuProbe: Option[String] = None,
+      // probe-backed capacity prediction for THIS window (see
+      // [[SustainedLoad.predictMaxEps]]): what the pre-run probes say the
+      // box should sustain. A rung that fails far below its prediction is
+      // mid-run degradation the stamps missed; one that fails AT its
+      // prediction is a window the artifact has already explained.
+      predictedMaxEps: Option[Int] = None) {
     private def pct(p: Double): Double = {
       val s = e2e.sorted
       if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
@@ -111,6 +117,8 @@ object SustainedLoad {
         s""""e2e_p50_sec":$p50,"e2e_p95_sec":$p95,"e2e_max_sec":$max""" +
         ioProbe.fold("")(p => s""","io_probe_pre":$p""") +
         cpuProbe.fold("")(p => s""","cpu_probe_pre":$p""") +
+        predictedMaxEps.fold("")(p =>
+          s""","predicted_max_sustainable_eps":$p""") +
         (if (consumers.isEmpty) "}"
         else s""","consumers":{${consumers.map(_.toJson).mkString(",")}}}""")
   }
@@ -360,6 +368,32 @@ object SustainedLoad {
         overload.fold("")(o => s""","overload":${o.toJson}""") + "}"
   }
 
+  /** Probe-backed capacity prediction: what should THIS window sustain?
+    *
+    * Calibration anchors (NOTES): the healthy-box record is 100k ev/s
+    * sustained at cpu ≈ [670, 17000] Mops with scratch seq-write
+    * ≥ 100 MB/s (r13 definitive window); the r15e record collapse ran
+    * every attempt at io_pre ≤ 36 MB/s with cpu healthy — so capacity
+    * scales with BOTH resources and the binding one is the minimum.
+    * The prediction is linear in each probe against its anchor, capped
+    * at 1.5× (a faster-than-calibration box is not extrapolated far):
+    *
+    *   predicted = 100000 · min(1.5, allCoreMops/17000, seqWriteMBps/100)
+    *
+    * Purpose is ADJUDICATION, not gating: the driver's r15 window
+    * sustained 17k under healthy run-level probes while the builder's
+    * held 85k — a per-rung prediction makes that spread explain itself
+    * in the artifact (either the rung's own stamps were degraded, or
+    * the degradation was mid-run and invisible to stamps, which the
+    * prediction-vs-outcome gap now names).
+    */
+  def predictMaxEps(cpu: graft.CpuProbe.Result,
+      io: graft.IoProbe.Result): Int = {
+    val scale = math.min(1.5,
+      math.min(cpu.allCoreMops / 17000.0, io.seqWriteMBps / 100.0))
+    (100000 * math.max(0.0, scale)).round.toInt
+  }
+
   private def rmTree(dir: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
@@ -408,11 +442,12 @@ object SustainedLoad {
       // pre-run mount- AND cpu-health stamps: which rungs ran inside a
       // degraded window is part of the record, not something to
       // reconstruct from the run-level pre/post pair afterwards
-      val io = graft.IoProbe.run().toJsonCompact
-      val cpu = graft.CpuProbe.run().toJsonCompact
+      val io = graft.IoProbe.run()
+      val cpu = graft.CpuProbe.run()
       try run(spark, dir.toString, targetEps = eps, durationSec = dur,
         eventsPerFile = eventsPerFile, catchupTimeoutSec = catchupSec)
-        .copy(ioProbe = Some(io), cpuProbe = Some(cpu))
+        .copy(ioProbe = Some(io.toJsonCompact), cpuProbe = Some(cpu.toJsonCompact),
+          predictedMaxEps = Some(predictMaxEps(cpu, io)))
       finally rmTree(dir)
     }
 

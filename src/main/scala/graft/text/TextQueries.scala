@@ -978,13 +978,19 @@ object TextQueries {
     * lineage-reexecution lesson, NOTES r13).
     */
   private[graft] def scoredQuality(s: SparkSession, d: String) =
-    graft.PlanCache.persisted(s, s"t28-scored/$d") {
-      val labeled = docs(s, d).select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("tok"))
-      labeled.join(broadcast(qualityWeights(s, d)), Seq("tok"))
-        .groupBy("doc_id", "source")
-        .agg(sum(col("w_ppm")).as("wsum"), count(lit(1)).as("n_toks"))
-    }
+    graft.PlanCache.checkpointed(s, s"t28-scored/$d")(scoredQualityPlan(s, d))
+
+  /** The pure (uncached) t28 scoring plan — exposed so QualityModelSpec
+    * can pin the broadcast of the vocabulary-bounded model (the
+    * lineage-truncated memo hides this build from consumers' plans).
+    */
+  private[graft] def scoredQualityPlan(s: SparkSession, d: String) = {
+    val labeled = docs(s, d).select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    labeled.join(broadcast(qualityWeights(s, d)), Seq("tok"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("w_ppm")).as("wsum"), count(lit(1)).as("n_toks"))
+  }
 
   val t28QualityModel = QueryDef(
     "t28_quality_model",
@@ -1239,7 +1245,7 @@ object TextQueries {
         .select(col("source").as("src_a"), col("tok"), col("c").as("c_a"))
         .join(surpB, "tok")
         .groupBy("src_a", "src_b")
-        .agg(sum(col("c_a") * col("surp_b")).cast(DecimalType(38, 0))
+        .agg(sum((col("c_a") * col("surp_b")).cast(DecimalType(38, 0)))
             .as("ssum"),
           sum(col("c_a")).as("tot_a"))
         .withColumn("xent6", expr("(ssum * 1000000) div tot_a"))
@@ -1610,7 +1616,7 @@ object TextQueries {
     // PlanCache'd: x43/x44/x46/x57 all read this frame, and a single
     // consumer's plan references it several times (norms + dots + query
     // side) — uncached, each reference re-runs the explode/idf/agg chain
-    graft.PlanCache.persisted(s, s"x43-w/$d") {
+    graft.PlanCache.checkpointed(s, s"x43-w/$d") {
       val dd = docs(s, d)
       hashedWeightsOf(dd, idfOf(dd))
     }
@@ -1698,7 +1704,8 @@ object TextQueries {
       |        FROM t GROUP BY tok) CROSS JOIN nd),
       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
       |       FROM t GROUP BY 1, 2),
-      |w AS (SELECT doc_id,
+      |w AS MATERIALIZED (
+      |      SELECT doc_id,
       |             CAST(md5_number_lower(tok) >> 4 AS BIGINT) % 64 AS bucket,
       |             CAST(sum(tf * idf) AS BIGINT) AS wsum
       |      FROM tf JOIN idf USING (tok) GROUP BY 1, 2)""".stripMargin
@@ -2748,6 +2755,61 @@ object TextQueries {
            |SELECT q_doc, rk, neg_doc, neg_source, cos_sim
            |FROM rk WHERE rk <= 3 ORDER BY q_doc, rk""".stripMargin))
 
+  /** Adjacent (prev, cur) pairs of `assigned` (doc_id, topic, …) under
+    * the total order `sortCols` (which must be a total order — include a
+    * unique tiebreaker), with NO unpartitioned window: range repartition
+    * → per-partition lag → boundary stitch. Returns
+    * (prev_doc, prev_topic, cur_doc, cur_topic).
+    *
+    * The lagged frame is PlanCache'd under `cacheKey`: in-partition
+    * pairs, partition firsts, and partition lasts are three FILTERS of
+    * it, and an unpinned frame would re-run the range exchange + window
+    * once per reference (measured: 3× per ordering, 4.5 → 7 s at sf0.1
+    * before the pin).
+    */
+  /** The pure (uncached) lagged-range plan behind [[adjacentPairsUnder]]
+    * — exposed so PlanAuditSpec can pin that every window in it is
+    * pid-PARTITIONED (the checkpointed memo hides the build plan from
+    * the final query's executed plan, so the audit must look here).
+    */
+  private[graft] def laggedRanged(
+      assigned: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column]) = {
+    val ranged = assigned.repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wLoc = Window.partitionBy("pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn("prev_doc", lag("doc_id", 1).over(wLoc))
+      .withColumn("prev_topic", lag("topic", 1).over(wLoc))
+      .withColumn("is_last", lead("doc_id", 1).over(wLoc).isNull)
+  }
+
+  private def adjacentPairsUnder(s: SparkSession, cacheKey: String,
+      assigned: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column]) = {
+    val loc = graft.PlanCache.checkpointed(s, cacheKey)(
+      laggedRanged(assigned, sortCols))
+    val inPairs = loc.filter(col("prev_doc").isNotNull)
+      .select(col("prev_doc"), col("prev_topic"),
+        col("doc_id").as("cur_doc"), col("topic").as("cur_topic"))
+    // boundary stitch: ≤ P rows per side (one first/last per non-empty
+    // range partition) — broadcast BY CONSTRUCTION (the post-window tiny
+    // frame rule, NOTES r13); min(pid_f) over pid_f > pid_l skips empty
+    // partitions naturally
+    val firsts = loc.filter(col("prev_doc").isNull)
+      .select(col("pid").as("pid_f"), col("doc_id").as("f_doc"),
+        col("topic").as("f_topic"))
+    val lasts = loc.filter(col("is_last"))
+      .select(col("pid").as("pid_l"), col("doc_id").as("l_doc"),
+        col("topic").as("l_topic"))
+    val boundary = lasts.join(broadcast(firsts), col("pid_f") > col("pid_l"))
+      .groupBy(col("pid_l"), col("l_doc"), col("l_topic"))
+      .agg(min_by(struct(col("f_doc"), col("f_topic")), col("pid_f")).as("nf"))
+      .select(col("l_doc").as("prev_doc"), col("l_topic").as("prev_topic"),
+        col("nf.f_doc").as("cur_doc"), col("nf.f_topic").as("cur_topic"))
+    inPairs.unionByName(boundary)
+  }
+
   /** X70 — semantic packing order: the related-document shuffle that
     * precedes sequence packing in in-context pretraining (Shi et al.
     * 2023: training sequences built from RELATED documents beat the
@@ -2767,12 +2829,19 @@ object TextQueries {
     * discipline); ordering ties break on doc_id.
     *
     * Scale posture: clustering is the x46 broadcast-centroid path
-    * (O(docs·K), never all-pairs); the adjacency audit is two
-    * lag-windows plus a bucket-keyed self-join producing ≤64 rows per
-    * adjacent pair — O(docs·64). The global `row_number` is the
-    * audit's deterministic stand-in for the production order-by —
-    * a range repartition on (topic, affinity) feeding x12/ST31, which
-    * never materializes a global window.
+    * (O(docs·K), never all-pairs); the adjacency audit needs the SET of
+    * adjacent pairs under each total order, and that set is computed
+    * WITHOUT any global window (the r15 finding: the old global
+    * `row_number` was a true single-partition sort of the corpus):
+    * each ordering range-repartitions on its sort key, takes adjacent
+    * pairs per partition from a pid-PARTITIONED lag window, and stitches
+    * the ≤P partition boundaries (last row of each non-empty partition →
+    * first row of the next) through a broadcast join over the
+    * P-row edge frames — in-partition pairs + boundary pairs are exactly
+    * the global order's adjacent pairs, for ANY placement of the range
+    * boundaries, so the output is identical while the widest sort in the
+    * plan is a per-partition one. Pair dots are a bucket-keyed self-join
+    * producing ≤64 rows per adjacent pair — O(docs·64).
     */
   val x70SemanticPacking = QueryDef(
     "x70_semantic_packing",
@@ -2781,42 +2850,64 @@ object TextQueries {
       val k = 8L
       val w = hashedWeights(s, d)
       val dd = docs(s, d).select(col("doc_id"))
-      // x46's argmax (shared PlanCache'd frame), the packing affinity
-      val best = corpusTopicBest(s, d)
-      val assigned = dd.join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cid"), pmod(col("doc_id"), lit(k))).as("topic"),
-          coalesce(col("score"), lit(0.0)).as("score"))
-      val semW = Window.orderBy(col("topic"), col("score").desc, col("doc_id"))
-      val idW = Window.orderBy(col("doc_id"))
-      val orders = assigned
-        .select(lit("semantic").as("order_kind"),
-          row_number().over(semW).as("pos"), col("doc_id"), col("topic"))
-        .unionAll(assigned.select(lit("docid").as("order_kind"),
-          row_number().over(idW).as("pos"), col("doc_id"), col("topic")))
-      val lagW = Window.partitionBy("order_kind").orderBy("pos")
-      val pairs = orders
-        .withColumn("prev_doc", lag(col("doc_id"), 1).over(lagW))
-        .withColumn("prev_topic", lag(col("topic"), 1).over(lagW))
-        .filter(col("prev_doc").isNotNull)
-        .select(col("order_kind"), col("prev_doc"),
-          col("doc_id").as("cur_doc"),
-          (col("prev_topic") === col("topic")).cast("long").as("same_topic"))
-      val nrm = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
+      // x46's argmax (shared PlanCache'd frame), the packing affinity.
+      // The assignment frame itself is PlanCache'd too: each ordering's
+      // range repartition SAMPLES its input and the pid windows re-read
+      // it, so the uncached join would re-execute ~6× per run (the
+      // lineage-reexecution lesson, NOTES r13) — it is 3 narrow columns
+      // per doc, the cheapest frame in the query to pin.
+      val assigned = graft.PlanCache.persisted(s, s"x70/assigned/$d") {
+        val best = corpusTopicBest(s, d)
+        dd.join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cid"), pmod(col("doc_id"), lit(k))).as("topic"),
+            coalesce(col("score"), lit(0.0)).as("score"))
+      }
+      // the adjacency pair set is itself PlanCache'd (the x53
+      // cachedJaccardEdges precedent: a deterministic derived frame per
+      // dir): the partitioned-pair build is ~10 AQE stages of fixed
+      // overhead, and downstream references it through three joins
+      val pairs = graft.PlanCache.checkpointed(s, s"x70/pairs/$d") {
+        adjacentPairsUnder(s, s"x70/loc-sem/$d", assigned,
+            Seq(col("topic"), col("score").desc, col("doc_id")))
+          .select(lit("semantic").as("order_kind"), col("prev_doc"),
+            col("cur_doc"),
+            (col("prev_topic") === col("cur_topic")).cast("long")
+              .as("same_topic"))
+          .unionByName(
+            adjacentPairsUnder(s, s"x70/loc-docid/$d", assigned,
+              Seq(col("doc_id")))
+            .select(lit("docid").as("order_kind"), col("prev_doc"),
+              col("cur_doc"),
+              (col("prev_topic") === col("cur_topic")).cast("long")
+                .as("same_topic")))
+      }
+      // per-doc squared norms of the x43 weight frame, PlanCache'd:
+      // referenced twice below (ssa + ssb joins), and each uncached
+      // reference re-aggregates the full weight table
+      val nrm = graft.PlanCache.checkpointed(s, s"x43-nrm/$d") {
+        w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
+      }
+      // `merge` hints on every w/nrm join: both sides are CORPUS-sized
+      // (w = docs×64 buckets, nrm = per-doc), so a broadcast is the wrong
+      // plan at scale — and at bench scale AQE would otherwise convert
+      // each into a BroadcastExchange whose driver collect+build is pure
+      // serial latency (measured: 5.0 s warm with AQE's 13 broadcast-
+      // converted stages vs 1.0 s with the static shuffle-join plan)
       val pdots = pairs
         .join(w.select(col("doc_id").as("prev_doc"), col("bucket"),
-          col("wsum").as("wa")), Seq("prev_doc"))
+          col("wsum").as("wa")).hint("merge"), Seq("prev_doc"))
         .join(w.select(col("doc_id").as("cur_doc"), col("bucket"),
-          col("wsum").as("wb")), Seq("cur_doc", "bucket"))
+          col("wsum").as("wb")).hint("merge"), Seq("cur_doc", "bucket"))
         .groupBy("order_kind", "prev_doc", "cur_doc")
         .agg(sum(col("wa") * col("wb")).as("dot"))
       val scored = pairs
         .join(pdots, Seq("order_kind", "prev_doc", "cur_doc"), "left")
         .na.fill(0L, Seq("dot"))
-        .join(nrm.select(col("doc_id").as("prev_doc"), col("ss").as("ssa")),
-          Seq("prev_doc"))
-        .join(nrm.select(col("doc_id").as("cur_doc"), col("ss").as("ssb")),
-          Seq("cur_doc"))
+        .join(nrm.select(col("doc_id").as("prev_doc"), col("ss").as("ssa"))
+          .hint("merge"), Seq("prev_doc"))
+        .join(nrm.select(col("doc_id").as("cur_doc"), col("ss").as("ssb"))
+          .hint("merge"), Seq("cur_doc"))
         .withColumn("cos_bp",
           floor(lit(10000.0) * col("dot").cast("double") /
             sqrt(col("ssa").cast("double") * col("ssb").cast("double")))
@@ -2849,7 +2940,8 @@ object TextQueries {
            |          (SELECT *, row_number() OVER (PARTITION BY doc_id
            |                       ORDER BY score DESC, cid) AS rn
            |           FROM sc) WHERE rn = 1),
-           |assigned AS (SELECT d.doc_id,
+           |assigned AS MATERIALIZED (
+           |             SELECT d.doc_id,
            |                    COALESCE(b.cid, d.doc_id % 8) AS topic,
            |                    COALESCE(b.score, 0.0) AS score
            |             FROM dd d LEFT JOIN best b USING (doc_id)),
@@ -2861,7 +2953,8 @@ object TextQueries {
            |  UNION ALL
            |  SELECT 'docid', row_number() OVER (ORDER BY doc_id), doc_id, topic
            |  FROM assigned),
-           |pairs AS (SELECT order_kind, prev_doc, cur_doc, same_topic FROM
+           |pairs AS MATERIALIZED (
+           |  SELECT order_kind, prev_doc, cur_doc, same_topic FROM
            |  (SELECT order_kind,
            |          lag(doc_id) OVER (PARTITION BY order_kind ORDER BY pos)
            |            AS prev_doc,
@@ -2870,7 +2963,8 @@ object TextQueries {
            |                                     ORDER BY pos) = topic
            |               THEN 1 ELSE 0 END AS same_topic
            |   FROM orders) WHERE prev_doc IS NOT NULL),
-           |nrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
+           |nrm AS MATERIALIZED (
+           |        SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS ss
            |        FROM w GROUP BY 1),
            |pd AS (SELECT p.order_kind, p.prev_doc, p.cur_doc,
            |              CAST(sum(wa.wsum * wb.wsum) AS BIGINT) AS dot

@@ -68,4 +68,40 @@ class SpectralSpec extends SparkSpec {
     // sanity: the fold found a genuinely dominant direction, not noise
     assert(out.head.getLong(2) > 0L)
   }
+
+  test("x83: the planted corruption creates the pathology ABTT corrects") {
+    // the raw synthetic corpus is nearly isotropic (top direction ~2% of
+    // centered variance — and label-discriminative, so removing it HURTS
+    // recall; measured before the planted design was frozen). The x83
+    // audit corpus plants a common bias direction with per-doc amplitude,
+    // which must dominate the spectrum the way real sentence-embedding
+    // anisotropy does — that is what makes the corrected-beats-raw claim
+    // a test of the FIX, not an accident of the generator.
+    val (_, rawAniso, _) = SpectralQueries.powerIteration(
+      SpectralQueries.quantize(spark,
+        graft.sources.Tables.load(spark, sfDir, "embeddings")))
+    val (_, plantedAniso, _) = SpectralQueries.powerIteration(
+      SpectralQueries.corruptedFrame(spark, sfDir)
+        .select(col("vec_id"), col("qc").as("q")))
+    assert(rawAniso < 1000L, s"raw corpus unexpectedly anisotropic: $rawAniso bp")
+    assert(plantedAniso > 4000L,
+      s"plant failed to dominate the spectrum: $plantedAniso bp")
+  }
+
+  test("x83: corrected-space label recall >= raw-space (the ABTT claim)") {
+    val out = graft.SparkEntry
+      .queries("x83_anisotropy_correction")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set("abtt", "raw"))
+    val (nqA, hitsA, slotsA, bpA) = out("abtt")
+    val (nqR, hitsR, slotsR, bpR) = out("raw")
+    // both spaces rank the same query set over the same corpus
+    assert(nqA === nqR && slotsA === slotsR && slotsA === nqA * 10)
+    // the operator's claim: removing mean + top direction of the planted
+    // anisotropic space recovers retrieval quality
+    assert(hitsA >= hitsR, s"ABTT lost recall: $hitsA < $hitsR")
+    assert(bpA >= bpR)
+    assert(bpA === hitsA * 10000 / slotsA)
+  }
 }

@@ -36,7 +36,10 @@ class QualityModelSpec extends SparkSpec {
   }
 
   test("t28 model is vocabulary-bounded and broadcast for scoring") {
-    val plan = TextQueries.t28QualityModel.run(spark, sf01)
+    // audited on the PURE scoring plan: since r16 the consumer-facing
+    // frame is a lineage-truncated memo (task-binary fix), so the
+    // broadcast join is invisible in downstream executed plans
+    val plan = TextQueries.scoredQualityPlan(spark, sf01)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"scoring join must broadcast the vocabulary-bounded model:\n$plan")
