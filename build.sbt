@@ -38,5 +38,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the bench session persists dozens of
+  // PlanCache frames across a 180+-query inventory, and an 8g heap put
+  // the storage pool under pressure exactly when the late-alphabet
+  // queries ran (the r15 outlier class); the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -712,7 +712,7 @@ object ExtendedSqlQueries {
     "q8_k_anonymity",
     "k=5 anonymity audit per generalization level: groups, released/suppressed, bp",
     (s, d) => {
-      val joined = graft.PlanCache.persisted(s, s"q8-joined:$d") {
+      val joined = graft.PlanCache.checkpointed(s, s"q8-joined:$d") {
         Tables.load(s, d, "customer")
           .join(broadcast(Tables.load(s, d, "nation")),
             col("c_nationkey") === col("n_nationkey"))
@@ -795,7 +795,7 @@ object ExtendedSqlQueries {
     "q9_k_anonymous_release",
     "k=5 anonymous release at the minimal level within the 5% suppression budget",
     (s, d) => {
-      val joined = graft.PlanCache.persisted(s, s"q8-joined:$d") {
+      val joined = graft.PlanCache.checkpointed(s, s"q8-joined:$d") {
         Tables.load(s, d, "customer")
           .join(broadcast(Tables.load(s, d, "nation")),
             col("c_nationkey") === col("n_nationkey"))
@@ -1715,7 +1715,7 @@ object ExtendedSqlQueries {
     "q19_l_diversity_t_closeness",
     "per-QI-group distinct l-diversity + ordinal-EMD t-closeness vs global",
     (s, d) => {
-      val joined = graft.PlanCache.persisted(s, s"q8-joined:$d") {
+      val joined = graft.PlanCache.checkpointed(s, s"q8-joined:$d") {
         Tables.load(s, d, "customer")
           .join(broadcast(Tables.load(s, d, "nation")),
             col("c_nationkey") === col("n_nationkey"))

@@ -517,7 +517,7 @@ object RelationalQueries {
       // the verdict's exact reference is one row per group — persist it
       // once per (session, dir) so repeated a13b runs (dashboards, the
       // bench) pay the two-pass selection once, not per query
-      val exact = graft.PlanCache.persisted(s, s"a13_exact/$d") {
+      val exact = graft.PlanCache.checkpointed(s, s"a13_exact/$d") {
           a13Percentiles.run(s, d)
         }
         .select(col("l_returnflag").as("x_flag"),

@@ -196,7 +196,7 @@ object DedupQueries {
     val hashed = sh.select(col("doc_id"),
       shiftright(u60, 30).as("h1"),
       u60.bitwiseAND(lit((1L << 30) - 1)).as("h2"))
-    val sig = graft.PlanCache.persisted(s, sigCacheKey) {
+    val sig = graft.PlanCache.checkpointed(s, sigCacheKey) {
       hashed
         .groupBy("doc_id")
         .agg(min((col("h1") + col("h2") * 0) % MOD_P).as("m0"),
@@ -297,7 +297,7 @@ object DedupQueries {
         sum(expr("CAST((h >> 0) & 1 AS INT) * 2 - 1")).as("sv0"),
         (1 until 60).map(b =>
           sum(expr(s"CAST((h >> $b) & 1 AS INT) * 2 - 1")).as(s"sv$b")): _*)
-    graft.PlanCache.persisted(s, s"x3_sim/$d") {
+    graft.PlanCache.checkpointed(s, s"x3_sim/$d") {
       bitSums.select(
         col("doc_id") +:
           (0 until 4).map { j =>
@@ -449,7 +449,7 @@ object DedupQueries {
     * Jaccard; x27 sweeps thresholds over the SAME frame).
     */
   private def ngramPairCounts(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val idx = graft.PlanCache.persisted(s, s"x4_idx/$d/$cap") {
+    val idx = graft.PlanCache.checkpointed(s, s"x4_idx/$d/$cap") {
       val sized = shingles(docsWide(s, d)).withColumn("sz",
         count(lit(1)).over(Window.partitionBy("doc_id")))
       dfCap(sized, Seq("shingle"), cap)
@@ -861,7 +861,7 @@ object DedupQueries {
     "x47_dedup_edit",
     "blocked levenshtein near-dup on 80-char heads ((first-token, length-band) blocks)",
     (s, d) => {
-      val blocked = graft.PlanCache.persisted(s, s"x47-blocked/$d") {
+      val blocked = graft.PlanCache.checkpointed(s, s"x47-blocked/$d") {
         val dd = docs(s, d).select(
           col("doc_id"),
           element_at(split(col("text"), " "), 1).as("b1"),

@@ -104,7 +104,7 @@ object LinkageQueries {
     "x63_record_linkage",
     "Fellegi-Sunter record linkage: blocked candidates, field-weight scores, planted recall",
     (s, d) => {
-      val recs = graft.PlanCache.persisted(s, s"x63-recs/$d") {
+      val recs = graft.PlanCache.checkpointed(s, s"x63-recs/$d") {
         linkageRecords(s, d)
       }
       val idPairs = blockPairs(recs, nameKey)

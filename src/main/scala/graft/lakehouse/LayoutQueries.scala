@@ -25,11 +25,17 @@ object LayoutQueries {
     * matching-row total (identical across layouts, pinning row
     * preservation).
     *
-    * Scale note: the model's global `ntile` is the deterministic
-    * stand-in for file assignment so the DuckDB oracle can replay it;
-    * the production write path is [[ZOrder.layout]] (range repartition
-    * + per-file sort, no global window). The audit itself runs on the
-    * fact table once, per layout — at 100 TB you run it on a SAMPLE or
+    * Scale note: the model's file deal replays `ntile` semantics
+    * EXACTLY (first `n mod 64` files take ⌈n/64⌉ rows) but with no
+    * global window (the r15 verdict's scale smell): each layout range-
+    * repartitions on its sort key, takes pid-local row numbers from a
+    * pid-PARTITIONED window, and derives global positions through a
+    * ≤P-row per-partition-count stitch (broadcast non-equi join, the
+    * x70 boundary discipline) — so the widest sort in the plan is
+    * per-partition. The DuckDB oracle keeps the literal `ntile`, which
+    * the position formula matches row-for-row on the unique sort keys.
+    * The production write path is [[ZOrder.layout]] (range repartition
+    * + per-file sort); at 100 TB you run this audit on a SAMPLE or
     * directly on footer stats ([[SnapshotTable.filesStats]]), which is
     * O(files).
     */
@@ -45,7 +51,8 @@ object LayoutQueries {
           lit("1970-01-01").cast("date")).cast("long").as("day"))
       val bounds = o.agg(
         min(col("ck")).as("mnc"), max(col("ck")).as("mxc"),
-        min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+        min(col("day")).as("mnd"), max(col("day")).as("mxd"),
+        count(lit(1)).as("n"))
       // exact integer equi-width buckets into [0, 255] — arithmetic is
       // mirrored verbatim in the oracle so both engines bucket alike
       val b = o.crossJoin(broadcast(bounds))
@@ -58,17 +65,47 @@ object LayoutQueries {
         lit("1970-01-01").cast("date")).cast("long")
       val hi = datediff(lit("1996-12-31").cast("date"),
         lit("1970-01-01").cast("date")).cast("long")
-      val dealt = b
-        .withColumn("f_zorder",
-          ntile(files).over(Window.orderBy(col("zval"), col("o_orderkey"))))
-        .withColumn("f_linear",
-          ntile(files).over(
-            Window.orderBy(col("ck"), col("day"), col("o_orderkey"))))
-      val long2 = dealt
-        .select(lit("linear").as("layout"), col("f_linear").as("f"),
-          col("day"))
-        .unionAll(dealt.select(lit("zorder").as("layout"),
-          col("f_zorder").as("f"), col("day")))
+      // ntile without a global window: global pos = per-partition row
+      // number + the cumulative count of earlier range partitions; the
+      // first (n mod files) model files take (n div files)+1 rows —
+      // ntile's exact fill rule, evaluated from pos (sort keys are
+      // unique, so positions are deterministic for ANY range-boundary
+      // placement). CASE guards the base=0 branch (n < files).
+      def dealtBy(layout: String, sortCols: Seq[org.apache.spark.sql.Column]) = {
+        val ranged = b.repartitionByRange(sortCols: _*)
+          .withColumn("pid", spark_partition_id())
+        val wLoc = Window.partitionBy("pid").orderBy(sortCols: _*)
+        // materialized ONCE (lineage-truncated memo, keyed per layout +
+        // dir): the per-partition counts and the position join both read
+        // this frame, and repartitionByRange SAMPLES its input per
+        // evaluation — two evaluations can place the range boundaries
+        // differently (caught at sf0.1: the skewed zval ordering sampled
+        // differently for the count leg vs the join leg, so off + rn
+        // skipped half the positions); consistent offsets require one
+        // fixed partitioning. The emitted f values are partitioning-
+        // INDEPENDENT (pos is the rank in a total order), so memoizing
+        // across runs is value-safe.
+        val withRn = graft.PlanCache.checkpointed(s, s"q18/deal-$layout/$d")(
+          ranged.withColumn("rn", row_number().over(wLoc)))
+        val cnts = withRn.groupBy("pid").agg(count(lit(1)).as("c"))
+        val offs = cnts.as("a")
+          .join(broadcast(cnts.select(col("pid").as("bpid"),
+            col("c").as("bc"))), col("bpid") < col("pid"), "left")
+          .groupBy(col("pid"))
+          .agg(coalesce(sum(col("bc")), lit(0L)).as("off"))
+        withRn.join(broadcast(offs), Seq("pid"))
+          .withColumn("pos", col("off") + col("rn"))
+          .withColumn("f", expr(
+            s"""CASE WHEN pos <= ((n div $files) + 1) * (n % $files)
+               |     THEN (pos - 1) div ((n div $files) + 1) + 1
+               |     ELSE (n % $files) +
+               |          (pos - ((n div $files) + 1) * (n % $files) - 1)
+               |            div (n div $files) + 1 END""".stripMargin))
+          .select(lit(layout).as("layout"), col("f"), col("day"))
+      }
+      val long2 = dealtBy("linear",
+          Seq(col("ck"), col("day"), col("o_orderkey")))
+        .unionAll(dealtBy("zorder", Seq(col("zval"), col("o_orderkey"))))
       val perFile = long2.groupBy("layout", "f").agg(
         count(lit(1)).as("rows"),
         min(col("day")).as("mnday"), max(col("day")).as("mxday"),

@@ -61,7 +61,7 @@ object PageRank {
         .select(col("u"), col("v"), col("w"), col("wu"))
     }
     if (cacheKey.isEmpty) build.persist()
-    else graft.PlanCache.persisted(spark, s"$cacheKey/ew")(build)
+    else graft.PlanCache.checkpointed(spark, s"$cacheKey/ew")(build)
   }
 
   /** K iterations over a [[weightedEdges]] frame → (node, pr). */
@@ -97,7 +97,7 @@ object PageRank {
       cacheKey: String = ""): DataFrame = {
     val ew = weightedEdges(spark, edges, cacheKey)
     if (cacheKey.isEmpty) runOnWeighted(ew, iters)
-    else graft.PlanCache.persisted(spark, s"$cacheKey/pr$iters")(
+    else graft.PlanCache.checkpointed(spark, s"$cacheKey/pr$iters")(
       runOnWeighted(ew, iters))
   }
 

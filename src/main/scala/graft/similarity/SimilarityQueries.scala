@@ -362,7 +362,7 @@ object SimilarityQueries {
       // exact ground truth, cached: referenced by both the hit join and
       // the total count — static planning would otherwise re-scan the
       // corpus per branch
-      val exactT = graft.PlanCache.persisted(s, s"x39/exact/$d")(
+      val exactT = graft.PlanCache.checkpointed(s, s"x39/exact/$d")(
         v.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(dotFix(col("q_emb"), col("embedding")),

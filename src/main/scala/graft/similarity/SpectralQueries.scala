@@ -79,7 +79,7 @@ object SpectralQueries {
   /** Quantize an (vec_id, embedding: array<float>) frame to 1e-4-unit
     * longs — exposed so specs can run the iteration on planted corpora.
     */
-  private[similarity] def quantize(s: SparkSession, emb: DataFrame): DataFrame = {
+  private[graft] def quantize(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.GraftExtensions.ensure(s)
     emb.select(col("vec_id"),
       transform(col("embedding"),
@@ -91,7 +91,7 @@ object SpectralQueries {
     * C = Σ q qᵀ. `c(i, j)` reads the full symmetric matrix; `qq` (the
     * raw second moment Σ‖q‖²) is the trace of C.
     */
-  private[similarity] final case class GramStats(
+  private[graft] final case class GramStats(
       n: BigInt, s: Array[BigInt], cUpper: Array[BigInt]) {
     def c(i: Int, j: Int): BigInt = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
@@ -111,7 +111,7 @@ object SpectralQueries {
     * driver-side collect of per-partition arrays, which at 100 TB would
     * be partitions × 17 KB).
     */
-  private[similarity] def gramStats(qf: DataFrame): GramStats = {
+  private[graft] def gramStats(qf: DataFrame): GramStats = {
     val tri = DIM * (DIM + 1) / 2
     val session = qf.sparkSession
     import session.implicits._
@@ -148,6 +148,54 @@ object SpectralQueries {
     GramStats(vals(0), vals.slice(1, 1 + DIM), vals.slice(1 + DIM, 1 + DIM + tri))
   }
 
+  /** The grouped form of [[gramStats]]: ONE pass over `(lab, q)` rows →
+    * exact per-group [[GramStats]]. The kernel keeps one accumulator per
+    * group per partition; the merge is a (lab, pos)-keyed DECIMAL(38,0)
+    * aggregate and the collect is groups × 2,145 values — bounded by the
+    * GROUP CARDINALITY (the x80 contract: groups are catalog entities
+    * like sources or label families, never corpus-sized).
+    */
+  private[graft] def gramStatsBy(df: DataFrame): Map[Long, GramStats] = {
+    val tri = DIM * (DIM + 1) / 2
+    val session = df.sparkSession
+    import session.implicits._
+    val partials = df.select(col("lab"), col("q")).as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+        while (it.hasNext) {
+          val (lab, q) = it.next()
+          val acc = m.getOrElseUpdate(lab, new Array[Long](1 + DIM + tri))
+          acc(0) += 1L
+          var i = 0
+          var base = 1 + DIM
+          while (i < DIM) {
+            val qi = q(i)
+            acc(1 + i) += qi
+            var j = i
+            while (j < DIM) {
+              acc(base + (j - i)) += qi * q(j)
+              j += 1
+            }
+            base += DIM - i
+            i += 1
+          }
+        }
+        m.iterator
+      }
+    val merged = partials.toDF("lab", "acc")
+      .select(col("lab"), posexplode(col("acc")))
+      .groupBy("lab", "pos")
+      .agg(sum(col("col").cast(DecimalType(38, 0))).as("v"))
+      .collect() // bounded: groups × 2,145 rows
+    merged.groupBy(_.getLong(0)).map { case (lab, rows) =>
+      val vals = new Array[BigInt](1 + DIM + tri)
+      java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], BigInt(0))
+      rows.foreach(r => vals(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+      lab -> GramStats(vals(0), vals.slice(1, 1 + DIM),
+        vals.slice(1 + DIM, 1 + DIM + tri))
+    }
+  }
+
   /** Matrix-free-in-spirit power iteration: one Gram pass over the
     * corpus, then K driver-side BigInt rounds over the 64×64 C —
     * integer-for-integer identical to running each round as a corpus
@@ -160,14 +208,17 @@ object SpectralQueries {
     *  - mean_mass_bp: ‖Σq‖² / (N·Σ‖q‖²) — the common-mean component's
     *    share of raw second moment (what "All-but-the-Top" subtracts).
     */
-  private[similarity] def powerIteration(qf: DataFrame)
+  private[graft] def powerIteration(qf: DataFrame)
       : (Array[Long], Long, Long) = powerIterationOf(gramStats(qf))
 
-  private[similarity] def powerIterationOf(g: GramStats)
-      : (Array[Long], Long, Long) = {
+  /** The K BigInt rounds alone: final v (per-mille longs), the
+    * PRE-normalization product of the last round (tLast) and the vector
+    * it was computed from (vPrev) — the Rayleigh ingredients.
+    */
+  private[graft] def iterate(g: GramStats)
+      : (Array[Long], Array[BigInt], Array[BigInt]) = {
     val n = g.n
     val sv = g.s
-    val qq = g.qq
     var v = Array.fill(DIM)(BigInt(VUnit))
     var vPrev = v
     var tLast = Array.fill(DIM)(BigInt(0))
@@ -183,13 +234,19 @@ object SpectralQueries {
       // integer `//` applies (measured: -7 // 2 = -3)
       v = t.map(x => (x * VUnit) / m)
     }
+    (v.map(_.toLong), vPrev, tLast)
+  }
+
+  private[graft] def powerIterationOf(g: GramStats)
+      : (Array[Long], Long, Long) = {
+    val (v, vPrev, tLast) = iterate(g)
     val rayNum = (0 until DIM).map(i => vPrev(i) * tLast(i)).sum
     val rayDen = (0 until DIM).map(i => vPrev(i) * vPrev(i)).sum
-    val ssum = sv.map(x => x * x).sum
-    val traceC = n * qq - ssum
+    val ssum = g.s.map(x => x * x).sum
+    val traceC = g.n * g.qq - ssum
     val anisoBp = ((rayNum * 10000) / (rayDen * traceC)).toLong
-    val meanMassBp = ((ssum * 10000) / (n * qq)).toLong
-    (v.map(_.toLong), anisoBp, meanMassBp)
+    val meanMassBp = ((ssum * 10000) / (g.n * g.qq)).toLong
+    (v, anisoBp, meanMassBp)
   }
 
   /** X76 — embedding anisotropy audit: top principal direction (matrix-
@@ -452,6 +509,152 @@ object SpectralQueries {
        |FROM ranked WHERE rk <= 10
        |GROUP BY space ORDER BY space""".stripMargin
 
+  /** X84 — per-family spectral health: x76's audit decomposed BY LABEL
+    * FAMILY (the per-source health matrix of x80, for embeddings). For
+    * each planted family: its member count, its OWN top-direction
+    * variance share, its common-mean mass, and the squared-cosine
+    * alignment of its top direction with the GLOBAL one. The audit a
+    * training-data team runs to localize a spectral pathology: a family
+    * with high aniso + low global alignment has its own private common
+    * direction (a templated/near-duplicate family — the SemDeDup
+    * signal); high aniso + high alignment across families means the
+    * ENCODER is degenerate (fix globally with x83); all-low is healthy.
+    *
+    * One pass: the grouped Gram kernel ([[gramStatsBy]]) reduces the
+    * corpus to labels × 2,145 integers; the global Gram is the exact SUM
+    * of the family Grams (free — no second pass); K rounds per family
+    * run on the driver (labels are catalog-bounded). Degenerate families
+    * (n ≤ 1, or zero centered variance) guard every division with
+    * max(·,1) — mirrored as GREATEST(·,1) in the oracle, so tiny planted
+    * families can never diverge the engines. Output is integer-exact;
+    * the oracle replays the per-label rounds with the global as label
+    * −1 (a unioned copy of the corpus, so its sums are identical to the
+    * engine's Gram-sum shortcut by construction).
+    */
+  val x84FamilySpectra = QueryDef(
+    "x84_family_spectra",
+    "per-label-family anisotropy + alignment with the global top direction (grouped one-pass Gram, exact fixed point)",
+    (s, d) => {
+      val lf = PlanCache.persisted(s, s"x84/ql/$d") {
+        graft.GraftExtensions.ensure(s)
+        Tables.load(s, d, "embeddings").select(
+          col("label").cast("long").as("lab"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1e4)).cast("long")).as("q"))
+      }
+      val per = gramStatsBy(lf)
+      val global = per.values.reduce { (a, b) =>
+        GramStats(a.n + b.n,
+          Array.tabulate(a.s.length)(i => a.s(i) + b.s(i)),
+          Array.tabulate(a.cUpper.length)(i => a.cUpper(i) + b.cUpper(i)))
+      }
+      val all = per.toSeq.sortBy(_._1) :+ (-1L -> global)
+      val folded = all.map { case (lab, g) =>
+        val (v, vPrev, tLast) = iterate(g)
+        val rayNum = (0 until DIM).map(i => vPrev(i) * tLast(i)).sum
+        val rayDen = (0 until DIM).map(i => vPrev(i) * vPrev(i)).sum
+        val ssum = g.s.map(x => x * x).sum
+        val traceC = g.n * g.qq - ssum
+        val anisoBp = ((rayNum * 10000) / (rayDen * traceC).max(1)).toLong
+        val meanMassBp = ((ssum * 10000) / (g.n * g.qq).max(1)).toLong
+        (lab, g.n.toLong, v, anisoBp, meanMassBp)
+      }
+      val vg = folded.last._3
+      val gg = vg.map(x => BigInt(x) * BigInt(x)).sum
+      val rows = folded.map { case (lab, n, v, aniso, mm) =>
+        val dg = v.indices.map(i => BigInt(v(i)) * BigInt(vg(i))).sum
+        val vv = v.map(x => BigInt(x) * BigInt(x)).sum
+        val alignBp = ((dg * dg * 10000) / (vv * gg).max(1)).toLong
+        Row(lab, n, aniso, mm, alignBp)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("label", "n_vecs", "aniso_bp", "mean_mass_bp",
+          "align_global_bp").map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("label")
+    },
+    Some(x84OracleSql))
+
+  /** The per-label x84 rounds: every x76 CTE keyed by `lab`, with the
+    * global corpus riding along as lab = −1 (a unioned copy — identical
+    * sums to the engine's Gram-sum shortcut).
+    */
+  private def x84OracleSql: String = {
+    val rounds = (1 to Iters).map { k =>
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      s"""sd$k AS (
+         |  SELECT b.lab, b.vec_id, SUM(b.qi * v.val) AS sdoc
+         |  FROM base b JOIN $pv v ON v.lab = b.lab AND v.i = b.i
+         |  GROUP BY b.lab, b.vec_id),
+         |u$k AS (
+         |  SELECT b.lab, b.i, SUM(b.qi * s.sdoc) AS u
+         |  FROM base b JOIN sd$k s
+         |    ON s.lab = b.lab AND s.vec_id = b.vec_id
+         |  GROUP BY b.lab, b.i),
+         |dv$k AS (SELECT s.lab, SUM(s.s * v.val) AS sv
+         |         FROM sums s JOIN $pv v ON v.lab = s.lab AND v.i = s.i
+         |         GROUP BY s.lab),
+         |t$k AS MATERIALIZED (
+         |  SELECT u.lab, u.i, nn.n * u.u - s.s * dv.sv AS t
+         |  FROM u$k u JOIN sums s ON s.lab = u.lab AND s.i = u.i
+         |            JOIN nn ON nn.lab = u.lab
+         |            JOIN dv$k dv ON dv.lab = u.lab),
+         |m$k AS (SELECT lab, GREATEST(MAX(ABS(t)), 1) AS m
+         |        FROM t$k GROUP BY lab),
+         |v$k AS MATERIALIZED (
+         |  SELECT t.lab, t.i, (t.t * $VUnit) // m.m AS val
+         |  FROM t$k t JOIN m$k m ON m.lab = t.lab)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT CAST(e.label AS BIGINT) AS lab, e.vec_id, u.i AS i,
+       |         CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 10000.0)
+       |              AS BIGINT) AS qi
+       |  FROM embeddings e, UNNEST(generate_series(1, $DIM)) AS u(i)),
+       |base AS MATERIALIZED (
+       |  SELECT lab, vec_id, i, qi FROM raw
+       |  UNION ALL SELECT -1 AS lab, vec_id, i, qi FROM raw),
+       |nn AS MATERIALIZED (
+       |  SELECT lab, CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+       |  FROM base GROUP BY lab),
+       |sums AS MATERIALIZED (
+       |  SELECT lab, i, CAST(SUM(qi) AS HUGEINT) AS s
+       |  FROM base GROUP BY lab, i),
+       |qqt AS (SELECT lab, CAST(SUM(qi * qi) AS HUGEINT) AS qq
+       |        FROM base GROUP BY lab),
+       |ssq AS (SELECT lab, SUM(s * s) AS ss FROM sums GROUP BY lab),
+       |v0 AS (SELECT l.lab, g.i, CAST($VUnit AS HUGEINT) AS val
+       |       FROM (SELECT DISTINCT lab FROM base) l,
+       |            UNNEST(generate_series(1, $DIM)) AS g(i)),
+       |$rounds,
+       |ray AS (SELECT v.lab, SUM(v.val * t.t) AS num,
+       |               SUM(v.val * v.val) AS den
+       |        FROM v${Iters - 1} v JOIN t$Iters t
+       |          ON t.lab = v.lab AND t.i = v.i
+       |        GROUP BY v.lab),
+       |gvec AS (SELECT i, val FROM v$Iters WHERE lab = -1),
+       |ggn AS (SELECT SUM(val * val) AS gg FROM gvec),
+       |al AS (SELECT v.lab, SUM(v.val * g.val) AS dg,
+       |              SUM(v.val * v.val) AS vv
+       |       FROM v$Iters v JOIN gvec g USING (i) GROUP BY v.lab)
+       |SELECT nn.lab AS label,
+       |       CAST(nn.n AS BIGINT) AS n_vecs,
+       |       CAST((10000 * ray.num) //
+       |            GREATEST(ray.den * (nn.n * qqt.qq - ssq.ss), 1)
+       |            AS BIGINT) AS aniso_bp,
+       |       CAST((10000 * ssq.ss) // GREATEST(nn.n * qqt.qq, 1)
+       |            AS BIGINT) AS mean_mass_bp,
+       |       CAST((al.dg * al.dg * 10000) //
+       |            GREATEST(al.vv * (SELECT gg FROM ggn), 1)
+       |            AS BIGINT) AS align_global_bp
+       |FROM nn JOIN qqt ON qqt.lab = nn.lab
+       |        JOIN ssq ON ssq.lab = nn.lab
+       |        JOIN ray ON ray.lab = nn.lab
+       |        JOIN al ON al.lab = nn.lab
+       |ORDER BY label""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(x76EmbeddingAnisotropy,
-    x83AnisotropyCorrection)
+    x83AnisotropyCorrection, x84FamilySpectra)
 }

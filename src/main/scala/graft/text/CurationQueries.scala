@@ -74,7 +74,7 @@ object CurationQueries {
       // through one partition, which does not survive corpus scale.
       // Cached per (session, dir); the build spreads the single-row-group
       // corpus before the explode (docsWide).
-      val idx = graft.PlanCache.persisted(s, s"x11_idx/$d") {
+      val idx = graft.PlanCache.checkpointed(s, s"x11_idx/$d") {
         val sh = graft.dedup.DedupQueries
           .shingleSet(graft.dedup.DedupQueries.docsWide(s, d), "source")
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
@@ -471,7 +471,7 @@ object CurationQueries {
     "x58_dsir_quota",
     "fixed-quota DSIR: top-quarter of the raw pool by importance via radix-select threshold",
     (s, d) => {
-      val scored = graft.PlanCache.persisted(s, s"x58-scored/$d") {
+      val scored = graft.PlanCache.checkpointed(s, s"x58-scored/$d") {
         dsirScores(s, d)
       }
       val ranks = scored.agg(count(lit(1)).as("n_raw"))
@@ -1172,7 +1172,7 @@ object CurationQueries {
     "x38_curriculum_phases",
     "quality-quartile curriculum phases: per-(phase, source) doc/token rollup",
     (s, d) => {
-      val scored = graft.PlanCache.persisted(s, s"x38-scores/$d") {
+      val scored = graft.PlanCache.checkpointed(s, s"x38-scores/$d") {
         docs(s, d).select(col("source"),
           graft.text.TextQueries.qualityScore6.as("score"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
@@ -1360,7 +1360,7 @@ object CurationQueries {
     * re-runs — and the x69 census — reuse one trained tokenizer.
     */
   private def bpeScored(s: SparkSession, d: String) =
-    graft.PlanCache.persisted(s, s"x68-scored/$d") {
+    graft.PlanCache.checkpointed(s, s"x68-scored/$d") {
       import s.implicits._
       val words = docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))

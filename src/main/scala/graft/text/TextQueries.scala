@@ -854,7 +854,7 @@ object TextQueries {
     "x45_bigram_surprisal",
     "per-source mean bigram conditional surprisal (integer floor-log2 LM proxy)",
     (s, d) => {
-      graft.PlanCache.persisted(s, s"x45-perdoc/$d")(bigramDocSurprisal(s, d))
+      graft.PlanCache.checkpointed(s, s"x45-perdoc/$d")(bigramDocSurprisal(s, d))
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -893,7 +893,7 @@ object TextQueries {
     "x36_vocab_coverage",
     "per-source token coverage of the global top-100 vocabulary (exact bp)",
     (s, d) => {
-      val tf = graft.PlanCache.persisted(s, s"x36-tf/$d") {
+      val tf = graft.PlanCache.checkpointed(s, s"x36-tf/$d") {
         docs(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("term"))
           .groupBy("source", "term").agg(count(lit(1)).as("c"))
@@ -1228,7 +1228,7 @@ object TextQueries {
       val s = toks.sparkSession
       val built = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
       val counts = cacheKey.fold(built)(k =>
-        graft.PlanCache.persisted(s, k)(built))
+        graft.PlanCache.checkpointed(s, k)(built))
       val vocabN = counts.select("tok").distinct().agg(count(lit(1)).as("v"))
       val totB = counts.groupBy(col("source").as("src_b"))
         .agg(sum(col("c")).as("tot_b"))
@@ -1456,7 +1456,7 @@ object TextQueries {
       val s = pairs.sparkSession
       val ranked = rank2Of(rank2Of(pairs, "sa", "ra2"), "sb", "rb2")
       val joined = cacheKey.fold(ranked)(k =>
-        graft.PlanCache.persisted(s, k)(ranked))
+        graft.PlanCache.checkpointed(s, k)(ranked))
       def dec(c: String) = col(c).cast(DecimalType(38, 0))
       // BOTH medians in ONE grouped radix pass (the w12 stacking trick —
       // each kthLargest call costs a full bounded-histogram pass, and
@@ -1652,6 +1652,16 @@ object TextQueries {
       .groupBy("doc_id", "bucket")
       .agg(sum(col("tf") * col("idf")).as("wsum"))
 
+  /** Per-doc squared norms of the x43 weight frame — lineage-truncated
+    * memo shared by x57/x70/x74: each would otherwise re-aggregate the
+    * full weight table once per plan reference.
+    */
+  private[graft] def hashedNorms(s: SparkSession, d: String) =
+    graft.PlanCache.checkpointed(s, s"x43-nrm/$d") {
+      hashedWeights(s, d).groupBy("doc_id")
+        .agg(sum(col("wsum") * col("wsum")).as("ss"))
+    }
+
   /** The x46 centroid build over a weight frame: per-(seed, bucket) mean
     * integer weights + squared norms. Returns (centroids, norms).
     */
@@ -1835,7 +1845,7 @@ object TextQueries {
     * scoring pass.
     */
   private def corpusTopicDots(s: SparkSession, d: String) =
-    graft.PlanCache.persisted(s, s"x46-dots/$d") {
+    graft.PlanCache.checkpointed(s, s"x46-dots/$d") {
       val k = 8L
       val w = hashedWeights(s, d)
       val seed = docs(s, d).select(col("doc_id"),
@@ -1847,7 +1857,7 @@ object TextQueries {
     }
 
   private def corpusTopicBest(s: SparkSession, d: String) =
-    graft.PlanCache.persisted(s, s"x46-best/$d") {
+    graft.PlanCache.checkpointed(s, s"x46-best/$d") {
       val scores = corpusTopicDots(s, d)
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("ss").cast("double")))
@@ -1942,7 +1952,7 @@ object TextQueries {
     (s, d) => {
       val k = 8L
       val w = hashedWeights(s, d)
-      val dss = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("dss"))
+      val dss = hashedNorms(s, d).select(col("doc_id"), col("ss").as("dss"))
       val cosd = corpusTopicDots(s, d).join(dss, Seq("doc_id"))
         .select(col("doc_id"), col("cid"),
           (lit(1.0) - col("dot").cast("double") /
@@ -2174,7 +2184,7 @@ object TextQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val tf = cacheKey
-      .map(k => graft.PlanCache.persisted(s, k)(tfPlan)).getOrElse(tfPlan)
+      .map(k => graft.PlanCache.checkpointed(s, k)(tfPlan)).getOrElse(tfPlan)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val nt = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -2297,7 +2307,7 @@ object TextQueries {
         .unionByName(planted)
       val (tf, dl, nt, idf) =
         bm25CorpusOf(s, augmented, Some(s"x65-tf/$d"))
-      val scored = graft.PlanCache.persisted(s, s"x65-scored/$d") {
+      val scored = graft.PlanCache.checkpointed(s, s"x65-scored/$d") {
         bm25Against(tf, dl, nt, idf,
           queryTerms(qdocs.select(col("doc_id").as("q_doc"), col("text"))))
       }
@@ -2413,7 +2423,7 @@ object TextQueries {
   private[graft] def denseCosineScores(s: SparkSession, d: String) = {
     graft.GraftExtensions.ensure(s)
     val w = hashedWeights(s, d)
-    val norms = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
+    val norms = hashedNorms(s, d)
     val wq = w.filter(col("doc_id") < 4)
       .select(col("doc_id").as("q_doc"), col("bucket"), col("wsum").as("qw"))
     denseAgainst(w, norms, wq)
@@ -2539,7 +2549,7 @@ object TextQueries {
       // references its lineage once per agg/crossJoin per round — left
       // uncached, the surprisal pass re-executes ~2^rounds times
       // (measured 108 s at sf0.1; 1.4 s cached)
-      val perDoc = graft.PlanCache.persisted(s, s"x45-perdoc/$d") {
+      val perDoc = graft.PlanCache.checkpointed(s, s"x45-perdoc/$d") {
         bigramDocSurprisal(s, d)
       }
       val perSrc = perDoc.groupBy("source").agg(
@@ -2882,12 +2892,8 @@ object TextQueries {
               (col("prev_topic") === col("cur_topic")).cast("long")
                 .as("same_topic")))
       }
-      // per-doc squared norms of the x43 weight frame, PlanCache'd:
-      // referenced twice below (ssa + ssb joins), and each uncached
-      // reference re-aggregates the full weight table
-      val nrm = graft.PlanCache.checkpointed(s, s"x43-nrm/$d") {
-        w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("ss"))
-      }
+      // per-doc squared norms — the shared memo (referenced twice below)
+      val nrm = hashedNorms(s, d)
       // `merge` hints on every w/nrm join: both sides are CORPUS-sized
       // (w = docs×64 buckets, nrm = per-doc), so a broadcast is the wrong
       // plan at scale — and at bench scale AQE would otherwise convert

@@ -43,7 +43,11 @@ object VerifyHeavy {
     // n² — sf1 is the documented-safe edge worth recording), and the
     // cross-entropy grid (vocab-bounded by design; prove it at 10×)
     "x77_scorer_calibration", "x78_signal_agreement",
-    "x80_source_crossentropy")
+    "x80_source_crossentropy",
+    // r16: the ABTT recall audit (its oracle's pair-dot CTE is
+    // |Q|·N·64 rows — sf1 is where that shape earns its keep) and the
+    // de-windowed z-order deal (ntile replay through range partitions)
+    "x83_anisotropy_correction", "q18_zorder_skipping")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")

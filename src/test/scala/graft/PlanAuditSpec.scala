@@ -271,10 +271,11 @@ class PlanAuditSpec extends SparkSpec {
   test("q8 lattice levels reuse ONE cached joined projection") {
     val plan = planOf("q8_k_anonymity")
     // four generalization levels over the same PlanCache'd frame: each
-    // level's aggregate must read the cache (the FileScan lines in the
-    // plan string are the InMemoryRelation's rendered BUILD plan, which
-    // runs once — every level leaf is an InMemoryTableScan)
-    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 4,
+    // level's aggregate must read the memoized projection — rendered as
+    // InMemoryTableScan for a persisted frame or Scan ExistingRDD for a
+    // lineage-truncated (checkpointed) one
+    assert(plan.linesIterator.count(l =>
+        l.contains("InMemoryTableScan") || l.contains("Scan ExistingRDD")) >= 4,
       s"q8 levels must read the cached projection:\n$plan")
   }
 
@@ -340,8 +341,10 @@ class PlanAuditSpec extends SparkSpec {
       s"global top-100 lost its bounded heap form:\n$plan")
     assert(!plan.contains("Window"), s"x36 re-grew a window:\n$plan")
     // ranking, coverage, and totals all read the cached tf table — one
-    // corpus scan total (at materialization), not three
-    assert(plan.contains("InMemoryTableScan"),
+    // corpus scan total (at materialization), not three; the memo marker
+    // is Scan ExistingRDD since the r16 lineage-truncation conversion
+    assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("Scan ExistingRDD"),
       s"x36 lost the cached tf table:\n$plan")
   }
 
@@ -462,11 +465,20 @@ class PlanAuditSpec extends SparkSpec {
 
   test("x70/x46 packing order: centroids broadcast onto the weight stream, " +
     "no corpus-sized sort-merge join") {
-    // the centroid argmax lives in the x46 clustering frame x70 shares
-    // (corpusTopicBest); since r16 x70's own plan hides that build behind
-    // a lineage-truncated memo (task-binary fix), so the broadcast
-    // property is audited on x46's plan, which embeds the same build
-    val plan = planOf("x46_topic_clusters")
+    // the centroid argmax lives in the x46 clustering machinery x70
+    // shares (topicAssign); since r16 the consumer-facing frames are
+    // lineage-truncated memos (task-binary fix), so the broadcast
+    // property is audited on the PURE assignment plan the memo builds
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, i % 64, 1L + i % 5))
+      .toDF("doc_id", "bucket", "wsum")
+    val seed = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(8L)).as("cid0"))
+    val (cent, cnorm) = graft.text.TextQueries.topicCentroids(docs, seed)
+    val plan = graft.text.TextQueries
+      .topicAssign(docs, docs.select("doc_id"), cent, cnorm, 8L)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"),
       s"x46/x70 centroid joins must broadcast:\n$plan")
@@ -483,8 +495,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q18/x70/x71 shuffle-record ceilings (r15 introductions)") {
     val ceilings = Seq(
-      // two 64-file deals + per-file aggregation over one orders scan
-      "q18_zorder_skipping" -> 4000L,
+      // two 64-file deals over one orders scan, each dealing through a
+      // range repartition + pid window (r16: the global ntile is gone,
+      // so the deal shuffles ~2 distributed copies of orders per layout
+      // instead of funneling 2 corpus copies through ONE task; measured
+      // 6,138 at sf0.001 ≈ 4.1× the 1,500 orders — linear in input)
+      "q18_zorder_skipping" -> 12000L,
       // x46 centroid scoring + two global orders + pair-bucket join:
       // measured 114k at sf0.001 ≈ 3.5 shuffled copies of the docs×64
       // weight stream (pairs join it twice, once per order) — linear in
@@ -503,11 +519,22 @@ class PlanAuditSpec extends SparkSpec {
     "edge frame reused across iterations via one persisted copy") {
     val plan = planOf("x72_copurchase_pagerank")
     assert(!plan.contains("CartesianProduct"), s"x72 plans a cartesian:\n$plan")
-    assert(plan.contains("BroadcastExchange") ||
-      plan.contains("BroadcastNestedLoopJoin"),
-      s"x72 1-row N frames must broadcast:\n$plan")
-    assert(plan.contains("InMemoryTableScan"),
-      s"x72 weighted-edge frame must come from the persisted copy:\n$plan")
+    // the 1-row N broadcasts live inside the rank build, which the
+    // lineage-truncated memo hides from the final plan since r16 — audit
+    // them on the PURE iteration plan over a synthetic edge frame
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 2L), (3L, 2L, 2L))
+      .toDF("u", "v", "w")
+    val pure = graft.operators.PageRank
+      .runOnWeighted(graft.operators.PageRank
+        .weightedEdges(spark, edges), 2)
+      .queryExecution.executedPlan.toString
+    assert(pure.contains("BroadcastExchange") ||
+      pure.contains("BroadcastNestedLoopJoin"),
+      s"x72 1-row N frames must broadcast:\n$pure")
+    assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("Scan ExistingRDD"),
+      s"x72 weighted-edge frame must come from the memoized copy:\n$plan")
   }
 
   test("x73 label audit: query sample broadcasts onto the corpus stream") {

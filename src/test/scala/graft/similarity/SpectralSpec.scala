@@ -88,6 +88,66 @@ class SpectralSpec extends SparkSpec {
       s"plant failed to dominate the spectrum: $plantedAniso bp")
   }
 
+  test("x84: planted private-direction family reads rank-1 and orthogonal") {
+    import spark.implicits._
+    // family 1: pure multiples of the uniform direction g = (1,…,1)/8 —
+    // rank-1 centered variance entirely along g; family 0: symmetric
+    // spread along axis 3 only, smaller variance — rank-1 along e3 ⊥ g
+    // up to g's 1/64 component share
+    val rows =
+      (1 to 20).map(k => (0L + k, 1L,
+        Array.tabulate(64)(_ => 0.01f * k))) ++
+      Seq(-0.02f, -0.01f, 0.01f, 0.02f).zipWithIndex.map { case (a, i) =>
+        (100L + i, 0L, Array.tabulate(64)(d => if (d == 2) a else 0.0f))
+      }
+    val df3 = rows.toDF("vec_id", "lab", "embedding")
+    val lf = SpectralQueries.quantize(spark,
+        df3.select("vec_id", "embedding"))
+      .join(df3.select("vec_id", "lab"), "vec_id")
+      .select(col("lab"), col("q"))
+    val per = SpectralQueries.gramStatsBy(lf)
+    assert(per.keySet === Set(0L, 1L))
+    val global = per.values.reduce { (a, b) =>
+      SpectralQueries.GramStats(a.n + b.n,
+        Array.tabulate(a.s.length)(i => a.s(i) + b.s(i)),
+        Array.tabulate(a.cUpper.length)(i => a.cUpper(i) + b.cUpper(i)))
+    }
+    def fold(g: SpectralQueries.GramStats) = {
+      val (v, vPrev, tLast) = SpectralQueries.iterate(g)
+      val rayNum = vPrev.indices.map(i => vPrev(i) * tLast(i)).sum
+      val rayDen = vPrev.map(x => x * x).sum
+      val ssum = g.s.map(x => x * x).sum
+      val aniso = ((rayNum * 10000) / (rayDen * (g.n * g.qq - ssum)).max(1)).toLong
+      (v, aniso)
+    }
+    val (v1, aniso1) = fold(per(1L))
+    val (v0, aniso0) = fold(per(0L))
+    val (vg, _) = fold(global)
+    assert(aniso1 === 10000L, s"rank-1 family must read 10000, got $aniso1")
+    assert(aniso0 === 10000L)
+    def alignBp(v: Array[Long]) = {
+      val dg = v.indices.map(i => BigInt(v(i)) * BigInt(vg(i))).sum
+      val vv = v.map(x => BigInt(x) * BigInt(x)).sum
+      val gg = vg.map(x => BigInt(x) * BigInt(x)).sum
+      ((dg * dg * 10000) / (vv * gg).max(1)).toLong
+    }
+    // family 1 dominates global variance → global top ≈ g; family 0's
+    // axis has only g's 1/64 component share
+    assert(alignBp(v1) > 9900L, s"dominant family misaligned: ${alignBp(v1)}")
+    assert(alignBp(v0) < 1000L, s"orthogonal family aligned: ${alignBp(v0)}")
+  }
+
+  test("x84's global (-1) row equals x76 on the same corpus") {
+    val x84 = graft.SparkEntry.queries("x84_family_spectra")(spark, sfDir)
+      .filter(col("label") === -1L).collect().head
+    val x76 = graft.SparkEntry
+      .queries("x76_embedding_anisotropy")(spark, sfDir).collect().head
+    assert(x84.getLong(x84.fieldIndex("aniso_bp")) ===
+      x76.getLong(x76.fieldIndex("aniso_bp")))
+    assert(x84.getLong(x84.fieldIndex("mean_mass_bp")) ===
+      x76.getLong(x76.fieldIndex("mean_mass_bp")))
+  }
+
   test("x83: corrected-space label recall >= raw-space (the ABTT claim)") {
     val out = graft.SparkEntry
       .queries("x83_anisotropy_correction")(spark, sfDir)
