@@ -779,6 +779,10 @@ object Bench {
           curationJson = """{"error":true}"""
           curationPass = false
         }
+        // evict the scratch corpus's memoized frames WITH its parquet:
+        // they are never read again, and cached soak-corpus blocks
+        // otherwise squeeze execution memory for the 100× section below
+        PlanCache.clearMatching(spark, soakDir)
         rmTree(soakDir)
         // 100× soak: two orders of magnitude above the driver's largest
         // testdata (sf0.1 → sf10-equivalent), for the three cheapest-to-
@@ -823,6 +827,7 @@ object Bench {
                 s""""cores_busy_sf01":${rq.coresBusy},""" +
                 s""""cores_busy_sf10":${warm.coresBusy}}"""
             }
+            PlanCache.clearMatching(spark, dir100)
             rmTree(dir100)
             s"""{"replicas":100,"gen_sec":$gen100Sec,""" +
               s""""queries":{${rows100.mkString(",")}}}"""

@@ -111,6 +111,32 @@ object PlanCache {
   def track(spark: SparkSession): Unit =
     sessions.synchronized(ensureContextHook(spark))
 
+  /** Unpersist and drop every entry of `spark` whose KEY contains
+    * `substring` — keys embed the corpus dir, so a caller that is done
+    * with a scratch corpus (the bench's soak dirs, deleted from disk
+    * right after their section) can evict exactly its frames: cached
+    * soak-corpus blocks otherwise outlive their parquet and squeeze
+    * execution memory for every later section (measured: the 100× soak's
+    * j4 began spilling ~790 MB once the 10× section's frames piled up).
+    */
+  def clearMatching(spark: SparkSession, substring: String): Unit = {
+    val victims = sessions.synchronized {
+      val t = sessions.get(spark)
+      if (t == null) java.util.Collections.emptyList[DataFrame]()
+      else {
+        val keys = new java.util.ArrayList[String]()
+        t.keySet().forEach(k => if (k.contains(substring)) keys.add(k))
+        val vs = new java.util.ArrayList[DataFrame](keys.size())
+        keys.forEach(k => vs.add(t.remove(k)))
+        vs
+      }
+    }
+    victims.forEach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Exception => () }
+    }
+  }
+
   /** Unpersist and drop every entry belonging to `spark`, and run the
     * registered cleanup hooks. Safe to call on a stopped session
     * (unpersist becomes a no-op).

@@ -2654,7 +2654,8 @@ object TextQueries {
   private[graft] def hardNegativesOf(frame: org.apache.spark.sql.DataFrame,
       anchorPred: Column, k: Int, maxCos: Double,
       weights: Option[org.apache.spark.sql.DataFrame] = None,
-      maxAnchors: Int = 200) = {
+      maxAnchors: Int = 200,
+      vecsCacheKey: Option[String] = None) = {
     val s = frame.sparkSession
     import s.implicits._
     import graft.functions.{KeyedTermRow, TopKTerms}
@@ -2662,8 +2663,10 @@ object TextQueries {
     val w = weights.getOrElse(hashedWeightsOf(frame.select("doc_id", "text"),
       idfOf(frame.select("doc_id", "text"))))
     val src = frame.select(col("doc_id"), col("source"))
-    // dense per-doc vector + squared norm: docs-sized, one combinable agg
-    val vecs = w.groupBy("doc_id")
+    // dense per-doc vector + squared norm: docs-sized, one combinable
+    // agg — memoized when the caller supplies a key (the frame is read
+    // by both the anchor build and the pair scan)
+    def vecsPlan = w.groupBy("doc_id")
       .agg(collect_list(struct(col("bucket"), col("wsum"))).as("bw"),
         sum(col("wsum") * col("wsum")).as("ss"))
       .withColumn("arr", expr(
@@ -2671,6 +2674,9 @@ object TextQueries {
           "coalesce(element_at(map_from_entries(bw), b), 0L))"))
       .drop("bw")
       .join(src, Seq("doc_id"))
+    val vecs = vecsCacheKey
+      .map(key => graft.PlanCache.checkpointed(s, key)(vecsPlan))
+      .getOrElse(vecsPlan)
     val anchors = vecs.join(
         src.filter(anchorPred).orderBy(col("doc_id")).limit(maxAnchors)
           .select(col("doc_id")), Seq("doc_id"))
@@ -2734,7 +2740,8 @@ object TextQueries {
     (s, d) => {
       graft.GraftExtensions.ensure(s)
       hardNegativesOf(docs(s, d), pmod(col("doc_id"), lit(25)) === 0,
-        k = 3, maxCos = 0.95, weights = Some(hashedWeights(s, d)))
+        k = 3, maxCos = 0.95, weights = Some(hashedWeights(s, d)),
+        vecsCacheKey = Some(s"x67-vecs/$d"))
     },
     Some(s"""WITH $hashedWeightsSql,
            |srcm AS (SELECT doc_id, source FROM documents),
