@@ -118,6 +118,14 @@ object PlanCache {
     * soak-corpus blocks otherwise outlive their parquet and squeeze
     * execution memory for every later section (measured: the 100× soak's
     * j4 began spilling ~790 MB once the 10× section's frames piled up).
+    *
+    * CAUTION — [[checkpointed]] entries do not survive eviction: their
+    * lineage is truncated, so unlike a `persisted` frame (which silently
+    * recomputes) a checkpointed frame a caller retained from an earlier
+    * lookup becomes permanently unusable after this call (Spark logs
+    * "cannot be recomputed after unpersisting" on next use). Evict only
+    * when every retained reference is dead — i.e. the corpus dir itself
+    * is being deleted, the current call sites' contract.
     */
   def clearMatching(spark: SparkSession, substring: String): Unit = {
     val victims = sessions.synchronized {

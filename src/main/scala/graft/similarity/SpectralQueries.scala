@@ -244,8 +244,13 @@ object SpectralQueries {
     val rayDen = (0 until DIM).map(i => vPrev(i) * vPrev(i)).sum
     val ssum = g.s.map(x => x * x).sum
     val traceC = g.n * g.qq - ssum
-    val anisoBp = ((rayNum * 10000) / (rayDen * traceC)).toLong
-    val meanMassBp = ((ssum * 10000) / (g.n * g.qq)).toLong
+    // max(1) denominators: an all-zero/degenerate Gram (empty or
+    // zero-vector input — possible for ST39's streaming callers on a
+    // quiet stream) must report 0, not throw. On any real corpus both
+    // denominators are positive, so x76/x83/x84 parity is untouched
+    // (their oracles carry no GREATEST for these and never need one).
+    val anisoBp = ((rayNum * 10000) / (rayDen * traceC).max(1)).toLong
+    val meanMassBp = ((ssum * 10000) / (g.n * g.qq).max(1)).toLong
     (v, anisoBp, meanMassBp)
   }
 

@@ -44,31 +44,37 @@ final class CurationLayer(
   private def qualityDir = s"$outDir/quarantine_quality"
   private def auditDir = s"$outDir/audit"
 
-  /** Driver-side commit watermark: marker batch ids are MONOTONE — the
-    * layer is the index's single writer and foreachBatch delivers ids in
-    * order, with the marker appended as each batch's last step — so
-    * `batchId <= max committed id` decides every replay check. Cached so
-    * the steady-state check is O(1) driver-side; the old form walked the
-    * full manifest parent chain and ran a Spark count() job per
-    * micro-batch, a cost that grew with total batches ever committed.
-    * Primed from history ONCE per instance (restart-safe); updated in
-    * memory on each commit.
+  /** Driver-side committed-id set, primed from the index history ONCE
+    * per instance (restart-safe) and updated in memory on each commit —
+    * so the steady-state replay check is an O(1) set lookup with no
+    * Spark job. A set, not a max-id watermark: foreachBatch delivers ids
+    * monotonically, but [[processBatch]] is a public API also driven
+    * manually (Bench does), and an out-of-order or backfill drive must
+    * not have an unprocessed EARLIER batch silently skipped by a
+    * high-water mark. Memory is O(batches ever committed) — a few longs
+    * per micro-batch, the same order as the history it mirrors.
     */
-  @volatile private var maxCommittedCache: Long = Long.MinValue
+  private var committedIds: java.util.HashSet[java.lang.Long] = _
 
   /** Has `batchId` already committed? (The replay check — marker in the
     * index history, the [[StreamingDedup.committed]] rule.)
     */
-  def committed(batchId: Long): Boolean = {
-    if (maxCommittedCache == Long.MinValue) {
-      val row = index.history()
+  def committed(batchId: Long): Boolean = synchronized {
+    if (committedIds == null) {
+      committedIds = new java.util.HashSet[java.lang.Long]()
+      index.history()
         .select(regexp_extract(col("operation"), "^curate-batch-(\\d+)$", 1)
           .as("b"))
         .filter(col("b") =!= "")
-        .agg(max(col("b").cast("long"))).head()
-      maxCommittedCache = if (row.isNullAt(0)) -1L else row.getLong(0)
+        .collect() // bounded: one row per commit marker in table history
+        .foreach(r => committedIds.add(r.getString(0).toLong))
     }
-    batchId <= maxCommittedCache
+    committedIds.contains(batchId)
+  }
+
+  private def markCommitted(batchId: Long): Unit = synchronized {
+    if (committedIds == null) committedIds = new java.util.HashSet()
+    committedIds.add(batchId)
   }
 
   /** Run one (micro-)batch of `(doc_id, source, text)` docs through the
@@ -138,7 +144,7 @@ final class CurationLayer(
         spark.read.parquet(s"$acceptedDir/b$batchId")
           .select(md5(col("text")).as("fp")).distinct(),
         s"curate-batch-$batchId")
-      maxCommittedCache = math.max(maxCommittedCache, batchId)
+      markCommitted(batchId)
     } finally scrubbed.unpersist()
   }
 
@@ -158,6 +164,14 @@ final class CurationLayer(
   /** All accepted documents across batches. */
   def accepted(spark: SparkSession): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(acceptedDir)
+
+  /** All quarantined-as-contaminated documents across batches. */
+  def contaminated(spark: SparkSession): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(contamDir)
+
+  /** All quality-rejected documents across batches. */
+  def qualityRejected(spark: SparkSession): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(qualityDir)
 }
 
 object CurationLayer {

@@ -47,7 +47,11 @@ object VerifyHeavy {
     // r16: the ABTT recall audit (its oracle's pair-dot CTE is
     // |Q|·N·64 rows — sf1 is where that shape earns its keep) and the
     // de-windowed z-order deal (ntile replay through range partitions)
-    "x83_anisotropy_correction", "q18_zorder_skipping")
+    "x83_anisotropy_correction", "q18_zorder_skipping",
+    // r17: the grouped Gram kernel — per-family accumulator maps are the
+    // one spectral shape whose memory/merge cost grows with label
+    // cardinality × corpus, so the sf1 drill covers it
+    "x84_family_spectra")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")

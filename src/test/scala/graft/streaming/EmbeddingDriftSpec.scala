@@ -74,6 +74,174 @@ class EmbeddingDriftSpec extends SparkSpec {
     assert(st.getBoolean(st.fieldIndex("drifted")))
   }
 
+  test("ST39: compacted log ≡ uncompacted bit-for-bit; folded replays " +
+    "no-op; a second compaction swaps generations cleanly") {
+    val base = EmbeddingDrift.fit(emb)
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-c").toString
+    val m = new EmbeddingDrift.Monitor(base, s"$root/log")
+    (0 until 5).foreach { b =>
+      m.processBatch(emb.filter(pmod(col("vec_id"), lit(5)) === b), b.toLong)
+    }
+    val gBefore = m.merged(spark)
+    val stBefore = m.status(spark).collect().head
+    m.compactLog(spark, upTo = 2L)
+    val gAfter = m.merged(spark)
+    assert(gAfter.n === gBefore.n)
+    assert(gAfter.s.toSeq === gBefore.s.toSeq)
+    assert(gAfter.cUpper.toSeq === gBefore.cUpper.toSeq)
+    assert(m.status(spark).collect().head.toSeq === stBefore.toSeq)
+    // folded batch dirs are gone; un-folded ones remain
+    def dirExists(b: Int) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$root/log/b$b"))
+    assert(!dirExists(0) && !dirExists(1) && !dirExists(2))
+    assert(dirExists(3) && dirExists(4))
+    // a replay of a FOLDED batch is a no-op — even with different data
+    // (the ledger, not the dir overwrite, is what makes this safe)
+    m.processBatch(emb.limit(7), 1L)
+    assert(!dirExists(1), "folded replay re-created its batch dir")
+    val gReplay = m.merged(spark)
+    assert(gReplay.s.toSeq === gBefore.s.toSeq)
+    assert(gReplay.cUpper.toSeq === gBefore.cUpper.toSeq)
+    // second compaction folds the rest into generation 2
+    m.compactLog(spark, upTo = 4L)
+    assert(!dirExists(3) && !dirExists(4))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/log/_compact_v2")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/log/_compact_v1")))
+    val gFinal = m.merged(spark)
+    assert(gFinal.n === gBefore.n)
+    assert(gFinal.s.toSeq === gBefore.s.toSeq)
+    assert(gFinal.cUpper.toSeq === gBefore.cUpper.toSeq)
+    // un-folded NEW batches still land and merge after compaction
+    m.processBatch(emb.filter(col("vec_id") === 0), 9L)
+    assert(m.merged(spark).n === gBefore.n + 1)
+  }
+
+  test("ST39: an oversized vector is excluded from the Gram, counted, " +
+    "and trips the alarm instead of silently overflowing") {
+    val base = EmbeddingDrift.fit(emb)
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-o").toString
+    val m = new EmbeddingDrift.Monitor(base, s"$root/log")
+    // vec 0 breaks its normalization: component 1e6 ⇒ |q| = 1e10, far
+    // past the MaxAbsQ envelope — the exact silent-overflow pathology
+    val poisoned = emb.select(col("vec_id"),
+      when(col("vec_id") === 0,
+        expr("transform(embedding, x -> CAST(1000000.0 AS FLOAT))"))
+        .otherwise(col("embedding")).as("embedding"))
+    m.processBatch(poisoned, 0L)
+    val st = m.status(spark).collect().head
+    assert(st.getLong(st.fieldIndex("n_oversized")) === 1L)
+    assert(st.getBoolean(st.fieldIndex("drifted")))
+    // the logged Gram is exactly the clean-rows Gram — no corruption
+    val clean = SpectralQueries.gramStats(SpectralQueries.quantize(
+      spark, emb.filter(col("vec_id") =!= 0)))
+    val g = m.merged(spark)
+    assert(g.n === clean.n)
+    assert(g.s.toSeq === clean.s.toSeq)
+    assert(g.cUpper.toSeq === clean.cUpper.toSeq)
+  }
+
+  private def embLab = Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+
+  test("ST40: per-family merged Grams equal the batch gramStatsBy fold " +
+    "(stream ≡ batch, integer equality) and sum to the global") {
+    val fams = EmbeddingDrift.fitByFamily(embLab, "label")
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-f").toString
+    val m = new EmbeddingDrift.Monitor(fams(-1L), s"$root/log",
+      labelCol = Some("label"), familyBaselines = fams)
+    (0 until 3).foreach { b =>
+      m.processBatch(embLab.filter(pmod(col("vec_id"), lit(3)) === b),
+        b.toLong)
+    }
+    val whole = SpectralQueries.gramStatsBy(embLab.select(
+      col("label").as("lab"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))").as("q")))
+    val byFam = m.mergedByFamily(spark)
+    assert(byFam.keySet === whole.keySet)
+    whole.foreach { case (lab, g) =>
+      assert(byFam(lab).n === g.n, s"family $lab: n differs")
+      assert(byFam(lab).s.toSeq === g.s.toSeq, s"family $lab: S differs")
+      assert(byFam(lab).cUpper.toSeq === g.cUpper.toSeq, s"family $lab: C differs")
+    }
+    val g = m.merged(spark)
+    assert(g.n === whole.values.map(_.n).sum)
+    // clean live corpus == trusted corpus: no family (and not the
+    // global) may alarm
+    val fs = m.familyStatus(spark).collect()
+    assert(fs.nonEmpty)
+    fs.foreach { r =>
+      assert(!r.getBoolean(r.fieldIndex("drifted")),
+        s"clean corpus alarmed for family ${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("align_bp")) === 10000L)
+    }
+    assert(!m.status(spark).collect().head.getBoolean(6))
+  }
+
+  test("ST40: a private-direction pathology inside ONE family alarms " +
+    "that family while the global spectrum stays quiet") {
+    // Alignment is only a meaningful alarm when the baseline has a
+    // DISTINGUISHED top direction (a near-isotropic baseline rotates
+    // under any perturbation — measured here: the raw synthetic corpus
+    // alarmed globally at align 2856 bp from a 1/10-family plant). Real
+    // sentence-embedding spaces have exactly that dominant common
+    // direction (Ethayarajh 2019), so the trusted corpus carries the x83
+    // global plant along the all-ones direction g — in BOTH the fitted
+    // baselines and the live stream.
+    val globalPlant = "CAST(0.0625 * (vec_id % 7 + 1) AS FLOAT)"
+    val trusted = embLab.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(x AS FLOAT) + $globalPlant)")
+        .as("embedding"),
+      col("label"))
+    val fams = EmbeddingDrift.fitByFamily(trusted, "label")
+    val victim = 3L
+    // the victim family additionally gains a PRIVATE direction h =
+    // alternating ±1 (orthogonal to g), strong enough to dominate the
+    // family's own spectrum (var along h ≈ 2× var along g within the
+    // family) but diluted ~10× across the corpus, where g stays on top
+    val live = trusted.select(col("vec_id"),
+      when(col("label") === victim,
+        expr("transform(embedding, (x, i) -> CAST(x AS FLOAT) + " +
+          "CAST((CASE WHEN i % 2 = 0 THEN 0.125 ELSE -0.125 END) * " +
+          "(vec_id % 5 + 1) AS FLOAT))"))
+        .otherwise(col("embedding")).as("embedding"),
+      col("label"))
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-p").toString
+    val m = new EmbeddingDrift.Monitor(fams(-1L), s"$root/log",
+      labelCol = Some("label"), familyBaselines = fams)
+    (0 until 3).foreach { b =>
+      m.processBatch(live.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+    }
+    val st = m.status(spark).collect().head
+    assert(!st.getBoolean(st.fieldIndex("drifted")),
+      s"global alarmed: rise ${st.getLong(st.fieldIndex("aniso_rise_bp"))} bp, " +
+        s"align ${st.getLong(st.fieldIndex("align_bp"))} bp")
+    val fs = m.familyStatus(spark).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fs(victim).getBoolean(fs(victim).fieldIndex("drifted")),
+      s"victim family did not alarm: " +
+        s"rise ${fs(victim).getLong(fs(victim).fieldIndex("aniso_rise_bp"))} bp, " +
+        s"align ${fs(victim).getLong(fs(victim).fieldIndex("align_bp"))} bp")
+    fs.filterNot(_._1 == victim).foreach { case (lab, r) =>
+      assert(!r.getBoolean(r.fieldIndex("drifted")),
+        s"innocent family $lab alarmed")
+    }
+  }
+
+  test("ST40: a family with no fitted baseline reads as drifted " +
+    "(unknown source entered the stream)") {
+    val fams = EmbeddingDrift.fitByFamily(embLab.filter(col("label") =!= 0), "label")
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-u").toString
+    val m = new EmbeddingDrift.Monitor(fams(-1L), s"$root/log",
+      labelCol = Some("label"), familyBaselines = fams)
+    m.processBatch(embLab, 0L)
+    val fs = m.familyStatus(spark).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fs(0L).getBoolean(fs(0L).fieldIndex("drifted")))
+    assert(fs(0L).getLong(fs(0L).fieldIndex("align_bp")) === 0L)
+  }
+
   test("ST39: streaming drive over two file drops equals the direct fold") {
     val base = EmbeddingDrift.fit(emb)
     val root = java.nio.file.Files.createTempDirectory("graft-edrift-s").toString
