@@ -2,7 +2,6 @@ package graft.lakehouse
 
 import graft.QueryDef
 import graft.sources.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-gated layout queries: the Z-order operator's skipping math,
@@ -65,44 +64,17 @@ object LayoutQueries {
         lit("1970-01-01").cast("date")).cast("long")
       val hi = datediff(lit("1996-12-31").cast("date"),
         lit("1970-01-01").cast("date")).cast("long")
-      // ntile without a global window: global pos = per-partition row
-      // number + the cumulative count of earlier range partitions; the
-      // first (n mod files) model files take (n div files)+1 rows —
-      // ntile's exact fill rule, evaluated from pos (sort keys are
-      // unique, so positions are deterministic for ANY range-boundary
-      // placement). CASE guards the base=0 branch (n < files).
-      def dealtBy(layout: String, sortCols: Seq[org.apache.spark.sql.Column]) = {
-        val ranged = b.repartitionByRange(sortCols: _*)
-          .withColumn("pid", spark_partition_id())
-        val wLoc = Window.partitionBy("pid").orderBy(sortCols: _*)
-        // materialized ONCE (lineage-truncated memo, keyed per layout +
-        // dir): the per-partition counts and the position join both read
-        // this frame, and repartitionByRange SAMPLES its input per
-        // evaluation — two evaluations can place the range boundaries
-        // differently (caught at sf0.1: the skewed zval ordering sampled
-        // differently for the count leg vs the join leg, so off + rn
-        // skipped half the positions); consistent offsets require one
-        // fixed partitioning. The emitted f values are partitioning-
-        // INDEPENDENT (pos is the rank in a total order), so memoizing
-        // across runs is value-safe.
-        val withRn = graft.PlanCache.checkpointed(s, s"q18/deal-$layout/$d")(
-          ranged.withColumn("rn", row_number().over(wLoc)))
-        val cnts = withRn.groupBy("pid").agg(count(lit(1)).as("c"))
-        val offs = cnts.as("a")
-          .join(broadcast(cnts.select(col("pid").as("bpid"),
-            col("c").as("bc"))), col("bpid") < col("pid"), "left")
-          .groupBy(col("pid"))
-          .agg(coalesce(sum(col("bc")), lit(0L)).as("off"))
-        withRn.join(broadcast(offs), Seq("pid"))
-          .withColumn("pos", col("off") + col("rn"))
-          .withColumn("f", expr(
-            s"""CASE WHEN pos <= ((n div $files) + 1) * (n % $files)
-               |     THEN (pos - 1) div ((n div $files) + 1) + 1
-               |     ELSE (n % $files) +
-               |          (pos - ((n div $files) + 1) * (n % $files) - 1)
-               |            div (n div $files) + 1 END""".stripMargin))
-          .select(lit(layout).as("layout"), col("f"), col("day"))
-      }
+      // the de-windowed ntile dealer is the SHARED [[ZOrder.ntileDeal]]
+      // (range repartition + pid-local row numbers + ≤P-row boundary
+      // stitch, memoized per layout + dir): the audit's footer-stats
+      // model and the production exact layout ([[ZOrder.layoutExact]])
+      // replay one implementation, pinned by one ZOrderSpec differential.
+      // Sort keys are unique (o_orderkey tiebreak), so the dealt file
+      // ids are partitioning-independent — the DuckDB oracle's literal
+      // ntile matches row-for-row.
+      def dealtBy(layout: String, sortCols: Seq[org.apache.spark.sql.Column]) =
+        ZOrder.ntileDeal(b, sortCols, files, s"q18/deal-$layout/$d")
+          .select(lit(layout).as("layout"), col("__file").as("f"), col("day"))
       val long2 = dealtBy("linear",
           Seq(col("ck"), col("day"), col("o_orderkey")))
         .unionAll(dealtBy("zorder", Seq(col("zval"), col("o_orderkey"))))

@@ -100,4 +100,80 @@ object ZOrder {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** Deal `df` into `files` EQUAL model files — exact `ntile(files)`
+    * semantics over the total order by `sortCols` (the first `n mod
+    * files` files take `(n div files) + 1` rows) — with NO global
+    * window: the widest sort in the plan is per-partition. Each row
+    * gains a `__file` column in [1, files].
+    *
+    * How (the boundary-stitch discipline): range-repartition on the sort
+    * keys, take pid-local row numbers from a pid-PARTITIONED window, and
+    * derive global positions by adding the cumulative count of earlier
+    * range partitions (a ≤P-row broadcast non-equi join). The ranged+
+    * row-numbered frame is materialized ONCE per `cacheKey` (lineage-
+    * truncated [[graft.PlanCache.checkpointed]] memo): the count leg and
+    * the position join both read it, and `repartitionByRange` SAMPLES
+    * its input per evaluation — two evaluations can place range
+    * boundaries differently, which would de-sync `off + rn` (caught at
+    * sf0.1 in the q18 audit before this was factored out).
+    *
+    * Determinism contract: when `sortCols` is a total order (unique
+    * keys), positions — and therefore the emitted file ids — are
+    * partitioning-independent, so the output is value-stable across
+    * runs and cluster sizes. With ties, sizes are still exact and ids
+    * deterministic within one materialization.
+    *
+    * Why it exists here: [[layout]]'s range repartition gives
+    * approximately-equal files (sampling); audits that replay footer-
+    * stats math ([[graft.lakehouse.LayoutQueries]]'s q18) and layout
+    * jobs that must hit an exact file-size contract share this dealer.
+    */
+  def ntileDeal(df: DataFrame, sortCols: Seq[Column], files: Int,
+      cacheKey: String): DataFrame = {
+    require(files >= 1, "ntileDeal needs at least one file")
+    val spark = df.sparkSession
+    val total = df.agg(count(lit(1)).as("__n"))
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+    val withRn = graft.PlanCache.checkpointed(spark, cacheKey)(
+      ranged.withColumn("__rn", row_number().over(wLoc)))
+    val cnts = withRn.groupBy("__pid").agg(count(lit(1)).as("__c"))
+    val offs = cnts
+      .join(broadcast(cnts.select(col("__pid").as("__bpid"),
+        col("__c").as("__bc"))), col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__bc")), lit(0L)).as("__off"))
+    // ntile's exact fill rule evaluated from pos; the CASE also guards
+    // the base = 0 branch (n < files ⇒ the first branch covers all rows)
+    withRn.join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__pos", col("__off") + col("__rn"))
+      .withColumn("__file", expr(
+        s"""CASE WHEN __pos <= ((__n div $files) + 1) * (__n % $files)
+           |     THEN (__pos - 1) div ((__n div $files) + 1) + 1
+           |     ELSE (__n % $files) +
+           |          (__pos - ((__n div $files) + 1) * (__n % $files) - 1)
+           |            div (__n div $files) + 1 END""".stripMargin))
+      .drop("__pid", "__rn", "__off", "__pos", "__n")
+  }
+
+  /** [[layout]] with an EXACT equal-population file contract: the
+    * [[ntileDeal]] dealer assigns z-order file ids (sizes differ by at
+    * most one row — the ntile guarantee), instead of the sampled range
+    * boundaries `layout` uses. Costs one extra materialization + tiny
+    * stitch joins over `layout`; use when downstream consumers require
+    * the size contract (fixed-shard training inputs, the q18 audit's
+    * footer-stats model), plain [[layout]] otherwise.
+    */
+  def layoutExact(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      files: Int = 32, equiDepth: Boolean = false,
+      cacheKey: String = s"zorder/layoutExact"): DataFrame =
+    ntileDeal(withZValue(df, cols, bits, equiDepth),
+      Seq(col("__z")), files, cacheKey)
+      .repartitionByRange(files, col("__file"))
+      .sortWithinPartitions(col("__file"), col("__z"))
+      .drop("__z")
 }

@@ -59,6 +59,48 @@ class ZOrderSpec extends SparkSpec {
     assert(back.select("x", "y", "payload").except(grid).count() === 0L)
   }
 
+  test("ntileDeal equals the literal ntile window (the q18/layoutExact " +
+    "shared dealer), at sizes exercising both fill branches") {
+    // n = 4096 (divides 16: remainder branch empty) and n = 4093 (prime:
+    // the first n mod 16 files take one extra row) — both must equal
+    // ntile() exactly, with NO unpartitioned window in the dealer's plan
+    for ((rows, files) <- Seq((4096, 16), (4093, 16), (10, 16))) {
+      val df = spark.range(0, rows).select(
+        // skewed, non-contiguous sort key; id keeps the order total
+        (col("id") * col("id") % 977).as("k"), col("id"))
+      val dealt = ZOrder.ntileDeal(df, Seq(col("k"), col("id")), files,
+        s"zspec/deal-$rows-$files")
+        .select(col("id"), col("__file"))
+      val oracle = df.select(col("id"),
+        ntile(files).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("id"))).cast("long").as("nt"))
+      val diff = dealt.join(oracle, Seq("id"))
+        .filter(col("__file") =!= col("nt")).count()
+      assert(diff === 0L, s"rows=$rows files=$files: $diff rows deal differently")
+    }
+  }
+
+  test("layoutExact: exact equal shard populations with z-order clustering") {
+    val base = Files.createTempDirectory("graft-zexact").toString
+    // shard = dealt __file value, written as one directory each (the
+    // fixed-shard training-input layout); sizes are EXACTLY equal — the
+    // contract plain layout's sampled range boundaries cannot make
+    ZOrder.layoutExact(grid, Seq("x", "y"), bits = 6, files = 16,
+      cacheKey = "zspec/layout-exact")
+      .write.partitionBy("__file").parquet(s"$base/zexact")
+    val back = spark.read.parquet(s"$base/zexact")
+    // row preservation
+    assert(back.count() === 4096L)
+    assert(back.select("x", "y", "payload").except(grid).count() === 0L)
+    val sizes = back.groupBy("__file").count().collect().map(_.getLong(1))
+    assert(sizes.length === 16, s"expected 16 shards, got ${sizes.length}")
+    assert(sizes.forall(_ === 256L), s"unequal shards: ${sizes.toSeq.sorted}")
+    // and it still clusters: the y-stripe touches a minority of shards
+    val touched = back.filter(col("y") < 16)
+      .select("__file").distinct().count()
+    assert(touched <= 8L, s"layoutExact lost clustering: touched $touched")
+  }
+
   test("compactZOrdered: COW rewrite, history labeled, older snapshots readable") {
     val base = Files.createTempDirectory("graft-zorder-st").toString
     val t = SnapshotTable.create(spark, s"$base/t")
