@@ -28,7 +28,8 @@ object SparkEntry {
       text.CurationQueries.defs ++
       quality.PiiQueries.defs ++
       quality.ContractQueries.defs ++
-      lakehouse.LayoutQueries.defs
+      lakehouse.LayoutQueries.defs ++
+      multimodal.CrossModalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship mart: daily business metrics

@@ -409,6 +409,20 @@ object ClusterQueries {
   private def clusters(s: SparkSession, d: String): DataFrame =
     memoized(s, s"x15/$d")(connectedComponents(simHashEdges(s, d)))
 
+  /** The memoized x15 SimHash cluster assignment `(node, lbl)` — the
+    * TEXT side of x85's cross-modal pair audit.
+    */
+  private[graft] def textClusterMap(s: SparkSession, d: String): DataFrame =
+    clusters(s, d)
+
+  /** Memoized connected components over a caller-supplied edge build —
+    * x85's embedding-side clusters ride the same Holder + cleanup
+    * lifecycle as the x15/x18 frames.
+    */
+  private[graft] def memoizedComponents(s: SparkSession, key: String)(
+      edges: => DataFrame): DataFrame =
+    memoized(s, key)(connectedComponents(edges))
+
   /** X15 — near-dup cluster membership: every doc in a SimHash near-dup
     * component, its cluster id (= component min doc_id), whether it is
     * the canonical survivor, and the cluster size.

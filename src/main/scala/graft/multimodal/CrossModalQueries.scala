@@ -1,0 +1,144 @@
+package graft.multimodal
+
+import graft.QueryDef
+import graft.dedup.{ClusterQueries, DedupQueries}
+import graft.similarity.SimilarityQueries
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-modal PAIRED curation: the dedup decision for caption–image
+  * pairs (the LAION shape — every training example is a text AND an
+  * image, and the pair must be dropped when EITHER side is a
+  * non-canonical near-duplicate). Single-modality dedup under-deletes
+  * paired corpora: a template caption re-used over distinct photos, or
+  * one photo re-captioned a hundred ways, both survive per-modality
+  * canonical cuts on the OTHER side — the pair-level rule is the one
+  * that actually de-weights the duplicated content.
+  *
+  * Semantics: each side carries its own near-dup cluster map `(node,
+  * lbl)` with the min-id canonical convention (x15's rule, shared by
+  * text SimHash components and [[Multimodal.imageDupClusters]]); a pair
+  * is KEPT iff its text is its text-cluster's canonical (or unclustered)
+  * AND its image is its image-cluster's canonical (or unclustered).
+  * The census over {kept, drop_text, drop_image, drop_both} is the audit
+  * a curation team reads: `drop_both` ≈ exact pair duplicates,
+  * `drop_text`-heavy ≈ caption templating, `drop_image`-heavy ≈ image
+  * re-captioning. The honest cost of the simple EITHER rule is visible
+  * in the same census: two clusters can canonicalize onto DIFFERENT
+  * pairs and drop a whole family — counted, not hidden.
+  *
+  * Scale posture: cluster maps are pair-graph-sized (bounded by the
+  * banded candidate generation, never corpus-shaped); the verdict is two
+  * left joins of those maps onto one pass of the pair frame, and the
+  * census is a fixed-cardinality aggregate. No windows, no self-joins.
+  *
+  * Reference anchor: extends the reference's dedup/quality gates (batch
+  * pipeline north star) to paired multimodal corpora; pair-level
+  * canonicalization per Webster et al. 2023 ("On the De-duplication of
+  * LAION-2B") — rebuilt as exact cluster-map joins, not transcribed.
+  */
+object CrossModalQueries {
+
+  /** Flag every pair: `(pair_id, text_id, image_id, text_dup, image_dup,
+    * status)` given the two `(node, lbl)` cluster maps. `*_dup` = member
+    * of a cluster AND not its canonical (min id). Factored so specs can
+    * drive planted cluster maps — including real
+    * [[Multimodal.imageDupClusters]] output — through the exact
+    * production join shape.
+    */
+  private[graft] def pairedFlags(pairs: DataFrame, textCc: DataFrame,
+      imgCc: DataFrame): DataFrame =
+    pairs
+      .join(textCc.select(col("node").as("text_id"), col("lbl").as("__tl")),
+        Seq("text_id"), "left")
+      .join(imgCc.select(col("node").as("image_id"), col("lbl").as("__il")),
+        Seq("image_id"), "left")
+      .select(col("pair_id"), col("text_id"), col("image_id"),
+        coalesce(col("__tl") =!= col("text_id"), lit(false)).as("text_dup"),
+        coalesce(col("__il") =!= col("image_id"), lit(false)).as("image_dup"))
+      .withColumn("status",
+        when(col("text_dup") && col("image_dup"), "drop_both")
+          .when(col("text_dup"), "drop_text")
+          .when(col("image_dup"), "drop_image")
+          .otherwise("kept"))
+
+  /** The pair-level census over [[pairedFlags]] output — all four
+    * statuses always present (zero-filled), so the row set is stable
+    * across scale factors and the oracle compare is schema-exact.
+    */
+  private[graft] def census(flags: DataFrame): DataFrame = {
+    val s = flags.sparkSession
+    import s.implicits._
+    val statuses = Seq("drop_both", "drop_image", "drop_text", "kept")
+      .toDF("status")
+    statuses
+      .join(flags.groupBy("status").agg(count(lit(1)).as("__n")),
+        Seq("status"), "left")
+      .select(col("status"), coalesce(col("__n"), lit(0L)).as("n_pairs"))
+      .orderBy("status")
+  }
+
+  /** X85 — cross-modal paired dedup census. The pair table is the
+    * aligned (doc_id = vec_id) caption–embedding join; the text side is
+    * the memoized x15 SimHash component map and the image side closes
+    * the x5 cosine near-dup edges (the embeddings standing in for image
+    * embeddings) into components with the same propagation operator —
+    * so both modalities share one canonicalization convention and the
+    * DuckDB oracle replays both closures recursively.
+    */
+  val x85CrossModalPairs = QueryDef(
+    "x85_crossmodal_paired_dedup",
+    "caption-image pair curation: drop a pair when EITHER modality is a non-canonical near-dup (text SimHash clusters x embedding cosine clusters)",
+    (s, d) => {
+      val textCc = ClusterQueries.textClusterMap(s, d)
+      val imgCc = ClusterQueries.memoizedComponents(s, s"x85img/$d")(
+        SimilarityQueries.cosineEdges(s, d))
+      val pairs = Tables.load(s, d, "documents").select(col("doc_id"))
+        .join(Tables.load(s, d, "embeddings").select(col("vec_id")),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id").as("pair_id"), col("doc_id").as("text_id"),
+          col("vec_id").as("image_id"))
+      census(pairedFlags(pairs, textCc, imgCc))
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
+            |t_und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |          UNION ALL
+            |          SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+            |t_reach AS (SELECT node, node AS lbl FROM t_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM t_reach r JOIN t_und u ON r.node = u.node),
+            |t_cc AS (SELECT node, min(lbl) AS lbl FROM t_reach GROUP BY node),
+            |${SimilarityQueries.cosineEdgesSqlCtes},
+            |i_und AS (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
+            |          UNION ALL
+            |          SELECT doc_b AS node, doc_a AS nbr FROM e_pairs),
+            |i_reach AS (SELECT node, node AS lbl FROM i_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM i_reach r JOIN i_und u ON r.node = u.node),
+            |i_cc AS (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node),
+            |flags AS (
+            |  SELECT d.doc_id AS pair_id,
+            |         coalesce(t.lbl <> d.doc_id, FALSE) AS text_dup,
+            |         coalesce(i.lbl <> d.doc_id, FALSE) AS image_dup
+            |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            |       LEFT JOIN t_cc t ON t.node = d.doc_id
+            |       LEFT JOIN i_cc i ON i.node = d.doc_id),
+            |cens AS (
+            |  SELECT CASE WHEN text_dup AND image_dup THEN 'drop_both'
+            |              WHEN text_dup THEN 'drop_text'
+            |              WHEN image_dup THEN 'drop_image'
+            |              ELSE 'kept' END AS status,
+            |         CAST(count(*) AS BIGINT) AS n
+            |  FROM flags GROUP BY 1),
+            |statuses AS (
+            |  SELECT unnest(['drop_both', 'drop_image', 'drop_text', 'kept'])
+            |    AS status)
+            |SELECT s.status, CAST(coalesce(c.n, 0) AS BIGINT) AS n_pairs
+            |FROM statuses s LEFT JOIN cens c USING (status)
+            |ORDER BY status""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(x85CrossModalPairs)
+}

@@ -118,6 +118,40 @@ object SimilarityQueries {
             |        (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3
             |ORDER BY vec_a, vec_b""".stripMargin))
 
+  /** X5's edge set alone — (doc_a, doc_b) pairs with cosine ≥ 0.3 inside
+    * the sign bucket — persisted once per corpus dir: x85 closes it into
+    * connected components as the IMAGE side of the cross-modal pair
+    * graph (the embeddings stand in for image embeddings — the LAION
+    * shape), and the build is shared with any other consumer of the
+    * cosine near-dup relation.
+    */
+  private[graft] def cosineEdges(s: SparkSession, d: String): DataFrame =
+    graft.PlanCache.persisted(s, s"x5/edges/$d") {
+      val v = withNorm(emb(s, d))
+        .withColumn("bucket", signBucket(col("embedding")))
+      v.as("a")
+        .join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine(dotFix(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")) >= 0.3)
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    }
+
+  /** DuckDB CTE chain replaying [[cosineEdges]]; ends in `e_pairs
+    * (doc_a, doc_b)`. CTE names (`normed`, `v`, `e_pairs`) are disjoint
+    * from [[graft.dedup.DedupQueries.simHashSqlCtes]]'s so the x85
+    * oracle composes both in one WITH.
+    */
+  private[graft] def cosineEdgesSqlCtes: String =
+    s"""$normSql,
+       |v AS (SELECT *, $signBucketSql AS bucket FROM normed),
+       |e_pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE CAST(${dotSql("a", "b")} AS DOUBLE) /
+       |        (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3)"""
+      .stripMargin
+
   /** X6 — brute-force cosine top-k (the exact baseline).
     * Query set (vec_id < 8) is broadcast; corpus is scanned once; row_number
     * keeps k=5 per query. On a cluster the corpus side never shuffles until

@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import org.apache.spark.sql.functions._
+
+/** X85 cross-modal paired dedup: a planted cross-modal dup family drives
+  * REAL image clusters ([[Multimodal.imageDupClusters]] over actual PNG
+  * payloads) and a planted text cluster map through the production join
+  * shape — per-pair verdicts and the census are exact.
+  */
+class CrossModalSpec extends SparkSpec {
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Smooth broad-spectrum texture (the PerceptualHashSpec fixture —
+    * pHash is specified for natural images, not degenerate ramps).
+    */
+  private def textured(seed: Int, w: Int = 64, h: Int = 64): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = seed * 0.05
+      val v0 = 128.0 +
+        30 * StrictMath.sin(x * 0.35 + s) * StrictMath.cos(y * 0.22) +
+        25 * StrictMath.sin(x * 0.11 + y * 0.40 + s) +
+        20 * StrictMath.cos(x * 0.60) * StrictMath.sin(y * 0.13 + s) +
+        15 * StrictMath.sin((x - y) * 0.27)
+      val v = math.max(0, math.min(255, v0.round.toInt))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def texturedPerturbed(seed: Int): BufferedImage = {
+    val img = textured(seed)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+    img
+  }
+
+  test("x85 core: planted cross-modal dup family — per-pair verdicts and " +
+    "census over REAL image clusters") {
+    import spark.implicits._
+    def row(id: Long, img: BufferedImage) = {
+      val bytes = png(img)
+      Multimodal.MediaRow(id, bytes, Multimodal.MediaMeta("image", "png",
+        Some(64), Some(64), None, bytes.length.toLong))
+    }
+    // image side: families {3,4} and {5,6} planted as near-dup payloads;
+    // 1,2,7,8 distinct textures. Seeds measured pairwise ≥ 12 pHash bits
+    // apart (the phase wraps at 2π/0.05 ≈ 126, so naive spacing
+    // collides), keeping every cross distance > 6 even after the
+    // perturbation's ≤ 6-bit drift.
+    val media = spark.createDataset(Seq(
+      row(1, textured(31)), row(2, textured(63)),
+      row(3, textured(0)), row(4, texturedPerturbed(0)),
+      row(5, textured(40)), row(6, texturedPerturbed(40)),
+      row(7, textured(77)), row(8, textured(94))))
+    val imgClusters = Multimodal.imageDupClusters(media)
+    // sanity: EXACTLY the two planted image families (an accidental
+    // extra pairing must fail loudly, not skew the verdicts)
+    val fam = imgClusters.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    assert(fam === Map(3L -> List(3L, 4L), 5L -> List(5L, 6L)),
+      s"unexpected image clusters: $fam")
+    val imgCc = imgClusters
+      .select(col("canonical_id").as("lbl"), explode(col("members")).as("node"))
+      .select("node", "lbl")
+    // text side: families {1,2} and {5,6} — so pair 5 is the cross-modal
+    // dup family whose canonicals ALIGN (kept), pair 6 is drop_both
+    val textCc = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "lbl")
+    val pairs = (1L to 8L).map(i => (i, i, i))
+      .toDF("pair_id", "text_id", "image_id")
+    val flags = CrossModalQueries.pairedFlags(pairs, textCc, imgCc)
+    val st = flags.collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("status"))).toMap
+    assert(st === Map(
+      1L -> "kept",       // text canonical
+      2L -> "drop_text",  // text non-canonical
+      3L -> "kept",       // image canonical
+      4L -> "drop_image", // image non-canonical
+      5L -> "kept",       // BOTH canonical — the aligned dup family survives once
+      6L -> "drop_both",  // non-canonical on both sides
+      7L -> "kept", 8L -> "kept"), s"verdicts: $st")
+    val cens = CrossModalQueries.census(flags).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cens === Map("drop_both" -> 1L, "drop_image" -> 1L,
+      "drop_text" -> 1L, "kept" -> 5L))
+  }
+
+  test("x85 census zero-fills absent statuses (stable row set across SFs)") {
+    import spark.implicits._
+    val flags = CrossModalQueries.pairedFlags(
+      Seq((1L, 1L, 1L), (2L, 2L, 2L)).toDF("pair_id", "text_id", "image_id"),
+      Seq((1L, 1L), (2L, 1L)).toDF("node", "lbl"),
+      spark.emptyDataset[(Long, Long)].toDF("node", "lbl"))
+    val cens = CrossModalQueries.census(flags).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(cens.toSeq === Seq(("drop_both", 0L), ("drop_image", 0L),
+      ("drop_text", 1L), ("kept", 1L)))
+  }
+
+  test("x85 engine query runs on sf0.001 with the fixed status rows") {
+    val out = CrossModalQueries.x85CrossModalPairs.run(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("drop_both", "drop_image", "drop_text", "kept"))
+    assert(out.map(_.getLong(1)).sum > 0L)
+  }
+}
