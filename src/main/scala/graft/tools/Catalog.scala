@@ -26,7 +26,8 @@ object Catalog {
     "text.CurationQueries" -> graft.text.CurationQueries.defs,
     "quality.PiiQueries" -> graft.quality.PiiQueries.defs,
     "quality.ContractQueries" -> graft.quality.ContractQueries.defs,
-    "lakehouse.LayoutQueries" -> graft.lakehouse.LayoutQueries.defs)
+    "lakehouse.LayoutQueries" -> graft.lakehouse.LayoutQueries.defs,
+    "multimodal.CrossModalQueries" -> graft.multimodal.CrossModalQueries.defs)
 
   def markdown: String = {
     val sb = new StringBuilder
