@@ -140,5 +140,130 @@ object CrossModalQueries {
             |FROM statuses s LEFT JOIN cens c USING (status)
             |ORDER BY status""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(x85CrossModalPairs)
+  /** Per-pair leakage flags given a split: a TEST pair leaks when its
+    * text (or image) shares a near-dup cluster with ANY train pair's
+    * text (or image) — membership in a cluster that holds only other
+    * test pairs is NOT leakage. Factored for planted-split specs;
+    * `pairs` carries (pair_id, text_id, image_id, is_train).
+    */
+  private[graft] def splitLeakFlags(pairs: DataFrame, textCc: DataFrame,
+      imgCc: DataFrame): DataFrame = {
+    val withLbls = pairs
+      .join(textCc.select(col("node").as("text_id"), col("lbl").as("__tl")),
+        Seq("text_id"), "left")
+      .join(imgCc.select(col("node").as("image_id"), col("lbl").as("__il")),
+        Seq("image_id"), "left")
+    val trainTextLbls = withLbls.filter(col("is_train") && col("__tl").isNotNull)
+      .select(col("__tl")).distinct()
+      .withColumn("__t_leaky", lit(true))
+    val trainImgLbls = withLbls.filter(col("is_train") && col("__il").isNotNull)
+      .select(col("__il")).distinct()
+      .withColumn("__i_leaky", lit(true))
+    withLbls
+      .join(broadcast(trainTextLbls), Seq("__tl"), "left")
+      .join(broadcast(trainImgLbls), Seq("__il"), "left")
+      .select(col("pair_id"), col("is_train"),
+        (!col("is_train") && coalesce(col("__t_leaky"), lit(false)))
+          .as("leak_text"),
+        (!col("is_train") && coalesce(col("__i_leaky"), lit(false)))
+          .as("leak_image"))
+  }
+
+  /** The one-row leakage report over [[splitLeakFlags]] output. */
+  private[graft] def leakReport(flags: DataFrame): DataFrame =
+    flags.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"),
+      sum(when(col("leak_text"), 1L).otherwise(0L)).as("n_leak_text"),
+      sum(when(col("leak_image"), 1L).otherwise(0L)).as("n_leak_image"),
+      sum(when(col("leak_text") || col("leak_image"), 1L).otherwise(0L))
+        .as("n_leak_either"),
+      sum(when(col("leak_text") && col("leak_image"), 1L).otherwise(0L))
+        .as("n_leak_both"))
+      .withColumn("leak_bp",
+        expr("(n_leak_either * 10000) div greatest(n_test, 1L)"))
+
+  /** X86 — cross-modal SPLIT-LEAKAGE audit: x21's question asked of a
+    * paired corpus. A train/test split of caption–image pairs leaks
+    * when a test pair's text OR image is a near-dup of any train
+    * pair's — the single-modality audit (x21/x23) misses exactly the
+    * cross-modal half (a test image re-captioned in train scores as
+    * clean text). Same deterministic pair_id % 10 < 8 split as
+    * x13/x21; same cluster maps (and the same session memos) as x85,
+    * so the pair of audits costs one clustering. Output is one exact-
+    * integer row: split sizes, per-side and either/both leak counts,
+    * and the headline leak_bp a curation team gates a release on.
+    *
+    * Scale posture: leak label sets are DISTINCT cluster ids touched by
+    * train — bounded by cluster count, broadcast back onto the pair
+    * frame; everything else is the x85 join shape.
+    */
+  val x86CrossModalSplitLeakage = QueryDef(
+    "x86_crossmodal_split_leakage",
+    "paired train/test split leakage: test pairs sharing a text OR image near-dup cluster with train (exact integer census)",
+    (s, d) => {
+      val textCc = ClusterQueries.textClusterMap(s, d)
+      val imgCc = ClusterQueries.memoizedComponents(s, s"x85img/$d")(
+        SimilarityQueries.cosineEdges(s, d))
+      val pairs = Tables.load(s, d, "documents").select(col("doc_id"))
+        .join(Tables.load(s, d, "embeddings").select(col("vec_id")),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id").as("pair_id"), col("doc_id").as("text_id"),
+          col("vec_id").as("image_id"),
+          (col("doc_id") % 10 < 8).as("is_train"))
+      leakReport(splitLeakFlags(pairs, textCc, imgCc))
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
+            |t_und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |          UNION ALL
+            |          SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+            |t_reach AS (SELECT node, node AS lbl FROM t_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM t_reach r JOIN t_und u ON r.node = u.node),
+            |t_cc AS (SELECT node, min(lbl) AS lbl FROM t_reach GROUP BY node),
+            |${SimilarityQueries.cosineEdgesSqlCtes},
+            |i_und AS (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
+            |          UNION ALL
+            |          SELECT doc_b AS node, doc_a AS nbr FROM e_pairs),
+            |i_reach AS (SELECT node, node AS lbl FROM i_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM i_reach r JOIN i_und u ON r.node = u.node),
+            |i_cc AS (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node),
+            |p AS MATERIALIZED (
+            |  SELECT d.doc_id AS pair_id, d.doc_id % 10 < 8 AS is_train,
+            |         t.lbl AS tl, i.lbl AS il
+            |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            |       LEFT JOIN t_cc t ON t.node = d.doc_id
+            |       LEFT JOIN i_cc i ON i.node = d.doc_id),
+            |tleak AS MATERIALIZED (SELECT DISTINCT tl FROM p
+            |          WHERE is_train AND tl IS NOT NULL),
+            |ileak AS MATERIALIZED (SELECT DISTINCT il FROM p
+            |          WHERE is_train AND il IS NOT NULL),
+            |f AS (
+            |  SELECT p.pair_id, p.is_train,
+            |         (NOT p.is_train AND tk.tl IS NOT NULL) AS leak_text,
+            |         (NOT p.is_train AND ik.il IS NOT NULL) AS leak_image
+            |  FROM p LEFT JOIN tleak tk ON p.tl = tk.tl
+            |         LEFT JOIN ileak ik ON p.il = ik.il)
+            |SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_train,
+            |       CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+            |         AS n_test,
+            |       CAST(sum(CASE WHEN leak_text THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_leak_text,
+            |       CAST(sum(CASE WHEN leak_image THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_leak_image,
+            |       CAST(sum(CASE WHEN leak_text OR leak_image THEN 1 ELSE 0 END)
+            |         AS BIGINT) AS n_leak_either,
+            |       CAST(sum(CASE WHEN leak_text AND leak_image THEN 1 ELSE 0 END)
+            |         AS BIGINT) AS n_leak_both,
+            |       CAST((sum(CASE WHEN leak_text OR leak_image THEN 1 ELSE 0 END)
+            |             * 10000) //
+            |            greatest(sum(CASE WHEN is_train THEN 0 ELSE 1 END), 1)
+            |         AS BIGINT) AS leak_bp
+            |FROM f""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(x85CrossModalPairs, x86CrossModalSplitLeakage)
 }

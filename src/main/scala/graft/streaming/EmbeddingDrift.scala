@@ -156,6 +156,12 @@ object EmbeddingDrift {
     * @param familyBaselines per-family fingerprints ([[fitByFamily]]);
     *                        families observed without one read as
     *                        drifted (unknown source)
+    * @param autoCompactEvery when > 0, [[processBatch]] runs
+    *                        [[compactLog]] after every N-th batch, so a
+    *                        forever-running monitor holds ≤ N batch dirs
+    *                        + one compact row per family at all times —
+    *                        no operator intervention needed (0 = manual
+    *                        compaction only)
     */
   final class Monitor(
       baseline: Baseline,
@@ -163,7 +169,8 @@ object EmbeddingDrift {
       minAlignBp: Long = 8000L,
       maxAnisoRiseBp: Long = 1500L,
       labelCol: Option[String] = None,
-      familyBaselines: Map[Long, Baseline] = Map.empty) {
+      familyBaselines: Map[Long, Baseline] = Map.empty,
+      autoCompactEvery: Long = 0L) {
 
     private def ledgerPath =
       java.nio.file.Paths.get(logDir, "_ledger")
@@ -241,6 +248,8 @@ object EmbeddingDrift {
           spark.sparkContext.parallelize(rows, 1), logSchema)
           .write.mode("overwrite").parquet(s"$logDir/b$batchId")
       } finally qf.unpersist()
+      if (autoCompactEvery > 0L && (batchId + 1) % autoCompactEvery == 0L)
+        compactLog(batch.sparkSession, batchId)
     }
 
     /** Every live log row: folded-in compact generation + un-folded batch

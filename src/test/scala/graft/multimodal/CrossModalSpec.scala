@@ -105,6 +105,44 @@ class CrossModalSpec extends SparkSpec {
       ("drop_text", 1L), ("kept", 1L)))
   }
 
+  test("x86 split leakage: planted cross-modal leaks — text-side, " +
+    "image-side, and the test-only cluster that must NOT count") {
+    import spark.implicits._
+    // pairs 1..8: train = {1,3,7}, test = {2,4,5,6,8}
+    val pairs = Seq(
+      (1L, true), (2L, false), (3L, true), (4L, false),
+      (5L, false), (6L, false), (7L, true), (8L, false))
+      .map { case (i, tr) => (i, i, i, tr) }
+      .toDF("pair_id", "text_id", "image_id", "is_train")
+    // text clusters: {1,2} (1 is train → 2 leaks via text),
+    //                {5,6} (BOTH test → no leak: the trap case)
+    val textCc = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "lbl")
+    // image clusters: {3,4} (3 is train → 4 leaks via image),
+    //                 {2,8} — 2 and 8 both test → no image leak
+    val imgCc = Seq((3L, 3L), (4L, 3L), (2L, 2L), (8L, 2L))
+      .toDF("node", "lbl")
+    val flags = CrossModalQueries.splitLeakFlags(pairs, textCc, imgCc)
+    val byId = flags.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(r.fieldIndex("leak_text")),
+        r.getBoolean(r.fieldIndex("leak_image")))).toMap
+    assert(byId(2L) === ((true, false)), s"pair 2 must leak via text: $byId")
+    assert(byId(4L) === ((false, true)), s"pair 4 must leak via image: $byId")
+    assert(byId(5L) === ((false, false)) && byId(6L) === ((false, false)),
+      s"test-only cluster must not leak: $byId")
+    assert(byId(8L) === ((false, false)), s"test-only image pair: $byId")
+    Seq(1L, 3L, 7L).foreach(i =>
+      assert(byId(i) === ((false, false)), s"train pair $i flagged: $byId"))
+    val rep = CrossModalQueries.leakReport(flags).collect().head
+    assert(rep.getLong(rep.fieldIndex("n_train")) === 3L)
+    assert(rep.getLong(rep.fieldIndex("n_test")) === 5L)
+    assert(rep.getLong(rep.fieldIndex("n_leak_text")) === 1L)
+    assert(rep.getLong(rep.fieldIndex("n_leak_image")) === 1L)
+    assert(rep.getLong(rep.fieldIndex("n_leak_either")) === 2L)
+    assert(rep.getLong(rep.fieldIndex("n_leak_both")) === 0L)
+    assert(rep.getLong(rep.fieldIndex("leak_bp")) === 4000L)
+  }
+
   test("x85 engine query runs on sf0.001 with the fixed status rows") {
     val out = CrossModalQueries.x85CrossModalPairs.run(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSeq ===

@@ -118,6 +118,34 @@ class EmbeddingDriftSpec extends SparkSpec {
     assert(m.merged(spark).n === gBefore.n + 1)
   }
 
+  test("ST39: autoCompactEvery bounds the log while the merged state " +
+    "stays exact — the forever-running form") {
+    val base = EmbeddingDrift.fit(emb)
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-a").toString
+    val m = new EmbeddingDrift.Monitor(base, s"$root/log",
+      autoCompactEvery = 4L)
+    (0 until 10).foreach { b =>
+      m.processBatch(emb.filter(pmod(col("vec_id"), lit(10)) === b), b.toLong)
+    }
+    // batches 0-3 folded at b3, 4-7 at b7: only b8/b9 dirs remain live
+    val liveDirs = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/log"))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("b") && n.drop(1).forall(_.isDigit)).toSet
+      finally l.close()
+    }
+    assert(liveDirs === Set("b8", "b9"), s"log not bounded: $liveDirs")
+    val g = m.merged(spark)
+    val whole = SpectralQueries.gramStats(SpectralQueries.quantize(spark, emb))
+    assert(g.n === whole.n)
+    assert(g.s.toSeq === whole.s.toSeq)
+    assert(g.cUpper.toSeq === whole.cUpper.toSeq)
+    val st = m.status(spark).collect().head
+    assert(st.getLong(st.fieldIndex("align_bp")) === 10000L)
+    assert(!st.getBoolean(st.fieldIndex("drifted")))
+  }
+
   test("ST39: an oversized vector is excluded from the Gram, counted, " +
     "and trips the alarm instead of silently overflowing") {
     val base = EmbeddingDrift.fit(emb)
