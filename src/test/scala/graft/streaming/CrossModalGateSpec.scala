@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lakehouse.SnapshotTable
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import org.apache.spark.sql.functions._
+
+/** ST41 — streaming cross-modal pair gate: within-batch and cross-batch
+  * drops on both modalities, undecodable quarantine, replay idempotence,
+  * and the index ≡ accepted-sink identity.
+  */
+class CrossModalGateSpec extends SparkSpec {
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def textured(seed: Int, w: Int = 64, h: Int = 64): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = seed * 0.05
+      val v0 = 128.0 +
+        30 * StrictMath.sin(x * 0.35 + s) * StrictMath.cos(y * 0.22) +
+        25 * StrictMath.sin(x * 0.11 + y * 0.40 + s) +
+        20 * StrictMath.cos(x * 0.60) * StrictMath.sin(y * 0.13 + s) +
+        15 * StrictMath.sin((x - y) * 0.27)
+      val v = math.max(0, math.min(255, v0.round.toInt))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def texturedPerturbed(seed: Int): BufferedImage = {
+    val img = textured(seed)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+    img
+  }
+
+  // distinct-texture seeds below come from the set measured pairwise
+  // ≥ 12 pHash bits apart (CrossModalSpec — the fixture phase wraps
+  // at ~126, so naive spacing collides): {0, 31, 40, 63, 77, 94}
+
+  test("ST41: within-batch + cross-batch drops on both modalities, " +
+    "quarantine, replay no-op, index ≡ accepted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pairgate").toString
+    val gate = new CrossModalGate(
+      SnapshotTable.create(spark, s"$root/index"), s"$root/out")
+
+    // batch 0: 1 clean; 2 = same TEXT as 1 (drop_text, within-batch);
+    // 3 = near-dup IMAGE of 1 (drop_image, within-batch); 4 clean;
+    // 5 = undecodable image (quarantine)
+    val b0 = Seq(
+      (1L, "alpha caption", png(textured(0))),
+      (2L, "alpha caption", png(textured(31))),
+      (3L, "gamma caption", png(texturedPerturbed(0))),
+      (4L, "delta caption", png(textured(40))),
+      (5L, "epsilon caption", Array[Byte](9, 9, 9)))
+      .toDF("pair_id", "text", "image")
+    gate.processBatch(b0, 0L)
+
+    val acc0 = gate.accepted(spark).select("pair_id").as[Long].collect().sorted
+    assert(acc0.toSeq === Seq(1L, 4L), s"batch-0 admits: ${acc0.toSeq}")
+    val a0 = gate.audit(spark).filter(col("batch_id") === 0).head()
+    assert(a0.getLong(a0.fieldIndex("n_in")) === 5L)
+    assert(a0.getLong(a0.fieldIndex("n_quarantined")) === 1L)
+    assert(a0.getLong(a0.fieldIndex("n_drop_text")) === 1L)
+    assert(a0.getLong(a0.fieldIndex("n_drop_image")) === 1L)
+    assert(a0.getLong(a0.fieldIndex("n_accepted")) === 2L)
+
+    // batch 1: 6 = near-dup image of ACCEPTED 1 (cross-batch drop);
+    // 7 = text of ACCEPTED 4 (cross-batch drop); 8, 9 clean
+    val b1 = Seq(
+      (6L, "zeta caption", png(texturedPerturbed(0))),
+      (7L, "delta caption", png(textured(63))),
+      (8L, "eta caption", png(textured(77))),
+      (9L, "theta caption", png(textured(94))))
+      .toDF("pair_id", "text", "image")
+    gate.processBatch(b1, 1L)
+    val acc1 = gate.accepted(spark).select("pair_id").as[Long].collect().sorted
+    assert(acc1.toSeq === Seq(1L, 4L, 8L, 9L), s"after batch 1: ${acc1.toSeq}")
+    val dropped1 = spark.read.parquet(s"$root/out/dropped/b1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("drop_text")),
+          r.getBoolean(r.fieldIndex("drop_image")))).toMap
+    assert(dropped1(6L) === ((false, true)))
+    assert(dropped1(7L) === ((true, false)))
+
+    // index ≡ accepted sink, and fps/hashes actually novel
+    val idx = SnapshotTable.create(spark, s"$root/index").read()
+    assert(idx.count() === 4L)
+    assert(idx.select("pair_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 4L, 8L, 9L))
+    assert(idx.select("fp").distinct().count() === 4L)
+
+    // replay batch 0 with DIFFERENT content: committed marker no-ops it
+    val v = SnapshotTable.create(spark, s"$root/index").currentVersion
+    gate.processBatch(
+      Seq((99L, "other", png(textured(63)))).toDF("pair_id", "text", "image"),
+      0L)
+    assert(SnapshotTable.create(spark, s"$root/index").currentVersion === v,
+      "replayed batch committed again")
+    assert(gate.accepted(spark).count() === 4L)
+
+    // a FRESH gate instance over the same index (restart) primes the
+    // committed set from history: batch 1 replay is still a no-op
+    val gate2 = new CrossModalGate(
+      SnapshotTable.create(spark, s"$root/index"), s"$root/out")
+    gate2.processBatch(b1, 1L)
+    assert(gate2.accepted(spark).count() === 4L)
+    // and a genuinely new batch still flows: 10 = dup text of 8 → drop
+    gate2.processBatch(
+      Seq((10L, "eta caption", png(textured(63)))).toDF("pair_id", "text", "image"),
+      2L)
+    assert(gate2.accepted(spark).select("pair_id").as[Long].collect().sorted
+      .toSeq === Seq(1L, 4L, 8L, 9L))
+  }
+}
