@@ -449,17 +449,25 @@ object DedupQueries {
     * Jaccard; x27 sweeps thresholds over the SAME frame).
     */
   private def ngramPairCounts(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val idx = graft.PlanCache.checkpointed(s, s"x4_idx/$d/$cap") {
-      val sized = shingles(docsWide(s, d)).withColumn("sz",
-        count(lit(1)).over(Window.partitionBy("doc_id")))
-      dfCap(sized, Seq("shingle"), cap)
+    // the scored PAIR frame is memoized too (not just the index): four
+    // queries (x4/x27/x35/x42) consume these counts, and re-executing
+    // the 572k-row index self-join + pair groupBy per run was ~2.2 s of
+    // each one's warm cost (measured r17). The frame is band-bounded
+    // (df-capped candidate generation), so its size scales with the
+    // pair graph, not the corpus square; content is deterministic.
+    graft.PlanCache.checkpointed(s, s"x4_paircounts/$d/$cap") {
+      val idx = graft.PlanCache.checkpointed(s, s"x4_idx/$d/$cap") {
+        val sized = shingles(docsWide(s, d)).withColumn("sz",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+        dfCap(sized, Seq("shingle"), cap)
+      }
+      idx.as("a")
+        .join(idx.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("inter"))
     }
-    idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
-      .agg(count(lit(1)).as("inter"))
   }
 
   def ngramJaccardPairs(s: SparkSession, d: String, cap: Int): DataFrame =
