@@ -107,9 +107,14 @@ object LinkageQueries {
       val recs = graft.PlanCache.checkpointed(s, s"x63-recs/$d") {
         linkageRecords(s, d)
       }
-      val idPairs = blockPairs(recs, nameKey)
-        .unionByName(blockPairs(recs, bandKey))
-        .distinct()
+      // the deduped candidate-id set is also memoized: both blocked
+      // self-joins + the pair distinct re-executed per run (~1.3 s of
+      // the warm cost); the set is block-cap-bounded and deterministic
+      val idPairs = graft.PlanCache.checkpointed(s, s"x63-pairs/$d") {
+        blockPairs(recs, nameKey)
+          .unionByName(blockPairs(recs, bandKey))
+          .distinct()
+      }
       def side(sfx: String) = recs.select(
         Seq("rid", "name", "nat", "bal_c", "seg")
           .map(c => col(c).as(s"${c}_$sfx")): _*)
