@@ -96,6 +96,16 @@ object LinkageQueries {
       .drop("bkey")
   }
 
+  /** The un-memoized candidate-pair BUILDER (multi-pass blocked
+    * self-joins, narrow-row distinct) — x63 memoizes its output per
+    * corpus dir, so this is exposed for PlanAuditSpec to audit the
+    * builder's plan shape (the memoized scan hides it).
+    */
+  private[graft] def candidatePairs(recs: DataFrame): DataFrame =
+    blockPairs(recs, nameKey)
+      .unionByName(blockPairs(recs, bandKey))
+      .distinct()
+
   /** X63 — blocked record linkage with planted-truth recall: per-verdict
     * pair census (match / possible / nonmatch) and how many planted
     * duplicates land in each class.
@@ -110,11 +120,8 @@ object LinkageQueries {
       // the deduped candidate-id set is also memoized: both blocked
       // self-joins + the pair distinct re-executed per run (~1.3 s of
       // the warm cost); the set is block-cap-bounded and deterministic
-      val idPairs = graft.PlanCache.checkpointed(s, s"x63-pairs/$d") {
-        blockPairs(recs, nameKey)
-          .unionByName(blockPairs(recs, bandKey))
-          .distinct()
-      }
+      val idPairs = graft.PlanCache.checkpointed(s, s"x63-pairs/$d")(
+        candidatePairs(recs))
       def side(sfx: String) = recs.select(
         Seq("rid", "name", "nat", "bal_c", "seg")
           .map(c => col(c).as(s"${c}_$sfx")): _*)

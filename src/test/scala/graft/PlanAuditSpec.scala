@@ -398,7 +398,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("x63 linkage: capped blocks via broadcast anti-join, no BNLJ") {
-    val plan = planOf("x63_record_linkage")
+    // audit the candidate BUILDER's plan directly: the query memoizes
+    // its output per corpus dir, so planOf would only show the cached
+    // scan (the builder shape is what must hold at 100 TB)
+    val plan = graft.dedup.LinkageQueries.candidatePairs(
+      graft.dedup.LinkageQueries.linkageRecords(spark, sfDir))
+      .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"),
       s"x63 lost its block-size df-cap anti-join:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
