@@ -265,5 +265,61 @@ object CrossModalQueries {
             |         AS BIGINT) AS leak_bp
             |FROM f""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(x85CrossModalPairs, x86CrossModalSplitLeakage)
+  /** X87 — paired survivorship: x34's golden-record consolidation
+    * applied to the IMAGE-side near-dup clusters. When one image (or its
+    * near-dups) carries many captions across the corpus — the dominant
+    * LAION-style duplication mode x85's census calls `drop_image` — the
+    * surviving pair needs ONE caption and the merged provenance of the
+    * family it absorbed: the canonical (min-id) pair's caption survives,
+    * the caption-diversity count says how much paraphrase signal the
+    * family held (a training-data team may route high-diversity families
+    * to a caption-sampling loader instead of dropping them), and sources
+    * merge into the sorted provenance list.
+    *
+    * Scale posture: the cluster map is pair-graph-bounded and broadcast
+    * onto ONE documents scan; a single hash aggregate per cluster —
+    * min/count/collect_set carry bounded state (sources are a catalog
+    * vocabulary). No window, no self-join — x34's exact shape.
+    */
+  val x87PairedSurvivorship = QueryDef(
+    "x87_paired_survivorship",
+    "golden pair per image near-dup cluster: canonical caption, caption diversity, merged provenance",
+    (s, d) => {
+      val imgCc = ClusterQueries.memoizedComponents(s, s"x85img/$d")(
+        SimilarityQueries.cosineEdges(s, d))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .join(broadcast(imgCc.select(col("node").as("doc_id"), col("lbl"))),
+          Seq("doc_id"))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("text")).as("n_captions"),
+          min_by(col("text"), col("doc_id")).as("survivor_caption"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE ${SimilarityQueries.cosineEdgesSqlCtes},
+            |i_und AS (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
+            |          UNION ALL
+            |          SELECT doc_b AS node, doc_a AS nbr FROM e_pairs),
+            |i_reach AS (SELECT node, node AS lbl FROM i_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM i_reach r JOIN i_und u ON r.node = u.node),
+            |i_cc AS (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node)
+            |SELECT i.lbl AS cluster_id,
+            |       CAST(count(*) AS BIGINT) AS n_pairs,
+            |       CAST(count(DISTINCT d.text) AS BIGINT) AS n_captions,
+            |       arg_min(d.text, d.doc_id) AS survivor_caption,
+            |       array_to_string(list_sort(list(DISTINCT d.source)), ',')
+            |         AS sources,
+            |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+            |FROM documents d JOIN i_cc i ON i.node = d.doc_id
+            |GROUP BY i.lbl
+            |ORDER BY cluster_id""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(x85CrossModalPairs, x86CrossModalSplitLeakage,
+    x87PairedSurvivorship)
 }
