@@ -146,6 +146,56 @@ class EmbeddingDriftSpec extends SparkSpec {
     assert(!st.getBoolean(st.fieldIndex("drifted")))
   }
 
+  test("ST39 fuzz: random batch splits with interleaved compactions " +
+    "always merge to the whole-corpus Gram; a crash-orphaned compact " +
+    "generation is ignored and safely overwritten") {
+    val base = EmbeddingDrift.fit(emb)
+    val whole = SpectralQueries.gramStats(SpectralQueries.quantize(spark, emb))
+    val rng = new scala.util.Random(4217)
+    for (trial <- 1 to 4) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-edrift-z$trial").toString
+      val m = new EmbeddingDrift.Monitor(base, s"$root/log")
+      val nB = 2 + rng.nextInt(6)
+      var delivered = -1L
+      (0 until nB).foreach { b =>
+        m.processBatch(emb.filter(pmod(col("vec_id"), lit(nB)) === b), b.toLong)
+        delivered = b.toLong
+        // interleaved compaction at a random frontier ~40% of the time
+        if (rng.nextInt(10) < 4)
+          m.compactLog(spark, upTo = rng.nextInt((delivered + 1).toInt).toLong)
+      }
+      if (trial == 2) {
+        // simulate a crash between compact-write and ledger-commit: an
+        // orphan generation dir that the ledger does not name — reads
+        // must ignore it, and the NEXT compaction overwrites it cleanly
+        val (gen, _) = {
+          val p = java.nio.file.Paths.get(s"$root/log", "_ledger")
+          if (!java.nio.file.Files.exists(p)) (0L, Set.empty[Long])
+          else {
+            val l = java.nio.file.Files.readString(p).split("\n")
+              .filter(_.nonEmpty)
+            (l.head.toLong, l.tail.map(_.toLong).toSet)
+          }
+        }
+        spark.range(1).selectExpr("99999L AS batch_id", "-7L AS lab",
+          "array('123','456') AS acc", "0L AS n_oversized")
+          .write.mode("overwrite")
+          .parquet(s"$root/log/_compact_v${gen + 1}")
+        val g1 = m.merged(spark)
+        assert(g1.n === whole.n, s"trial $trial: orphan generation was read")
+      }
+      m.compactLog(spark, upTo = delivered)
+      val g = m.merged(spark)
+      assert(g.n === whole.n, s"trial $trial (nB=$nB): n differs")
+      assert(g.s.toSeq === whole.s.toSeq, s"trial $trial: S differs")
+      assert(g.cUpper.toSeq === whole.cUpper.toSeq, s"trial $trial: C differs")
+      val st = m.status(spark).collect().head
+      assert(st.getLong(st.fieldIndex("align_bp")) === 10000L)
+      assert(!st.getBoolean(st.fieldIndex("drifted")))
+    }
+  }
+
   test("ST39: an oversized vector is excluded from the Gram, counted, " +
     "and trips the alarm instead of silently overflowing") {
     val base = EmbeddingDrift.fit(emb)
