@@ -320,6 +320,39 @@ class EmbeddingDriftSpec extends SparkSpec {
     assert(fs(0L).getLong(fs(0L).fieldIndex("align_bp")) === 0L)
   }
 
+  test("ST40: labeled streaming drive (readStream → familyStatus) " +
+    "equals the manual per-family fold") {
+    val fams = EmbeddingDrift.fitByFamily(embLab, "label")
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-sl").toString
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val m = new EmbeddingDrift.Monitor(fams(-1L), s"$root/log",
+      labelCol = Some("label"), familyBaselines = fams,
+      autoCompactEvery = 2L)
+    embLab.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val q = m.start(spark, in, s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      embLab.filter(col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val whole = SpectralQueries.gramStatsBy(embLab.select(
+      col("label").as("lab"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))").as("q")))
+    val byFam = m.mergedByFamily(spark)
+    assert(byFam.keySet === whole.keySet)
+    whole.foreach { case (lab, g) =>
+      assert(byFam(lab).s.toSeq === g.s.toSeq, s"family $lab: S differs")
+      assert(byFam(lab).cUpper.toSeq === g.cUpper.toSeq, s"family $lab: C differs")
+    }
+    m.familyStatus(spark).collect().foreach { r =>
+      assert(!r.getBoolean(r.fieldIndex("drifted")),
+        s"clean stream alarmed family ${r.getLong(0)}")
+    }
+  }
+
   test("ST39: streaming drive over two file drops equals the direct fold") {
     val base = EmbeddingDrift.fit(emb)
     val root = java.nio.file.Files.createTempDirectory("graft-edrift-s").toString
