@@ -288,7 +288,7 @@ object ClusterQueries {
             |        UNION ALL SELECT doc_b AS node FROM jpairs),
             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
             |        FROM und GROUP BY node),
-            |dir AS (
+            |dir AS MATERIALIZED (
             |  SELECT CASE WHEN (a.deg, j.doc_a) < (b.deg, j.doc_b)
             |              THEN j.doc_a ELSE j.doc_b END AS src,
             |         CASE WHEN (a.deg, j.doc_a) < (b.deg, j.doc_b)
@@ -440,7 +440,7 @@ object ClusterQueries {
         .orderBy("cluster_id", "doc_id")
     },
     Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
-            |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
             |        UNION ALL
             |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
             |reach AS (SELECT node, node AS lbl FROM und
@@ -503,7 +503,7 @@ object ClusterQueries {
     Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
             |old_edges AS (SELECT doc_a, doc_b FROM sim_pairs
             |              WHERE doc_a % 10 < 8 AND doc_b % 10 < 8),
-            |old_und AS (SELECT doc_a AS node, doc_b AS nbr FROM old_edges
+            |old_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM old_edges
             |            UNION ALL
             |            SELECT doc_b AS node, doc_a AS nbr FROM old_edges),
             |old_reach AS (SELECT node, node AS lbl FROM old_und
@@ -511,7 +511,7 @@ object ClusterQueries {
             |              SELECT u.nbr AS node, r.lbl
             |              FROM old_reach r JOIN old_und u ON r.node = u.node),
             |old_cc AS (SELECT node, min(lbl) AS lbl FROM old_reach GROUP BY node),
-            |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
             |        UNION ALL
             |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
             |reach AS (SELECT node, node AS lbl FROM und
@@ -569,7 +569,7 @@ object ClusterQueries {
         .orderBy("cluster_id")
     },
     Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
-            |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
             |        UNION ALL
             |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
             |reach AS (SELECT node, node AS lbl FROM und
@@ -623,7 +623,7 @@ object ClusterQueries {
         .orderBy("source")
     },
     Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
-            |und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
             |        UNION ALL
             |        SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
             |reach AS (SELECT node, node AS lbl FROM und

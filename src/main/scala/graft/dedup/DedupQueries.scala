@@ -395,7 +395,7 @@ object DedupQueries {
        |         FROM (SELECT doc_id, CAST(md5_number_lower(tok) >> 4 AS BIGINT) AS h FROM toks),
        |              UNNEST(generate_series(0, 59)) AS u(b)
        |         GROUP BY doc_id, b),
-       |sim AS (SELECT doc_id,
+       |sim AS MATERIALIZED (SELECT doc_id,
        |         $bandVals
        |        FROM bits GROUP BY doc_id),
        |bands AS ($bandSel),
@@ -403,7 +403,8 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM capped a JOIN capped b
        |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |sim_pairs AS (SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
+       |sim_pairs AS MATERIALIZED (
+       |              SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
        |              FROM cand JOIN sim x ON doc_a = x.doc_id
        |                        JOIN sim y ON doc_b = y.doc_id
        |              WHERE $ham <= 2)""".stripMargin

@@ -102,23 +102,23 @@ object CrossModalQueries {
       census(pairedFlags(pairs, textCc, imgCc))
     },
     Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
-            |t_und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |t_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
             |          UNION ALL
             |          SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
             |t_reach AS (SELECT node, node AS lbl FROM t_und
             |            UNION
             |            SELECT u.nbr AS node, r.lbl
             |            FROM t_reach r JOIN t_und u ON r.node = u.node),
-            |t_cc AS (SELECT node, min(lbl) AS lbl FROM t_reach GROUP BY node),
+            |t_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM t_reach GROUP BY node),
             |${SimilarityQueries.cosineEdgesSqlCtes},
-            |i_und AS (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
+            |i_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
             |          UNION ALL
             |          SELECT doc_b AS node, doc_a AS nbr FROM e_pairs),
             |i_reach AS (SELECT node, node AS lbl FROM i_und
             |            UNION
             |            SELECT u.nbr AS node, r.lbl
             |            FROM i_reach r JOIN i_und u ON r.node = u.node),
-            |i_cc AS (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node),
+            |i_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node),
             |flags AS (
             |  SELECT d.doc_id AS pair_id,
             |         coalesce(t.lbl <> d.doc_id, FALSE) AS text_dup,
@@ -214,23 +214,23 @@ object CrossModalQueries {
       leakReport(splitLeakFlags(pairs, textCc, imgCc))
     },
     Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
-            |t_und AS (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |t_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
             |          UNION ALL
             |          SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
             |t_reach AS (SELECT node, node AS lbl FROM t_und
             |            UNION
             |            SELECT u.nbr AS node, r.lbl
             |            FROM t_reach r JOIN t_und u ON r.node = u.node),
-            |t_cc AS (SELECT node, min(lbl) AS lbl FROM t_reach GROUP BY node),
+            |t_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM t_reach GROUP BY node),
             |${SimilarityQueries.cosineEdgesSqlCtes},
-            |i_und AS (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
+            |i_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
             |          UNION ALL
             |          SELECT doc_b AS node, doc_a AS nbr FROM e_pairs),
             |i_reach AS (SELECT node, node AS lbl FROM i_und
             |            UNION
             |            SELECT u.nbr AS node, r.lbl
             |            FROM i_reach r JOIN i_und u ON r.node = u.node),
-            |i_cc AS (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node),
+            |i_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node),
             |p AS MATERIALIZED (
             |  SELECT d.doc_id AS pair_id, d.doc_id % 10 < 8 AS is_train,
             |         t.lbl AS tl, i.lbl AS il
@@ -301,14 +301,14 @@ object CrossModalQueries {
         .orderBy("cluster_id")
     },
     Some(s"""WITH RECURSIVE ${SimilarityQueries.cosineEdgesSqlCtes},
-            |i_und AS (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
+            |i_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
             |          UNION ALL
             |          SELECT doc_b AS node, doc_a AS nbr FROM e_pairs),
             |i_reach AS (SELECT node, node AS lbl FROM i_und
             |            UNION
             |            SELECT u.nbr AS node, r.lbl
             |            FROM i_reach r JOIN i_und u ON r.node = u.node),
-            |i_cc AS (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node)
+            |i_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node)
             |SELECT i.lbl AS cluster_id,
             |       CAST(count(*) AS BIGINT) AS n_pairs,
             |       CAST(count(DISTINCT d.text) AS BIGINT) AS n_captions,

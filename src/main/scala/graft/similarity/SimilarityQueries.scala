@@ -144,8 +144,8 @@ object SimilarityQueries {
     */
   private[graft] def cosineEdgesSqlCtes: String =
     s"""$normSql,
-       |v AS (SELECT *, $signBucketSql AS bucket FROM normed),
-       |e_pairs AS (
+       |v AS MATERIALIZED (SELECT *, $signBucketSql AS bucket FROM normed),
+       |e_pairs AS MATERIALIZED (
        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  WHERE CAST(${dotSql("a", "b")} AS DOUBLE) /

@@ -51,7 +51,15 @@ object VerifyHeavy {
     // r17: the grouped Gram kernel — per-family accumulator maps are the
     // one spectral shape whose memory/merge cost grows with label
     // cardinality × corpus, so the sf1 drill covers it
-    "x84_family_spectra")
+    "x84_family_spectra",
+    // r17 second wave: the recursive-closure oracles (x15's component
+    // closure; x85 composes BOTH the simhash and cosine-edge closures)
+    // blew DuckDB temp at sf1 until `sim`/`sim_pairs`/`*_und` went
+    // MATERIALIZED — plain CTEs re-inline per reference and per
+    // recursive iteration (the r15 x53 lesson, generalized). Keep them
+    // in the drill so a regression re-surfaces here, not in a verdict.
+    "x15_dedup_clusters", "x85_crossmodal_paired_dedup",
+    "x86_crossmodal_split_leakage", "x87_paired_survivorship")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")
