@@ -170,7 +170,11 @@ object ZOrder {
     */
   def layoutExact(df: DataFrame, cols: Seq[String], bits: Int = 8,
       files: Int = 32, equiDepth: Boolean = false,
-      cacheKey: String = s"zorder/layoutExact"): DataFrame =
+      // no default: PlanCache.checkpointed memoizes per (session, key),
+      // so a constant key would silently serve the FIRST call's frame to
+      // a second same-session call over different data/cols/bits/files —
+      // callers must pass a data-dependent key, as ntileDeal requires
+      cacheKey: String): DataFrame =
     ntileDeal(withZValue(df, cols, bits, equiDepth),
       Seq(col("__z")), files, cacheKey)
       .repartitionByRange(files, col("__file"))

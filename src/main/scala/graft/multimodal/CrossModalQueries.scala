@@ -320,6 +320,259 @@ object CrossModalQueries {
             |GROUP BY i.lbl
             |ORDER BY cluster_id""".stripMargin))
 
+  /** Hub-node offsets for the pair-link graph: a text cluster id tl
+    * becomes node HubT+tl, an image cluster id il becomes HubI+il.
+    * Pair ids are doc_ids (≪ 10¹²), so pair nodes sort below every hub
+    * and the component min-label IS the min pair id — the same
+    * canonicalization convention as every other cluster map.
+    */
+  private[graft] val HubT = 1000000000000L
+  private[graft] val HubI = 2000000000000L
+
+  /** Connected components over the bipartite pair-link graph: pairs
+    * sharing a text near-dup cluster OR an image near-dup cluster land
+    * in one component (pair ↔ cluster-hub edges — never pair×pair, so
+    * the edge count is O(pairs with a cluster), not O(cluster size²)).
+    * Input `(pair_id, __tl, __il)` (nullable labels); output
+    * `(node, lbl)` restricted to pair nodes.
+    */
+  private[graft] def pairLinkComponents(s: org.apache.spark.sql.SparkSession,
+      memoKey: String, withLbls: DataFrame): DataFrame =
+    ClusterQueries.memoizedComponents(s, memoKey)(
+      withLbls.filter(col("__tl").isNotNull)
+        .select(col("pair_id").as("doc_a"),
+          (col("__tl") + lit(HubT)).as("doc_b"))
+        .unionAll(withLbls.filter(col("__il").isNotNull)
+          .select(col("pair_id").as("doc_a"),
+            (col("__il") + lit(HubI)).as("doc_b"))))
+      .filter(col("node") < HubT)
+
+  /** Assign every pair to a split: component canonical id mod 10 < 8 →
+    * train. Returns `(pair_id, text_id, image_id, is_train)` — the
+    * shape [[splitLeakFlags]] audits.
+    */
+  private[graft] def pairedSplit(s: org.apache.spark.sql.SparkSession,
+      memoKey: String, pairs: DataFrame, textCc: DataFrame,
+      imgCc: DataFrame): DataFrame = {
+    val withLbls = pairs
+      .join(textCc.select(col("node").as("text_id"), col("lbl").as("__tl")),
+        Seq("text_id"), "left")
+      .join(imgCc.select(col("node").as("image_id"), col("lbl").as("__il")),
+        Seq("image_id"), "left")
+    val comp = pairLinkComponents(s, memoKey,
+      withLbls.select("pair_id", "__tl", "__il"))
+    withLbls
+      .join(comp.select(col("node").as("pair_id"), col("lbl").as("__grp")),
+        Seq("pair_id"), "left")
+      .select(col("pair_id"), col("text_id"), col("image_id"),
+        coalesce(col("__grp"), col("pair_id")).as("grp"))
+      .withColumn("is_train", col("grp") % 10 < 8)
+  }
+
+  /** X88 — paired split PRODUCER: the pair-level x23. x86 AUDITS a given
+    * split for cross-modal leakage; this PRODUCES one that is leak-free
+    * BY CONSTRUCTION. Split key = connected component over the bipartite
+    * pair-link graph (pairs sharing a text cluster OR an image cluster
+    * — one more closure over the maps x85 already builds, through
+    * cluster-HUB nodes so the graph is pair↔hub bipartite, never
+    * pair×pair); a whole component lands on one side (component
+    * canonical id mod 10 < 8 → train), so no near-dup cluster on either
+    * modality can straddle the boundary and x86's leak counts are zero
+    * identically. The one-row report carries the honest costs a
+    * curation team reads before adopting a grouped split: component
+    * granularity (n_components, max_component_pairs — transitive
+    * linking can chain families) and the achieved train share
+    * (train_bp — grouped assignment cannot hit 80.00% exactly), plus
+    * the x86 leak audit RE-RUN on the produced split (the zeros are
+    * computed, not asserted).
+    *
+    * Scale posture: edges are O(clustered pairs), components converge in
+    * O(log diameter) propagation rounds, the audit is x86's broadcast
+    * shape — nothing corpus².
+    */
+  val x88PairedSplitProducer = QueryDef(
+    "x88_paired_split_producer",
+    "leak-free paired train/test split: whole pair-link components (shared text OR image cluster) assigned to one side; x86's audit re-run reads zero",
+    (s, d) => {
+      val textCc = ClusterQueries.textClusterMap(s, d)
+      val imgCc = ClusterQueries.memoizedComponents(s, s"x85img/$d")(
+        SimilarityQueries.cosineEdges(s, d))
+      val pairs = Tables.load(s, d, "documents").select(col("doc_id"))
+        .join(Tables.load(s, d, "embeddings").select(col("vec_id")),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id").as("pair_id"), col("doc_id").as("text_id"),
+          col("vec_id").as("image_id"))
+      val split = pairedSplit(s, s"x88comp/$d", pairs, textCc, imgCc)
+      val compStats = split.groupBy("grp").agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_components"),
+          max(col("__n")).as("max_component_pairs"))
+      leakReport(splitLeakFlags(
+        split.select("pair_id", "text_id", "image_id", "is_train"),
+        textCc, imgCc))
+        .crossJoin(broadcast(compStats))
+        .withColumn("train_bp",
+          expr("(n_train * 10000) div greatest(n_train + n_test, 1L)"))
+        .select(col("n_components"), col("max_component_pairs"),
+          col("n_train"), col("n_test"), col("train_bp"),
+          col("n_leak_text"), col("n_leak_image"), col("n_leak_either"),
+          col("leak_bp"))
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.simHashSqlCtes(DedupQueries.BAND_DF_CAP)},
+            |t_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM sim_pairs
+            |          UNION ALL
+            |          SELECT doc_b AS node, doc_a AS nbr FROM sim_pairs),
+            |t_reach AS (SELECT node, node AS lbl FROM t_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM t_reach r JOIN t_und u ON r.node = u.node),
+            |t_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM t_reach GROUP BY node),
+            |${SimilarityQueries.cosineEdgesSqlCtes},
+            |i_und AS MATERIALIZED (SELECT doc_a AS node, doc_b AS nbr FROM e_pairs
+            |          UNION ALL
+            |          SELECT doc_b AS node, doc_a AS nbr FROM e_pairs),
+            |i_reach AS (SELECT node, node AS lbl FROM i_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM i_reach r JOIN i_und u ON r.node = u.node),
+            |i_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM i_reach GROUP BY node),
+            |p AS MATERIALIZED (
+            |  SELECT d.doc_id AS pair_id, t.lbl AS tl, i.lbl AS il
+            |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            |       LEFT JOIN t_cc t ON t.node = d.doc_id
+            |       LEFT JOIN i_cc i ON i.node = d.doc_id),
+            |g_und AS MATERIALIZED (
+            |  SELECT pair_id AS node, $HubT + tl AS nbr FROM p WHERE tl IS NOT NULL
+            |  UNION ALL
+            |  SELECT $HubT + tl AS node, pair_id AS nbr FROM p WHERE tl IS NOT NULL
+            |  UNION ALL
+            |  SELECT pair_id AS node, $HubI + il AS nbr FROM p WHERE il IS NOT NULL
+            |  UNION ALL
+            |  SELECT $HubI + il AS node, pair_id AS nbr FROM p WHERE il IS NOT NULL),
+            |g_reach AS (SELECT node, node AS lbl FROM g_und
+            |            UNION
+            |            SELECT u.nbr AS node, r.lbl
+            |            FROM g_reach r JOIN g_und u ON r.node = u.node),
+            |g_cc AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM g_reach
+            |        GROUP BY node HAVING node < $HubT),
+            |split AS MATERIALIZED (
+            |  SELECT p.pair_id, p.tl, p.il,
+            |         coalesce(g.lbl, p.pair_id) AS grp,
+            |         coalesce(g.lbl, p.pair_id) % 10 < 8 AS is_train
+            |  FROM p LEFT JOIN g_cc g ON g.node = p.pair_id),
+            |cstats AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_components,
+            |         CAST(max(n) AS BIGINT) AS max_component_pairs
+            |  FROM (SELECT grp, count(*) AS n FROM split GROUP BY grp)),
+            |tleak AS MATERIALIZED (SELECT DISTINCT tl FROM split
+            |          WHERE is_train AND tl IS NOT NULL),
+            |ileak AS MATERIALIZED (SELECT DISTINCT il FROM split
+            |          WHERE is_train AND il IS NOT NULL),
+            |f AS (
+            |  SELECT s.pair_id, s.is_train,
+            |         (NOT s.is_train AND tk.tl IS NOT NULL) AS leak_text,
+            |         (NOT s.is_train AND ik.il IS NOT NULL) AS leak_image
+            |  FROM split s LEFT JOIN tleak tk ON s.tl = tk.tl
+            |         LEFT JOIN ileak ik ON s.il = ik.il),
+            |rep AS (
+            |  SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+            |           AS n_train,
+            |         CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+            |           AS n_test,
+            |         CAST(sum(CASE WHEN leak_text THEN 1 ELSE 0 END) AS BIGINT)
+            |           AS n_leak_text,
+            |         CAST(sum(CASE WHEN leak_image THEN 1 ELSE 0 END) AS BIGINT)
+            |           AS n_leak_image,
+            |         CAST(sum(CASE WHEN leak_text OR leak_image THEN 1 ELSE 0 END)
+            |           AS BIGINT) AS n_leak_either
+            |  FROM f)
+            |SELECT c.n_components, c.max_component_pairs, r.n_train, r.n_test,
+            |       CAST((r.n_train * 10000) //
+            |            greatest(r.n_train + r.n_test, 1) AS BIGINT) AS train_bp,
+            |       r.n_leak_text, r.n_leak_image, r.n_leak_either,
+            |       CAST((r.n_leak_either * 10000) //
+            |            greatest(r.n_test, 1) AS BIGINT) AS leak_bp
+            |FROM rep r CROSS JOIN cstats c""".stripMargin))
+
+  /** Per-pair caption–image agreement: cosine between the x43 hashed
+    * tf-idf text vector (64 integer buckets) and the 64-dim image
+    * embedding, both in exact fixed-point (dot and norms are exact long
+    * sums; only the final division is IEEE double — bit-identical in
+    * both engines). Factored for planted-pair specs. `w` = (doc_id,
+    * bucket, wsum); `embq` = (vec_id, bucket, qv) quantized 1e-8 units.
+    * Within-envelope arithmetic: |wsum| ≲ 10⁸ (per-doc tf·idf mass) ×
+    * |qv| ≤ 2·10⁸ over ≤ 64 buckets keeps the dot < 2⁶³ with 3 orders
+    * of headroom regardless of corpus size (per-doc quantities only).
+    */
+  private[graft] def alignmentScores(w: DataFrame, embq: DataFrame)
+      : DataFrame = {
+    val tn = w.groupBy("doc_id").agg(sum(col("wsum") * col("wsum")).as("tss"))
+    val in = embq.groupBy("vec_id").agg(sum(col("qv") * col("qv")).as("iss"))
+    w.join(embq, w("doc_id") === embq("vec_id") &&
+        w("bucket") === embq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("wsum") * col("qv")).as("dot"))
+      .join(tn, Seq("doc_id"))
+      .join(in, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("pair_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("tss").cast("double")) * sqrt(col("iss").cast("double"))))
+          .as("agree"))
+  }
+
+  /** X89 — cross-modal ALIGNMENT audit: the caption–image AGREEMENT
+    * census (CLIP-score shape — Radford et al. 2021; LAION filters
+    * pairs below a cosine threshold). The paired family so far curates
+    * by DUPLICATION only; the other LAION-scale gate is whether the
+    * caption actually DESCRIBES the image. With both sides embedded in
+    * one 64-dim space (x43 hashed text vectors; the embeddings table
+    * standing in for image embeddings), the per-pair cosine is the
+    * agreement score, and the decile census is the release-gate
+    * artifact: a healthy corpus masses in the high deciles; a caption
+    * mix-up batch surfaces as a low/negative-decile bulge, and the
+    * mismatched-pair quarantine is "decile < threshold".
+    *
+    * Scale posture: one narrow explode of the embedding column (64
+    * fixed rows per pair, three longs wide), one co-keyed equi-join
+    * against the memoized x43 weight frame, and fixed-cardinality
+    * aggregates — no windows, no self-joins, nothing corpus².
+    */
+  val x89CrossModalAlignment = QueryDef(
+    "x89_crossmodal_alignment",
+    "caption-image agreement census: exact fixed-point cosine between hashed text vectors and image embeddings, bucketed by decile",
+    (s, d) => {
+      val w = graft.text.TextQueries.hashedWeights(s, d)
+      val embq = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("bucket"),
+          floor(col("col").cast("double") * lit(1e8)).cast("long").as("qv"))
+      alignmentScores(w, embq)
+        .groupBy(floor(col("agree") * 10).cast("long").as("agree_decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("agree_decile")
+    },
+    Some(s"""WITH ${graft.text.TextQueries.hashedWeightsSql},
+            |embq AS MATERIALIZED (
+            |  SELECT vec_id, i - 1 AS bucket,
+            |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000000.0)
+            |           AS BIGINT) AS qv
+            |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+            |tnrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS tss
+            |         FROM w GROUP BY 1),
+            |inrm AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS iss
+            |         FROM embq GROUP BY 1),
+            |dots AS (SELECT w.doc_id, CAST(sum(w.wsum * embq.qv) AS BIGINT) AS dot
+            |         FROM w JOIN embq
+            |           ON embq.vec_id = w.doc_id AND embq.bucket = w.bucket
+            |         GROUP BY 1),
+            |agr AS (SELECT d.doc_id AS pair_id,
+            |               CAST(dot AS DOUBLE) /
+            |                 (sqrt(CAST(tss AS DOUBLE)) * sqrt(CAST(iss AS DOUBLE)))
+            |                 AS agree
+            |        FROM dots d JOIN tnrm t ON t.doc_id = d.doc_id
+            |             JOIN inrm i ON i.vec_id = d.doc_id)
+            |SELECT CAST(floor(agree * 10) AS BIGINT) AS agree_decile,
+            |       CAST(count(*) AS BIGINT) AS n_pairs
+            |FROM agr GROUP BY 1 ORDER BY 1""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(x85CrossModalPairs, x86CrossModalSplitLeakage,
-    x87PairedSurvivorship)
+    x87PairedSurvivorship, x88PairedSplitProducer, x89CrossModalAlignment)
 }

@@ -89,12 +89,17 @@ final class IvfMaintainer(
   /** Batch ids already folded into the base layout by [[compactAppends]]
     * — their `appends/batch_id=` directories are ignored on read and
     * their replays are no-ops, so a compaction inside the streaming
-    * checkpoint's replay horizon cannot double-count.
+    * checkpoint's replay horizon cannot double-count. Compressed as a
+    * [[graft.CommittedFrontier]] (compaction folds every live id, and
+    * streaming ids are monotone, so the folded set is a prefix): the
+    * ledger holds O(gaps) lines for the index's lifetime, never every id
+    * ever folded. Legacy id-list ledgers parse transparently and upgrade
+    * at the next write.
     */
-  private def compactedIds: Set[Long] =
-    if (!java.nio.file.Files.exists(ledgerPath)) Set.empty
-    else java.nio.file.Files.readString(ledgerPath).split("\n")
-      .filter(_.nonEmpty).map(_.toLong).toSet
+  private def compactedIds: graft.CommittedFrontier =
+    if (!java.nio.file.Files.exists(ledgerPath)) new graft.CommittedFrontier
+    else graft.CommittedFrontier.parse(
+      java.nio.file.Files.readString(ledgerPath))
 
   private def appendBatchIds: Seq[Long] = {
     val p = java.nio.file.Paths.get(appendsDir)
@@ -109,7 +114,7 @@ final class IvfMaintainer(
   }
 
   private def appendsFrame(s: SparkSession): Option[DataFrame] = {
-    val live = appendBatchIds.filterNot(compactedIds)
+    val live = appendBatchIds.filterNot(compactedIds.contains)
     if (live.isEmpty) None
     else Some(s.read.option("basePath", appendsDir)
       .parquet(live.map(id => s"$appendsDir/batch_id=$id"): _*)
@@ -156,7 +161,7 @@ final class IvfMaintainer(
     *    on read.
     */
   def compactAppends(s: SparkSession): Unit = synchronized {
-    val ids = appendBatchIds.filterNot(compactedIds)
+    val ids = appendBatchIds.filterNot(compactedIds.contains)
     if (ids.isEmpty) return
     baseline(s) // pin the pre-compaction baseline to disk first
     val (lists, _) = load(s)
@@ -165,8 +170,9 @@ final class IvfMaintainer(
     val combined = lists.dropDuplicates("vec_id").localCheckpoint(true)
     combined.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexDir/lists")
-    writeAtomic(ledgerPath,
-      (compactedIds ++ ids).toSeq.sorted.mkString("\n"))
+    writeAtomic(ledgerPath, {
+      val cf = compactedIds; ids.foreach(cf.add); cf.serialize
+    })
     Ivf.dropCheckpoint(combined)
     ids.foreach { id =>
       val p = java.nio.file.Paths.get(s"$appendsDir/batch_id=$id")
@@ -263,10 +269,11 @@ final class IvfMaintainer(
     // clear served appends AFTER the rebuilt index is committed. Their
     // batch ids enter the compacted-ids ledger first: the retrain folded
     // them into the rebuilt lists, so a checkpoint replay of those
-    // batches must be a no-op forever (the ledger is never pruned — it
-    // is O(batches ever folded), a few longs per micro-batch)
-    writeAtomic(ledgerPath,
-      (compactedIds ++ appendBatchIds).toSeq.sorted.mkString("\n"))
+    // batches must be a no-op forever (the frontier compression keeps
+    // that guarantee at O(gaps) ledger bytes, not O(batches ever folded))
+    writeAtomic(ledgerPath, {
+      val cf = compactedIds; appendBatchIds.foreach(cf.add); cf.serialize
+    })
     val p = java.nio.file.Paths.get(appendsDir)
     if (java.nio.file.Files.exists(p)) {
       val st = java.nio.file.Files.walk(p)

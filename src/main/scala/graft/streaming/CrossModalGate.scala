@@ -28,8 +28,10 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField
   *    against the index), and in exchange the verdict is a pure plan —
   *    no sequential dependency — so a replayed batch re-derives
   *    byte-identical output;
-  *  - an undecodable image routes the PAIR to quarantine (counted,
-  *    never silently admitted — the multimodal corrupt-row discipline).
+  *  - an undecodable image — or a NULL caption (md5(null) is null, so
+  *    no fp join could ever dedup it) — routes the PAIR to quarantine
+  *    (counted, never silently admitted — the multimodal corrupt-row
+  *    discipline).
   *
   * Exactly-once: accepted/dropped/quarantine sinks are per-batch-dir
   * overwrites; the index append carries a `pairgate-batch-N` marker and
@@ -54,18 +56,35 @@ final class CrossModalGate(
   private def quarantineDir = s"$outDir/quarantine_undecodable"
   private def auditDir = s"$outDir/audit"
 
-  private var committedIds: java.util.HashSet[java.lang.Long] = _
+  /** Compressed committed set: a frontier watermark + out-of-order
+    * exceptions ([[graft.CommittedFrontier]]) — O(gaps) memory, not
+    * O(batches ever committed). Each commit marker also RECORDS the
+    * pre-commit watermark (`pairgate-batch-N@F`), so the replay check
+    * survives snapshot expiry: even after [[SnapshotTable
+    * .expireSnapshots]] GCs old manifests, the newest surviving gate
+    * marker re-establishes the whole committed prefix (monotone
+    * streaming ids — an out-of-order backfill drive's own marker must
+    * survive for ITS id, so don't combine backfills with aggressive
+    * expiry).
+    */
+  private var committedIds: graft.CommittedFrontier = _
 
   /** Has `batchId` already committed? (marker in index history). */
   def committed(batchId: Long): Boolean = synchronized {
     if (committedIds == null) {
-      committedIds = new java.util.HashSet[java.lang.Long]()
+      committedIds = new graft.CommittedFrontier
       index.history()
-        .select(regexp_extract(col("operation"), "^pairgate-batch-(\\d+)$", 1)
-          .as("b"))
+        .select(regexp_extract(col("operation"),
+          "^pairgate-batch-(\\d+)(?:@(-?\\d+))?$", 1).as("b"),
+          regexp_extract(col("operation"),
+            "^pairgate-batch-(\\d+)(?:@(-?\\d+))?$", 2).as("f"))
         .filter(col("b") =!= "")
         .collect() // bounded: one row per commit marker
-        .foreach(r => committedIds.add(r.getString(0).toLong))
+        .foreach { r =>
+          committedIds.add(r.getString(0).toLong)
+          if (r.getString(1).nonEmpty)
+            committedIds.addFrontier(r.getString(1).toLong)
+        }
     }
     committedIds.contains(batchId)
   }
@@ -86,9 +105,14 @@ final class CrossModalGate(
 
     // decode stage: pHash per pair (narrow; bytes never shuffle), fp
     // in-plan. Left = hashed pairs, right = undecodable quarantine.
+    // A null caption quarantines like an undecodable image: md5(null)
+    // is null, so the cross-batch fp anti-join could never match it —
+    // duplicate null-text pairs would be re-admitted every batch while
+    // the within-batch window dropped them (inconsistent verdicts).
     val hashed = batch.as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, text, img) =>
-        Multimodal.pHash(img) match {
+        if (text == null) (id, text, 0L, "null_text")
+        else Multimodal.pHash(img) match {
           case Right(h) => (id, text, h, null: String)
           case Left(err) => (id, text, 0L, err)
         }
@@ -170,13 +194,16 @@ final class CrossModalGate(
         .coalesce(1).write.mode("overwrite").parquet(s"$auditDir/b$batchId")
 
       // the commit marker LAST — index rows re-read from the sink, so
-      // "what the index holds" ≡ "what the accepted dir holds"
-      index.append(accBack.select("pair_id", "fp", "img_hash"),
-        s"pairgate-batch-$batchId")
-      synchronized {
-        if (committedIds == null) committedIds = new java.util.HashSet()
-        committedIds.add(batchId)
+      // "what the index holds" ≡ "what the accepted dir holds". The
+      // marker carries the PRE-commit watermark: replay protection for
+      // every earlier batch survives manifest GC via this one marker.
+      val wm = synchronized {
+        if (committedIds == null) { committed(-1L); () } // prime
+        committedIds.watermark
       }
+      index.append(accBack.select("pair_id", "fp", "img_hash"),
+        s"pairgate-batch-$batchId@$wm")
+      synchronized { committedIds.add(batchId) }
     } finally hashed.unpersist()
   }
 

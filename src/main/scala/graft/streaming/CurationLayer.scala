@@ -44,36 +44,52 @@ final class CurationLayer(
   private def qualityDir = s"$outDir/quarantine_quality"
   private def auditDir = s"$outDir/audit"
 
-  /** Driver-side committed-id set, primed from the index history ONCE
-    * per instance (restart-safe) and updated in memory on each commit —
-    * so the steady-state replay check is an O(1) set lookup with no
-    * Spark job. A set, not a max-id watermark: foreachBatch delivers ids
-    * monotonically, but [[processBatch]] is a public API also driven
-    * manually (Bench does), and an out-of-order or backfill drive must
-    * not have an unprocessed EARLIER batch silently skipped by a
-    * high-water mark. Memory is O(batches ever committed) — a few longs
-    * per micro-batch, the same order as the history it mirrors.
+  /** Driver-side committed set, primed from the index history ONCE per
+    * instance (restart-safe) and updated in memory on each commit — so
+    * the steady-state replay check is an O(1) lookup with no Spark job.
+    * Compressed as a [[graft.CommittedFrontier]] (watermark +
+    * out-of-order exceptions): foreachBatch delivers ids monotonically,
+    * so memory is O(gaps) — never O(batches ever committed) — while an
+    * out-of-order or backfill drive ([[processBatch]] is a public API
+    * Bench also drives manually) still lands in the exception set
+    * instead of being silently skipped by a plain high-water mark. Each
+    * marker also records the pre-commit watermark (`curate-batch-N@F`),
+    * so replay protection for the whole committed prefix survives
+    * [[SnapshotTable.expireSnapshots]] GC-ing old manifests via the
+    * newest surviving marker alone.
     */
-  private var committedIds: java.util.HashSet[java.lang.Long] = _
+  private var committedIds: graft.CommittedFrontier = _
 
   /** Has `batchId` already committed? (The replay check — marker in the
     * index history, the [[StreamingDedup.committed]] rule.)
     */
   def committed(batchId: Long): Boolean = synchronized {
     if (committedIds == null) {
-      committedIds = new java.util.HashSet[java.lang.Long]()
+      committedIds = new graft.CommittedFrontier
       index.history()
-        .select(regexp_extract(col("operation"), "^curate-batch-(\\d+)$", 1)
-          .as("b"))
+        .select(regexp_extract(col("operation"),
+          "^curate-batch-(\\d+)(?:@(-?\\d+))?$", 1).as("b"),
+          regexp_extract(col("operation"),
+            "^curate-batch-(\\d+)(?:@(-?\\d+))?$", 2).as("f"))
         .filter(col("b") =!= "")
         .collect() // bounded: one row per commit marker in table history
-        .foreach(r => committedIds.add(r.getString(0).toLong))
+        .foreach { r =>
+          committedIds.add(r.getString(0).toLong)
+          if (r.getString(1).nonEmpty)
+            committedIds.addFrontier(r.getString(1).toLong)
+        }
     }
     committedIds.contains(batchId)
   }
 
+  /** Pre-commit watermark, stamped into the marker. */
+  private def watermarkNow(): Long = synchronized {
+    if (committedIds == null) committed(-1L)
+    committedIds.watermark
+  }
+
   private def markCommitted(batchId: Long): Unit = synchronized {
-    if (committedIds == null) committedIds = new java.util.HashSet()
+    if (committedIds == null) committedIds = new graft.CommittedFrontier
     committedIds.add(batchId)
   }
 
@@ -143,7 +159,7 @@ final class CurationLayer(
       index.append(
         spark.read.parquet(s"$acceptedDir/b$batchId")
           .select(md5(col("text")).as("fp")).distinct(),
-        s"curate-batch-$batchId")
+        s"curate-batch-$batchId@${watermarkNow()}")
       markCommitted(batchId)
     } finally scrubbed.unpersist()
   }

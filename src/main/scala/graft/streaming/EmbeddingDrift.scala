@@ -70,9 +70,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   *    fold is exact), ledgered with the [[graft.similarity
   *    .IvfMaintainer]] discipline so replays of folded batches no-op:
   *    the new compact generation is written first, the atomic ledger
-  *    write is the commit point (naming both the active generation and
-  *    the folded ids), and only then are the folded dirs deleted — a
-  *    crash at any point leaves a readable, non-double-counting log.
+  *    write is the commit point (naming the active generation and the
+  *    folded-id FRONTIER — folds take a prefix, so the ledger is O(1)
+  *    lines for the stream's lifetime, never a growing id list), and
+  *    only then are the folded dirs deleted — a crash at any point
+  *    leaves a readable, non-double-counting log.
   *
   * Scale posture: each arriving vector is touched exactly once by a
   * map-combinable kernel pass; state is 2,145 integers per (batch,
@@ -115,6 +117,11 @@ object EmbeddingDrift {
     val lf = trusted.select(col(labelCol).cast("long").as("lab"),
       quantized(col("embedding")).as("q"))
     val per = SpectralQueries.gramStatsBy(lf)
+    // -1 is the GLOBAL sentinel key: a real family labeled -1 would be
+    // silently replaced by the global baseline below, and in the log its
+    // rows would be indistinguishable from an unlabeled run's
+    require(!per.contains(-1L),
+      "family label -1 is reserved for the global baseline")
     val global = per.values.reduce(sumGram)
     (per + (-1L -> global)).map { case (lab, g) => lab -> baselineOf(g) }
   }
@@ -175,15 +182,24 @@ object EmbeddingDrift {
     private def ledgerPath =
       java.nio.file.Paths.get(logDir, "_ledger")
 
-    /** (active compact generation, folded batch ids). Generation 0 =
-      * no compact dir exists yet.
+    /** (active compact generation, folded-id frontier). Generation 0 =
+      * no compact dir exists yet. Compaction folds a PREFIX
+      * (`_ <= upTo`), so the folded set compresses to a
+      * [[graft.CommittedFrontier]] watermark — the ledger is O(1) lines
+      * for the life of the stream (exceptions appear only under
+      * out-of-order manual drives), where the r17 format accumulated
+      * every folded id forever and re-read the whole list per batch.
+      * Legacy id-list ledgers parse transparently and upgrade to the
+      * bounded format at the next compaction.
       */
-    private def readLedger(): (Long, Set[Long]) =
-      if (!java.nio.file.Files.exists(ledgerPath)) (0L, Set.empty)
+    private def readLedger(): (Long, graft.CommittedFrontier) =
+      if (!java.nio.file.Files.exists(ledgerPath))
+        (0L, new graft.CommittedFrontier)
       else {
         val lines = java.nio.file.Files.readString(ledgerPath)
           .split("\n").filter(_.nonEmpty)
-        (lines.head.toLong, lines.tail.map(_.toLong).toSet)
+        (lines.head.toLong,
+          graft.CommittedFrontier.parse(lines.tail.mkString("\n")))
       }
 
     private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
@@ -195,7 +211,7 @@ object EmbeddingDrift {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
-    private def liveBatchIds(folded: Set[Long]): Seq[Long] = {
+    private def liveBatchIds(folded: graft.CommittedFrontier): Seq[Long] = {
       val p = java.nio.file.Paths.get(logDir)
       if (!java.nio.file.Files.exists(p)) Seq.empty
       else {
@@ -203,7 +219,7 @@ object EmbeddingDrift {
         try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator())
           .asScala.map(_.getFileName.toString)
           .filter(n => n.startsWith("b") && n.drop(1).forall(_.isDigit))
-          .map(_.drop(1).toLong).filterNot(folded).toVector.sorted
+          .map(_.drop(1).toLong).filterNot(folded.contains).toVector.sorted
         finally l.close()
       }
     }
@@ -217,7 +233,7 @@ object EmbeddingDrift {
       * `n_oversized` — silent long overflow is never possible.
       */
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
-      if (readLedger()._2.contains(batchId)) return
+      if (readLedger()._2.contains(batchId)) return // O(1) ledger lines
       val spark = batch.sparkSession
       val labC = labelCol.map(c => col(c).cast("long")).getOrElse(lit(-1L))
       val qf = batch
@@ -236,6 +252,10 @@ object EmbeddingDrift {
           baseline.v.length * (baseline.v.length + 1) / 2
         val zero = Seq.fill(width)("0")
         val labs = (grams.keySet ++ over.keySet).toSeq.sorted
+        // -1 is reserved: in the log it means "unlabeled run" — a real
+        // family carrying it would merge into the global on every read
+        require(labelCol.isEmpty || !labs.contains(-1L),
+          "family label -1 is reserved for the unlabeled/global sentinel")
         val rows =
           if (labs.isEmpty) Seq(Row(batchId, -1L, zero, 0L))
           else labs.map { lab =>
@@ -252,17 +272,35 @@ object EmbeddingDrift {
         compactLog(batch.sparkSession, batchId)
     }
 
+    /** Read log dirs tolerating the pre-ST40 row shape (no `lab` /
+      * `n_oversized` columns — those read as null and are coalesced to
+      * the unlabeled family / zero count), so a monitor pointed at a log
+      * written by the earlier format reports it instead of NPE-ing.
+      */
+    private def readLog(spark: SparkSession, dirs: Seq[String]): Array[Row] = {
+      val compat = StructType(logSchema.fields.map(f =>
+        f.copy(nullable = true)))
+      spark.read.schema(compat).parquet(dirs: _*)
+        .select(col("batch_id"), coalesce(col("lab"), lit(-1L)).as("lab"),
+          col("acc"),
+          coalesce(col("n_oversized"), lit(0L)).as("n_oversized"))
+        .collect() // bounded: one row per (batch, family), never per vector
+    }
+
     /** Every live log row: folded-in compact generation + un-folded batch
       * dirs (each read once — the ledger excludes folded ids even when
       * their dirs outlive a crash between ledger write and deletion).
+      * Synchronized against [[compactLog]] (which [[processBatch]] can
+      * trigger via `autoCompactEvery`): the ledger read, the dir
+      * listing, and the parquet read must not interleave with a
+      * compaction deleting the dirs they name.
       */
-    private def logRows(spark: SparkSession): Array[Row] = {
+    private def logRows(spark: SparkSession): Array[Row] = synchronized {
       val (gen, folded) = readLedger()
       val dirs = liveBatchIds(folded).map(id => s"$logDir/b$id") ++
         (if (gen > 0) Seq(s"$logDir/_compact_v$gen") else Seq.empty)
       require(dirs.nonEmpty, "embedding-drift log is empty")
-      spark.read.schema(logSchema).parquet(dirs: _*)
-        .collect() // bounded: one row per (batch, family), never per vector
+      readLog(spark, dirs)
     }
 
     private def foldRows(rows: Seq[Row])
@@ -306,8 +344,8 @@ object EmbeddingDrift {
       if (ids.isEmpty) return
       val dirs = ids.map(id => s"$logDir/b$id") ++
         (if (gen > 0) Seq(s"$logDir/_compact_v$gen") else Seq.empty)
-      val rows = spark.read.schema(logSchema).parquet(dirs: _*)
-        .collect() // bounded: (batches being folded + families) rows
+      // bounded: (batches being folded + families) rows
+      val rows = readLog(spark, dirs)
       val foldedRows = foldRows(rows.toSeq).toSeq.sortBy(_._1).map {
         case (lab, (g, over)) =>
           Row(-1L, lab, (Seq(g.n) ++ g.s ++ g.cUpper).map(_.toString), over)
@@ -316,10 +354,11 @@ object EmbeddingDrift {
       spark.createDataFrame(
         spark.sparkContext.parallelize(foldedRows, 1), logSchema)
         .write.mode("overwrite").parquet(s"$logDir/_compact_v${gen + 1}")
-      // 2. COMMIT: the ledger names the active generation + folded ids
+      // 2. COMMIT: the ledger names the active generation + the folded
+      // frontier (ids are a prefix of the live set — O(1) lines forever)
+      ids.foreach(folded.add)
       writeAtomic(ledgerPath,
-        ((gen + 1).toString +: (folded ++ ids).toSeq.sorted.map(_.toString))
-          .mkString("\n"))
+        (gen + 1).toString + "\n" + folded.serialize)
       // 3. best-effort cleanup (re-attempted by any later compaction)
       val victims = ids.map(id => s"$logDir/b$id") ++
         (if (gen > 0) Seq(s"$logDir/_compact_v$gen") else Seq.empty)

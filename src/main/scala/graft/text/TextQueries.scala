@@ -1611,7 +1611,7 @@ object TextQueries {
     * sums into hashed buckets; shared by x43 (per-doc vectors) and x44
     * (per-source centroids).
     */
-  private def hashedWeights(s: SparkSession, d: String) = {
+  private[graft] def hashedWeights(s: SparkSession, d: String) = {
     graft.GraftExtensions.ensure(s)
     // PlanCache'd: x43/x44/x46/x57 all read this frame, and a single
     // consumer's plan references it several times (norms + dots + query
@@ -1704,7 +1704,7 @@ object TextQueries {
   }
 
   /** DuckDB CTEs t/nd/idf/tf/w replicating [[hashedWeights]]. */
-  private val hashedWeightsSql =
+  private[graft] val hashedWeightsSql =
     """t AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),

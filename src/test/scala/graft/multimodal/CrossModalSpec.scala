@@ -149,4 +149,89 @@ class CrossModalSpec extends SparkSpec {
       Seq("drop_both", "drop_image", "drop_text", "kept"))
     assert(out.map(_.getLong(1)).sum > 0L)
   }
+
+  test("x88 split producer: pair-link components merge across modalities " +
+    "(text chain + image bridge = ONE component), whole components land " +
+    "on one side, and x86's audit on the produced split reads ZERO") {
+    import spark.implicits._
+    // text clusters {1,2} and {3,4}; image cluster {2,3} BRIDGES them:
+    // pairs 1-4 must land in one component. Image cluster {7,8} is its
+    // own component; 5, 6, 9, 10 are singletons.
+    val textCc = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("node", "lbl")
+    val imgCc = Seq((2L, 2L), (3L, 2L), (7L, 7L), (8L, 7L))
+      .toDF("node", "lbl")
+    val pairs = (1L to 10L).map(i => (i, i, i))
+      .toDF("pair_id", "text_id", "image_id")
+    val split = CrossModalQueries.pairedSplit(spark,
+      s"x88spec/${System.nanoTime()}", pairs, textCc, imgCc)
+    val grp = split.collect().map(r => r.getLong(0) ->
+      (r.getLong(r.fieldIndex("grp")), r.getBoolean(r.fieldIndex("is_train"))))
+      .toMap
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(grp(i)._1 === 1L,
+      s"pair $i not in the bridged component: $grp"))
+    assert(grp(7L)._1 === 7L && grp(8L)._1 === 7L)
+    Seq(5L, 6L, 9L, 10L).foreach(i => assert(grp(i)._1 === i))
+    // component-atomic sides: every member of a component shares is_train
+    assert(Seq(1L, 2L, 3L, 4L).map(grp(_)._2).distinct.size === 1)
+    assert(grp(7L)._2 === grp(8L)._2)
+    assert(!grp(9L)._2, "grp 9 % 10 = 9 must be test")
+    // the audit the producer exists to zero: x86's report on this split
+    val rep = CrossModalQueries.leakReport(CrossModalQueries.splitLeakFlags(
+      split.select("pair_id", "text_id", "image_id", "is_train"),
+      textCc, imgCc)).collect().head
+    assert(rep.getLong(rep.fieldIndex("n_leak_text")) === 0L)
+    assert(rep.getLong(rep.fieldIndex("n_leak_image")) === 0L)
+    assert(rep.getLong(rep.fieldIndex("leak_bp")) === 0L)
+  }
+
+  test("x88 engine query on sf0.001: zero leakage by construction, sane " +
+    "component census") {
+    val r = CrossModalQueries.x88PairedSplitProducer.run(spark, sfDir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_leak_text")) === 0L)
+    assert(r.getLong(r.fieldIndex("n_leak_image")) === 0L)
+    assert(r.getLong(r.fieldIndex("n_leak_either")) === 0L)
+    assert(r.getLong(r.fieldIndex("leak_bp")) === 0L)
+    val nTrain = r.getLong(r.fieldIndex("n_train"))
+    val nTest = r.getLong(r.fieldIndex("n_test"))
+    assert(nTrain + nTest > 0L)
+    assert(r.getLong(r.fieldIndex("n_components")) > 0L)
+    assert(r.getLong(r.fieldIndex("max_component_pairs")) <= nTrain + nTest)
+  }
+
+  test("x89 alignment: planted parallel / anti-parallel / orthogonal " +
+    "text-image pairs score exactly 1 / -1 / 0 — the mismatched pair " +
+    "flags below any sane threshold") {
+    import spark.implicits._
+    // text vectors in bucket space (doc_id, bucket, wsum): all three
+    // docs carry the (3, 4) vector in buckets 0/1
+    val w = Seq((1L, 0L, 3L), (1L, 1L, 4L),
+      (2L, 0L, 3L), (2L, 1L, 4L),
+      (3L, 0L, 3L), (3L, 1L, 4L)).toDF("doc_id", "bucket", "wsum")
+    // image embeddings quantized: 1 parallel, 2 anti-parallel (the
+    // planted MISMATCH), 3 orthogonal
+    val embq = Seq((1L, 0L, 30L), (1L, 1L, 40L),
+      (2L, 0L, -30L), (2L, 1L, -40L),
+      (3L, 0L, 40L), (3L, 1L, -30L)).toDF("vec_id", "bucket", "qv")
+    val agree = CrossModalQueries.alignmentScores(w, embq).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agree(1L) === 1.0)
+    assert(agree(2L) === -1.0, s"planted mismatch not flagged: $agree")
+    assert(agree(3L) === 0.0)
+    val flagged = agree.filter(_._2 < 0.5).keySet
+    assert(flagged === Set(2L, 3L))
+  }
+
+  test("x89 engine query on sf0.001: decile census within [-10, 10] and " +
+    "covers every pair") {
+    val rows = CrossModalQueries.x89CrossModalAlignment.run(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(d >= -10L && d <= 10L, s"decile out of range: $d")
+      assert(r.getLong(1) > 0L)
+    }
+  }
 }

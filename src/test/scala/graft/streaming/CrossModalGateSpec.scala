@@ -118,4 +118,75 @@ class CrossModalGateSpec extends SparkSpec {
     assert(gate2.accepted(spark).select("pair_id").as[Long].collect().sorted
       .toSeq === Seq(1L, 4L, 8L, 9L))
   }
+
+  test("ST41: exactly-once SURVIVES snapshot expiry — the newest " +
+    "surviving marker's @frontier re-establishes the whole committed " +
+    "prefix after manifest GC (the expire-then-replay drill)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pg-exp").toString
+    val gate = new CrossModalGate(
+      SnapshotTable.create(spark, s"$root/index"), s"$root/out")
+    val seeds = Seq(0, 31, 40, 63, 77)
+    val batches = seeds.zipWithIndex.map { case (seed, i) =>
+      Seq((10L + i, s"caption $i", png(textured(seed))))
+        .toDF("pair_id", "text", "image")
+    }
+    batches.zipWithIndex.foreach { case (b, i) => gate.processBatch(b, i.toLong) }
+    assert(gate.accepted(spark).count() === 5L)
+
+    // GC: keep only the last 2 snapshots — markers for batches 0-2 are
+    // EXPIRED out of history
+    val t = SnapshotTable.create(spark, s"$root/index")
+    t.expireSnapshots(keep = 2)
+    val ops = t.history().select("operation").as[String].collect()
+    assert(ops.length === 2, s"expiry kept ${ops.toSeq}")
+    assert(ops.forall(_.matches("^pairgate-batch-\\d+@\\d+$")))
+
+    // a FRESH instance (restart after GC) must still no-op replays of
+    // the expired batches: the surviving markers carry the frontier
+    val gate2 = new CrossModalGate(
+      SnapshotTable.create(spark, s"$root/index"), s"$root/out")
+    val v = SnapshotTable.create(spark, s"$root/index").currentVersion
+    gate2.processBatch(batches(0), 0L)
+    gate2.processBatch(batches(2), 2L)
+    assert(SnapshotTable.create(spark, s"$root/index").currentVersion === v,
+      "a GC-expired batch was re-committed — exactly-once broke")
+    assert(gate2.accepted(spark).count() === 5L)
+    // and a genuinely new batch still flows
+    gate2.processBatch(
+      Seq((99L, "fresh caption", png(textured(94))))
+        .toDF("pair_id", "text", "image"), 5L)
+    assert(gate2.accepted(spark).count() === 6L)
+  }
+
+  test("ST41: a NULL caption quarantines like an undecodable image — " +
+    "never admitted, and duplicate null-text pairs cannot leak through " +
+    "the fp join in later batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pg-null").toString
+    val gate = new CrossModalGate(
+      SnapshotTable.create(spark, s"$root/index"), s"$root/out")
+    val b0 = Seq(
+      (1L, null: String, png(textured(0))),
+      (2L, null: String, png(textured(31))),
+      (3L, "real caption", png(textured(40))))
+      .toDF("pair_id", "text", "image")
+    gate.processBatch(b0, 0L)
+    val a0 = gate.audit(spark).filter(col("batch_id") === 0).head()
+    assert(a0.getLong(a0.fieldIndex("n_quarantined")) === 2L)
+    assert(a0.getLong(a0.fieldIndex("n_accepted")) === 1L)
+    assert(gate.accepted(spark).select("pair_id").as[Long].collect().toSeq
+      === Seq(3L))
+    // a later null-text pair is quarantined too (the md5(null) = null
+    // hole would have ADMITTED it: null never matches the fp semi-join)
+    gate.processBatch(
+      Seq((4L, null: String, png(textured(63))))
+        .toDF("pair_id", "text", "image"), 1L)
+    val a1 = gate.audit(spark).filter(col("batch_id") === 1).head()
+    assert(a1.getLong(a1.fieldIndex("n_quarantined")) === 1L)
+    assert(a1.getLong(a1.fieldIndex("n_accepted")) === 0L)
+    val quar = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/out/quarantine_undecodable")
+    assert(quar.filter(col("decode_error") === "null_text").count() === 3L)
+  }
 }

@@ -353,6 +353,97 @@ class EmbeddingDriftSpec extends SparkSpec {
     }
   }
 
+  test("ST39: the ledger stays O(1) lines across many compactions (a " +
+    "frontier watermark, not a growing folded-id list), folded replays " +
+    "still no-op, and a LEGACY id-list ledger migrates transparently") {
+    val base = EmbeddingDrift.fit(emb)
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-l").toString
+    val m = new EmbeddingDrift.Monitor(base, s"$root/log",
+      autoCompactEvery = 2L)
+    (0 until 12).foreach { b =>
+      m.processBatch(emb.filter(pmod(col("vec_id"), lit(12)) === b), b.toLong)
+    }
+    // 6 compactions have run; the r17 format would hold 12 folded ids
+    // by now and keep growing forever — the frontier format holds 3
+    // lines (generation, "v2", watermark) no matter how many batches
+    val ledger = java.nio.file.Paths.get(s"$root/log/_ledger")
+    val lines = java.nio.file.Files.readString(ledger)
+      .split("\n").filter(_.nonEmpty)
+    assert(lines.length === 3, s"ledger not bounded: ${lines.toSeq}")
+    assert(lines(1) === "v2" && lines(2) === "11")
+    val before = m.merged(spark)
+    m.processBatch(emb, 3L) // replay of a folded batch: must no-op
+    val after = m.merged(spark)
+    assert(after.n === before.n && after.s.toSeq === before.s.toSeq)
+
+    // legacy migration: hand-write the r17 id-list format; the monitor
+    // must read it (replays no-op) and the next compaction upgrades it
+    val root2 = java.nio.file.Files.createTempDirectory("graft-edrift-m").toString
+    val m2 = new EmbeddingDrift.Monitor(base, s"$root2/log")
+    (0 until 4).foreach { b =>
+      m2.processBatch(emb.filter(pmod(col("vec_id"), lit(4)) === b), b.toLong)
+    }
+    m2.compactLog(spark, upTo = 1L)
+    val p2 = java.nio.file.Paths.get(s"$root2/log/_ledger")
+    val gen = java.nio.file.Files.readString(p2).split("\n").head
+    java.nio.file.Files.writeString(p2, s"$gen\n0\n1\n") // r17 format
+    val b4 = m2.merged(spark)
+    m2.processBatch(emb, 0L) // folded per the legacy ledger: no-op
+    assert(m2.merged(spark).n === b4.n)
+    m2.compactLog(spark, upTo = 3L) // upgrades the format
+    val lines2 = java.nio.file.Files.readString(p2)
+      .split("\n").filter(_.nonEmpty)
+    assert(lines2(1) === "v2" && lines2(2) === "3")
+    val whole = SpectralQueries.gramStats(SpectralQueries.quantize(spark, emb))
+    assert(m2.merged(spark).n === whole.n)
+    assert(m2.merged(spark).cUpper.toSeq === whole.cUpper.toSeq)
+  }
+
+  test("ST39: a log written WITHOUT the ST40 columns (pre-family format) " +
+    "reads as the unlabeled family instead of NPE-ing") {
+    val base = EmbeddingDrift.fit(emb)
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-o").toString
+    val m = new EmbeddingDrift.Monitor(base, s"$root/log")
+    m.processBatch(emb, 0L)
+    // rewrite b0 dropping the lab/n_oversized columns — the old row shape
+    val old = spark.read.parquet(s"$root/log/b0")
+      .select("batch_id", "acc")
+    val tmp = s"$root/old_b0"
+    old.write.parquet(tmp)
+    val dst = java.nio.file.Paths.get(s"$root/log/b0")
+    val st = java.nio.file.Files.walk(dst)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally st.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+    val g = m.merged(spark)
+    val whole = SpectralQueries.gramStats(SpectralQueries.quantize(spark, emb))
+    assert(g.n === whole.n && g.cUpper.toSeq === whole.cUpper.toSeq)
+    val row = m.status(spark).collect().head
+    assert(row.getLong(row.fieldIndex("n_oversized")) === 0L)
+    assert(!row.getBoolean(row.fieldIndex("drifted")))
+  }
+
+  test("ST39/ST40: family label -1 is rejected (reserved for the " +
+    "global/unlabeled sentinel) in both fit and processBatch") {
+    val labeled = emb.withColumn("family",
+      when(col("vec_id") % 2 === 0, lit(-1L)).otherwise(lit(3L)))
+    intercept[IllegalArgumentException] {
+      EmbeddingDrift.fitByFamily(labeled, "family")
+    }
+    val base = EmbeddingDrift.fit(emb)
+    val good = EmbeddingDrift.fitByFamily(
+      emb.withColumn("family", pmod(col("vec_id"), lit(2))), "family")
+    val root = java.nio.file.Files.createTempDirectory("graft-edrift-n").toString
+    val m = new EmbeddingDrift.Monitor(base, s"$root/log",
+      labelCol = Some("family"), familyBaselines = good)
+    intercept[IllegalArgumentException] {
+      m.processBatch(labeled, 0L)
+    }
+  }
+
   test("ST39: streaming drive over two file drops equals the direct fold") {
     val base = EmbeddingDrift.fit(emb)
     val root = java.nio.file.Files.createTempDirectory("graft-edrift-s").toString
