@@ -496,7 +496,7 @@ object Bench {
     // at an over-saturated one (the r11 mistake). The 50k overload run
     // stays as a separate stress stat (catch-up behavior past saturation).
     // Skippable for fast local iteration (SPARK_GRAFT_SKIP_SPEED=1).
-    def speedOnce(): (String, Double, Double, Int, Int) = {
+    def speedOnce(): (String, Double, Double, Int, Int, String, String) = {
       val dir = java.nio.file.Files.createTempDirectory("graft-speed").toString
       try {
         // ladder past 50k: healthy-box probes sustained 70k (heap state
@@ -506,14 +506,16 @@ object Bench {
         val s = streaming.SustainedLoad.sweep(spark, dir,
           ladderEps = Seq(10000, 25000, 40000, 55000, 70000, 85000, 100000))
         (s.toJson, s.record.achievedEps, s.record.p95, s.maxSustainableEps,
-          s.record.predictedMaxEps.getOrElse(-1))
+          s.record.predictedMaxEps.getOrElse(-1),
+          s.compactRungs(), s.windowVerdict())
       } finally rmTree(dir)
     }
-    val (speedJson, speedEps, speedP95, speedMaxEps, speedPredEps) =
+    val (speedJson, speedEps, speedP95, speedMaxEps, speedPredEps,
+        speedRungs, speedWindow) =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SPEED"))
-        ("""{"skipped":true}""", -1.0, -1.0, -1, -1)
+        ("""{"skipped":true}""", -1.0, -1.0, -1, -1, "[]", "skipped")
       else try {
-        val (j1, eps1, p95a, max1, pred1) = speedOnce()
+        val r1 @ (j1, _, _, max1, _, _, _) = speedOnce()
         // same adjudication as freshness: when the acceptance (>= 10k
         // sustainable with p95 < 5 s) is missed AND the scratch mount is
         // confirmed degraded, re-run ONCE and record both attempts
@@ -524,15 +526,15 @@ object Bench {
             ioSpeed.seqWriteMBps < 60.0 || ioSpeed.smallCreatePerSec < 800.0 ||
               cpuDegraded(cpuSpeed)
           if (speedDegraded) {
-            val (j2, eps2, p952, max2, pred2) = speedOnce()
+            val (j2, eps2, p952, max2, pred2, rungs2, win2) = speedOnce()
             (s"""{"attempt1":$j1,"io_probe_between":${ioSpeed.toJsonCompact},""" +
               s""""cpu_probe_between":${cpuSpeed.toJsonCompact},""" +
-              s""""retry":$j2}""", eps2, p952, max2, pred2)
-          } else (j1, eps1, p95a, max1, pred1)
-        } else (j1, eps1, p95a, max1, pred1)
+              s""""retry":$j2}""", eps2, p952, max2, pred2, rungs2, win2)
+          } else r1
+        } else r1
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] speed_layer failed: ${e.getMessage}")
-        (s"""{"error":true}""", -1.0, -1.0, -1, -1)
+        (s"""{"error":true}""", -1.0, -1.0, -1, -1, "[]", "error")
       }
 
     // Scale soak: generate a 10×-sf corpus (self-consistent key-shifted
@@ -919,10 +921,30 @@ object Bench {
       val (solo, concT) = concTaskStats.getOrElse(n, (-1.0, -1.0))
       val taskRatio =
         if (solo > 0 && concT > 0) k3(concT / solo) else -1.0
+      // self-adjudication (the r17 verdict: official worst-slowdowns
+      // swung 1.288 → 1.637 → 1.57 across windows with a 1.078 on the
+      // same build, and the artifact could not name noise as noise).
+      // BOTH 8-way rounds' slowdowns ride the compact line, plus a
+      // verdict: rounds disagreeing > 25% = window_noise (the scheduler
+      // produced two different answers on identical work); agreeing
+      // rounds with Σ task time ≈ solo (ratio ≤ 1.15) = fair_share (the
+      // wall grew only because 8 pools divide 32 cores); otherwise
+      // contention (tasks themselves degrade — worth a look)
+      val roundSds = concRounds.map { r =>
+        val rt = r.get(n).map(_._1).getOrElse(-1.0)
+        if (rt > 0 && seq.getOrElse(n, -1.0) > 0) k3(rt / seq(n)) else -1.0
+      }
+      val valid = roundSds.filter(_ > 0)
+      val verdict =
+        if (valid.size >= 2 && valid.max / valid.min > 1.25) "window_noise"
+        else if (taskRatio > 0 && taskRatio <= 1.15) "fair_share"
+        else "contention"
       s"""{"q":"$n","slowdown":${k3(sd)},""" +
         s""""conc_sec":${k3(t)},"seq_sec":${k3(seq(n))},""" +
         s""""queue_sec":$queue,"exec_sec":$exec,""" +
-        s""""task_time_ratio":$taskRatio}"""
+        s""""task_time_ratio":$taskRatio,""" +
+        s""""rounds":[${roundSds.mkString(",")}],""" +
+        s""""verdict":"$verdict"}"""
     }.getOrElse("""{"q":"none"}""")
     val cq = concNames.map(n => "\"" + n + "\":" + conc(n))
       .mkString("{", ",", "}")
@@ -1034,6 +1056,12 @@ object Bench {
       // unexplained mid-run degradation; sustained ≈ predicted = the
       // window explains itself
       s""""speed_layer_predicted_eps":$speedPredEps,""" +
+      // per-rung [offered_eps, ok, seq-write MB/s, creates/s, predicted]
+      // + the LIMITING rung's window verdict, IN the compact line (the
+      // r17 verdict: the official 40k rode a window whose own stamps
+      // lived only in the /tmp detail — now the headline carries them)
+      s""""speed_layer_rungs":$speedRungs,""" +
+      s""""speed_layer_window":"$speedWindow",""" +
       s""""speed_layer_eps":${if (speedEps < 0) "-1" else speedEps.round.toString},""" +
       s""""speed_layer_e2e_p95_sec":${r3(speedP95)},""" +
       s""""freshness_p95_sec":${r3(freshP95)},""" +

@@ -5,7 +5,7 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType, LongType, StringType, StructField, StructType}
 
 /** ST41 — streaming cross-modal PAIR gate: the live form of the x85
   * audit. Caption–image pairs arrive as a stream; a pair is admitted
@@ -46,14 +46,29 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField
   * projection would be maintained as its own bucketed table; the join
   * shape is already that one.
   */
+/** @param alignIdf when set (a FROZEN idf table — the [[TopicDrift]]
+  *                  discipline: a live batch must not re-derive document
+  *                  frequencies from itself) and the batch carries an
+  *                  `embedding` column, every pair is also scored for
+  *                  caption–image AGREEMENT (the x89 fixed-point cosine
+  *                  between the hashed tf-idf caption vector and the
+  *                  image embedding); pairs scoring below `minAgree` —
+  *                  or whose caption has no frozen-vocabulary tokens at
+  *                  all (unscorable) — route to the misaligned
+  *                  quarantine BEFORE the dedup verdicts, so a
+  *                  mismatched pair never enters the index.
+  */
 final class CrossModalGate(
     index: SnapshotTable,
     outDir: String,
-    maxHamming: Int = 6) {
+    maxHamming: Int = 6,
+    alignIdf: Option[DataFrame] = None,
+    minAgree: Double = 0.25) {
 
   private def acceptedDir = s"$outDir/accepted"
   private def droppedDir = s"$outDir/dropped"
   private def quarantineDir = s"$outDir/quarantine_undecodable"
+  private def misalignedDir = s"$outDir/quarantine_misaligned"
   private def auditDir = s"$outDir/audit"
 
   /** Compressed committed set: a frontier watermark + out-of-order
@@ -109,7 +124,8 @@ final class CrossModalGate(
     // is null, so the cross-batch fp anti-join could never match it —
     // duplicate null-text pairs would be re-admitted every batch while
     // the within-batch window dropped them (inconsistent verdicts).
-    val hashed = batch.as[(Long, String, Array[Byte])]
+    val hashed = batch.select("pair_id", "text", "image")
+      .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, text, img) =>
         if (text == null) (id, text, 0L, "null_text")
         else Multimodal.pHash(img) match {
@@ -126,8 +142,36 @@ final class CrossModalGate(
         .write.mode("overwrite").parquet(s"$quarantineDir/b$batchId")
       val nQuarantined =
         spark.read.parquet(s"$quarantineDir/b$batchId").count()
-      val ok = hashed.filter(col("decode_error").isNull)
+      val ok0 = hashed.filter(col("decode_error").isNull)
         .select("pair_id", "text", "fp", "img_hash")
+
+      // optional x89 alignment gate: agreement scored against the FROZEN
+      // idf; sub-threshold and unscorable pairs quarantined before any
+      // dedup verdict (a mismatched caption must never enter the index,
+      // even as the "canonical" of its image cluster)
+      val (ok, nMisaligned) = alignIdf match {
+        case Some(idf) if batch.columns.contains("embedding") =>
+          graft.GraftExtensions.ensure(spark)
+          val w = graft.text.TextQueries.hashedWeightsOf(
+            batch.select(col("pair_id").as("doc_id"), col("text"))
+              .filter(col("text").isNotNull), idf)
+          val embq = batch
+            .select(col("pair_id").as("vec_id"), posexplode(col("embedding")))
+            .select(col("vec_id"), col("pos").as("bucket"),
+              floor(col("col").cast("double") * lit(1e8)).cast("long")
+                .as("qv"))
+          val verdicted = ok0.join(
+            graft.multimodal.CrossModalQueries.alignmentScores(w, embq),
+            Seq("pair_id"), "left")
+          verdicted.filter(col("agree").isNull || col("agree") < minAgree)
+            .select(col("pair_id"), col("text"),
+              coalesce(col("agree"), lit(-2.0)).as("agree")) // -2 = unscorable
+            .write.mode("overwrite").parquet(s"$misalignedDir/b$batchId")
+          val n = spark.read.parquet(s"$misalignedDir/b$batchId").count()
+          (verdicted.filter(col("agree") >= minAgree)
+            .select("pair_id", "text", "fp", "img_hash"), n)
+        case _ => (ok0, 0L)
+      }
 
       val idx =
         if (index.currentVersion == 0)
@@ -187,10 +231,10 @@ final class CrossModalGate(
       val nDropImage = dropBack.filter(col("drop_image")).count()
       val nDropped = dropBack.count()
 
-      Seq((batchId, nIn, nQuarantined, nDropText, nDropImage, nDropped,
-        nAccepted))
-        .toDF("batch_id", "n_in", "n_quarantined", "n_drop_text",
-          "n_drop_image", "n_dropped", "n_accepted")
+      Seq((batchId, nIn, nQuarantined, nMisaligned, nDropText, nDropImage,
+        nDropped, nAccepted))
+        .toDF("batch_id", "n_in", "n_quarantined", "n_misaligned",
+          "n_drop_text", "n_drop_image", "n_dropped", "n_accepted")
         .coalesce(1).write.mode("overwrite").parquet(s"$auditDir/b$batchId")
 
       // the commit marker LAST — index rows re-read from the sink, so
@@ -207,14 +251,20 @@ final class CrossModalGate(
     } finally hashed.unpersist()
   }
 
-  /** Wire a file-source pair stream through the gate. */
+  /** Wire a file-source pair stream through the gate (the schema grows
+    * the embedding column when the alignment gate is configured).
+    */
   def start(spark: SparkSession, inDir: String,
-      checkpoint: String): StreamingQuery =
-    spark.readStream.schema(CrossModalGate.pairSchema).parquet(inDir)
+      checkpoint: String): StreamingQuery = {
+    val schema =
+      if (alignIdf.isDefined) CrossModalGate.pairSchemaWithEmbedding
+      else CrossModalGate.pairSchema
+    spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Accumulated per-stage audit (one row per batch). */
   def audit(spark: SparkSession): DataFrame =
@@ -231,4 +281,12 @@ object CrossModalGate {
     StructField("pair_id", LongType, nullable = false),
     StructField("text", StringType),
     StructField("image", BinaryType)))
+
+  /** [[pairSchema]] + the precomputed image embedding (the production
+    * shape when the x89 alignment gate is on: an embedding service
+    * annotates pairs upstream of the gate).
+    */
+  val pairSchemaWithEmbedding: StructType = StructType(
+    pairSchema.fields :+ StructField("embedding",
+      ArrayType(FloatType, containsNull = false)))
 }

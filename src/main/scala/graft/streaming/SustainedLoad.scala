@@ -85,7 +85,11 @@ object SustainedLoad {
       // box should sustain. A rung that fails far below its prediction is
       // mid-run degradation the stamps missed; one that fails AT its
       // prediction is a window the artifact has already explained.
-      predictedMaxEps: Option[Int] = None) {
+      predictedMaxEps: Option[Int] = None,
+      // pre-run stamps vs the standard healthy thresholds (seq-write
+      // ≥ 60 MB/s, creates ≥ 800/s, single-thread ≥ 400 Mops, all-core
+      // ≥ 10 GOps) — the rung names its own window in the compact line
+      windowDegraded: Option[Boolean] = None) {
     private def pct(p: Double): Double = {
       val s = e2e.sorted
       if (s.isEmpty) -1.0 else s(math.min(s.size - 1, (p * (s.size - 1)).round.toInt))
@@ -119,6 +123,7 @@ object SustainedLoad {
         cpuProbe.fold("")(p => s""","cpu_probe_pre":$p""") +
         predictedMaxEps.fold("")(p =>
           s""","predicted_max_sustainable_eps":$p""") +
+        windowDegraded.fold("")(d => s""","window_degraded":$d""") +
         (if (consumers.isEmpty) "}"
         else s""","consumers":{${consumers.map(_.toJson).mkString(",")}}}""")
   }
@@ -366,6 +371,44 @@ object SustainedLoad {
         s""""record":${record.toJson},"record_attempts":$recordAttempts,""" +
         s""""probes":[${probes.map(_.toJson).mkString(",")}]""" +
         overload.fold("")(o => s""","overload":${o.toJson}""") + "}"
+
+    /** Ultra-compact per-rung record for the bench STDOUT line (the
+      * r17 verdict: per-rung stamps lived only in the detail file, so
+      * the official 40k-on-an-18.8k-predicted-window number could not
+      * adjudicate itself in the committed artifact). One array per
+      * probe + the record run: `[offered_eps, ok(0/1), seq-write MB/s,
+      * creates/s, predicted_eps]` — the same numbers the soak100_io
+      * stamps carry, at ~25 bytes/rung so the ~2 KB stdout budget
+      * holds.
+      */
+    def compactRungs(targetSec: Double = 5.0): String =
+      (probes :+ record).map { r =>
+        val io = r.ioProbe.getOrElse("[-1,-1,-1]")
+          .stripPrefix("[").stripSuffix("]").split(",")
+        val ok = if (r.sustained(targetSec)) 1 else 0
+        s"[${r.offeredEps.round},$ok," +
+          s"${io.lift(0).getOrElse("-1")},${io.lift(2).getOrElse("-1")}," +
+          s"${r.predictedMaxEps.getOrElse(-1)}]"
+      }.mkString("[", ",", "]")
+
+    /** The LIMITING rung (LAST failing probe — an early rung that failed
+      * on producer lag and passed its retry did not stop the climb —
+      * else the record run) and whether its own pre-stamps were
+      * degraded: "degraded" = the headline max-sustainable was set
+      * inside a window the stamps already disqualify; "healthy" = a real
+      * capacity reading; "underperformed_stamps" = the stamps read
+      * healthy but the sustained rate is under HALF what they predicted
+      * — mid-run degradation the stamps missed (e.g. an external load
+      * arriving after the pre-probe), named instead of silently quoted.
+      */
+    def windowVerdict(targetSec: Double = 5.0): String = {
+      val limiting = probes.filter(!_.sustained(targetSec)).lastOption
+        .getOrElse(record)
+      if (limiting.windowDegraded.contains(true)) "degraded"
+      else if (limiting.predictedMaxEps.exists(
+        _ >= 2 * math.max(1, maxSustainableEps))) "underperformed_stamps"
+      else "healthy"
+    }
   }
 
   /** Probe-backed capacity prediction: what should THIS window sustain?
@@ -447,7 +490,10 @@ object SustainedLoad {
       try run(spark, dir.toString, targetEps = eps, durationSec = dur,
         eventsPerFile = eventsPerFile, catchupTimeoutSec = catchupSec)
         .copy(ioProbe = Some(io.toJsonCompact), cpuProbe = Some(cpu.toJsonCompact),
-          predictedMaxEps = Some(predictMaxEps(cpu, io)))
+          predictedMaxEps = Some(predictMaxEps(cpu, io)),
+          windowDegraded = Some(
+            io.seqWriteMBps < 60.0 || io.smallCreatePerSec < 800.0 ||
+              cpu.singleMops < 400.0 || cpu.allCoreMops < 10000.0))
       finally rmTree(dir)
     }
 

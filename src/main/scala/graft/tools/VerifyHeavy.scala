@@ -59,12 +59,44 @@ object VerifyHeavy {
     // recursive iteration (the r15 x53 lesson, generalized). Keep them
     // in the drill so a regression re-surfaces here, not in a verdict.
     "x15_dedup_clusters", "x85_crossmodal_paired_dedup",
-    "x86_crossmodal_split_leakage", "x87_paired_survivorship")
+    "x86_crossmodal_split_leakage", "x87_paired_survivorship",
+    // r18: x88 composes THREE recursive closures (simhash + cosine +
+    // the pair-hub graph) — exactly the oracle class that exhausted
+    // DuckDB temp at sf1 until MATERIALIZED; x89's w/embq CTEs are the
+    // corpus-shaped join the alignment census rides
+    "x88_paired_split_producer", "x89_crossmodal_alignment")
+
+  /** Excluded from the seeded rotation: oracles DOCUMENTED as exceeding
+    * this machine at sf1 (x53's recursive replay needs >70 GB DuckDB
+    * temp — NOTES r15; it stays in the PINNED set where its expected
+    * disk failure is recorded, but a rotation draw must not read as a
+    * fresh regression).
+    */
+  val SampleDeny: Set[String] = Set("x53_quality_propagation")
+
+  /** Seeded per-round rotation (VERDICT r17 item 4): the static drill
+    * set let x15's latent sf1 oracle bomb sleep for five rounds — a
+    * random sample on top of the pins means every oracle query
+    * eventually gets a heavy drill. Deterministic per seed, recorded in
+    * the run log.
+    */
+  def rotationSample(seed: Long, n: Int): Seq[String] = {
+    val pool = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(DefaultNames.contains).filterNot(SampleDeny.contains)
+    new scala.util.Random(seed).shuffle(pool).take(n)
+  }
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("/tmp/verify_heavy")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
-    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(DefaultNames)
+    val pinned = args.lift(2).filter(_ != "-").map(_.split(",").toSeq)
+      .getOrElse(DefaultNames)
+    val seed = args.lift(3).map(_.toLong)
+    val sampleN = args.lift(4).map(_.toInt).getOrElse(7)
+    val sampled = seed.map(rotationSample(_, sampleN)).getOrElse(Seq.empty)
+    seed.foreach(sd => println(
+      s"[verify-heavy] rotation sample (seed=$sd): ${sampled.mkString(",")}"))
+    val names = (pinned ++ sampled).distinct
     val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(s"local[$cpus]", "graft-verify-heavy",

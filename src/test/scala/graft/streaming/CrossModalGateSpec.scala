@@ -189,4 +189,54 @@ class CrossModalGateSpec extends SparkSpec {
       .parquet(s"$root/out/quarantine_undecodable")
     assert(quar.filter(col("decode_error") === "null_text").count() === 3L)
   }
+
+  test("ST41 + x89: the alignment gate quarantines a planted mismatched " +
+    "pair (and an unscorable caption) before dedup, admits the aligned " +
+    "one, and the misaligned pair never reaches the index") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pg-align").toString
+    // frozen idf from a trusted corpus (the TopicDrift discipline)
+    val trusted = Seq((100L, "red apple fruit"), (200L, "blue car vehicle"))
+      .toDF("doc_id", "text")
+    val idf = graft.text.TextQueries.idfOf(trusted)
+    // plant embeddings FROM each caption's own hashed vector: parallel
+    // (agree = 1.0 exactly — integer wsum scales cancel) vs negated
+    // (agree = -1.0, the mismatch)
+    val w = graft.text.TextQueries.hashedWeightsOf(trusted, idf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def embFor(docId: Long, sign: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      w.filter(_._1 == docId).foreach { case (_, b, ws) =>
+        a(b.toInt) = sign * ws.toFloat
+      }
+      a
+    }
+    val gate = new CrossModalGate(
+      SnapshotTable.create(spark, s"$root/index"), s"$root/out",
+      alignIdf = Some(idf), minAgree = 0.25)
+    val b0 = Seq(
+      (1L, "red apple fruit", png(textured(0)), embFor(100L, 1.0f)),
+      (2L, "blue car vehicle", png(textured(31)), embFor(200L, -1.0f)),
+      (3L, "zz unknown words", png(textured(40)), embFor(100L, 1.0f)))
+      .toDF("pair_id", "text", "image", "embedding")
+    gate.processBatch(b0, 0L)
+    val a0 = gate.audit(spark).filter(col("batch_id") === 0).head()
+    assert(a0.getLong(a0.fieldIndex("n_misaligned")) === 2L,
+      "mismatch + unscorable must quarantine")
+    assert(a0.getLong(a0.fieldIndex("n_accepted")) === 1L)
+    assert(gate.accepted(spark).select("pair_id").as[Long].collect().toSeq
+      === Seq(1L))
+    val mis = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/out/quarantine_misaligned")
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("agree")))
+      .toMap
+    assert(mis(2L) === -1.0, s"planted mismatch score: $mis")
+    assert(mis(3L) === -2.0, "unscorable caption must read -2 (no frozen-vocab tokens)")
+    // the index holds ONLY the aligned pair — a mismatched caption can
+    // never become its image cluster's canonical
+    assert(SnapshotTable.create(spark, s"$root/index").read().count() === 1L)
+    // replay idempotence survives the extra gate
+    gate.processBatch(b0, 0L)
+    assert(gate.accepted(spark).count() === 1L)
+  }
 }

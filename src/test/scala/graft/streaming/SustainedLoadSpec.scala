@@ -30,4 +30,34 @@ class SustainedLoadSpec extends SparkSpec {
     assert(r.e2e.nonEmpty && r.p95 > 0,
       "visibility crossings must produce e2e samples")
   }
+
+  test("sweep self-adjudication: every rung carries its pre-run stamps, " +
+    "compactRungs is [eps, ok, seqw, creates, predicted] per rung, and " +
+    "the window verdict names the limiting rung's health") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    val s = SustainedLoad.sweep(spark, base,
+      ladderEps = Seq(1000, 2000), probeSec = 4, recordSec = 6,
+      overloadEps = 0, eventsPerFile = 500)
+    assert(s.maxSustainableEps >= 1000,
+      s"test-sized rate unsustainable: ${s.maxSustainableEps}")
+    (s.probes :+ s.record).foreach { r =>
+      assert(r.ioProbe.isDefined && r.cpuProbe.isDefined &&
+        r.predictedMaxEps.isDefined && r.windowDegraded.isDefined,
+        "every rung must stamp its own window")
+    }
+    val rungs = s.compactRungs()
+    // shape: [[eps,ok,seqw,creates,predicted],...] — one entry per probe
+    // + the record run, all numeric (the compact stdout line embeds this
+    // verbatim, so a malformed entry would corrupt the driver's parse)
+    val entries = rungs.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+    assert(entries.length === s.probes.length + 1, rungs)
+    entries.foreach { e =>
+      val parts = e.split(",")
+      assert(parts.length === 5, s"rung entry not 5 fields: [$e]")
+      parts.foreach(p => assert(p.matches("-?\\d+"), s"non-numeric: $p in $rungs"))
+      assert(parts(1) == "0" || parts(1) == "1")
+    }
+    assert(Set("healthy", "degraded", "underperformed_stamps")
+      .contains(s.windowVerdict()), s.windowVerdict())
+  }
 }
