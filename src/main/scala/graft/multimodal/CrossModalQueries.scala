@@ -573,6 +573,136 @@ object CrossModalQueries {
             |       CAST(count(*) AS BIGINT) AS n_pairs
             |FROM agr GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** X90 — cross-modal RETRIEVAL eval: does the caption actually
+    * retrieve its own image? x65 evaluates text→text retrieval; the
+    * paired corpus's end-use is text→image (CLIP-style zero-shot
+    * retrieval — Radford et al. 2021 report R@1/R@5/R@10 on
+    * caption→image search as THE quality metric of an aligned pair
+    * corpus). For a bounded sample of query captions (every 101st
+    * doc_id, capped at 100 — the x67 anchor discipline: the eval batch
+    * is bounded at ANY corpus size), every image in the corpus is
+    * scored with the same exact fixed-point cosine as x89, and the rank
+    * of the TRUE paired image (tie-break: smaller vec_id wins) is the
+    * per-query verdict; hit1/hit10 are the recall@k indicators a
+    * release gate thresholds on. Low mean agreement with high true-rank
+    * = captions too generic to separate images (x89 can't see this —
+    * its census is marginal, not contrastive).
+    *
+    * Scale posture: queries are broadcast as dense 64-long vectors
+    * (bounded by the cap); the image side streams through ONE
+    * `graft_dot_long` codegen pass (no explode of the corpus against
+    * queries, no shuffle of the Q×N product — the per-pair dot happens
+    * map-side under whole-stage codegen, x67's shape); the rank is a
+    * count-better-than aggregate against the broadcast truth row, not a
+    * window over the Q×N frame.
+    */
+  /** The x90 core over prepared frames: `qvecs` = (q_doc, qarr: 64
+    * longs, tss), `imgs` = (vec_id, iarr: 64 longs, iss). Truth = the
+    * image whose vec_id equals the query's doc_id (queries without one
+    * drop — only PAIRED captions are evaluable). Factored so planted
+    * integer fixtures drive the exact production join shape. Callers
+    * ensure [[graft.GraftExtensions]] is registered.
+    */
+  private[graft] def retrievalRanks(qvecs: DataFrame, imgs: DataFrame)
+      : DataFrame = {
+    val truth = imgs.join(broadcast(qvecs), col("vec_id") === col("q_doc"))
+      .withColumn("dot", call_function("graft_dot_long",
+        col("iarr"), col("qarr")))
+      .select(col("q_doc").as("tq"),
+        (col("dot").cast("double") /
+          (sqrt(col("tss").cast("double")) * sqrt(col("iss").cast("double"))))
+          .as("agree_true"))
+    // ONE pass of the image corpus against the broadcast queries;
+    // count-better-than replaces a rank window over Q×N rows. Exact
+    // double compares: dot/√·√ is correctly-rounded IEEE on both
+    // engines, so ties are exact and the vec_id tie-break is total.
+    val better = imgs.crossJoin(broadcast(qvecs))
+      .withColumn("dot", call_function("graft_dot_long",
+        col("iarr"), col("qarr")))
+      .withColumn("agree", col("dot").cast("double") /
+        (sqrt(col("tss").cast("double")) * sqrt(col("iss").cast("double"))))
+      .join(broadcast(truth), col("q_doc") === col("tq"))
+      .filter(col("agree") > col("agree_true") ||
+        (col("agree") === col("agree_true") && col("vec_id") < col("tq")))
+      .groupBy(col("q_doc")).agg(count(lit(1)).as("n_better"))
+    truth.select(col("tq").as("pair_id"), col("agree_true"))
+      .join(better.withColumnRenamed("q_doc", "pair_id"),
+        Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        (coalesce(col("n_better"), lit(0L)) + 1L).as("true_rank"),
+        (coalesce(col("n_better"), lit(0L)) === 0L).as("hit1"),
+        (coalesce(col("n_better"), lit(0L)) < 10L).as("hit10"),
+        col("agree_true"))
+      .orderBy("pair_id")
+  }
+
+  val x90CrossModalRetrieval = QueryDef(
+    "x90_crossmodal_retrieval_eval",
+    "text→image retrieval eval: exact rank of the true paired image per sampled caption + recall@1/@10 flags",
+    (s, d) => {
+      graft.GraftExtensions.ensure(s)
+      val w = graft.text.TextQueries.hashedWeights(s, d)
+      // dense caption vectors for the sampled queries (bounded: % 101,
+      // LIMIT 100 — the mining-batch cap)
+      val qvecs = w.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("bucket"), col("wsum"))).as("bw"),
+          sum(col("wsum") * col("wsum")).as("tss"))
+        .withColumn("qarr", expr(
+          "transform(sequence(0L, 63L), b -> " +
+            "coalesce(element_at(map_from_entries(bw), b), 0L))"))
+        .orderBy("doc_id").limit(100)
+        .select(col("doc_id").as("q_doc"), col("qarr"), col("tss"))
+      // image vectors: the x89 quantization (floor(v·1e8)) kept DENSE —
+      // |qv| ≤ 2·10⁸ × |wsum| ≲ 10⁸ over 64 buckets keeps the dot well
+      // inside long range (same envelope as x89's alignmentScores)
+      val imgs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1e8) AS LONG))")
+          .as("iarr"))
+        .withColumn("iss", expr("aggregate(iarr, 0L, (a, x) -> a + x * x)"))
+      retrievalRanks(qvecs, imgs)
+    },
+    Some(s"""WITH ${graft.text.TextQueries.hashedWeightsSql},
+            |embq AS MATERIALIZED (
+            |  SELECT vec_id, i - 1 AS bucket,
+            |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000000.0)
+            |           AS BIGINT) AS qv
+            |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+            |tnrm AS (SELECT doc_id, CAST(sum(wsum * wsum) AS BIGINT) AS tss
+            |         FROM w GROUP BY 1),
+            |inrm AS MATERIALIZED (
+            |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS iss
+            |  FROM embq GROUP BY 1),
+            |anch AS MATERIALIZED (
+            |  SELECT doc_id AS q_doc, tss FROM tnrm
+            |  WHERE doc_id % 101 = 0 ORDER BY doc_id LIMIT 100),
+            |wq AS (SELECT q_doc, bucket, wsum FROM w
+            |       JOIN anch ON w.doc_id = anch.q_doc),
+            |dots AS MATERIALIZED (
+            |  SELECT q_doc, vec_id, CAST(sum(qv * wsum) AS BIGINT) AS dot
+            |  FROM embq JOIN wq USING (bucket) GROUP BY 1, 2),
+            |allp AS (
+            |  SELECT a.q_doc, n.vec_id,
+            |         CAST(coalesce(d.dot, 0) AS DOUBLE) /
+            |           (sqrt(CAST(a.tss AS DOUBLE)) * sqrt(CAST(n.iss AS DOUBLE)))
+            |           AS agree
+            |  FROM anch a CROSS JOIN inrm n
+            |       LEFT JOIN dots d ON d.q_doc = a.q_doc AND d.vec_id = n.vec_id),
+            |tru AS (SELECT q_doc AS pair_id, agree AS agree_true
+            |        FROM allp WHERE q_doc = vec_id),
+            |rk AS (
+            |  SELECT t.pair_id, t.agree_true,
+            |         CAST(count(*) FILTER (WHERE p.agree > t.agree_true OR
+            |           (p.agree = t.agree_true AND p.vec_id < t.pair_id))
+            |           AS BIGINT) AS n_better
+            |  FROM tru t JOIN allp p ON p.q_doc = t.pair_id
+            |  GROUP BY 1, 2)
+            |SELECT pair_id, n_better + 1 AS true_rank,
+            |       n_better = 0 AS hit1, n_better < 10 AS hit10, agree_true
+            |FROM rk ORDER BY pair_id""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(x85CrossModalPairs, x86CrossModalSplitLeakage,
-    x87PairedSurvivorship, x88PairedSplitProducer, x89CrossModalAlignment)
+    x87PairedSurvivorship, x88PairedSplitProducer, x89CrossModalAlignment,
+    x90CrossModalRetrieval)
 }

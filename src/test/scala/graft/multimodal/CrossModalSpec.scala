@@ -234,4 +234,53 @@ class CrossModalSpec extends SparkSpec {
       assert(r.getLong(1) > 0L)
     }
   }
+
+  test("x90 retrieval ranks: planted aligned pair ranks 1; a scaled " +
+    "duplicate image ties exactly and the smaller vec_id wins; " +
+    "unpaired queries drop") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    def arr(vals: (Int, Long)*): Array[Long] = {
+      val a = Array.fill(64)(0L)
+      vals.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    def ss(a: Array[Long]): Long = a.map(x => x * x).sum
+    // queries: q5 = e0, q9 = e1, q11 has no paired image (must drop)
+    val q5 = arr(0 -> 1L); val q9 = arr(1 -> 1L); val q11 = arr(2 -> 1L)
+    val qvecs = Seq((5L, q5, ss(q5)), (9L, q9, ss(q9)), (11L, q11, ss(q11)))
+      .toDF("q_doc", "qarr", "tss")
+    // images: v1 = 2·e0 (scaled dup of q5's true image — cosine ties at
+    // 1.0 exactly), v5 = e0 (true for q5), v7 = e0+e1 (cos 1/√2 to
+    // both), v9 = e1 (true for q9)
+    val imgs = Seq(
+      (1L, arr(0 -> 2L)), (5L, arr(0 -> 1L)),
+      (7L, arr(0 -> 1L, 1 -> 1L)), (9L, arr(1 -> 1L)))
+      .map { case (id, a) => (id, a, ss(a)) }
+      .toDF("vec_id", "iarr", "iss")
+    val out = CrossModalQueries.retrievalRanks(qvecs, imgs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getDouble(4)))).toMap
+    // q5: v1 ties agree=1.0, vec_id 1 < 5 counts as better → rank 2
+    assert(out(5L) === ((2L, false, true, 1.0)), s"q5: ${out(5L)}")
+    // q9: own image is the unique cosine-1 → rank 1
+    assert(out(9L) === ((1L, true, true, 1.0)), s"q9: ${out(9L)}")
+    assert(!out.contains(11L), "unpaired query must drop")
+  }
+
+  test("x90 engine query on sf0.001: one row per paired sampled caption, " +
+    "ranks within [1, n_images], flags consistent") {
+    import spark.implicits._
+    val rows = CrossModalQueries.x90CrossModalRetrieval.run(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nImg = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    rows.foreach { r =>
+      val (rank, h1, h10) =
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))
+      assert(rank >= 1L && rank <= nImg, s"rank out of range: $r")
+      assert(h1 === (rank == 1L) && h10 === (rank <= 10L), s"flags: $r")
+      assert(r.getLong(0) % 101 === 0L)
+    }
+  }
 }
