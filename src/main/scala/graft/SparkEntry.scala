@@ -26,6 +26,7 @@ object SparkEntry {
       similarity.SpectralQueries.defs ++
       text.TextQueries.defs ++
       text.CurationQueries.defs ++
+      text.TrainedFilter.defs ++
       quality.PiiQueries.defs ++
       quality.ContractQueries.defs ++
       lakehouse.LayoutQueries.defs ++
