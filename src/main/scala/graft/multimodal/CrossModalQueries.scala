@@ -625,8 +625,10 @@ object CrossModalQueries {
       .filter(col("agree") > col("agree_true") ||
         (col("agree") === col("agree_true") && col("vec_id") < col("tq")))
       .groupBy(col("q_doc")).agg(count(lit(1)).as("n_better"))
+    // better is ≤ Q rows post-agg — tiny BY CONSTRUCTION but invisible
+    // to Catalyst behind the aggregate (the r13 post-agg broadcast rule)
     truth.select(col("tq").as("pair_id"), col("agree_true"))
-      .join(better.withColumnRenamed("q_doc", "pair_id"),
+      .join(broadcast(better.withColumnRenamed("q_doc", "pair_id")),
         Seq("pair_id"), "left")
       .select(col("pair_id"),
         (coalesce(col("n_better"), lit(0L)) + 1L).as("true_rank"),
@@ -638,7 +640,7 @@ object CrossModalQueries {
 
   val x90CrossModalRetrieval = QueryDef(
     "x90_crossmodal_retrieval_eval",
-    "text→image retrieval eval: exact rank of the true paired image per sampled caption + recall@1/@10 flags",
+    "text-to-image retrieval eval: exact rank of the true paired image per sampled caption + recall@1/@10 flags",
     (s, d) => {
       graft.GraftExtensions.ensure(s)
       val w = graft.text.TextQueries.hashedWeights(s, d)

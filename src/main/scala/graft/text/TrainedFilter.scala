@@ -81,6 +81,11 @@ object TrainedFilter {
     import s.implicits._
     val f = feat.select(col("doc_id"), col("y").cast("long"),
       col("bucket").cast("long"), col("x").cast("long"))
+      // hash-partitioned by doc_id ONCE, then materialized: the margin
+      // agg (doc_id, y), the miss filter, and the miss join are all
+      // co-keyed with it, so every epoch after this runs exchange-free
+      // on the doc side — ONE corpus shuffle total, not one per epoch
+      .repartition(col("doc_id"))
       .localCheckpoint() // read 2+2·epochs times: truncate the prep DAG
     // global centering stats: per-bucket integer mean μ[b] over the
     // TRAINING population (docs present in feat) — ≤ 64 rows + 2 counts

@@ -24,6 +24,7 @@ object Catalog {
     "similarity.SpectralQueries" -> graft.similarity.SpectralQueries.defs,
     "text.TextQueries" -> graft.text.TextQueries.defs,
     "text.CurationQueries" -> graft.text.CurationQueries.defs,
+    "text.TrainedFilter" -> graft.text.TrainedFilter.defs,
     "quality.PiiQueries" -> graft.quality.PiiQueries.defs,
     "quality.ContractQueries" -> graft.quality.ContractQueries.defs,
     "lakehouse.LayoutQueries" -> graft.lakehouse.LayoutQueries.defs,

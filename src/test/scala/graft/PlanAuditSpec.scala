@@ -625,4 +625,35 @@ class PlanAuditSpec extends SparkSpec {
       assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
     }
   }
+
+  test("x90 retrieval eval: queries broadcast onto the image stream " +
+    "(BNLJ is the INTENDED shape: bounded Q, corpus streams once), " +
+    "no sort-merge join anywhere") {
+    val plan = graft.SparkEntry.queries("x90_crossmodal_retrieval_eval")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"x90 lost its broadcast query-set cross join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"x90 grew a corpus-shaped sort-merge join:\n$plan")
+  }
+
+  test("r18 shuffle-record ceilings (x90 retrieval eval, x91 perceptron)") {
+    val ceilings = Seq(
+      // x90: the Q×N scored pass is map-side (broadcast queries, codegen
+      // dot, broadcast post-agg rank counts) — shuffled rows are the
+      // memoized-qvec scan partials only (measured 15 at sf0.001)
+      "x90_crossmodal_retrieval_eval" -> 300L,
+      // x91: dominated by the ONE-TIME feature prep (w ⋈ totals ⋈
+      // labels) + the single doc_id repartition the epochs then reuse
+      // exchange-free; each epoch adds only combinable margin/update
+      // partials (the miss side broadcasts at small SF, co-keyed at
+      // scale). Feature-frame-linear, NEVER epochs × corpus
+      // (measured 33,567 at sf0.001 ≈ 2.4× the feat rows; cap ~2x)
+      "x91_perceptron_filter" -> 70000L)
+    for ((q, cap) <- ceilings) {
+      val rec = shuffleRecordsOf(q)
+      info(s"$q shuffled $rec records (cap $cap)")
+      assert(rec >= 0 && rec <= cap, s"$q shuffled $rec records (cap $cap)")
+    }
+  }
 }
