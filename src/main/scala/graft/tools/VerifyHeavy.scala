@@ -67,12 +67,13 @@ object VerifyHeavy {
     "x88_paired_split_producer", "x89_crossmodal_alignment")
 
   /** Excluded from the seeded rotation: oracles DOCUMENTED as exceeding
-    * this machine at sf1 (x53's recursive replay needs >70 GB DuckDB
-    * temp — NOTES r15; it stays in the PINNED set where its expected
-    * disk failure is recorded, but a rotation draw must not read as a
-    * fresh regression).
+    * this machine at sf1. Empty since r18 — x53's recursive replay
+    * (the one historical entry: >70 GB DuckDB temp, NOTES r15) passes
+    * clean after the r17 MATERIALIZED-CTE oracle fix (r18 drill: 50k
+    * rows OK at sf1), so nothing is denied; the hook stays for the next
+    * genuinely machine-bound oracle.
     */
-  val SampleDeny: Set[String] = Set("x53_quality_propagation")
+  val SampleDeny: Set[String] = Set.empty
 
   /** Seeded per-round rotation (VERDICT r17 item 4): the static drill
     * set let x15's latent sf1 oracle bomb sleep for five rounds — a
