@@ -697,7 +697,12 @@ object Bench {
           // 2,145-long accumulator per label per partition — the soak
           // shows the merge staying (labels × 2,145)-bounded while the
           // scan scales
-          "x84_family_spectra")
+          "x84_family_spectra",
+          // x91 joined in r18: the in-plan training loop — the soak
+          // shows each epoch staying feature-frame-linear (one corpus
+          // repartition total, combinable margin/update partials) while
+          // the model state stays 64-bucket-bounded at any corpus size
+          "x91_perceptron_filter")
         val soakRows = soakNames.map { n =>
           // same-phase sf0.1 re-quote (PlanCache-warm, like the median)
           val rq = runMeasured(n, sfDir)

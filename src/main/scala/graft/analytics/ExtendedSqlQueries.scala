@@ -2085,6 +2085,122 @@ object ExtendedSqlQueries {
            |FROM lags lg LEFT JOIN c USING (lag_days)
            |ORDER BY lg.lag_days""".stripMargin))
 
+  /** The e15 driver fold: `(duration, n_at_risk, n_events)` event rows
+    * → Kaplan–Meier survival in 1e12 fixed point. Per-step floor with a
+    * BigInt intermediate (S·(n−e) at 10¹⁰ customers overflows long; the
+    * floored result always fits). Exposed for the spec's hand-computed
+    * fixtures.
+    */
+  private[analytics] def kmFold(rows: Seq[(Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long)] = {
+    var s = BigInt(1000000000000L)
+    rows.sortBy(_._1).map { case (dur, n, e) =>
+      s = s * (n - e) / n // nonneg BigInt division = floor, ≡ HUGEINT //
+      (dur, n, e, s.toLong)
+    }
+  }
+
+  /** E15 — customer-retention survival curve: Kaplan–Meier product-limit
+    * (Kaplan & Meier 1958) over customer lifetimes with right-censoring —
+    * the retention analytics a warehouse team ships next to cohort KPIs,
+    * and the one the naive "fraction still active after d days" gets
+    * WRONG because it throws censored customers away. Churn event = no
+    * order in the final 90 days of the corpus; lifetime = first→last
+    * order for churned customers, first→corpus-end for censored ones
+    * (they are known alive THROUGH the observation end, and the product-
+    * limit uses exactly that information: they leave the risk set at
+    * their censoring day without contributing an event).
+    *
+    * Exactness discipline: S_i = ⌊S_{i-1}·(n_i−e_i)/n_i⌋ in 1e12 units
+    * (the x72 fixed-point-iteration rule — per-step floor makes the
+    * chain bit-identical across engines and partitionings); the oracle
+    * replays it as a recursive CTE in HUGEINT.
+    *
+    * Scale posture: per-customer min/max is one combinable agg; the
+    * at-risk window and the driver fold run over the CALENDAR-BOUNDED
+    * per-duration frame (≤ corpus span in days — the a13/e14 bounded-
+    * frame precedent), never customer-sized.
+    */
+  val e15RetentionSurvival = QueryDef(
+    "e15_retention_survival",
+    "Kaplan-Meier retention curve: exact fixed-point product-limit over churn events, right-censored at corpus end",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.load(s, d, "orders")
+      val mx = orders.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val pc = orders.groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("f"),
+          to_date(max(col("o_orderdate"))).as("l"))
+        .crossJoin(broadcast(mx))
+        .select(
+          when(datediff(col("mx"), col("l")) > 90, 1L).otherwise(0L)
+            .as("churned"),
+          when(datediff(col("mx"), col("l")) > 90,
+            datediff(col("l"), col("f")).cast("long"))
+            .otherwise(datediff(col("mx"), col("f")).cast("long")).as("dur"))
+      val perDay = pc.groupBy("dur")
+        .agg(sum(col("churned")).as("ev"),
+          sum(lit(1L) - col("churned")).as("cen"))
+      val tot = pc.agg(count(lit(1)).as("n"))
+      // unpartitioned window over the calendar-bounded per-day frame
+      val w = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val events = perDay.crossJoin(broadcast(tot))
+        .withColumn("n_at_risk", col("n") -
+          coalesce(sum(col("ev") + col("cen")).over(w), lit(0L)))
+        .filter(col("ev") > 0)
+        .select("dur", "n_at_risk", "ev")
+        .collect() // bounded by the calendar: O(distinct durations)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val rows = kmFold(events).map { case (dur, n, e, sv) =>
+        org.apache.spark.sql.Row(dur, n, e, sv)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("duration_days", "n_at_risk", "n_events", "survival_1e12")
+          .map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("duration_days")
+    },
+    Some("""WITH RECURSIVE pc AS (
+           |  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+           |         CAST(max(o_orderdate) AS DATE) AS l
+           |  FROM orders GROUP BY 1),
+           |mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS m FROM orders),
+           |fl AS (
+           |  SELECT CASE WHEN date_diff('day', l, m) > 90 THEN 1 ELSE 0 END
+           |           AS churned,
+           |         CAST(CASE WHEN date_diff('day', l, m) > 90
+           |              THEN date_diff('day', f, l)
+           |              ELSE date_diff('day', f, m) END AS BIGINT) AS dur
+           |  FROM pc CROSS JOIN mx),
+           |pd AS (SELECT dur, CAST(sum(churned) AS BIGINT) AS ev,
+           |              CAST(sum(1 - churned) AS BIGINT) AS cen
+           |       FROM fl GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fl),
+           |ar AS MATERIALIZED (
+           |  SELECT dur, ev,
+           |         (SELECT n FROM tot) - CAST(coalesce(sum(ev + cen) OVER
+           |           (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+           |            AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+           |  FROM pd),
+           |ed AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS i,
+           |         dur, n_at_risk, ev
+           |  FROM ar WHERE ev > 0),
+           |km AS (
+           |  SELECT i, dur, n_at_risk, ev,
+           |         CAST(1000000000000 AS HUGEINT) * (n_at_risk - ev)
+           |           // n_at_risk AS sv
+           |  FROM ed WHERE i = 1
+           |  UNION ALL
+           |  SELECT e.i, e.dur, e.n_at_risk, e.ev,
+           |         k.sv * (e.n_at_risk - e.ev) // e.n_at_risk
+           |  FROM km k JOIN ed e ON e.i = k.i + 1)
+           |SELECT dur AS duration_days, n_at_risk, ev AS n_events,
+           |       CAST(sv AS BIGINT) AS survival_1e12
+           |FROM km ORDER BY duration_days""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
@@ -2093,5 +2209,6 @@ object ExtendedSqlQueries {
     e8OrderedListagg, e11CusumChangepoint, e12CusumPerKey,
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow, q19LDiversityTCloseness,
-    e13SeasonalForecast, e14Autocorrelation, q22SrmAudit)
+    e13SeasonalForecast, e14Autocorrelation, q22SrmAudit,
+    e15RetentionSurvival)
 }
