@@ -2201,6 +2201,175 @@ object ExtendedSqlQueries {
            |       CAST(sv AS BIGINT) AS survival_1e12
            |FROM km ORDER BY duration_days""".stripMargin))
 
+  /** The e16 driver fold: pooled per-event-day rows
+    * `(n_i, na_i, d_i, da_i)` → the log-rank statistic in scaled
+    * integers. Per-day floors (quantized at 1e6) keep every term inside
+    * bounded magnitudes at ANY corpus size: e6 ≤ d·10⁶, t1 ≤ d·10⁶,
+    * t2 ≤ 2.5·10⁵ (the nA(n−nA)/n² ≤ ¼ bound), so v12 = t1·t2 and the
+    * final (O6−E6)²·10⁴ all fit HUGEINT even at 10¹⁰ customers — the
+    * reordering that makes the 128-bit oracle replay possible.
+    * Returns (o_a, e_a_1e6, var_1e12, chi2_1e4).
+    */
+  private[analytics] def logRankFold(rows: Seq[(Long, Long, Long, Long)])
+      : (Long, Long, Long, Long) = {
+    var o = BigInt(0); var e6 = BigInt(0); var v12 = BigInt(0)
+    rows.foreach { case (n, na, d, da) =>
+      if (d > 0 && n > 0) {
+        o += da
+        e6 += BigInt(d) * na * 1000000L / n
+        if (n > 1) {
+          val t1 = BigInt(d) * (n - d) * 1000000L / (n - 1)
+          val t2 = BigInt(na) * (n - na) * 1000000L / (BigInt(n) * n)
+          v12 += t1 * t2
+        }
+      }
+    }
+    val diff = o * 1000000L - e6
+    val chi2 = if (v12 > 0) diff * diff * 10000L / v12 else BigInt(0)
+    (o.toLong, e6.toLong, v12.toLong, chi2.toLong)
+  }
+
+  /** E16 — log-rank cohort retention comparison (Mantel 1966): do two
+    * customer cohorts churn at the same rate? The A/B answer e15's
+    * single curve cannot give — comparing final survival points ignores
+    * WHEN the curves separate; the log-rank statistic accumulates
+    * observed-minus-expected events over every pooled event day with
+    * the hypergeometric variance, censoring handled exactly as in e15.
+    * Cohorts: BUILDING-segment customers vs the rest.
+    *
+    * Scale posture: one per-customer combinable agg ⋈ broadcast segment
+    * map; per-group at-risk from a grp-partitioned window over the
+    * calendar-bounded per-day frame; the fold runs on the driver over
+    * pooled event days (bounded). χ²·10⁴ against the 3.841 critical
+    * value (1 df, α=0.05), q22's convention.
+    */
+  val e16LogRankCohorts = QueryDef(
+    "e16_logrank_cohorts",
+    "log-rank test between customer cohorts: exact scaled O-E/variance fold over pooled churn days",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val orders = Tables.load(s, d, "orders")
+      val mx = orders.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val seg = Tables.load(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("grp"))
+      val pc = orders.groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("f"),
+          to_date(max(col("o_orderdate"))).as("l"))
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mx))
+        .select(col("grp"),
+          when(datediff(col("mx"), col("l")) > 90, 1L).otherwise(0L)
+            .as("churned"),
+          when(datediff(col("mx"), col("l")) > 90,
+            datediff(col("l"), col("f")).cast("long"))
+            .otherwise(datediff(col("mx"), col("f")).cast("long")).as("dur"))
+      val pd = pc.groupBy("dur", "grp")
+        .agg(sum(col("churned")).as("ev"),
+          sum(lit(1L) - col("churned")).as("cen"))
+      // zero-filled (day × grp) grid so the per-group cumulative window
+      // sees every pooled day — calendar-bounded on both axes
+      val grid = pd.select("dur").distinct()
+        .crossJoin(broadcast(Seq(0L, 1L).toDF("grp")))
+      val tots = pc.groupBy("grp").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("grp").orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ar = grid.join(pd, Seq("dur", "grp"), "left")
+        .select(col("dur"), col("grp"),
+          coalesce(col("ev"), lit(0L)).as("ev"),
+          coalesce(col("cen"), lit(0L)).as("cen"))
+        .join(broadcast(tots), Seq("grp"))
+        .withColumn("nr", col("n") -
+          coalesce(sum(col("ev") + col("cen")).over(w), lit(0L)))
+      val pooled = ar.groupBy("dur")
+        .agg(sum(col("nr")).as("n_i"),
+          sum(when(col("grp") === 1L, col("nr")).otherwise(0L)).as("na"),
+          sum(col("ev")).as("d_i"),
+          sum(when(col("grp") === 1L, col("ev")).otherwise(0L)).as("da"))
+        .filter(col("d_i") > 0)
+        .collect() // bounded by the calendar: O(pooled event days)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      val totals = tots.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (o, e6, v12, chi2) = logRankFold(pooled)
+      Seq((totals.getOrElse(1L, 0L), totals.getOrElse(0L, 0L), o, e6, v12,
+        chi2, chi2 > 38410L))
+        .toDF("n_cohort_a", "n_cohort_b", "o_a", "e_a_1e6", "var_1e12",
+          "chi2_1e4", "curves_differ")
+    },
+    Some("""WITH pc AS (
+           |  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+           |         CAST(max(o_orderdate) AS DATE) AS l
+           |  FROM orders GROUP BY 1),
+           |mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS m FROM orders),
+           |seg AS (SELECT c_custkey,
+           |          CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+           |            AS grp
+           |        FROM customer),
+           |fl AS (
+           |  SELECT s.grp,
+           |         CASE WHEN date_diff('day', l, m) > 90 THEN 1 ELSE 0 END
+           |           AS churned,
+           |         CAST(CASE WHEN date_diff('day', l, m) > 90
+           |              THEN date_diff('day', f, l)
+           |              ELSE date_diff('day', f, m) END AS BIGINT) AS dur
+           |  FROM pc JOIN seg s ON s.c_custkey = pc.o_custkey CROSS JOIN mx),
+           |pd AS (SELECT dur, grp, CAST(sum(churned) AS BIGINT) AS ev,
+           |              CAST(sum(1 - churned) AS BIGINT) AS cen
+           |       FROM fl GROUP BY 1, 2),
+           |grid AS (SELECT d.dur, g.grp
+           |         FROM (SELECT DISTINCT dur FROM pd) d
+           |         CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
+           |                            (CAST(1 AS BIGINT))) g(grp)),
+           |tots AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+           |         FROM fl GROUP BY 1),
+           |ar AS (
+           |  SELECT g.dur, g.grp, coalesce(p.ev, 0) AS ev,
+           |         t.n - CAST(coalesce(sum(coalesce(p.ev, 0) +
+           |             coalesce(p.cen, 0)) OVER
+           |           (PARTITION BY g.grp ORDER BY g.dur
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS nr
+           |  FROM grid g LEFT JOIN pd p ON p.dur = g.dur AND p.grp = g.grp
+           |       JOIN tots t ON t.grp = g.grp),
+           |pooled AS MATERIALIZED (
+           |  SELECT dur, CAST(sum(nr) AS BIGINT) AS n_i,
+           |         CAST(sum(CASE WHEN grp = 1 THEN nr ELSE 0 END) AS BIGINT)
+           |           AS na,
+           |         CAST(sum(ev) AS BIGINT) AS d_i,
+           |         CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+           |           AS da
+           |  FROM ar GROUP BY 1),
+           |terms AS (
+           |  SELECT da,
+           |         CAST(d_i AS HUGEINT) * na * 1000000 // n_i AS e6,
+           |         CASE WHEN n_i > 1 THEN
+           |           (CAST(d_i AS HUGEINT) * (n_i - d_i) * 1000000
+           |              // (n_i - 1)) *
+           |           (CAST(na AS HUGEINT) * (n_i - na) * 1000000
+           |              // (CAST(n_i AS HUGEINT) * n_i))
+           |         ELSE CAST(0 AS HUGEINT) END AS v12
+           |  FROM pooled WHERE d_i > 0 AND n_i > 0),
+           |agg AS (SELECT CAST(coalesce(sum(da), 0) AS HUGEINT) AS o,
+           |               CAST(coalesce(sum(e6), 0) AS HUGEINT) AS e6,
+           |               CAST(coalesce(sum(v12), 0) AS HUGEINT) AS v12
+           |        FROM terms),
+           |chi AS (SELECT o, e6, v12,
+           |          CASE WHEN v12 > 0 THEN
+           |            (o * 1000000 - e6) * (o * 1000000 - e6) * 10000 // v12
+           |          ELSE CAST(0 AS HUGEINT) END AS chi2
+           |        FROM agg)
+           |SELECT
+           |  (SELECT n FROM tots WHERE grp = 1) AS n_cohort_a,
+           |  (SELECT n FROM tots WHERE grp = 0) AS n_cohort_b,
+           |  CAST(o AS BIGINT) AS o_a, CAST(e6 AS BIGINT) AS e_a_1e6,
+           |  CAST(v12 AS BIGINT) AS var_1e12,
+           |  CAST(chi2 AS BIGINT) AS chi2_1e4,
+           |  chi2 > 38410 AS curves_differ
+           |FROM chi""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(e1Rollup, e2IntersectExcept,
     e3NtileCumeDist, w8MovingAvg, e4Pivot, e5Unpivot, e6Cube,
     e7GroupingSets, w9FirstLast, q7OutlierDays, q8KAnonymity,
@@ -2210,5 +2379,5 @@ object ExtendedSqlQueries {
     e9RecursiveMonthSpine, e10GapFill, w11SessionPaths,
     st1SessionsBatch, st10SessionWindow, q19LDiversityTCloseness,
     e13SeasonalForecast, e14Autocorrelation, q22SrmAudit,
-    e15RetentionSurvival)
+    e15RetentionSurvival, e16LogRankCohorts)
 }

@@ -29,6 +29,32 @@ class RetentionSurvivalSpec extends SparkSpec {
     assert(ExtendedSqlQueries.kmFold(Nil) === Nil)
   }
 
+  test("e16 logRankFold: hand-computed O/E/V on a 4-customer example, " +
+    "and a planted fast-churning cohort flags while a balanced one " +
+    "does not") {
+    // day 1: n=4 (2 in A), both events from A; day 2: n=2 (0 in A),
+    // 1 event from B. E_A = 2·2/4 = 1.0; O_A = 2;
+    // V = [2·2·(4−2)·10⁶/((4−1)·16)]·… → t1 = 2·2·10⁶/3 = 1333333,
+    // t2 = 2·2·10⁶/16 = 250000 → v12 = 333333250000; day-2 t2 = 0.
+    // χ²·10⁴ = (10⁶)²·10⁴ // 333333250000 = 30000 (χ² = 3.0)
+    val (o, e6, v12, chi2) = ExtendedSqlQueries.logRankFold(
+      Seq((4L, 2L, 2L, 2L), (2L, 0L, 1L, 0L)))
+    assert((o, e6, v12) === ((2L, 1000000L, 333333250000L)))
+    assert(chi2 === 30000L, s"chi2=$chi2")
+    // planted power check: cohort A (100) all churns by day 10 while
+    // B (100) survives to day 100 — the statistic must scream
+    val fast = (1L to 10L).map(day =>
+      (200L - (day - 1) * 10, 100L - (day - 1) * 10, 10L, 10L)) :+
+      (100L, 0L, 100L, 0L)
+    val loud = ExtendedSqlQueries.logRankFold(fast)._4
+    assert(loud > 38410L, s"planted separation must flag: $loud")
+    // balanced: both cohorts churn identically → O ≈ E, below critical
+    val same = (1L to 10L).map(day =>
+      (200L - (day - 1) * 20, 100L - (day - 1) * 10, 20L, 10L))
+    val quiet = ExtendedSqlQueries.logRankFold(same)._4
+    assert(quiet < 38410L, s"identical curves must not flag: $quiet")
+  }
+
   test("engine query on sf0.001: monotone nonincreasing survival, " +
     "risk set bounded by total customers, ordered event days") {
     val rows = ExtendedSqlQueries.e15RetentionSurvival.run(spark, sfDir)
