@@ -638,6 +638,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("r18 shuffle-record ceilings (x90 retrieval eval, x91 perceptron)") {
+    // warm the shared x43-w weight memo first: suite order must not
+    // decide whether a ceiling sees the one-time memo build (~33k
+    // records) or the query's own marginal work — the pin targets the
+    // marginal shape
+    SparkEntry.queries("x43_hashed_doc_vectors")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     val ceilings = Seq(
       // x90: the Q×N scored pass is map-side (broadcast queries, codegen
       // dot, broadcast post-agg rank counts) — shuffled rows are the
@@ -649,7 +655,13 @@ class PlanAuditSpec extends SparkSpec {
       // partials (the miss side broadcasts at small SF, co-keyed at
       // scale). Feature-frame-linear, NEVER epochs × corpus
       // (measured 33,567 at sf0.001 ≈ 2.4× the feat rows; cap ~2x)
-      "x91_perceptron_filter" -> 70000L)
+      "x91_perceptron_filter" -> 70000L,
+      // e15/e16: one per-customer combinable agg each; the at-risk
+      // window and driver folds run over the calendar-bounded per-day
+      // frame — shuffled rows are customer partials + day rows, never
+      // orders (measured e15 664 / e16 1,140 at sf0.001; cap ~2x)
+      "e15_retention_survival" -> 1500L,
+      "e16_logrank_cohorts" -> 2500L)
     for ((q, cap) <- ceilings) {
       val rec = shuffleRecordsOf(q)
       info(s"$q shuffled $rec records (cap $cap)")
