@@ -49,8 +49,13 @@ object GraftExtensions {
         LongDot(args.head, args(1))
       }))
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    // AQE runtime rewrite: global sort over a runtime-small (exact-stats)
+    // child -> single-partition local sort; identity on corpus-shaped
+    // frames. See [[SmallSortRule]].
+    ext.injectRuntimeOptimizerRule(SmallSortRule)
+  }
 
   /** Late registration on an already-built session (e.g. a caller-supplied
     * SparkSession that was not created through GraftSession). Idempotent.

@@ -789,7 +789,16 @@ object RelationalQueries {
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderpriority")
-      graft.operators.BloomPrune.prunedJoin(l, "l_orderkey", o, "o_orderkey")
+      // m sized to the FILTERED dimension per the operator's own sizing
+      // rule (~10% of orderkeys survive): 2^18 bits holds fpr < 2% at
+      // sf0.1's ~15k build keys — false positives only re-add shuffle
+      // rows the join then drops, never rows. The default 2^20 cost more
+      // in PLAN weight than it saved in shuffle: its 16,384-long literal
+      // is embedded once per probe hash (4x) and re-copied by every
+      // optimizer rule pass, measured as ~0.8 s of driver time per run
+      // (wall 1.27 s vs 0.47 s of task time)
+      graft.operators.BloomPrune.prunedJoin(l, "l_orderkey", o, "o_orderkey",
+          mBits = 1 << 18)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
           moneySum(col("l_extendedprice")).as("revenue"))

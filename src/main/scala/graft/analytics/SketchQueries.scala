@@ -82,9 +82,17 @@ object SketchQueries {
       graft.GraftExtensions.ensure(s)
       def buckets(key: org.apache.spark.sql.Column) = cmsBuckets(key)
       val li = Tables.load(s, d, "lineitem").select(col("l_partkey"))
-      val cells = li.select(buckets(col("l_partkey")))
+      // pre-aggregate by key BEFORE the bucket explode: the md5 bucket of
+      // a key is row-independent, so summing per-key counts into cells is
+      // exactly the per-row count — but the digest runs once per DISTINCT
+      // key (|keys| × depth hashes) instead of once per row (|rows| ×
+      // depth). At sf0.1 that is 80k digests instead of 2.4M (guide §2.3
+      // "aggregate before you shuffle", applied to the hash stage); at
+      // 100 TB the explode stage stops scaling with fact rows entirely.
+      val perKey = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("kc"))
+      val cells = perKey.select(col("kc"), buckets(col("l_partkey")))
         .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("kc")).as("cnt"))
       val probes = Tables.load(s, d, "part")
         .filter(col("p_partkey") <= 10).select(col("p_partkey"))
       val probeBuckets = probes
@@ -231,10 +239,14 @@ object SketchQueries {
       graft.GraftExtensions.ensure(s)
       val ev = Tables.load(s, d, "events").select(col("user_id"))
       val or = Tables.load(s, d, "orders").select(col("o_custkey"))
+      // per-key pre-aggregation before the bucket explode (x22's rewrite):
+      // cell counts are sums over keys, so the md5 digest runs per DISTINCT
+      // key, not per row — and the key agg is map-side combinable.
       def cells(df: org.apache.spark.sql.DataFrame, key: String) =
-        df.select(cmsBuckets(col(key), width = 65536))
+        df.groupBy(col(key)).agg(count(lit(1)).as("kc"))
+          .select(col("kc"), cmsBuckets(col(key), width = 65536))
           .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("kc")).as("cnt"))
       val est = cells(ev, "user_id").withColumnRenamed("cnt", "cnt_e")
         .join(cells(or, "o_custkey").withColumnRenamed("cnt", "cnt_o"),
           Seq("r", "bucket"))

@@ -24,7 +24,11 @@ object PiiQueries {
   /** Customer contact blob with planted PII, derived identically in
     * Spark (here) and DuckDB ([[blobSql]]). */
   private[quality] def blob(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "customer")
+    // widen: the blob synthesis + the downstream detector/redaction regex
+    // chains are per-row-heavy, and the single-row-group customer file
+    // scans as ONE task (guide §2.5 unsplittable-input rescue; identity
+    // at scale — Tables.widen is a no-op once the scan splits naturally)
+    Tables.widen(Tables.load(s, d, "customer"))
       .withColumn("payload", lpad(col("c_custkey").cast("string"), 15, "4"))
       .withColumn("p0", concat(col("payload"), lit("0")))
       .withColumn("check_d",

@@ -144,6 +144,24 @@ object Tables {
     } else spark.read.schema(all(name)).parquet(path)
   }
 
+  /** Rescue scan parallelism for per-row-HEAVY map stages (regex chains,
+    * digest loops, n-gram explodes) over unsplittable inputs: the test
+    * corpus tables are single-row-group parquet files, which Spark scans
+    * as ONE task — so a map-heavy stage runs serial on a 32-core session
+    * (measured: t29's strip chain 1.65 s wall ≈ its single-task time).
+    * When the frame's planned scan yields fewer partitions than half the
+    * session parallelism, round-robin it to full width; otherwise return
+    * it unchanged — at warehouse scale inputs split into thousands of
+    * tasks naturally and this is an identity, so the exchange never
+    * appears in a 100 TB plan (scale-adaptive by construction, not a
+    * local-mode constant). Use ONLY where per-row work dominates: for a
+    * scan→agg query the extra exchange is pure loss (the docsWide rule).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+  }
+
   /** Register every canonical table as a temp view so the whole corpus is
     * queryable through `spark.sql` (the reference's ad-hoc SQL surface,
     * `utils-dev/s3_parquet_query.py`) — same schemas and the same events

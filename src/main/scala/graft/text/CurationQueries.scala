@@ -421,7 +421,13 @@ object CurationQueries {
     "x55_dsir_selection",
     "DSIR importance selection: hashed-ngram target/raw log2-ratio weights, per-source census",
     (s, d) => {
-      dsirScores(s, d).groupBy("source").agg(
+      // same memoized scored frame as x58 (shared deterministic artifact,
+      // the x4/x27/x35/x42 pattern): the n-gram hash + model scoring chain
+      // is identical in both queries, so the second consumer reads the
+      // lineage-truncated memo instead of re-hashing the corpus
+      graft.PlanCache.checkpointed(s, s"x58-scored/$d") {
+        dsirScores(s, d)
+      }.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum((col("w_doc") > 0).cast("long")).as("n_selected"),
         sum(when(col("w_doc") > 0, col("w_doc")).otherwise(lit(0L)))

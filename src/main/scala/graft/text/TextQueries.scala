@@ -537,8 +537,11 @@ object TextQueries {
           lit(". All rights reserved.</footer></body></html>"))
         // one clean pass per page: the pair array is a withColumn
         // boundary CollapseProject keeps (non-cheap, referenced twice),
-        // so n_blocks / n_kept / main all read the SAME cleaned blocks
-        docs(s, d)
+        // so n_blocks / n_kept / main all read the SAME cleaned blocks.
+        // widen: the strip chain is the heaviest per-row work in the
+        // suite and ran as ONE scan task on the single-row-group corpus
+        // (guide §2.5 unsplittable-input rescue; identity at scale)
+        graft.sources.Tables.widen(docs(s, d))
           .select(col("doc_id"), col("text"), html.as("html"))
           .withColumn("pairs", HtmlStrip.blockPairs(col("html")))
           .withColumn("kept", HtmlStrip.keptPairs(col("pairs")))
@@ -2674,6 +2677,12 @@ object TextQueries {
     // dense per-doc vector + squared norm: docs-sized, one combinable
     // agg — memoized when the caller supplies a key (the frame is read
     // by both the anchor build and the pair scan)
+    // repartitioned to the session's parallelism INSIDE the (memoized)
+    // build: the groupBy's post-AQE coalesce leaves the docs-sized vector
+    // frame in a handful of partitions, and the anchors × docs scoring
+    // stage below inherits them — measured 7 tasks on 32 cores, i.e. the
+    // codegen dot loop ran ~4-wide. Round-robin on ≤ docs rows is a
+    // trivial one-time cost next to a 25/32-idle scoring stage.
     def vecsPlan = w.groupBy("doc_id")
       .agg(collect_list(struct(col("bucket"), col("wsum"))).as("bw"),
         sum(col("wsum") * col("wsum")).as("ss"))
@@ -2682,6 +2691,7 @@ object TextQueries {
           "coalesce(element_at(map_from_entries(bw), b), 0L))"))
       .drop("bw")
       .join(src, Seq("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
     val vecs = vecsCacheKey
       .map(key => graft.PlanCache.checkpointed(s, key)(vecsPlan))
       .getOrElse(vecsPlan)

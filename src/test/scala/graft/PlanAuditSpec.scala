@@ -251,12 +251,20 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("x55 scores through a broadcast model join, never a corpus window") {
-    val plan = planOf("x55_dsir_selection")
+    // x55 reads the memoized scored frame (shared with x58), so the
+    // audited shape lives in the UNDERLYING dsirScores build plan — the
+    // laggedRanged precedent: a checkpointed memo hides the build from
+    // the final query's executed plan, the audit must look at the build
+    val plan = graft.text.CurationQueries.dsirScores(spark, sfDir)
+      .queryExecution.executedPlan.toString
     // the only window allowed is the per-doc bigram lag; the 512-row
     // model and the scoring join must broadcast
     assert(plan.contains("BroadcastHashJoin"),
       s"x55 model join must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"x55 cartesian:\n$plan")
+    // and the memoized query itself must stay cartesian-free
+    val qplan = planOf("x55_dsir_selection")
+    assert(!qplan.contains("CartesianProduct"), s"x55 cartesian:\n$qplan")
   }
 
   test("x56/x57 take the inverted-index path: query side broadcast, no corpus pairs") {
