@@ -106,6 +106,14 @@ object Bench {
     // median is the recorded number; min and gc are the adjudication pair
     // (median ≫ min = the slot hit transient noise; high gc = heap
     // pressure from the session's accumulated cached frames)
+    // per-slot io stamp (the r18 verdict's item 4 — the soak/speed-layer
+    // probe discipline extended to the main query loop): any slot whose
+    // median lands near slowest-10 territory records the scratch mount's
+    // seq-write MB/s IMMEDIATELY after its 3 runs, so an inflated median
+    // adjudicates itself in the compact line (x41-class window inflation
+    // read as a plan regression in r18 because only the global pre/post
+    // probes existed). -1 = slot was fast, not probed.
+    val slotProbeAbove = 0.9
     val seqStats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       val g0 = gcMillis()
@@ -119,21 +127,28 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val gcSec = (gcMillis() - g0) / 1000.0
+      val med = if (failed) -1.0 else record(times)
+      val ioStamp = if (med >= slotProbeAbove) IoProbe.run().seqWriteMBps else -1.0
       // a failure must not masquerade as a fast timing in the JSON
-      (name, if (failed) -1.0 else record(times),
-        if (failed) -1.0 else times.min, gcSec)
+      (name, med, if (failed) -1.0 else times.min, gcSec, ioStamp)
     }
-    val results = seqStats.map { case (n, med, _, _) => n -> med }
-    val qMin = seqStats.map { case (n, _, mn, _) => n -> mn }.toMap
-    val qGc = seqStats.map { case (n, _, _, g) => n -> g }.toMap
+    val results = seqStats.map { case (n, med, _, _, _) => n -> med }
+    val qMin = seqStats.map { case (n, _, mn, _, _) => n -> mn }.toMap
+    val qGc = seqStats.map { case (n, _, _, g, _) => n -> g }.toMap
+    val qIo = seqStats.map { case (n, _, _, _, io) => n -> io }.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsMin = seqStats.map { case (k, _, mn, _) => "\"" + k + "\":" + mn }
+    val qsMin = seqStats.map { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsGc = seqStats.map { case (k, _, _, g) =>
+    val qsGc = seqStats.map { case (k, _, _, g, _) =>
       "\"" + k + "\":" + (math.round(g * 1000) / 1000.0)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // io stamp before the ingest section (same discipline): the r18
+    // ingest quote (143k ev/s vs 419k r17 / 275k builder) had no
+    // window evidence of its own
+    val ingestIoPre = IoProbe.run()
 
     // CDC ingest throughput, comparable to the reference's headline
     // events/sec numbers (BASELINE.md): generate -> unwrap -> partitioned
@@ -962,11 +977,16 @@ object Bench {
     // full-precision record, written to a file: long stdout lines have been
     // truncated by log captures before (BENCH_r02-r04 arrived unparseable);
     // SPARK_GRAFT_BENCH_OUT overrides the default path
+    val qsIo = seqStats.map { case (k, _, _, _, io) =>
+      "\"" + k + "\":" + io.round
+    }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsN,""" +
       s""""ingest_events_per_sec":$eps,"ingest_events":$nWritten,""" +
+      s""""ingest_io_pre":${ingestIoPre.toJsonCompact},""" +
       s""""queries":$qs,""" +
       s""""queries_min":$qsMin,""" +
       s""""queries_gc_sec":$qsGc,""" +
+      s""""queries_io_seqw":$qsIo,""" +
       s""""concurrent":{"parallelism":${concNames.size},"queries":$cq,""" +
       s""""queue_sec":$cqQueue,"scheduler":"fair-pool-per-query",""" +
       s""""gc_sec_8way_rounds":$concGcSec,""" +
@@ -1004,16 +1024,33 @@ object Bench {
     // the stdout line must fit the driver's ~2 KB tail capture WHOLE —
     // BENCH_r11/r12 arrived with "parsed": null because the full
     // 126-entry query map pushed the line past the window and clipped
-    // its head. Print only the slowest 10 (the ones a reader acts on);
-    // the full map lives in the detail sidecar referenced by "detail".
-    // value = [median, min, gc_sec] so a slow slot self-adjudicates in
-    // the compact artifact: median ≫ min ⇒ transient window noise (the
-    // r15 x76 case); gc ≈ median ⇒ heap pressure; median ≈ min with low
-    // gc ⇒ the plan itself costs that much and deserves a look
-    val qsCompact = results.sortBy(-_._2).take(10)
+    // its head, and PERF.per_query has been empty ever since the
+    // slowest-10-only fallback (r18 verdict item 2). r19 restores FULL
+    // per-query visibility inside the budget: "queries_centisec" is
+    // every query's median in centiseconds as a plain int array, in
+    // ascending-name order (the same order as this file's "queries" map
+    // and the committed Catalog); "queries_md5" is the first 8 hex of
+    // md5 over the comma-joined sorted names so a reader can verify the
+    // order against the catalog without trusting it. ~620 chars for 192
+    // queries vs ~5 KB for the named map.
+    val qsCs = results.map { case (_, v) =>
+      if (v < 0) "-1" else math.round(v * 100).toString
+    }.mkString("[", ",", "]")
+    val namesMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(results.map(_._1).mkString(",").getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    // slowest slots: value = [median, min, gc_sec, io_seqw_mbps] so a
+    // slow slot self-adjudicates in the compact artifact: median ≫ min
+    // ⇒ transient window noise (the r15 x76 case); gc ≈ median ⇒ heap
+    // pressure; io stamp (seq-write MB/s right after the slot, -1 = not
+    // probed) ≪ healthy ⇒ degraded mount, discount the slot; median ≈
+    // min with low gc on a healthy stamp ⇒ the plan itself costs that
+    // much. The full [median,min,gc] maps live in the detail sidecar.
+    def qsCompact(slowN: Int) = results.sortBy(-_._2).take(slowN)
       .map { case (k, v) =>
         "\"" + k + "\":[" + r3(v) + "," + r3(qMin.getOrElse(k, -1.0)) + "," +
-          r3(qGc.getOrElse(k, -1.0)) + "]"
+          r3(qGc.getOrElse(k, -1.0)) + "," +
+          qIo.getOrElse(k, -1.0).round + "]"
       }
       .mkString("{", ",", "}")
     val mvWaveTotals = mvWave.map(_._1)
@@ -1026,45 +1063,43 @@ object Bench {
       s""""scale_soak":${!soakJson.contains("\"failed\"")},""" +
       s""""scale_soak_100x":${!soak100Json.contains("\"error\"")},""" +
       s""""curation":$curationPass}"""
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runsN,""" +
-      s""""ingest_events_per_sec":${eps.round},"ingest_events":$nWritten,""" +
-      s""""n_queries":${results.size},"queries_slowest":$qsCompact,""" +
+    def compactLine(slowN: Int) = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""ingest_events_per_sec":${eps.round},""" +
+      s""""ingest_io_pre":${ingestIoPre.toJsonCompact},""" +
+      s""""n_queries":${results.size},""" +
+      s""""queries_centisec":$qsCs,""" +
+      s""""queries_order":"name_asc","queries_md5":"$namesMd5",""" +
+      s""""queries_slowest":${qsCompact(slowN)},""" +
       s""""sections_pass":$sections,""" +
-      s""""concurrent":{"parallelism":${concNames.size},""" +
-      s""""worst_slowdown":${r3(worstSlowdown)},""" +
+      s""""concurrent":{"worst_slowdown":${r3(worstSlowdown)},""" +
       s""""gc_sec_8way":$concGcSec,""" +
       s""""wave_p95_sec":${r3(pctOf(waveTotals)(0.95))},""" +
       s""""mv_wave_p95_sec":${r3(pctOf(mvWaveTotals)(0.95))},""" +
       s""""worst":$worstJson},""" +
       // 100× soak compact summary: factor = warm wall at 100× / the
-      // same-phase sf0.1 requote, per query, plus total spill
+      // same-phase sf0.1 requote, per query, plus total spill and the
+      // per-query degraded-window verdict (full pre-run probe triples
+      // stay in the detail sidecar — the verdict bit is what a reader
+      // acts on, and the triple cost ~170 chars of the budget)
       (if (soak100Summary.isEmpty) "" else {
         import scala.jdk.CollectionConverters._
         val m = soak100Summary.asScala
         val fs = m.toSeq.sortBy(_._1).map { case (n, (f, _, _, _)) =>
           "\"" + n.takeWhile(_ != '_') + "\":" + r3(f)
         }.mkString(",")
-        // per-query pre-run [seq-write MB/s, fsync/s, creates/s] + the
-        // degraded verdict at the standard thresholds, IN the compact
-        // line: a soak factor is only as trustworthy as its window
-        val ios = m.toSeq.sortBy(_._1).map { case (n, (_, _, io, deg)) =>
-          "\"" + n.takeWhile(_ != '_') + "\":{\"pre\":" + io +
-            ",\"degraded\":" + deg + "}"
+        val ios = m.toSeq.sortBy(_._1).map { case (n, (_, _, _, deg)) =>
+          "\"" + n.takeWhile(_ != '_') + "\":" + deg
         }.mkString(",")
         s""""soak100_factors":{$fs},""" +
-          s""""soak100_io":{$ios},""" +
+          s""""soak100_io_degraded":{$ios},""" +
           s""""soak100_spill_mb":${m.values.map(_._2).filter(_ > 0).sum},"""
       }) +
       s""""speed_layer_max_sustainable_eps":$speedMaxEps,""" +
-      // what the record rung's own pre-run probes said this window should
-      // sustain (SustainedLoad.predictMaxEps): sustained ≪ predicted =
-      // unexplained mid-run degradation; sustained ≈ predicted = the
-      // window explains itself
-      s""""speed_layer_predicted_eps":$speedPredEps,""" +
       // per-rung [offered_eps, ok, seq-write MB/s, creates/s, predicted]
       // + the LIMITING rung's window verdict, IN the compact line (the
       // r17 verdict: the official 40k rode a window whose own stamps
-      // lived only in the /tmp detail — now the headline carries them)
+      // lived only in the /tmp detail — now the headline carries them).
+      // The record rung's predicted max rides as each rung's 5th element.
       s""""speed_layer_rungs":$speedRungs,""" +
       s""""speed_layer_window":"$speedWindow",""" +
       s""""speed_layer_eps":${if (speedEps < 0) "-1" else speedEps.round.toString},""" +
@@ -1072,10 +1107,11 @@ object Bench {
       s""""freshness_p95_sec":${r3(freshP95)},""" +
       // adjudication visibility: when the freshness section was retried
       // under a confirmed-degraded probe, say so HERE (not only in the
-      // detail file) and keep attempt 1's p95 next to the substituted one
-      s""""freshness_retried":${freshRetryJson != null},""" +
+      // detail file) and keep attempt 1's p95 next to the substituted
+      // one (the keys appear only on retry — absent means not retried)
       (if (freshRetryJson != null)
-        s""""freshness_attempt1_p95_sec":${r3(fresh1P95)},"""
+        s""""freshness_retried":true,""" +
+          s""""freshness_attempt1_p95_sec":${r3(fresh1P95)},"""
       else "") +
       // [seq-write MB/s, fsync/s, small-creates/s] before/after the run;
       // healthy-band thresholds live in NOTES
@@ -1085,6 +1121,12 @@ object Bench {
       // io-probe and needed exactly this number to adjudicate itself
       s""""cpu_probe":{"pre":${cpuPre.toJsonCompact},"post":${cpuPost.toJsonCompact}},""" +
       s""""detail":"$outPath","sf":"$sfDir"}"""
+    // 2 KB tail budget guard: prefer 5 adjudicated slow slots, fall back
+    // to 3 if a long window (extra rungs, failed sections) pushes the
+    // line toward the clip point — a shorter slow list beats a headless
+    // unparseable line every time
+    val compact5 = compactLine(5)
+    val compact = if (compact5.length <= 1950) compact5 else compactLine(3)
     // OFF (not ERROR): nothing — not even a shutdown-hook WARN — may land
     // on the streams after the compact line, which the driver parses as
     // the LAST line of process output (build.sbt routes forked stdout

@@ -25,8 +25,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the frames a single task sorts faster than a sampling pass + shuffle.
   *
   * Semantics: total order in == total order out — a one-partition local
-  * sort IS a global sort; row values untouched. `graft.smallSort.maxRows`
-  * / `maxBytes` tune the caps; `graft.smallSort.enabled=false` disables.
+  * sort IS a global sort; row values untouched.
+  * `spark.graft.smallSort.maxRows` / `spark.graft.smallSort.maxBytes`
+  * tune the caps; `spark.graft.smallSort.enabled=false` disables (the
+  * keys the code actually reads — r18 ADVICE flagged the docstring
+  * naming an unprefixed variant that was silently ignored).
   */
 case class SmallSortRule(spark: SparkSession) extends Rule[LogicalPlan] {
 

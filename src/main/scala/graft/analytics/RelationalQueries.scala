@@ -789,16 +789,17 @@ object RelationalQueries {
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderpriority")
-      // m sized to the FILTERED dimension per the operator's own sizing
-      // rule (~10% of orderkeys survive): 2^18 bits holds fpr < 2% at
-      // sf0.1's ~15k build keys — false positives only re-add shuffle
-      // rows the join then drops, never rows. The default 2^20 cost more
-      // in PLAN weight than it saved in shuffle: its 16,384-long literal
-      // is embedded once per probe hash (4x) and re-copied by every
-      // optimizer rule pass, measured as ~0.8 s of driver time per run
-      // (wall 1.27 s vs 0.47 s of task time)
-      graft.operators.BloomPrune.prunedJoin(l, "l_orderkey", o, "o_orderkey",
-          mBits = 1 << 18)
+      // r19: broadcast-bitset form, m sized from the filtered dimension's
+      // observed key count (r18 verdict item 3). The r18 shape embedded a
+      // 2^18-bit literal tuned to sf0.1 — plan weight O(m) (its 16,384-
+      // long 2^20 predecessor measured ~0.8 s of driver time per run)
+      // and a bitset that saturates exactly when the build side grows.
+      // Now: one count of the filtered dim picks m (fpr ≈ 1.2% at any
+      // scale up to the 2^26 broadcast cap), and the words array rides a
+      // one-row broadcast relation — plan size O(1), probe still a pure
+      // codegen Filter under the fact scan, shuffle reduction unchanged.
+      graft.operators.BloomPrune.prunedJoinBroadcast(l, "l_orderkey",
+          o, "o_orderkey")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
           moneySum(col("l_extendedprice")).as("revenue"))
@@ -890,17 +891,27 @@ object RelationalQueries {
     * assume it) and behind dedup survivorship (x34 merges on the
     * premise that cluster → canonical is a function); this audit says
     * which assumed dependencies actually hold in the data. Each
-    * candidate is one groupBy + one single-distinct aggregate
-    * (map-combinable, no Expand); output is candidates-bounded.
+    * candidate is one groupBy + plain min/max aggregates: a group
+    * violates X→Y iff it holds ≥ 2 distinct non-null Y values, i.e.
+    * iff min(Y) ≠ max(Y) (total order on bigint/string) — the r19
+    * rewrite of the original `countDistinct(rhs) > 1`, whose
+    * one-distinct plan (planAggregateWithOneDistinct) spent TWO
+    * exchanges per candidate and shuffled the deduped (X, Y) PAIR set;
+    * min/max partials are map-combinable in ONE exchange of one row
+    * per X-group (outputs bit-identical — nd was only ever consumed
+    * through `> 1`, and all-null groups yield null min/max ⇒
+    * non-violating under both forms). Output is candidates-bounded.
     */
   val q11FunctionalDeps = QueryDef(
     "q11_functional_deps",
     "functional-dependency audit: violating group counts per candidate X→Y",
     (s, d) => {
       def fd(df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String) =
-        df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        df.groupBy(col(lhs))
+          .agg(min(col(rhs)).as("lo"), max(col(rhs)).as("hi"))
           .agg(count(lit(1)).as("n_groups"),
-            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating_groups"))
+            sum(when(col("lo") =!= col("hi"), 1L).otherwise(0L))
+              .as("violating_groups"))
           .select(lit(s"$lhs->$rhs").as("fd"), col("n_groups"),
             col("violating_groups"),
             (col("violating_groups") === 0).as("holds"))

@@ -117,24 +117,44 @@ object ClusterQueries {
     */
   private[graft] def propagateQuality(und: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
+    // r19 round-fusion (guide §5, fewer materializations per round):
+    //  - deg is LOOP-INVARIANT, so it is joined into the edge frame ONCE
+    //    (undDeg carries each edge's source degree) — each round pays one
+    //    join against q instead of two (q, then deg);
+    //  - the seed frame is checkpointed ONCE — the old shape re-ran the
+    //    seeds plan (documents scan + quality-score expression chain)
+    //    inside every round's damping join, 5 extra corpus scans per x53;
+    //  - rounds checkpoint every 2nd step (and the last) instead of every
+    //    step — lineage stays ≤ 2 rounds deep, half the materializations.
+    // Arithmetic per round is untouched (same joins on the same keys,
+    // same exact-integer damping), so the fixed-round result is
+    // bit-identical to the unfused form.
     val undCk = und.localCheckpoint(true)
     val deg = undCk.groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    var q = seeds.select(col("node"), col("q0").as("q")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val inc = undCk.join(q, Seq("node")).join(deg, Seq("node"))
+    val undDeg = undCk.join(deg, Seq("node")).localCheckpoint(true)
+    graft.similarity.Ivf.dropCheckpoint(undCk)
+    val seedCk = seeds.select(col("node"), col("q0")).localCheckpoint(true)
+    var q = seedCk.select(col("node"), col("q0").as("q"))
+    var lastCk: DataFrame = seedCk
+    for (r <- 1 to rounds) {
+      val inc = undDeg.join(q, Seq("node"))
         .select(col("nbr"), expr("q div deg").as("c"))
         .groupBy("nbr").agg(sum(col("c")).as("c"))
         .withColumnRenamed("nbr", "node")
-      val next = seeds.join(inc, Seq("node"), "left")
+      val next = seedCk.join(inc, Seq("node"), "left")
         .select(col("node"),
           expr("(15 * q0 + 85 * coalesce(c, 0L)) div 100").as("q"))
-      val prev = q
-      q = next.localCheckpoint(true)
-      graft.similarity.Ivf.dropCheckpoint(prev)
+      q = if (r % 2 == 0 || r == rounds) {
+        val ck = next.localCheckpoint(true)
+        // the previous checkpoint is no longer referenced once this one
+        // is materialized (seedCk stays: every round's damping joins it)
+        if (lastCk ne seedCk) graft.similarity.Ivf.dropCheckpoint(lastCk)
+        lastCk = ck
+        ck
+      } else next
     }
-    graft.similarity.Ivf.dropCheckpoint(undCk)
-    graft.similarity.Ivf.dropCheckpoint(deg)
+    graft.similarity.Ivf.dropCheckpoint(undDeg)
+    graft.similarity.Ivf.dropCheckpoint(seedCk)
     q
   }
 

@@ -159,7 +159,18 @@ object Tables {
     */
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+    // exchange guard (r18 ADVICE): under AQE, `.rdd` on a frame that
+    // contains exchanges eagerly executes every upstream query stage at
+    // plan-build time and double-plans the query. widen's contract is
+    // per-row-heavy map stages sitting directly on a scan; a frame that
+    // already shuffles is shuffle-parallel and widen is an identity.
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions * 2 >= p) df
+    else df.repartition(p)
   }
 
   /** Register every canonical table as a temp view so the whole corpus is

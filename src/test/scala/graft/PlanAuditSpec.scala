@@ -224,9 +224,57 @@ class PlanAuditSpec extends SparkSpec {
       s"per-anchor top-k must be the bounded TopKTerms aggregate:\n$plan")
   }
 
-  test("j12 bloom probe is a builtin Filter in the fact scan stage") {
+  test("SmallSortRule: a runtime-small terminal sort drops its range " +
+    "exchange (coalesce-1 local sort), a corpus-sized sort keeps it, " +
+    "and the spark.graft.smallSort.enabled kill switch works") {
+    // the AQE FINAL plan only — executedPlan.toString includes the
+    // "Initial Plan" section, which always shows the pre-rule exchange
+    def finalPlanOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case o => o.toString
+      }
+    def smallQ() = spark.range(100000L)
+      .select((col("id") % 97).as("k"), col("id").as("v"))
+      .groupBy("k").agg(sum("v").as("s")).orderBy("s")
+    val small = smallQ()
+    val rows = small.collect()
+    // semantics: the one-partition local sort IS a total order
+    val ss = rows.map(_.getLong(1)).toSeq
+    assert(ss == ss.sorted, "rewritten sort lost the total order")
+    val sp = finalPlanOf(small)
+    assert(!sp.contains("rangepartitioning"),
+      s"rule did not fire — runtime-small sort kept its range exchange:\n$sp")
+    assert(sp.contains("Coalesce 1"),
+      s"rule did not fire — no single-partition coalesce under the sort:\n$sp")
+    // corpus-sized (300k rows > spark.graft.smallSort.maxRows): identity
+    val big = spark.range(300000L)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .groupBy("k").agg(sum("v").as("s")).orderBy(org.apache.spark.sql
+        .functions.desc("s"))
+    big.collect()
+    val bp = finalPlanOf(big)
+    assert(bp.contains("rangepartitioning"),
+      s"rule fired on a corpus-sized sort — scale-identity violated:\n$bp")
+    // kill switch (the key the code reads — the r18 ADVICE found the
+    // docstring naming an unprefixed variant)
+    spark.conf.set("spark.graft.smallSort.enabled", "false")
+    try {
+      val off = smallQ()
+      off.collect()
+      val op = finalPlanOf(off)
+      assert(op.contains("rangepartitioning"),
+        s"kill switch ignored — small sort still rewritten:\n$op")
+    } finally spark.conf.unset("spark.graft.smallSort.enabled")
+  }
+
+  test("j12 bloom probe is a builtin Filter in the fact scan stage, " +
+    "bitset on a broadcast relation (no plan literal)") {
     val plan = planOf("j12_bloom_pruned_join")
     assert(plan.contains("element_at"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("__bloom_words"),
+      s"bitset must ride the one-row broadcast, not a plan literal:\n$plan")
     assert(!plan.contains("BatchEvalPython"), "probe must stay codegen")
   }
 

@@ -115,6 +115,55 @@ class BloomPruneSpec extends SparkSpec {
     }
   }
 
+  test("broadcast-bitset pruned join ≡ plain join; words ride the " +
+    "broadcast relation, not a plan literal (r19 j12 form)") {
+    val pruned = BloomPrune.prunedJoinBroadcast(li, "l_orderkey",
+      urgentOrders, "o_orderkey")
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    val plain = li.join(urgentOrders,
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    assert(rowsOf(pruned) == rowsOf(plain))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("__bloom_words"),
+      s"bitset must be a broadcast attribute, not a literal:\n$plan")
+    assert(plan.contains("element_at"), "probe must stay builtin")
+  }
+
+  test("broadcast-bitset sizing follows the build count; the cap bounds " +
+    "the broadcast") {
+    assert(BloomPrune.sizeBits(0) == (1 << 14))
+    assert(BloomPrune.sizeBits(1000) == (1 << 14))   // 10k bits < floor
+    assert(BloomPrune.sizeBits(15000) == (1 << 18))  // 150k bits -> 2^18
+    assert(BloomPrune.sizeBits(1000000) == (1 << 24))
+    assert(BloomPrune.sizeBits(100000000L) == (1 << 26)) // capped
+  }
+
+  test("under sort-merge, the broadcast-bitset form cuts the fact-side " +
+    "shuffle like the literal form") {
+    withSql("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val plain = li.join(urgentOrders,
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      plain.collect()
+      val plainShuffle = sumMetric(plain.queryExecution.executedPlan,
+        "shuffleRecordsWritten")
+
+      val pruned = BloomPrune.prunedJoinBroadcast(li, "l_orderkey",
+          urgentOrders, "o_orderkey")
+        .groupBy("l_returnflag").count()
+      pruned.collect()
+      val prunedShuffle = sumMetric(pruned.queryExecution.executedPlan,
+        "shuffleRecordsWritten")
+
+      assert(plainShuffle > 0)
+      assert(prunedShuffle < plainShuffle / 2,
+        s"expected the broadcast bloom filter to cut shuffle records " +
+          s"well below half: pruned=$prunedShuffle plain=$plainShuffle")
+    }
+  }
+
   test("the probe is a scan-side Filter of pure builtins (codegen'd), " +
     "below the join") {
     withSql("spark.sql.autoBroadcastJoinThreshold" -> "-1",
